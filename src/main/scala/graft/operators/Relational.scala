@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.sources.Tables
+
+/** Relational/OLAP core: the general analytics surface the engine
+  * exposes at 100 TB. Plans are declarative DataFrame ops so Catalyst
+  * handles pushdown/pruning; dimension sides of joins are broadcast
+  * explicitly; aggregates are decimal-exact (see [[graft.operators]]).
+  */
+object Relational {
+
+  /** TPC-H-Q1-style pricing summary: single shuffle, map-side partial
+    * aggregation, filter pushed to the parquet scan. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+          .cast(DoubleType).as("sum_disc_price"),
+        // chained decimal multiply: shrink the exact (.,4)-scale product
+        // back to (18,4) so precision never overflows 38 in either the
+        // Spark plan or the oracle engine (both stay exact).
+        sum((dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+            .cast(DecimalType(18, 4)) * (lit(1) + dec($"l_tax")))
+          .cast(DoubleType).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H-Q3-style: broadcast the filtered customer dim into orders,
+    * shuffle-join the lineitem fact once, deterministic top-k. */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < to_timestamp(lit("1998-01-01")))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > to_timestamp(lit("1998-01-01")))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  /** TPC-H-Q5-style 5-way join: region/nation/supplier broadcast into
+    * the customer⋈orders⋈lineitem fact chain. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+              $"o_orderdate" < to_timestamp(lit("1997-01-01")))
+      .select($"o_orderkey", $"o_custkey")
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    li.join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast(DoubleType).as("revenue"))
+  }
+
+  /** Window functions: per-supplier price rank (top-3) + running
+    * quantity, single hash-partition shuffle on l_suppkey. */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bySupp = Window.partitionBy($"l_suppkey")
+    val rankW = bySupp.orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+    val runW = bySupp.orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice",
+        $"l_quantity", $"l_shipdate")
+      .withColumn("price_rank", row_number().over(rankW).cast(LongType))
+      .withColumn("run_qty", sum(dec($"l_quantity")).over(runW).cast(DoubleType))
+      .filter($"price_rank" <= 3)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"price_rank", $"run_qty")
+  }
+
+  /** Exact distinct counting per group (Catalyst expands to two-level
+    * aggregation — partials then distinct merge). */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** NOT EXISTS via left-anti join (no subquery materialization):
+    * customers who never placed a large (> 300k) order. */
+  def qExists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 300000.0).select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+  }
+
+  /** Hierarchical ROLLUP over return flag / line status. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"),
+           dsum($"l_extendedprice").as("sum_price"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** As-of join: each event picks the most recent (≤ ts) daily order
+    * aggregate of its user. Implemented with the union+window trick —
+    * ONE shuffle on user, no range cross-join — which is the shape
+    * that survives 100 TB (a per-event×per-order join would not).
+    */
+  def qAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(dsum($"o_totalprice").as("day_total"))
+      .select($"o_custkey".as("u"), $"o_orderdate".as("t"),
+        lit(0).as("is_event"), lit(null).cast(LongType).as("event_id"),
+        $"o_orderdate".as("od"), $"day_total")
+    val ev = Tables.events(spark, dir)
+      .select($"user_id".as("u"), $"ts".as("t"),
+        lit(1).as("is_event"), $"event_id",
+        lit(null).cast("timestamp").as("od"), lit(null).cast(DoubleType).as("day_total"))
+    val w = Window.partitionBy($"u").orderBy($"t".asc, $"is_event".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.unionByName(ev)
+      .withColumn("last_order_date", last($"od", ignoreNulls = true).over(w))
+      .withColumn("last_day_total", last($"day_total", ignoreNulls = true).over(w))
+      .filter($"is_event" === 1)
+      .select($"event_id", $"u".as("user_id"), $"t".as("ts"),
+        $"last_order_date", $"last_day_total")
+  }
+}

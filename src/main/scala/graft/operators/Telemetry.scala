@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.sources.Tables
+
+/** Event-time telemetry operators re-expressing the reference's
+  * stream-processing requirements (iceberg-twist notes.org +
+  * serial_streaming.lua) as distributed Spark plans.
+  *
+  * All ops shuffle at most once (hash on user/stream key) and use
+  * decimal-exact running math for oracle parity.
+  */
+object Telemetry {
+
+  private def byUserTime(spark: SparkSession) = {
+    import spark.implicits._
+    Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+  }
+
+  /** Rate downsampling, "don't send at 5 hz, send at 1 hz"
+    * (notes.org): keep the first event per (user, second). */
+  def downsample1Hz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"sec").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .withColumn("sec", date_trunc("second", $"ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"sec", $"value")
+  }
+
+  /** Periodic beacons, "send gps every 5 minutes" (notes.org):
+    * 5-minute tumbling-window aggregates per user. */
+  def beacon5Min(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("bucket",
+        timestamp_millis((floor(unix_millis($"ts") / 300000L) * 300000L).cast(LongType)))
+      .groupBy($"user_id", $"bucket")
+      .agg(count(lit(1)).as("n_events"),
+           dsum($"value").as("sum_value"),
+           min($"ts").as("first_ts"),
+           max($"ts").as("last_ts"))
+  }
+
+  /** Data budget, "shutdown after 100 mb" (notes.org): running
+    * transmitted total per user (value ≙ KB), cut off past budget. */
+  def dataBudget(spark: SparkSession, dir: String, budgetKb: String = "5000.00"): DataFrame = {
+    import spark.implicits._
+    val w = byUserTime(spark).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("cum", sum(dec($"value")).over(w))
+      .filter($"cum" <= lit(new java.math.BigDecimal(budgetKb))) // exact-decimal cutoff
+      .select($"event_id", $"user_id", $"ts", $"cum".cast(DoubleType).as("cum_kb"))
+  }
+
+  /** Inactivity-gap sessionization, "wait for signal for 30 minutes"
+    * (notes.org): gap > 30 min starts a new session. */
+  def sessionWindows(spark: SparkSession, dir: String, gapSeconds: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val w = byUserTime(spark)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_s",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"new_s").over(cum).cast(LongType))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("start_ts"), max($"ts").as("end_ts"))
+  }
+
+  /** Max-message-size chunking, "6.4 kb maximum message size" →
+    * sendImuChunk (notes.org): split payloads into numbered chunks. */
+  def chunkMessages(spark: SparkSession, dir: String, chunkBytes: Long = 6400L): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id",
+        round($"value" * 100).cast(LongType).as("nbytes"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), ceil($"nbytes" / lit(chunkBytes.toDouble)).cast(LongType) - 1)))
+      .withColumn("chunk_bytes", least(lit(chunkBytes), $"nbytes" - $"chunk_idx" * chunkBytes))
+      .select($"event_id", $"user_id", $"nbytes", $"chunk_idx", $"chunk_bytes")
+  }
+
+  /** Rx/Tx queue accounting (serial_streaming.lua shellCmd:210-262):
+    * per stream (event_type): msgs/bytes sent & lost, last-sent /
+    * last-lost times. "Lost" ≙ props.k > 50 (overflow marker). */
+  def queueStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lost = $"k" > 50
+    Tables.events(spark, dir)
+      .withColumn("k", regexp_extract($"props", "([0-9]+)", 1).cast(IntegerType))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_msgs"),
+        dsum($"value").as("bytes_total"),
+        sum(when(lost, 1L).otherwise(0L)).as("n_lost"),
+        coalesce(sum(when(lost, dec($"value"))), lit(0)).cast(DoubleType).as("bytes_lost"),
+        max(when(!lost, $"ts")).as("last_sent"),
+        max(when(lost, $"ts")).as("last_lost"))
+  }
+
+  /** Status-transition timeline (serial_streaming.lua SetStatus):
+    * state = event_type; count transitions between distinct states
+    * and total dwell time (µs, exact) in the source state. */
+  def statusTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = byUserTime(spark)
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .withColumn("next_us", lead(unix_micros($"ts"), 1).over(w))
+      .filter($"prev_type".isNotNull && $"prev_type" =!= $"event_type")
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n_transitions"),
+           sum(coalesce($"next_us" - unix_micros($"ts"), lit(0L))).as("total_dwell_us"))
+      .select($"prev_type", $"event_type".as("cur_type"), $"n_transitions", $"total_dwell_us")
+  }
+}

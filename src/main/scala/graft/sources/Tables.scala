@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet source layer over the driver's test tables.
+  *
+  * Plain `spark.read.parquet` keeps Catalyst's parquet pushdown
+  * (PushedFilters / ReadSchema pruning) fully available — every
+  * operator projects/filters before wide transforms so the scan
+  * itself stays narrow at 100 TB.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
+    * which Spark does not read natively — read them as raw nanos
+    * (legacy conf) and convert to µs-precision TimestampType with
+    * exact integer division (the generator emits µs-aligned values).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q1_agg groups and sums exactly") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    val r = rows.map(r => r.getAs[String]("l_returnflag")).distinct
+    assert(r.forall(Set("A", "N", "R")))
+    // decimal-exact: sum of 2-dp values must itself be 2-dp clean
+    rows.foreach { row =>
+      val s = row.getAs[Double]("sum_base_price")
+      assert(math.abs(s * 100 - math.round(s * 100)) < 1e-6)
+    }
+  }
+
+  test("q3_topk returns descending deterministic top-10") {
+    val rows = Relational.q3TopK(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q5_multijoin covers ASIA nations") {
+    val rows = Relational.q5MultiJoin(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+  }
+
+  test("q_window keeps at most 3 rows per supplier") {
+    val df = Relational.qWindow(spark, sf)
+    val maxPerSupp = df.groupBy($"l_suppkey").count().agg(max($"count")).head().getLong(0)
+    assert(maxPerSupp <= 3)
+  }
+
+  test("q_distinct counts are bounded by group size") {
+    Relational.qDistinct(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_parts") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("q_exists anti-join excludes customers with large orders") {
+    val excluded = Relational.qExists(spark, sf).select($"c_custkey").as[Long].collect().toSet
+    val withBig = graft.sources.Tables.orders(spark, sf)
+      .filter($"o_totalprice" > 300000.0).select($"o_custkey").as[Long].collect().toSet
+    assert(excluded.intersect(withBig).isEmpty)
+  }
+
+  test("q_rollup contains grand total row") {
+    val rows = Relational.qRollup(spark, sf).collect()
+    assert(rows.count(r => r.isNullAt(0) && r.isNullAt(1)) == 1)
+  }
+
+  test("q_asof picks most recent order date <= event ts") {
+    val rows = Relational.qAsOf(spark, sf).filter($"last_order_date".isNotNull).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("last_order_date")
+        .after(r.getAs[java.sql.Timestamp]("ts")))
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Telemetry
+import graft.sources.Tables
+
+class TelemetrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("downsample_1hz emits at most one row per (user, second)") {
+    val df = Telemetry.downsample1Hz(spark, sf)
+    assert(df.groupBy($"user_id", $"sec").count().filter($"count" > 1).isEmpty)
+  }
+
+  test("beacon_5min buckets align to 300s and cover all events") {
+    val df = Telemetry.beacon5Min(spark, sf)
+    assert(df.filter(unix_seconds($"bucket") % 300 =!= 0).isEmpty)
+    val total = df.agg(sum($"n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("data_budget never exceeds the cap") {
+    val df = Telemetry.dataBudget(spark, sf)
+    assert(df.filter($"cum_kb" > 5000.0).isEmpty)
+  }
+
+  test("session_windows spans are gap-bounded") {
+    val df = Telemetry.sessionWindows(spark, sf)
+    assert(df.count() > 0)
+    // sessions of one user never overlap
+    val overlaps = df.as("a").join(df.as("b"),
+      $"a.user_id" === $"b.user_id" && $"a.session_id" < $"b.session_id" &&
+        $"a.end_ts" >= $"b.start_ts")
+    assert(overlaps.isEmpty)
+  }
+
+  test("chunk_messages chunks reassemble to the payload size") {
+    val df = Telemetry.chunkMessages(spark, sf)
+    val bad = df.groupBy($"event_id", $"nbytes")
+      .agg(sum($"chunk_bytes").as("re"))
+      .filter($"re" =!= $"nbytes")
+    assert(bad.isEmpty)
+    assert(df.filter($"chunk_bytes" > 6400L || $"chunk_bytes" <= 0L).isEmpty)
+  }
+
+  test("queue_stats accounts every message exactly once") {
+    val df = Telemetry.queueStats(spark, sf)
+    val total = df.agg(sum($"n_msgs")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    df.collect().foreach(r => assert(r.getAs[Long]("n_lost") <= r.getAs[Long]("n_msgs")))
+  }
+
+  test("status_transitions only reports real state changes") {
+    val rows = Telemetry.statusTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[String]("prev_type") != r.getAs[String]("cur_type")))
+  }
+}

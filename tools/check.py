@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+  1. expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run
+  2. registers each parquet table as a DuckDB view
+  3. runs every oracle_sql.json query, compares against the Spark
+     parquet dump: row count, column names, and exact values
+     (column-name-sorted, row-sorted).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_path = f"{out_dir}/{name}"
+        if not glob.glob(f"{spark_path}/*.parquet"):
+            print(f"FAIL {name}: no spark output at {spark_path}")
+            n_bad += 1
+            continue
+        try:
+            duck = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        spark = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+        d, s = canon(duck), canon(spark)
+        if list(d.columns) != list(s.columns):
+            print(f"FAIL {name}: columns duck={list(d.columns)} spark={list(s.columns)}")
+            n_bad += 1
+            continue
+        if len(d) != len(s):
+            print(f"FAIL {name}: rows duck={len(d)} spark={len(s)}")
+            n_bad += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(d, s, check_dtype=False, check_exact=True)
+            print(f"OK   {name}: {len(d)} rows")
+            n_ok += 1
+        except AssertionError as e:
+            print(f"FAIL {name}: value mismatch: {str(e)[:500]}")
+            n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} failed ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
