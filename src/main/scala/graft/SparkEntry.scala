@@ -33,7 +33,44 @@ object SparkEntry {
     "chunk_messages" -> ((s: SparkSession, d: String) => Telemetry.chunkMessages(s, d)),
     "queue_stats" -> (Telemetry.queueStats _),
     "status_transitions" -> (Telemetry.statusTransitions _),
+    // D. deduplication
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_minhash" -> (Dedup.minhash _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),
+    "dedup_embed" -> (Dedup.embed _),
+    // E. similarity search
+    "ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
+    "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    // F. text analysis
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_tokens" -> (TextAnalysis.tokenCounts _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
   )
+
+  /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
+    * graft.functions.HashFns.polyHash). */
+  private def ph(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s,''), c -> CAST(ascii(c) AS BIGINT))), (h,c) -> (h*31+c) % 1000000007)"
+
+  /** DuckDB fragment: fixed-order dot product (mirrors VecFns.dot). */
+  private def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,64), i -> CAST($a[i+1] AS DOUBLE)*CAST($b[i+1] AS DOUBLE))), (x,y) -> x+y)"
+
+  private def cos(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  /** DuckDB fragment: 4-plane hyperplane signatures CTE (mirrors
+    * VecFns.lshSignature over the embeddings table). */
+  private val sigsCte: String =
+    """sigs AS (
+      |  SELECT vec_id, embedding, CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig FROM (
+      |    SELECT vec_id, embedding, p,
+      |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,64), d ->
+      |        CAST(embedding[d+1] AS DOUBLE) * CAST(((1 + (p*64+d)*2654435761) % 1000003) - 500001 AS DOUBLE))), (a,t) -> a+t) AS proj
+      |    FROM embeddings, UNNEST(range(0,4)) AS tp(p)) q
+      |  GROUP BY vec_id, embedding)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -141,5 +178,111 @@ object SparkEntry {
         |  FROM events) t
         |WHERE prev_type IS NOT NULL AND prev_type <> event_type
         |GROUP BY prev_type, event_type""".stripMargin,
+    "dedup_exact" ->
+      s"""SELECT ${ph("text")} AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+         |  THEN list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         |  ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
+         |hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> ${ph("s")}) AS hh FROM sh),
+         |mh AS (SELECT doc_id, list_transform(range(0,16), j ->
+         |  list_min(list_transform(hh, h -> (CAST(37 + 101*j AS BIGINT)*h + CAST(1000003*j + 12345 AS BIGINT)) % 2147483647))) AS m FROM hs),
+         |bands AS (SELECT doc_id, b, list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(m, 4*b+1, 4*b+4)), (h,x) -> (h*31+x) % 1000000007) AS bkey
+         |  FROM mh, UNNEST(range(0,4)) AS tb(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |    CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+         |  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b) t
+         |WHERE jaccard >= 0.2""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+         |th AS (SELECT doc_id, list_transform(t, tok ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))), (h,c) -> (h*31+c) % 2147483647)
+         |  + list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))), (h,c) -> (h*37+c) % 2147483647) * 2147483648) AS hs FROM toks),
+         |sh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(0,62), i -> CASE WHEN 2*len(list_filter(hs, h -> (h & (CAST(1 AS BIGINT) << i)) != 0)) - len(hs) > 0
+         |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), (a,x) -> a+x) AS simhash FROM th),
+         |bands AS (SELECT doc_id, simhash, b, ((simhash >> (16*b)) & 65535) AS bkey FROM sh, UNNEST(range(0,4)) AS tb(b))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12""".stripMargin,
+    "dedup_ngram" ->
+      """WITH grams AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) >= 4
+        |  THEN list_transform(range(1, length(lower(text))-2), i -> substr(lower(text), i, 4))
+        |  ELSE [lower(text)] END) AS gs FROM documents),
+        |sizes AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS ng FROM grams),
+        |idx AS (SELECT gram, list(doc_id) AS docs FROM (SELECT doc_id, unnest(gs) AS gram FROM grams) u GROUP BY gram HAVING COUNT(*) <= 50),
+        |pairs AS (SELECT p.a AS doc_a, p.b AS doc_b, COUNT(*) AS shared FROM (
+        |  SELECT unnest(list_filter(flatten(list_transform(docs, a -> list_transform(docs, b -> {'a': a, 'b': b}))), p -> p.a < p.b)) AS p FROM idx) z
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / CAST(sa.ng + sb.ng - shared AS DOUBLE) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "dedup_embed" ->
+      s"""WITH $sigsCte
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cos("a.embedding", "b.embedding")} AS cosine
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id) t
+         |WHERE cosine >= 0.35""".stripMargin,
+    "ann_brute" ->
+      s"""SELECT query_id, neighbor_id, cosine, rnk FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, ${cos("q.embedding", "e.embedding")} AS cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.embedding", "e.embedding")} DESC, e.vec_id) AS BIGINT) AS rnk
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10) t
+         |WHERE rnk <= 5""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH $sigsCte
+         |SELECT query_id, neighbor_id, cosine, rnk FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a.embedding", "b.embedding")} AS cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${cos("a.embedding", "b.embedding")} DESC, b.vec_id) AS BIGINT) AS rnk
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id != b.vec_id) t
+         |WHERE rnk <= 3""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN c_de = mx THEN 'de' WHEN c_en = mx THEN 'en' WHEN c_es = mx THEN 'es'
+        |         WHEN c_fr = mx THEN 'fr' WHEN c_zh = mx THEN 'zh' ELSE 'und' END AS pred_lang
+        |  FROM (SELECT doc_id, lang, c_de, c_en, c_es, c_fr, c_zh, greatest(c_de, c_en, c_es, c_fr, c_zh) AS mx FROM (
+        |    SELECT doc_id, lang,
+        |      len(list_filter(toks, x -> x='der' OR x='und' OR x='die' OR x='nicht' OR x='das')) AS c_de,
+        |      len(list_filter(toks, x -> x='the' OR x='and' OR x='of' OR x='to' OR x='is')) AS c_en,
+        |      len(list_filter(toks, x -> x='el' OR x='la' OR x='de' OR x='que' OR x='los')) AS c_es,
+        |      len(list_filter(toks, x -> x='le' OR x='la' OR x='et' OR x='les' OR x='des')) AS c_fr,
+        |      len(list_filter(toks, x -> x='de' OR x='shi' OR x='le' OR x='wo' OR x='bu')) AS c_zh
+        |    FROM (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents) a) b) c) d""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n_chars_actual, n_tokens, avg_token_len, punct_ratio, digit_ratio, stop_ratio,
+        |  (n_tokens >= 10 AND punct_ratio < 0.1) AS is_quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+        |    CAST(len(list_filter(toks, x -> x='the' OR x='and' OR x='of' OR x='to' OR x='is')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |  FROM (SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents) a) b""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_sub_tokens,
+        |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH g AS (SELECT doc_id, lower(text) AS lc,
+         |  list_distinct(CASE WHEN length(lower(text)) >= 8
+         |    THEN list_transform(range(1, length(lower(text))-6), i -> substr(lower(text), i, 8))
+         |    ELSE [lower(text)] END) AS grams FROM documents)
+         |SELECT doc_id, ${ph("lc")} AS full_hash,
+         |  list_min(list_transform(grams, x -> ${ph("x")})) AS min_kgram_hash,
+         |  CAST(len(grams) AS BIGINT) AS n_distinct_kgrams
+         |FROM g""".stripMargin,
   )
 }

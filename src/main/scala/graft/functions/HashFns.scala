@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic pure-arithmetic hash families.
+  *
+  * Engine-portable by construction: every hash is integer arithmetic
+  * over code points, so the DuckDB oracle can evaluate the *same*
+  * function (no reliance on murmur/xxhash implementations). All ops
+  * stay inside Spark's codegen'd higher-order functions — no UDFs.
+  */
+object HashFns {
+  /** Polynomial-hash modulus (31-bit prime). */
+  val P: Long = 1000000007L
+  /** LSH permutation modulus (2^31 - 1, prime). */
+  val P31: Long = 2147483647L
+  /** Number of MinHash permutations / bands layout (16 = 4 bands × 4 rows). */
+  val MinHashK = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** Code points of a string as longs (text here is ASCII; `ascii`
+    * yields the leading code point per single-char token). */
+  def codePoints(c: Column): Column =
+    transform(split(c, ""), ch => ascii(ch).cast(LongType))
+
+  /** Left-fold polynomial hash: h = (h*31 + code) mod P. */
+  def polyHash(c: Column): Column =
+    aggregate(codePoints(c), lit(0L), (h, x) => (h * 31 + x) % P)
+
+  /** Same fold with a caller-chosen multiplier (independent family). */
+  def polyHashMul(c: Column, mul: Long): Column =
+    aggregate(codePoints(c), lit(0L), (h, x) => (h * mul + x) % P)
+
+  /** MinHash permutation j applied to a base hash (a_j·h + b_j mod P31).
+    * Coefficients stay small so a_j·h fits int64 in both engines. */
+  def perm(j: Int, h: Column): Column =
+    ((lit(37L + 101L * j) * h + lit(1000003L * j + 12345L)) % P31)
+
+  /** 16 MinHash values over an array of shingle hashes. */
+  def minHashes(hashes: Column): Column =
+    array((0 until MinHashK).map(j => array_min(transform(hashes, h => perm(j, h)))): _*)
+
+  /** Fold an array of longs into one band key. */
+  def foldKey(values: Column): Column =
+    aggregate(values, lit(0L), (h, x) => (h * 31 + x) % P)
+
+  /** 62-bit SimHash over an array of token hashes. Two independent
+    * 31-bit polynomial hashes are combined into a 62-bit token hash;
+    * each bit votes ±1 across tokens; ties (vote 0) clear the bit. */
+  def simHash(tokens: Column): Column = {
+    val th = transform(tokens, t =>
+      aggregate(transform(split(t, ""), ch => ascii(ch).cast(LongType)),
+        lit(0L), (h, x) => (h * 31 + x) % P31) +
+      aggregate(transform(split(t, ""), ch => ascii(ch).cast(LongType)),
+        lit(0L), (h, x) => (h * 37 + x) % P31) * lit(P31 + 1L))
+    val pow2 = array((0 until 62).map(i => lit(1L << i)): _*)
+    val votes = aggregate(th, array_repeat(lit(0L), 62),
+      (acc, h) => zip_with(acc, pow2,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, pow2, (v, p) => when(v > 0L, p).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** DuckDB SQL fragments mirroring the Scala definitions 1:1 — used
+    * by SparkEntry.oracleSql so the oracle computes the same hashes. */
+  object Sql {
+    val polyHash: String => String = s =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s,''), c -> CAST(ascii(c) AS BIGINT))), (h,c) -> (h*31+c) % 1000000007)"
+    def perm(hExpr: String): String =
+      s"(CAST(37 + 101*j AS BIGINT) * $hExpr + CAST(1000003*j + 12345 AS BIGINT)) % 2147483647"
+  }
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Vector math over `array<float>` embedding columns.
+  *
+  * Dot products are LEFT FOLDS in a fixed element order: float×float
+  * products are exact in double, and an identical summation order
+  * makes the result bit-identical across engines (SURVEY §5) — so
+  * cosine scores need no rounding for oracle parity.
+  */
+object VecFns {
+  /** Fixed-order dot product of two equal-length float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** Fold-exact squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity with fold-exact components. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Deterministic pseudo-random hyperplane coefficient for plane p,
+    * dimension d: integer arithmetic only, portable to the oracle. */
+  def hyperCoef(p: Column, d: Column): Column =
+    ((lit(1L) + (p * 64 + d) * lit(2654435761L)) % 1000003L) - 500001L
+
+  /** nPlanes-bit random-hyperplane LSH signature of a vector.
+    * Fixed fold order d = 0..63 keeps the projection (and thus the
+    * sign bit) engine-exact. */
+  def lshSignature(v: Column, nPlanes: Int = 8): Column = {
+    val planeBits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(63)),
+          (x, d) => x.cast(DoubleType) * hyperCoef(lit(p.toLong), d.cast(LongType)).cast(DoubleType)),
+        lit(0.0d), (acc, t) => acc + t)
+      when(proj > 0.0d, lit(1L << p)).otherwise(lit(0L))
+    }
+    planeBits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.{HashFns, TextFns, VecFns}
+import graft.sources.Tables
+
+/** Deduplication operators over documents / embeddings.
+  *
+  * Scale posture (SURVEY §6): every pair-producing operator generates
+  * candidates through an equi-join on a bucket key (LSH band, SimHash
+  * band, inverted shingle index, hyperplane signature) — never a
+  * cross join — so shuffle volume grows linearly with data, and
+  * per-bucket width is bounded (frequency-capped index) against skew.
+  */
+object Dedup {
+
+  /** Exact dedup: group by deterministic content hash, keep the
+    * minimum doc_id per group. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", HashFns.polyHash($"text").as("content_hash"))
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+  }
+
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", array_distinct(TextFns.tokenShingles($"text", 3)).as("shingles"))
+  }
+
+  /** MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, verified
+    * with exact shingle-set Jaccard ≥ 0.2. */
+  def minhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleSets(spark, dir)
+    val mh = sh.select($"doc_id", $"shingles",
+      HashFns.minHashes(transform($"shingles", s => HashFns.polyHash(s))).as("mh"))
+    val bands = mh.select($"doc_id", explode(array((0 until HashFns.Bands).map { b =>
+      struct(lit(b).as("band"),
+        HashFns.foldKey(slice($"mh", b * HashFns.RowsPerBand + 1, HashFns.RowsPerBand)).as("bkey"))
+    }: _*)).as("bk")).select($"doc_id", $"bk.band", $"bk.bkey")
+    val pairs = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    pairs
+      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b", TextFns.jaccard($"sh_a", $"sh_b").as("jaccard"))
+      .filter($"jaccard" >= 0.2d)
+  }
+
+  /** 62-bit SimHash fingerprints; candidates share a 16-bit band,
+    * kept when Hamming distance ≤ 12. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", HashFns.simHash(TextFns.tokens($"text")).as("simhash"))
+    val bands = sh.select($"doc_id", $"simhash", explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright($"simhash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
+    }: _*)).as("bk")).select($"doc_id", $"simhash", $"bk.band", $"bk.bkey")
+    bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast(LongType).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 12L)
+  }
+
+  /** n-gram Jaccard similarity join via a frequency-capped inverted
+    * index (prefix-filtering family): explode distinct char-4-grams,
+    * drop grams shared by > maxBucket docs (stopword grams — they
+    * only add candidates that other grams already produce), count
+    * shared grams per pair, return the top-20 most similar pairs.
+    */
+  def ngram(spark: SparkSession, dir: String, maxBucket: Int = 50): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", TextFns.charNGrams($"text", 4).as("grams"))
+    val sizes = grams.select($"doc_id", size($"grams").cast(LongType).as("n_grams"))
+    val index = grams.select($"doc_id", explode($"grams").as("gram"))
+    val capped = index.groupBy($"gram")
+      .agg(collect_list($"doc_id").as("docs"), count(lit(1)).as("df"))
+      .filter($"df" <= maxBucket)
+    val shared = capped
+      .select(explode(expr(
+        "filter(flatten(transform(docs, a -> transform(docs, b -> struct(a, b)))), p -> p.a < p.b)")).as("p"))
+      .groupBy($"p.a".as("doc_a"), $"p.b".as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        ($"shared".cast(DoubleType) / ($"na" + $"nb" - $"shared").cast(DoubleType)).as("jaccard"))
+      .orderBy($"jaccard".desc, $"doc_a".asc, $"doc_b".asc)
+      .limit(20)
+  }
+
+  /** Embedding-cosine near-duplicates: candidates share a 4-plane
+    * random-hyperplane signature; pairs kept at cosine ≥ 0.35 with
+    * fold-exact scores. */
+  def embed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", VecFns.lshSignature($"embedding", 4).as("sig"))
+    sigs.as("a").join(sigs.as("b"), Seq("sig"))
+      .where($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        VecFns.cosine($"a.embedding", $"b.embedding").as("cosine"))
+      .filter($"cosine" >= 0.35d)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.VecFns
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * `bruteTopK` is the exact baseline: a broadcast nested-loop of a
+  * SMALL query set against the full corpus — correct at any corpus
+  * size as long as the query batch stays broadcastable. `lshTopK`
+  * is the scale path: candidates meet through an equi-join on a
+  * random-hyperplane signature, so all-pairs work never happens.
+  */
+object Similarity {
+
+  /** Exact cosine top-k of a small query batch (vec_id < nQueries)
+    * against the whole corpus. Query side broadcasts; scores are
+    * fold-exact doubles (SURVEY §5), ranks tie-break on vec_id. */
+  def bruteTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        VecFns.cosine($"qv", $"embedding").as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= k)
+  }
+
+  /** LSH-bucketed ANN: vectors meet only within their 4-plane
+    * hyperplane-signature bucket (equi-join, shuffle ∝ data), top-3
+    * in-bucket neighbors per vector. */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", VecFns.lshSignature($"embedding", 4).as("sig"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    sigs.as("a").join(sigs.as("b"), Seq("sig"))
+      .where($"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
+        VecFns.cosine($"a.embedding", $"b.embedding").as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= k)
+  }
+}

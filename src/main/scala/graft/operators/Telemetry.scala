@@ -81,6 +81,9 @@ object Telemetry {
     Tables.events(spark, dir)
       .select($"event_id", $"user_id",
         round($"value" * 100).cast(LongType).as("nbytes"))
+      // a zero-byte payload yields zero chunks; without this guard
+      // sequence(0, -1) would generate a DESCENDING [0,-1] sequence
+      .filter($"nbytes" > 0L)
       .withColumn("chunk_idx",
         explode(sequence(lit(0L), ceil($"nbytes" / lit(chunkBytes.toDouble)).cast(LongType) - 1)))
       .withColumn("chunk_bytes", least(lit(chunkBytes), $"nbytes" - $"chunk_idx" * chunkBytes))

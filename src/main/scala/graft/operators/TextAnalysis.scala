@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.{HashFns, TextFns}
+import graft.sources.Tables
+
+/** Text-analysis operators over the documents table: language ID,
+  * quality scoring, token counting, fingerprinting. Pure codegen'd
+  * column expressions — scan-local (no shuffle at all), so they
+  * stream at 100 TB limited only by IO.
+  */
+object TextAnalysis {
+
+  /** n-gram/stopword-heuristic language ID vs the labeled lang. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextFns.tokens($"text")
+    val counts = TextFns.langMarkers.map { case (lang, ms) =>
+      lang -> TextFns.markerCount(toks, ms)
+    }
+    val mx = greatest(counts.map(_._2): _*)
+    // when-chain in alphabetical order: 'de' wins ties over 'en', etc.
+    val predOrdered = counts.reverse.foldLeft(lit("und"): Column) {
+      case (e, (lang, c)) => when(c === mx, lit(lang)).otherwise(e)
+    }
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", predOrdered.as("pred_lang"))
+      .withColumn("is_match", $"pred_lang" === $"lang")
+  }
+
+  /** Quality signals: token counts, mean token length, punctuation /
+    * digit / stopword ratios, and a boolean quality gate. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextFns.tokens($"text")
+    val nTok = size(toks).cast(LongType)
+    val tokLenSum = aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), _ + _)
+    val nChars = length($"text").cast(LongType)
+    val punct = nChars - length(regexp_replace($"text", "[.,!?;:]", "")).cast(LongType)
+    val digits = nChars - length(regexp_replace($"text", "[0-9]", "")).cast(LongType)
+    val stops = TextFns.markerCount(toks, Seq("the", "and", "of", "to", "is")).cast(LongType)
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      nChars.as("n_chars_actual"),
+      nTok.as("n_tokens"),
+      (tokLenSum.cast(DoubleType) / nTok.cast(DoubleType)).as("avg_token_len"),
+      (punct.cast(DoubleType) / nChars.cast(DoubleType)).as("punct_ratio"),
+      (digits.cast(DoubleType) / nChars.cast(DoubleType)).as("digit_ratio"),
+      (stops.cast(DoubleType) / nTok.cast(DoubleType)).as("stop_ratio"))
+      .withColumn("is_quality", $"n_tokens" >= 10 && $"punct_ratio" < 0.1)
+  }
+
+  /** Token counting: whitespace tokens, regex sub-tokens ("BPE-ish"
+    * word/number/punct units), and a chars/4 BPE estimate. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      size(TextFns.tokens($"text")).cast(LongType).as("n_ws_tokens"),
+      size(regexp_extract_all(lower($"text"), lit(TextFns.subTokenPattern), lit(0)))
+        .cast(LongType).as("n_sub_tokens"),
+      ceil(length($"text") / lit(4.0d)).cast(LongType).as("est_bpe_tokens"))
+  }
+
+  /** Document fingerprints: full-content polynomial hash plus the
+    * minimum 8-gram rolling hash (winnowing-style) and the distinct
+    * 8-gram count. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = TextFns.charNGrams($"text", 8)
+    val gramHashes = transform(grams, g => HashFns.polyHash(g))
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      HashFns.polyHash(lower($"text")).as("full_hash"),
+      array_min(gramHashes).as("min_kgram_hash"),
+      size(grams).cast(LongType).as("n_distinct_kgrams"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Specs for the LLM-pipeline operator families (D/E/F in SURVEY §2). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup_exact covers every document exactly once") {
+    val df = Dedup.exact(spark, sf)
+    assert(df.agg(sum($"n_copies")).head().getLong(0) == 500L)
+  }
+
+  test("dedup_minhash pairs are ordered and above threshold") {
+    Dedup.minhash(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.2)
+    }
+  }
+
+  test("dedup_simhash hamming bounded by band structure") {
+    Dedup.simhash(spark, sf).collect().foreach { r =>
+      val h = r.getAs[Long]("hamming")
+      assert(h >= 0 && h <= 12)
+    }
+  }
+
+  test("dedup_ngram returns top-20 sorted by jaccard") {
+    val rows = Dedup.ngram(spark, sf).collect()
+    assert(rows.length <= 20)
+    val js = rows.map(_.getAs[Double]("jaccard"))
+    assert(js.sameElements(js.sortBy(-_)))
+  }
+
+  test("dedup_embed cosine within [-1, 1] and >= 0.35") {
+    Dedup.embed(spark, sf).collect().foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.35 && c <= 1.0)
+    }
+  }
+
+  test("ann_brute yields exactly top-5 per query") {
+    val df = Similarity.bruteTopK(spark, sf)
+    val counts = df.groupBy($"query_id").count().collect()
+    assert(counts.length == 10)
+    counts.foreach(r => assert(r.getAs[Long]("count") == 5L))
+    // scores descend within each query
+    df.orderBy($"query_id", $"rnk").collect().grouped(5).foreach { g =>
+      val cs = g.map(_.getAs[Double]("cosine"))
+      assert(cs.sameElements(cs.sortBy(-(_: Double))))
+    }
+  }
+
+  test("ann_lsh neighbors share the query's signature bucket (<=3 each)") {
+    val df = Similarity.lshTopK(spark, sf)
+    assert(df.groupBy($"query_id").count().filter($"count" > 3).isEmpty)
+  }
+
+  test("text_langid predicts only known languages") {
+    val langs = TextAnalysis.langId(spark, sf)
+      .select($"pred_lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh", "und")))
+  }
+
+  test("text_quality ratios are in [0, 1]") {
+    TextAnalysis.quality(spark, sf).collect().foreach { r =>
+      Seq("punct_ratio", "digit_ratio", "stop_ratio").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+      }
+    }
+  }
+
+  test("text_tokens counts are consistent") {
+    TextAnalysis.tokenCounts(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_sub_tokens") >= r.getAs[Long]("n_ws_tokens"))
+    }
+  }
+
+  test("text_fingerprint hashes are within the modulus") {
+    TextAnalysis.fingerprint(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("full_hash") >= 0 && r.getAs[Long]("full_hash") < 1000000007L)
+      assert(r.getAs[Long]("min_kgram_hash") < 1000000007L)
+    }
+  }
+}
