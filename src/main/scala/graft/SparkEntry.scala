@@ -47,6 +47,14 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // A. binary frames
+    "frame_roundtrip" -> (Frames.roundtrip _),
+    "frame_extract" -> (Frames.extract _),
+    "frame_stats" -> (Frames.stats _),
+    // G. multimodal
+    "mm_meta" -> (Multimodal.meta _),
+    // B. streaming relay (Structured Streaming, driven to completion)
+    "stream_relay" -> (graft.streaming.StreamRelay.windowedRelay _),
   )
 
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
@@ -284,5 +292,45 @@ object SparkEntry {
          |  list_min(list_transform(grams, x -> ${ph("x")})) AS min_kgram_hash,
          |  CAST(len(grams) AS BIGINT) AS n_distinct_kgrams
          |FROM g""".stripMargin,
+    "frame_roundtrip" ->
+      """SELECT event_id, user_id AS device_id, epoch_us(ts) // 1000000 AS ts_secs,
+        |  CAST(7 AS BIGINT) AS n_samples,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768)),
+        |    (a,b) -> a+b) AS sample_sum
+        |FROM events""".stripMargin,
+    "frame_extract" ->
+      """SELECT event_id, user_id AS device_id, epoch_us(ts) // 1000000 AS ts_secs,
+        |  (event_id*7 + CAST(FLOOR(value) AS BIGINT)) % 32768 AS first_sample,
+        |  (event_id*7 + 78 + CAST(FLOOR(value) AS BIGINT)) % 32768 AS last_sample,
+        |  CAST(24 AS BIGINT) AS frame_bytes
+        |FROM events""".stripMargin,
+    "frame_stats" ->
+      """SELECT device_id, COUNT(*) AS n_frames, CAST(SUM(fs) AS BIGINT) AS sample_sum,
+        |  MIN(fmin) AS sample_min, MAX(fmax) AS sample_max,
+        |  CAST(SUM(fs) AS DOUBLE) / CAST(COUNT(*) * 7 AS DOUBLE) AS sample_avg
+        |FROM (
+        |  SELECT user_id AS device_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), ss), (a,b) -> a+b) AS fs,
+        |    list_min(ss) AS fmin, list_max(ss) AS fmax
+        |  FROM (SELECT user_id, event_id,
+        |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768) AS ss
+        |    FROM events) a) b
+        |GROUP BY device_id""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST((n_chars % 64) + 1 AS BIGINT) AS width,
+        |  CAST((doc_id % 48) + 1 AS BIGINT) AS height,
+        |  CASE WHEN lang = 'en' THEN 'png' WHEN lang = 'de' THEN 'jpeg'
+        |       WHEN lang = 'es' THEN 'webp' ELSE 'raw' END AS format,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |    (a,b) -> a+b) AS fake_feature
+        |FROM documents""".stripMargin,
+    "stream_relay" ->
+      """SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000) AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bytes_total
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.plans.Frame
+import graft.sources.Tables
+
+/** Binary frame operators (SURVEY §2.A): the reference's struct
+  * pack/unpack semantics (main.py:55-81) exercised end-to-end.
+  *
+  * Frames are derived deterministically from the events table
+  * (device ≙ user_id, ts_secs ≙ epoch seconds, samples from integer
+  * arithmetic on event_id/value), packed to the 24-byte wire format
+  * by a native expression, and parsed back — so the DuckDB oracle
+  * can verify the whole binary path against directly-computed ground
+  * truth without ever touching bytes.
+  */
+object Frames {
+
+  /** events → packed frames → parsed columns. */
+  private def parsedFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val samples = transform(sequence(lit(0L), lit(6L)),
+      i => ($"event_id" * 7 + i * 13 + floor($"value").cast(LongType)) % 32768)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"value",
+        Frame.pack($"user_id", expr("unix_micros(ts) div 1000000"), samples).as("frame"))
+      .withColumn("parsed", Frame.unpack($"frame"))
+  }
+
+  /** Pack→unpack roundtrip surfaced as plain columns (oracle computes
+    * the same values straight from events). */
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parsedFrames(spark, dir).select(
+      $"event_id",
+      $"parsed.device".cast(LongType).as("device_id"),
+      $"parsed.ts_secs".cast(LongType).as("ts_secs"),
+      size($"parsed.samples").cast(LongType).as("n_samples"),
+      aggregate(transform($"parsed.samples", s => s.cast(LongType)), lit(0L), _ + _)
+        .as("sample_sum"))
+  }
+
+  /** Field extraction from parsed frames: first/last sample, frame
+    * byte length. */
+  def extract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parsedFrames(spark, dir).select(
+      $"event_id",
+      $"parsed.device".cast(LongType).as("device_id"),
+      $"parsed.ts_secs".cast(LongType).as("ts_secs"),
+      element_at($"parsed.samples", 1).cast(LongType).as("first_sample"),
+      element_at($"parsed.samples", 7).cast(LongType).as("last_sample"),
+      octet_length($"frame").cast(LongType).as("frame_bytes"))
+  }
+
+  /** Per-device stats over parsed sample payloads. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parsedFrames(spark, dir)
+      .select($"parsed.device".cast(LongType).as("device_id"),
+        aggregate(transform($"parsed.samples", s => s.cast(LongType)), lit(0L), _ + _)
+          .as("frame_sum"),
+        array_min($"parsed.samples").cast(LongType).as("frame_min"),
+        array_max($"parsed.samples").cast(LongType).as("frame_max"))
+      .groupBy($"device_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum($"frame_sum").as("sample_sum"),
+        min($"frame_min").as("sample_min"),
+        max($"frame_max").as("sample_max"),
+        (sum($"frame_sum").cast(DoubleType) / (count(lit(1)) * 7).cast(DoubleType))
+          .as("sample_avg"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the reference's binary frame
+  * format (iceberg-twist main.py:55-81):
+  *
+  *   bytes 0..1   magic 0x49 0x4D ("IM")
+  *   bytes 2..5   int32 LE device id
+  *   bytes 6..9   int32 LE timestamp-seconds   (get_timestamp @6)
+  *   bytes 10..23 7 × int16 LE samples         (get_data_array 10..24)
+  *
+  * Implemented as Expressions (not UDFs) so they slot into Catalyst
+  * plans with null-safety and column pruning; CodegenFallback keeps
+  * them simple — these are format shims, not hot aggregation loops.
+  */
+object Frame {
+  val Magic0: Byte = 0x49
+  val Magic1: Byte = 0x4D
+  val NumSamples = 7
+  val FrameLen = 24
+
+  // Spark 4: Column ↔ Expression goes through the sql-private
+  // ExpressionUtils — reached via our ColumnBridge shim
+  private def col(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def ex(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
+  def pack(device: Column, tsSecs: Column, samples: Column): Column =
+    col(PackFrame(ex(device), ex(tsSecs), ex(samples)))
+  def unpack(frame: Column): Column = col(UnpackFrame(ex(frame)))
+  def byteSum(bin: Column, n: Column): Column = col(ByteSum(ex(bin), ex(n)))
+}
+
+/** (device int64, ts_secs int64, samples array<int64>[7]) → 24-byte frame. */
+case class PackFrame(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = first.nullable || second.nullable || third.nullable
+
+  override protected def nullSafeEval(d: Any, t: Any, s: Any): Any = {
+    val out = new Array[Byte](Frame.FrameLen)
+    out(0) = Frame.Magic0
+    out(1) = Frame.Magic1
+    putIntLE(out, 2, d.asInstanceOf[Long].toInt)
+    putIntLE(out, 6, t.asInstanceOf[Long].toInt)
+    val arr = s.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < Frame.NumSamples && i < arr.numElements()) {
+      putShortLE(out, 10 + 2 * i, arr.getLong(i).toShort)
+      i += 1
+    }
+    out
+  }
+
+  private def putIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >>> 8) & 0xff).toByte
+    b(off + 2) = ((v >>> 16) & 0xff).toByte
+    b(off + 3) = ((v >>> 24) & 0xff).toByte
+  }
+  private def putShortLE(b: Array[Byte], off: Int, v: Short): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** 24-byte frame → struct(device int, ts_secs int, samples array<int>). */
+case class UnpackFrame(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("device", IntegerType, nullable = false),
+    StructField("ts_secs", IntegerType, nullable = false),
+    StructField("samples", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    require(b.length >= Frame.FrameLen && b(0) == Frame.Magic0 && b(1) == Frame.Magic1,
+      s"not a frame: len=${b.length}")
+    val device = getIntLE(b, 2)
+    val ts = getIntLE(b, 6)
+    val samples = new Array[Int](Frame.NumSamples)
+    var i = 0
+    while (i < Frame.NumSamples) {
+      samples(i) = getShortLE(b, 10 + 2 * i)
+      i += 1
+    }
+    InternalRow(device, ts, new GenericArrayData(samples))
+  }
+
+  private def getIntLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def getShortLE(b: Array[Byte], off: Int): Int =
+    (((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toShort).toInt
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Sum of the first n bytes (unsigned) of a binary column — the
+  * deterministic stand-in "decode" for multimodal blobs. */
+case class ByteSum(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any, n: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val lim = math.min(b.length, n.asInstanceOf[Long].toInt)
+    var s = 0L
+    var i = 0
+    while (i < lim) { s += (b(i) & 0xff); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}

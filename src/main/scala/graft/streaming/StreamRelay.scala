@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.operators.dec
+
+/** Structured-Streaming re-expression of the reference's transparent
+  * serial relay (serial_streaming.lua): a byte stream is windowed,
+  * accounted, and rebroadcast; per-stream budgets cut off transmission
+  * (notes.org "shutdown after 100 mb").
+  *
+  * `windowedRelay` runs the relay synchronously over the test parquet
+  * (file stream → 5-min windows per event_type → complete-mode memory
+  * sink) so the driver's batch-style Verify can gate it against the
+  * DuckDB oracle. `statefulBudget` is the arbitrary-state variant
+  * (flatMapGroupsWithState) exercised by ScalaTest.
+  */
+object StreamRelay {
+
+  private var relayCounter = 0
+
+  /** Windowed rebroadcast with queue accounting, driven to completion. */
+  def windowedRelay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source requires a directory; select the events
+    // table out of the sf dir with a glob filter
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum(dec($"value")).cast(DoubleType).as("bytes_total"))
+      .select($"window.start".as("window_start"), $"event_type", $"n_events", $"bytes_total")
+    val name = StreamRelay.synchronized { relayCounter += 1; s"relay_out_$relayCounter" }
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  case class RelayEvent(user_id: Long, ts_us: Long, kb: Double)
+  case class Emitted(user_id: Long, ts_us: Long, cum_kb: Double)
+
+  /** Per-user transmission budget as streaming state: events pass
+    * through until the cumulative KB crosses the budget, then the
+    * stream for that user shuts down (reference: 100 MB shutdown). */
+  def statefulBudget(events: Dataset[RelayEvent], budgetKb: Double): Dataset[Emitted] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, Emitted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, evs, state: GroupState[Double]) =>
+          var cum = state.getOption.getOrElse(0.0)
+          // batch-internal ordering: event time (stable across runs);
+          // prefix-sum-then-filter matches Telemetry.dataBudget exactly
+          val out = evs.toSeq.sortBy(_.ts_us).flatMap { e =>
+            cum += e.kb
+            if (cum <= budgetKb) Some(Emitted(e.user_id, e.ts_us, cum)) else None
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+}

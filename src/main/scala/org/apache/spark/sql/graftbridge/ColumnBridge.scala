@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters.
+  * Spark 4 moved Column onto ColumnNode; libraries adding native
+  * Catalyst expressions go through classic.ExpressionUtils, which is
+  * sql-package-private — hence this shim living under
+  * org.apache.spark.sql (the standard extension-library technique).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
