@@ -26,13 +26,19 @@ object HashFns {
   def codePoints(c: Column): Column =
     transform(split(c, ""), ch => ascii(ch).cast(LongType))
 
-  /** Left-fold polynomial hash: h = (h*31 + code) mod P. */
-  def polyHash(c: Column): Column =
+  /** Left-fold polynomial hash: h = (h*31 + code) mod P. Native
+    * single-pass expression (graft.plans.PolyHashStr); `polyHashHof`
+    * keeps the composed definition for equivalence tests. */
+  def polyHash(c: Column): Column = graft.plans.HashExprs.polyHashCol(c, 31L, P)
+
+  /** The same hash composed from higher-order functions — the form
+    * the DuckDB oracle evaluates; retained to assert native parity. */
+  def polyHashHof(c: Column): Column =
     aggregate(codePoints(c), lit(0L), (h, x) => (h * 31 + x) % P)
 
   /** Same fold with a caller-chosen multiplier (independent family). */
   def polyHashMul(c: Column, mul: Long): Column =
-    aggregate(codePoints(c), lit(0L), (h, x) => (h * mul + x) % P)
+    graft.plans.HashExprs.polyHashCol(c, mul, P)
 
   /** MinHash permutation j applied to a base hash (a_j·h + b_j mod P31).
     * Coefficients stay small so a_j·h fits int64 in both engines. */
@@ -43,14 +49,23 @@ object HashFns {
   def minHashes(hashes: Column): Column =
     array((0 until MinHashK).map(j => array_min(transform(hashes, h => perm(j, h)))): _*)
 
+  /** 16 MinHash values straight from the shingle strings — native
+    * single-pass (graft.plans.MinHashArr), same values as
+    * minHashes(transform(shingles, polyHash)). */
+  def minHashesNative(shingles: Column): Column =
+    graft.plans.HashExprs.minHashCol(shingles)
+
   /** Fold an array of longs into one band key. */
   def foldKey(values: Column): Column =
     aggregate(values, lit(0L), (h, x) => (h * 31 + x) % P)
 
-  /** 62-bit SimHash over an array of token hashes. Two independent
-    * 31-bit polynomial hashes are combined into a 62-bit token hash;
-    * each bit votes ±1 across tokens; ties (vote 0) clear the bit. */
-  def simHash(tokens: Column): Column = {
+  /** 62-bit SimHash over an array of tokens — native single-pass
+    * (graft.plans.SimHash64). */
+  def simHash(tokens: Column): Column = graft.plans.HashExprs.simHashCol(tokens)
+
+  /** The composed HOF definition of the same SimHash (the shape the
+    * DuckDB oracle evaluates); retained to assert native parity. */
+  def simHashHof(tokens: Column): Column = {
     val th = transform(tokens, t =>
       aggregate(transform(split(t, ""), ch => ascii(ch).cast(LongType)),
         lit(0L), (h, x) => (h * 31 + x) % P31) +

@@ -23,14 +23,25 @@ object TextFns {
       .otherwise(array(concat_ws(" ", t)))
   }
 
-  /** Distinct character n-grams of the lowercased text. */
-  def charNGrams(c: Column, n: Int = 4): Column = {
+  /** Distinct character n-grams of the lowercased text — native
+    * single-pass (graft.plans.CharNGramSet). */
+  def charNGrams(c: Column, n: Int = 4): Column =
+    graft.plans.TextExprs.charNGramSetCol(c, n)
+
+  /** The composed HOF definition of the same n-gram set (the shape
+    * the DuckDB oracle evaluates); retained to assert native parity. */
+  def charNGramsHof(c: Column, n: Int = 4): Column = {
     val lc = lower(c)
     array_distinct(
       when(length(lc) >= n,
         transform(sequence(lit(1), length(lc) - n + 1), i => substring(lc, i, lit(n))))
         .otherwise(array(lc)))
   }
+
+  /** Distinct w-token shingles — native single-pass equivalent of
+    * array_distinct(tokenShingles(c, w)). */
+  def shingleSet(c: Column, w: Int = 3): Column =
+    graft.plans.TextExprs.shingleSetCol(c, w)
 
   /** Jaccard similarity of two pre-distinct arrays, as an exact
     * int/int division in double. */

@@ -12,8 +12,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * cosine scores need no rounding for oracle parity.
   */
 object VecFns {
-  /** Fixed-order dot product of two equal-length float vectors. */
-  def dot(a: Column, b: Column): Column =
+  /** Fixed-order dot product of two equal-length float vectors —
+    * native single-pass (graft.plans.DotProductF). */
+  def dot(a: Column, b: Column): Column = graft.plans.VecExprs.dotCol(a, b)
+
+  /** The composed HOF definition of the same dot product (the shape
+    * the DuckDB oracle evaluates); retained to assert native parity. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0d), (acc, v) => acc + v)

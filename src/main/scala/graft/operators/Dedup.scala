@@ -30,7 +30,7 @@ object Dedup {
   private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", array_distinct(TextFns.tokenShingles($"text", 3)).as("shingles"))
+      .select($"doc_id", TextFns.shingleSet($"text", 3).as("shingles"))
   }
 
   /** MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, verified
@@ -39,7 +39,7 @@ object Dedup {
     import spark.implicits._
     val sh = shingleSets(spark, dir)
     val mh = sh.select($"doc_id", $"shingles",
-      HashFns.minHashes(transform($"shingles", s => HashFns.polyHash(s))).as("mh"))
+      HashFns.minHashesNative($"shingles").as("mh"))
     val bands = mh.select($"doc_id", explode(array((0 until HashFns.Bands).map { b =>
       struct(lit(b).as("band"),
         HashFns.foldKey(slice($"mh", b * HashFns.RowsPerBand + 1, HashFns.RowsPerBand)).as("bkey"))
@@ -106,12 +106,15 @@ object Dedup {
     * fold-exact scores. */
   def embed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // norms computed once per vector (not per candidate pair);
+    // dot/(sqrt·sqrt) ordering matches the oracle exactly
     val sigs = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", VecFns.lshSignature($"embedding", 4).as("sig"))
+      .select($"vec_id", $"embedding", VecFns.lshSignature($"embedding", 4).as("sig"),
+        sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
     sigs.as("a").join(sigs.as("b"), Seq("sig"))
       .where($"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        VecFns.cosine($"a.embedding", $"b.embedding").as("cosine"))
+        (VecFns.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cosine"))
       .filter($"cosine" >= 0.35d)
   }
 }

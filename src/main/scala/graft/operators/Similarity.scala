@@ -24,12 +24,13 @@ object Similarity {
   def bruteTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
     val q = emb.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     emb.join(broadcast(q), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        VecFns.cosine($"qv", $"embedding").as("cosine"))
+        (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter($"rnk" <= k)
   }
@@ -40,12 +41,13 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val sigs = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", VecFns.lshSignature($"embedding", 4).as("sig"))
+      .select($"vec_id", $"embedding", VecFns.lshSignature($"embedding", 4).as("sig"),
+        sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     sigs.as("a").join(sigs.as("b"), Seq("sig"))
       .where($"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
-        VecFns.cosine($"a.embedding", $"b.embedding").as("cosine"))
+        (VecFns.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cosine"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter($"rnk" <= k)
   }

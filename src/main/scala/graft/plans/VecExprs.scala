@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native fold-exact vector math (graft.functions.VecFns).
+  *
+  * Left-fold summation order is preserved exactly — float products
+  * widen to double, accumulated left-to-right — so results remain
+  * bit-identical to both the HOF definitions and the DuckDB oracle.
+  */
+object VecExprs {
+  def dotCol(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  @inline def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+}
+
+/** Fixed-order dot product of two float arrays, in double. */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecExprs.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFns, TextFns, VecFns}
+import graft.sources.Tables
+
+/** Native Catalyst expressions must be value-identical to the
+  * composed higher-order-function definitions (which is the shape
+  * the DuckDB oracle evaluates). */
+class NativeParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PolyHashStr == HOF polyhash on all documents") {
+    val bad = Tables.documents(spark, sf)
+      .select(HashFns.polyHash(lower($"text")).as("native"),
+        HashFns.polyHashHof(lower($"text")).as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(bad.isEmpty)
+  }
+
+  test("MinHashArr == HOF minhash pipeline on all documents") {
+    val sh = Tables.documents(spark, sf)
+      .select($"doc_id", array_distinct(TextFns.tokenShingles($"text", 3)).as("shingles"))
+    val bad = sh.select(
+      HashFns.minHashesNative($"shingles").as("native"),
+      HashFns.minHashes(transform($"shingles", s => HashFns.polyHashHof(s))).as("hof"))
+      .filter(to_json($"native") =!= to_json($"hof"))
+    assert(bad.isEmpty)
+  }
+
+  test("SimHash64 == HOF simhash on all documents") {
+    val bad = Tables.documents(spark, sf)
+      .select(HashFns.simHash(TextFns.tokens($"text")).as("native"),
+        HashFns.simHashHof(TextFns.tokens($"text")).as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(bad.isEmpty)
+  }
+
+  test("ShingleSet / CharNGramSet == composed definitions (as sets)") {
+    val d = Tables.documents(spark, sf)
+    val badSh = d.select(
+      array_sort(TextFns.shingleSet($"text", 3)).as("native"),
+      array_sort(array_distinct(TextFns.tokenShingles($"text", 3))).as("hof"))
+      .filter(to_json($"native") =!= to_json($"hof"))
+    assert(badSh.isEmpty)
+    val badNg = d.select(
+      array_sort(TextFns.charNGrams($"text", 4)).as("native"),
+      array_sort(TextFns.charNGramsHof($"text", 4)).as("hof"))
+      .filter(to_json($"native") =!= to_json($"hof"))
+    assert(badNg.isEmpty)
+  }
+
+  test("DotProductF == HOF fold dot (bit-exact) on embedding pairs") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val pairs = e.as("a").crossJoin(e.as("b"))
+    val bad = pairs.select(
+      VecFns.dot($"a.embedding", $"b.embedding").as("native"),
+      VecFns.dotHof($"a.embedding", $"b.embedding").as("hof"))
+      .filter($"native" =!= $"hof")   // exact double equality intended
+    assert(bad.isEmpty)
+  }
+}
