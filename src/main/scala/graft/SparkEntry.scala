@@ -36,7 +36,7 @@ object SparkEntry {
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
-    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),
     "dedup_embed" -> (Dedup.embed _),
     // E. similarity search
@@ -215,7 +215,9 @@ object SparkEntry {
          |sh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
          |  list_transform(range(0,62), i -> CASE WHEN 2*len(list_filter(hs, h -> (h & (CAST(1 AS BIGINT) << i)) != 0)) - len(hs) > 0
          |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), (a,x) -> a+x) AS simhash FROM th),
-         |bands AS (SELECT doc_id, simhash, b, ((simhash >> (16*b)) & 65535) AS bkey FROM sh, UNNEST(range(0,4)) AS tb(b))
+         |allbands AS (SELECT doc_id, simhash, b, ((simhash >> (16*b)) & 65535) AS bkey FROM sh, UNNEST(range(0,4)) AS tb(b)),
+         |rare AS (SELECT b, bkey FROM allbands GROUP BY b, bkey HAVING COUNT(*) <= 200),
+         |bands AS (SELECT allbands.* FROM allbands JOIN rare USING (b, bkey))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id

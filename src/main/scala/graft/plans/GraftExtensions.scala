@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the graft native expressions: registered through
+  * SparkSessionExtensions (the supported extension point), so
+  * `spark.sql("SELECT graft_poly_hash(text) ...")` works anywhere —
+  * including `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * on a real cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans.GraftExtensions", name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == n,
+        s"$name expects $n argument(s), got ${es.length}")
+      build(es)
+    }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_poly_hash" -> arity("graft_poly_hash", 1)(es => PolyHashStr(es.head, 31L, HashExprs.P)),
+    "graft_simhash" -> arity("graft_simhash", 1)(es => SimHash64(es.head)),
+    "graft_minhash" -> arity("graft_minhash", 1)(es => MinHashArr(es.head)),
+    "graft_dot" -> arity("graft_dot", 2)(es => DotProductF(es(0), es(1))),
+    "graft_shingles" -> arity("graft_shingles", 1)(es => ShingleSet(es.head, 3)),
+    "graft_ngrams" -> arity("graft_ngrams", 1)(es => CharNGramSet(es.head, 4)),
+    "graft_pack_frame" -> arity("graft_pack_frame", 3)(es => PackFrame(es(0), es(1), es(2))),
+    "graft_unpack_frame" -> arity("graft_unpack_frame", 1)(es => UnpackFrame(es.head)),
+    "graft_byte_sum" -> arity("graft_byte_sum", 2)(es => ByteSum(es(0), es(1))),
+  )
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HashFns
+
+/** The SQL extension surface must agree with the column API. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_* SQL functions resolve and match the column API") {
+    val sql = spark.sql(
+      "SELECT graft_poly_hash('hello world') AS h, graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d").head()
+    val viaCol = Seq("hello world").toDF("s")
+      .select(HashFns.polyHash($"s")).head().getLong(0)
+    assert(sql.getAs[Long]("h") == viaCol)
+    assert(sql.getAs[Double]("d") == 4.0)
+  }
+
+  test("graft_pack_frame / graft_unpack_frame roundtrip in SQL") {
+    val r = spark.sql(
+      """SELECT graft_unpack_frame(graft_pack_frame(CAST(42 AS BIGINT), CAST(1700000000 AS BIGINT),
+        |  array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+        |        CAST(5 AS BIGINT), CAST(6 AS BIGINT), CAST(32767 AS BIGINT)))) AS f""".stripMargin)
+      .select($"f.device", $"f.ts_secs", $"f.samples").head()
+    assert(r.getInt(0) == 42)
+    assert(r.getInt(1) == 1700000000)
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3, 4, 5, 6, 32767))
+  }
+}
