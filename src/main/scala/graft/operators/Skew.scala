@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for hot join keys.
+  *
+  * AQE's skew-join split handles most runtime skew; `saltedJoin` is
+  * the explicit variant for the pathological case AQE can't fix —
+  * one key holding a double-digit percentage of a 100 TB fact table.
+  * The hot side gets a random salt in [0, buckets); the small side is
+  * replicated across every salt value, so the hot key's rows spread
+  * over `buckets` reducers instead of one.
+  */
+object Skew {
+
+  /** Inner equi-join of a skewed fact to a (replicable) dim on `key`,
+    * spreading each fact key over `buckets` partitions. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int = 16): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      (rand(seed = 42) * buckets).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

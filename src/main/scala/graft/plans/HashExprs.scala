@@ -39,35 +39,18 @@ object HashExprs {
     ColumnBridge.column(MinHashArr(ColumnBridge.expression(shingles)))
   def simHashCol(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
-}
 
-/** Polynomial string hash (HashFns.polyHash / polyHashMul). */
-case class PolyHashStr(child: Expression, mul: Long, mod: Long)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override protected def nullSafeEval(v: Any): Any =
-    HashExprs.polyHash(v.asInstanceOf[UTF8String], mul, mod)
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-}
-
-/** array<string> shingles → 16 MinHash values (HashFns.minHashes ∘
-  * polyHash): base = polyhash31(shingle); m_j = min over shingles of
-  * (a_j·base + b_j) mod P31, a_j = 37+101j, b_j = 1000003j+12345. */
-case class MinHashArr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  private val K = 16
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** Static body for MinHashArr (also called from generated code). */
+  def minHashes(arr: ArrayData): ArrayData = {
+    val K = 16
     val mins = Array.fill(K)(Long.MaxValue)
     var s = 0
     val n = arr.numElements()
     while (s < n) {
-      val base = HashExprs.polyHash(arr.getUTF8String(s), 31L, HashExprs.P)
+      val base = polyHash(arr.getUTF8String(s), 31L, P)
       var j = 0
       while (j < K) {
-        val h = ((37L + 101L * j) * base + (1000003L * j + 12345L)) % HashExprs.P31
+        val h = ((37L + 101L * j) * base + (1000003L * j + 12345L)) % P31
         if (h < mins(j)) mins(j) = h
         j += 1
       }
@@ -75,18 +58,9 @@ case class MinHashArr(child: Expression)
     }
     new GenericArrayData(mins)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-}
 
-/** array<string> tokens → 62-bit SimHash (HashFns.simHash): token
-  * hash = poly31 + poly37·2^31 (both mod P31); each bit votes ±1;
-  * bit set when votes > 0. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** Static body for SimHash64 (also called from generated code). */
+  def simHash(arr: ArrayData): Long = {
     val votes = new Array[Int](62)
     var t = 0
     val n = arr.numElements()
@@ -97,8 +71,8 @@ case class SimHash64(child: Expression)
       var i = 0
       while (i < str.length) {
         val c = str.charAt(i)
-        h1 = (h1 * 31 + c) % HashExprs.P31
-        h2 = (h2 * 37 + c) % HashExprs.P31
+        h1 = (h1 * 31 + c) % P31
+        h2 = (h2 * 37 + c) % P31
         i += 1
       }
       val th = h1 + h2 * 2147483648L
@@ -117,5 +91,46 @@ case class SimHash64(child: Expression)
     }
     out
   }
+}
+
+/** Polynomial string hash (HashFns.polyHash / polyHashMul).
+  * Codegen emits a call to the static loop, keeping whole-stage
+  * codegen alive for surrounding operators. */
+case class PolyHashStr(child: Expression, mul: Long, mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashExprs.polyHash(v.asInstanceOf[UTF8String], mul, mod)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExprs.polyHash($c, ${mul}L, ${mod}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** array<string> shingles → 16 MinHash values (HashFns.minHashes ∘
+  * polyHash): base = polyhash31(shingle); m_j = min over shingles of
+  * (a_j·base + b_j) mod P31, a_j = 37+101j, b_j = 1000003j+12345. */
+case class MinHashArr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashExprs.minHashes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExprs.minHashes($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** array<string> tokens → 62-bit SimHash (HashFns.simHash): token
+  * hash = poly31 + poly37·2^31 (both mod P31); each bit votes ±1;
+  * bit set when votes > 0. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashExprs.simHash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExprs.simHash($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

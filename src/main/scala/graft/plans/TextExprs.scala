@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,15 +29,10 @@ object TextExprs {
     ColumnBridge.column(ShingleSet(ColumnBridge.expression(text), w))
   def charNGramSetCol(text: Column, n: Int): Column =
     ColumnBridge.column(CharNGramSet(ColumnBridge.expression(text), n))
-}
 
-case class ShingleSet(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override protected def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+  /** Static body for ShingleSet (also called from generated code). */
+  def shingles(v: UTF8String, w: Int): ArrayData = {
+    val toks = v.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     val out = new mutable.LinkedHashSet[String]
     if (toks.length >= w) {
       var i = 0
@@ -56,15 +51,10 @@ case class ShingleSet(child: Expression, w: Int)
     } else out += toks.mkString(" ")
     new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-}
 
-case class CharNGramSet(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override protected def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+  /** Static body for CharNGramSet (also called from generated code). */
+  def ngrams(v: UTF8String, n: Int): ArrayData = {
+    val s = v.toString.toLowerCase(java.util.Locale.ROOT)
     val out = new mutable.LinkedHashSet[String]
     if (s.length >= n) {
       var i = 0
@@ -72,5 +62,24 @@ case class CharNGramSet(child: Expression, n: Int)
     } else out += s
     new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
   }
+}
+
+case class ShingleSet(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprs.shingles(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.shingles($c, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class CharNGramSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprs.ngrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.ngrams($c, $n)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

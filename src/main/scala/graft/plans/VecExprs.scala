@@ -29,12 +29,16 @@ object VecExprs {
   }
 }
 
-/** Fixed-order dot product of two float arrays, in double. */
+/** Fixed-order dot product of two float arrays, in double. Codegen
+  * calls the static loop so whole-stage codegen stays alive. */
 case class DotProductF(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecExprs.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecExprs.dot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.operators.Skew
+import graft.sources.{Sinks, Tables}
+
+/** Infrastructure surface: sinks, skew utilities, watermarked
+  * streaming (SURVEY §2.H). */
+class InfraSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned sink prunes partitions on read") {
+    val out = Files.createTempDirectory("graft_part").toString
+    Sinks.writePartitioned(Tables.lineitem(spark, sf), out,
+      partitionCols = Seq("l_returnflag"), sortCols = Seq("l_shipdate"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == Tables.lineitem(spark, sf).count())
+    val pruned = back.where($"l_returnflag" === "A")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    // partition filter must reach the scan, not a post-filter
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("l_returnflag"))
+    assert(pruned.count() ==
+      Tables.lineitem(spark, sf).where($"l_returnflag" === "A").count())
+  }
+
+  test("frame sink roundtrips packed binary frames") {
+    val out = Files.createTempDirectory("graft_frames").toString
+    val samples = transform(sequence(lit(0L), lit(6L)),
+      i => ($"event_id" * 7 + i * 13 + floor($"value").cast("long")) % 32768)
+    val frames = Tables.events(spark, sf).select($"event_id",
+      graft.plans.Frame.pack($"user_id", expr("unix_micros(ts) div 1000000"), samples).as("frame"))
+    Sinks.writeFrames(frames, out)
+    val back = Sinks.readFrames(spark, out)
+      .withColumn("parsed", graft.plans.Frame.unpack($"frame"))
+    assert(back.count() == 1000)
+    assert(back.filter(octet_length($"frame") =!= 24).isEmpty)
+    assert(back.select($"parsed.device").distinct().count() ==
+      Tables.events(spark, sf).select($"user_id").distinct().count())
+  }
+
+  test("salted join equals plain join") {
+    val fact = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey", $"l_quantity")
+    val dim = Tables.supplier(spark, sf).select($"s_suppkey".as("l_suppkey"), $"s_name")
+    val plain = fact.join(dim, "l_suppkey").count()
+    val salted = Skew.saltedJoin(fact, dim, "l_suppkey", buckets = 8).count()
+    assert(salted == plain)
+  }
+
+  test("watermarked append-mode windowed aggregation emits closed windows") {
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("wm_out")
+    // append mode withholds windows the watermark hasn't closed; all
+    // but the final event-time hour must have been emitted
+    val emitted = got.agg(sum($"n")).head().get(0)
+    assert(emitted != null && emitted.asInstanceOf[Long] > 0)
+    assert(got.groupBy($"window", $"event_type").count().filter($"count" > 1).isEmpty)
+  }
+}
