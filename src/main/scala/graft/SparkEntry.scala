@@ -25,6 +25,7 @@ object SparkEntry {
     "q_exists" -> (Relational.qExists _),
     "q_rollup" -> (Relational.qRollup _),
     "q_asof" -> (Relational.qAsOf _),
+    "q_pivot" -> (Relational.qPivot _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -47,6 +48,8 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_topterms" -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
+    "text_tfidf" -> (TextAnalysis.tfidf _),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
@@ -294,6 +297,33 @@ object SparkEntry {
          |  list_min(list_transform(grams, x -> ${ph("x")})) AS min_kgram_hash,
          |  CAST(len(grams) AS BIGINT) AS n_distinct_kgrams
          |FROM g""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+        |  COUNT(*) AS n_total
+        |FROM events GROUP BY user_id""".stripMargin,
+    "text_topterms" ->
+      """SELECT term, COUNT(*) AS doc_freq FROM (
+        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS term
+        |  FROM documents) t
+        |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents) u
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, top_term, tfidf FROM (
+        |  SELECT t.doc_id, t.term AS top_term,
+        |    CAST(t.tf AS DOUBLE) * ((CAST(n.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) AS tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY CAST(t.tf AS DOUBLE) * ((CAST(n.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) DESC, t.term) AS rnk
+        |  FROM terms t JOIN dfreq d ON t.term = d.term CROSS JOIN n) z
+        |WHERE rnk = 1""".stripMargin,
     "frame_roundtrip" ->
       """SELECT event_id, user_id AS device_id, epoch_us(ts) // 1000000 AS ts_secs,
         |  CAST(7 AS BIGINT) AS n_samples,

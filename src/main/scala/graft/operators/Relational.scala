@@ -134,6 +134,18 @@ object Relational {
            count(lit(1)).as("n_rows"))
   }
 
+  /** Pivot / cross-tab: per-user event-type counts as columns via
+    * conditional aggregation (one shuffle; the form PIVOT lowers to). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val counts = types.map(t =>
+      sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"n_$t"))
+    graft.sources.Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(counts.head, counts.tail :+ count(lit(1)).as("n_total"): _*)
+  }
+
   /** As-of join: each event picks the most recent (≤ ts) daily order
     * aggregate of its user. Implemented with the union+window trick —
     * ONE shuffle on user, no range cross-join — which is the shape

@@ -65,6 +65,42 @@ object TextAnalysis {
       ceil(length($"text") / lit(4.0d)).cast(LongType).as("est_bpe_tokens"))
   }
 
+  /** Corpus vocabulary stats: top-20 terms by document frequency
+    * (explode → two-level aggregation with map-side partials; the
+    * classic heavy-hitters shape that scales by partial-aggregating
+    * before the shuffle). Deterministic ties via term ordering. */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(TextFns.tokens($"text"))).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy($"doc_freq".desc, $"term".asc)
+      .limit(k)
+  }
+
+  /** TF-IDF-style top term per document: term frequency × reciprocal
+    * document frequency, idf = (N+1)/(df+1). The reciprocal form (not
+    * ln) is deliberate: libm ln() is not correctly-rounded and Java vs
+    * DuckDB diverge in the last ulp on ~6% of inputs, while rational
+    * arithmetic on exact integers is bit-identical everywhere. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    terms.join(df, "term")
+      .withColumn("score",
+        $"tf".cast("double") * ((lit(n.toDouble) + 1.0d) / ($"df".cast("double") + 1.0d)))
+      .withColumn("rnk", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+      .filter($"rnk" === 1L)
+      .select($"doc_id", $"term".as("top_term"), $"score".as("tfidf"))
+  }
+
   /** Document fingerprints: full-content polynomial hash plus the
     * minimum 8-gram rolling hash (winnowing-style) and the distinct
     * 8-gram count. */

@@ -78,6 +78,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("text_topterms is sorted by document frequency") {
+    val rows = TextAnalysis.topTerms(spark, sf).collect()
+    assert(rows.length == 20)
+    val freqs = rows.map(_.getAs[Long]("doc_freq"))
+    assert(freqs.sameElements(freqs.sortBy(-(_: Long))))
+  }
+
+  test("text_tfidf yields one top term per document") {
+    val df = TextAnalysis.tfidf(spark, sf)
+    assert(df.count() == 500)
+    assert(df.select($"doc_id").distinct().count() == 500)
+  }
+
+  test("q_pivot counts reconcile with totals") {
+    val rows = graft.operators.Relational.qPivot(spark, sf).collect()
+    rows.foreach { r =>
+      val parts = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+        .map(r.getAs[Long]).sum
+      assert(parts == r.getAs[Long]("n_total"))
+    }
+  }
+
   test("text_fingerprint hashes are within the modulus") {
     TextAnalysis.fingerprint(spark, sf).collect().foreach { r =>
       assert(r.getAs[Long]("full_hash") >= 0 && r.getAs[Long]("full_hash") < 1000000007L)
