@@ -17,6 +17,4 @@ package object operators {
 
   /** Exact mean via decimal sum / long count — deterministic double. */
   def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
-
-  def asLong(c: Column): Column = c.cast(LongType)
 }

@@ -42,6 +42,31 @@ object StreamRelay {
     spark.table(name)
   }
 
+  /** The full serial-proxy shape end-to-end: binary frames arrive on
+    * a stream, are parsed by the native UnpackFrame expression, and
+    * downsampled to one record per (device, second) — the reference's
+    * receive→parse→throttle path as one streaming plan. Returns the
+    * started query's memory table name via the supplied callback-free
+    * synchronous drive. */
+  def frameIngest(spark: SparkSession, framesPath: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.plans.Frame
+    val schema = spark.read.parquet(framesPath).schema
+    // parse frames, then throttle to one record per (device, second)
+    // via watermarked streaming dedup — the 5 Hz → 1 Hz rule as state
+    val throttled = spark.readStream.schema(schema).parquet(framesPath)
+      .withColumn("parsed", Frame.unpack($"frame"))
+      .select($"parsed.device".as("device"), $"parsed.ts_secs".as("ts_secs"),
+        timestamp_seconds($"parsed.ts_secs").as("tsc"))
+      .withWatermark("tsc", "10 minutes")
+      .dropDuplicates("device", "ts_secs")
+    val name = StreamRelay.synchronized { relayCounter += 1; s"frame_ingest_$relayCounter" }
+    val q = throttled.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   case class RelayEvent(user_id: Long, ts_us: Long, kb: Double)
   case class Emitted(user_id: Long, ts_us: Long, cum_kb: Double)
 

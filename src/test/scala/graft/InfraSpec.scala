@@ -52,6 +52,21 @@ class InfraSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("streaming frame ingest parses and throttles to 1 Hz per device") {
+    val out = Files.createTempDirectory("graft_ingest").toString
+    val samples = transform(sequence(lit(0L), lit(6L)),
+      i => ($"event_id" * 7 + i * 13 + floor($"value").cast("long")) % 32768)
+    val frames = Tables.events(spark, sf).select($"event_id",
+      graft.plans.Frame.pack($"user_id", expr("unix_micros(ts) div 1000000"), samples).as("frame"))
+    Sinks.writeFrames(frames, out)
+    val ingested = graft.streaming.StreamRelay.frameIngest(spark, out)
+    // one row per (device, second), matching the batch downsampler's key space
+    assert(ingested.groupBy($"device", $"ts_secs").count().filter($"count" > 1).isEmpty)
+    val batchKeys = graft.operators.Telemetry.downsample1Hz(spark, sf)
+      .select($"user_id", unix_seconds($"sec")).distinct().count()
+    assert(ingested.count() == batchKeys)
+  }
+
   test("watermarked append-mode windowed aggregation emits closed windows") {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     val stream = spark.readStream.schema(schema)
