@@ -50,6 +50,9 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_topterms" -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "text_tfidf" -> (TextAnalysis.tfidf _),
+    "sample_strata" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStrata(s, d)),
+    "decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
+    "text_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redact(s, d)),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
@@ -297,6 +300,26 @@ object SparkEntry {
          |  list_min(list_transform(grams, x -> ${ph("x")})) AS min_kgram_hash,
          |  CAST(len(grams) AS BIGINT) AS n_distinct_kgrams
          |FROM g""".stripMargin,
+    "sample_strata" ->
+      s"""SELECT doc_id, lang, source, bucket FROM (
+         |  SELECT doc_id, lang, source, ${ph("text")} % 100 AS bucket FROM documents) t
+         |WHERE bucket < 20""".stripMargin,
+    "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 5
+        |    THEN list_transform(range(1, len(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+        |    ELSE [array_to_string(t, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents) a),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
+        |SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared_shingles
+        |FROM sh s JOIN ev USING (shingle)
+        |WHERE s.doc_id >= 50
+        |GROUP BY s.doc_id""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, 'customer', '<REDACTED>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, 'customer')) AS BIGINT) AS n_redactions
+        |FROM documents""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,

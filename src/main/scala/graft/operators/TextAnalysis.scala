@@ -101,6 +101,46 @@ object TextAnalysis {
       .select($"doc_id", $"term".as("top_term"), $"score".as("tfidf"))
   }
 
+  /** Deterministic stratified sampling: keep ~`pct`% of documents per
+    * stratum by content-hash bucket (hash mod 100 < pct). Hash-based
+    * sampling is reproducible across runs/engines/cluster sizes —
+    * unlike rand() — which is what a training-data pipeline needs for
+    * auditable subsets. */
+  def sampleStrata(spark: SparkSession, dir: String, pct: Int = 20): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(HashFns.polyHash($"text"), lit(100L)))
+      .filter($"bucket" < pct)
+      .select($"doc_id", $"lang", $"source", $"bucket")
+  }
+
+  /** Benchmark decontamination: find training docs (doc_id ≥ holdout)
+    * sharing any 5-token shingle with the holdout/eval set
+    * (doc_id < holdout) — the standard n-gram overlap detector.
+    * Inverted-index equi-join on the shingle; no cross join. */
+  def decontaminate(spark: SparkSession, dir: String, holdout: Long = 50L): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextFns.shingleSet($"text", 5)).as("shingle"))
+    val eval_ = sh.filter($"doc_id" < holdout)
+      .select($"shingle").distinct()
+    sh.filter($"doc_id" >= holdout)
+      .join(eval_, "shingle")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"shingle").as("n_shared_shingles"))
+  }
+
+  /** PII-style redaction: mask a sensitive-term pattern, count the
+    * redactions (scan-local, no shuffle). */
+  def redact(spark: SparkSession, dir: String, pattern: String = "customer"): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      regexp_replace($"text", pattern, "<REDACTED>").as("redacted"),
+      size(regexp_extract_all($"text", lit(pattern), lit(0)))
+        .cast(LongType).as("n_redactions"))
+  }
+
   /** Document fingerprints: full-content polynomial hash plus the
     * minimum 8-gram rolling hash (winnowing-style) and the distinct
     * 8-gram count. */

@@ -100,6 +100,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sample_strata is deterministic and roughly the target rate") {
+    val a = TextAnalysis.sampleStrata(spark, sf).collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.sampleStrata(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(a == b)                       // reproducible subset
+    assert(a.size > 50 && a.size < 150)  // ~20% of 500
+  }
+
+  test("decontaminate only flags training docs") {
+    TextAnalysis.decontaminate(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("doc_id") >= 50L)
+      assert(r.getAs[Long]("n_shared_shingles") >= 1L)
+    }
+  }
+
+  test("text_redact masks every occurrence") {
+    val df = TextAnalysis.redact(spark, sf)
+    assert(df.filter($"redacted".contains("customer")).isEmpty)
+    assert(df.filter($"n_redactions" > 0).count() > 0)
+  }
+
   test("text_fingerprint hashes are within the modulus") {
     TextAnalysis.fingerprint(spark, sf).collect().foreach { r =>
       assert(r.getAs[Long]("full_hash") >= 0 && r.getAs[Long]("full_hash") < 1000000007L)
