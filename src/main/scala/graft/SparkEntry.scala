@@ -311,14 +311,14 @@ object SparkEntry {
         |    ELSE [array_to_string(t, ' ')] END)) AS shingle
         |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents) a),
         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
-        |SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared_shingles
+        |SELECT s.doc_id, COUNT(*) AS n_shared_shingles
         |FROM sh s JOIN ev USING (shingle)
         |WHERE s.doc_id >= 50
         |GROUP BY s.doc_id""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
-        |  regexp_replace(text, 'customer', '<REDACTED>', 'g') AS redacted,
-        |  CAST(len(regexp_extract_all(text, 'customer')) AS BIGINT) AS n_redactions
+        |  regexp_replace(text, '(?i)customer', '<REDACTED>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '(?i)customer')) AS BIGINT) AS n_redactions
         |FROM documents""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,

@@ -124,20 +124,25 @@ object TextAnalysis {
       .select($"doc_id", explode(TextFns.shingleSet($"text", 5)).as("shingle"))
     val eval_ = sh.filter($"doc_id" < holdout)
       .select($"shingle").distinct()
+    // (doc_id, shingle) pairs are unique here — ShingleSet is distinct
+    // per doc and the eval side is distinct — so a plain count equals
+    // a distinct count without the two-phase distinct aggregation
     sh.filter($"doc_id" >= holdout)
       .join(eval_, "shingle")
       .groupBy($"doc_id")
-      .agg(countDistinct($"shingle").as("n_shared_shingles"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
-  /** PII-style redaction: mask a sensitive-term pattern, count the
-    * redactions (scan-local, no shuffle). */
+  /** PII-style redaction: mask a sensitive-term pattern
+    * case-insensitively, count the redactions (scan-local, no
+    * shuffle). */
   def redact(spark: SparkSession, dir: String, pattern: String = "customer"): DataFrame = {
     import spark.implicits._
+    val ci = s"(?i)$pattern"
     Tables.documents(spark, dir).select(
       $"doc_id",
-      regexp_replace($"text", pattern, "<REDACTED>").as("redacted"),
-      size(regexp_extract_all($"text", lit(pattern), lit(0)))
+      regexp_replace($"text", ci, "<REDACTED>").as("redacted"),
+      size(regexp_extract_all($"text", lit(ci), lit(0)))
         .cast(LongType).as("n_redactions"))
   }
 
