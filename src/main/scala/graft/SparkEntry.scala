@@ -26,6 +26,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.qRollup _),
     "q_asof" -> (Relational.qAsOf _),
     "q_pivot" -> (Relational.qPivot _),
+    "q_partjoin" -> (Relational.qPartJoin _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -300,6 +301,13 @@ object SparkEntry {
          |  list_min(list_transform(grams, x -> ${ph("x")})) AS min_kgram_hash,
          |  CAST(len(grams) AS BIGINT) AS n_distinct_kgrams
          |FROM g""".stripMargin,
+    "q_partjoin" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) FILTER (WHERE p_type = 'PROMO'), 0) AS DOUBLE) AS promo_revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
     "sample_strata" ->
       s"""SELECT doc_id, lang, source, bucket FROM (
          |  SELECT doc_id, lang, source, ${ph("text")} % 100 AS bucket FROM documents) t

@@ -134,6 +134,22 @@ object Relational {
            count(lit(1)).as("n_rows"))
   }
 
+  /** TPC-H-Q14-flavor part join: promo revenue share per brand —
+    * part dim broadcast into the lineitem fact, decimal-exact ratio. */
+  def qPartJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir).select($"p_partkey", $"p_brand", $"p_type")
+    val rev = dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        sum(rev).cast(DoubleType).as("revenue"),
+        coalesce(sum(when($"p_type" === "PROMO", rev)), lit(0))
+          .cast(DoubleType).as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Pivot / cross-tab: per-user event-type counts as columns via
     * conditional aggregation (one shuffle; the form PIVOT lowers to). */
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
