@@ -38,6 +38,7 @@ object SparkEntry {
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
+    "dedup_minhash_est" -> (Dedup.minhashEstimate _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),
     "dedup_embed" -> (Dedup.embed _),
@@ -214,6 +215,19 @@ object SparkEntry {
          |    CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
          |  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b) t
          |WHERE jaccard >= 0.2""".stripMargin,
+    "dedup_minhash_est" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+         |  THEN list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         |  ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
+         |hs AS (SELECT doc_id, list_transform(shingles, s -> ${ph("s")}) AS hh FROM sh),
+         |mh AS (SELECT doc_id, list_transform(range(0,16), j ->
+         |  list_min(list_transform(hh, h -> (CAST(37 + 101*j AS BIGINT)*h + CAST(1000003*j + 12345 AS BIGINT)) % 2147483647))) AS m FROM hs),
+         |bands AS (SELECT doc_id, m, b, list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(m, 4*b+1, 4*b+4)), (h,x) -> (h*31+x) % 1000000007) AS bkey
+         |  FROM mh, UNNEST(range(0,4)) AS tb(b))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_filter(range(1,17), i -> a.m[i] = b.m[i])) AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
          |th AS (SELECT doc_id, list_transform(t, tok ->

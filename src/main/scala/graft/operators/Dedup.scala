@@ -54,6 +54,29 @@ object Dedup {
       .filter($"jaccard" >= 0.2d)
   }
 
+  /** Single-scan MinHash dedup — the 100 TB shape. Where `minhash`
+    * verifies candidates against exact shingle sets (a join back to
+    * the documents, i.e. a second pass over the corpus), this variant
+    * estimates Jaccard as the fraction of agreeing MinHash components
+    * — one scan, signatures only ever shuffle (16 longs/doc, not
+    * shingle sets), standard practice when re-reading 100 TB to
+    * verify is the actual cost. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mh = Tables.documents(spark, dir)
+      .select($"doc_id", HashFns.minHashesNative(TextFns.shingleSet($"text", 3)).as("mh"))
+    val bands = mh.select($"doc_id", $"mh", explode(array((0 until HashFns.Bands).map { b =>
+      struct(lit(b).as("band"),
+        HashFns.foldKey(slice($"mh", b * HashFns.RowsPerBand + 1, HashFns.RowsPerBand)).as("bkey"))
+    }: _*)).as("bk")).select($"doc_id", $"mh", $"bk.band", $"bk.bkey")
+    bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        (size(filter(zip_with($"a.mh", $"b.mh", (x, y) => x === y), eq => eq))
+          .cast(org.apache.spark.sql.types.DoubleType) / 16.0d).as("est_jaccard"))
+      .distinct()
+  }
+
   /** 62-bit SimHash fingerprints; candidates share a 16-bit band,
     * kept when Hamming distance ≤ 12.
     *

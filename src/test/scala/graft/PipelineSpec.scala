@@ -19,6 +19,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_est covers the exact variant's candidates") {
+    val est = Dedup.minhashEstimate(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = Dedup.minhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.subsetOf(est))   // same LSH candidates, pre-threshold
+    Dedup.minhashEstimate(spark, sf).collect().foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+  }
+
   test("dedup_simhash hamming bounded by band structure") {
     Dedup.simhash(spark, sf).collect().foreach { r =>
       val h = r.getAs[Long]("hamming")
