@@ -35,10 +35,16 @@ object VecFns {
   def hyperCoef(p: Column, d: Column): Column =
     ((lit(1L) + (p * 64 + d) * lit(2654435761L)) % 1000003L) - 500001L
 
-  /** nPlanes-bit random-hyperplane LSH signature of a vector.
-    * Fixed fold order d = 0..63 keeps the projection (and thus the
-    * sign bit) engine-exact. */
-  def lshSignature(v: Column, nPlanes: Int = 8): Column = {
+  /** nPlanes-bit random-hyperplane LSH signature of a vector —
+    * native single-pass (graft.plans.LshSig). Fixed fold order
+    * d = 0..63 keeps the projection (and thus the sign bit)
+    * engine-exact. */
+  def lshSignature(v: Column, nPlanes: Int = 8): Column =
+    graft.plans.VecExprs.lshSigCol(v, nPlanes)
+
+  /** The composed HOF definition of the same signature (the shape the
+    * DuckDB oracle evaluates); retained to assert native parity. */
+  def lshSignatureHof(v: Column, nPlanes: Int = 8): Column = {
     val planeBits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), lit(63)),

@@ -16,6 +16,8 @@ import org.apache.spark.sql.types._
 object VecExprs {
   def dotCol(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def lshSigCol(v: Column, nPlanes: Int): Column =
+    ColumnBridge.column(LshSig(ColumnBridge.expression(v), nPlanes))
 
   @inline def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -27,6 +29,39 @@ object VecExprs {
     }
     s
   }
+
+  /** Static body for LshSig: per plane p, left-fold over d = 0..63 of
+    * v[d] · coef(p,d), coef = ((1 + (p·64+d)·2654435761) mod 1000003)
+    * − 500001 — identical arithmetic and order to VecFns.lshSignature
+    * and the oracle's sigs CTE. */
+  def lshSig(v: ArrayData, nPlanes: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var d = 0
+      while (d < 64) {
+        val coef = ((1L + (p.toLong * 64 + d) * 2654435761L) % 1000003L) - 500001L
+        proj += v.getFloat(d).toDouble * coef.toDouble
+        d += 1
+      }
+      if (proj > 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+/** nPlanes-bit random-hyperplane signature of a float vector. */
+case class LshSig(child: Expression, nPlanes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VecExprs.lshSig(v.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecExprs.lshSig($c, $nPlanes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** Fixed-order dot product of two float arrays, in double. Codegen

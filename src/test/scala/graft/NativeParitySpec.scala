@@ -50,6 +50,14 @@ class NativeParitySpec extends SparkSpec {
     assert(badNg.isEmpty)
   }
 
+  test("LshSig == HOF signature on all embeddings") {
+    val bad = Tables.embeddings(spark, sf)
+      .select(VecFns.lshSignature($"embedding", 4).as("native"),
+        VecFns.lshSignatureHof($"embedding", 4).as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(bad.isEmpty)
+  }
+
   test("DotProductF == HOF fold dot (bit-exact) on embedding pairs") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val pairs = e.as("a").crossJoin(e.as("b"))
