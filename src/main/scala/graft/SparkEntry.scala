@@ -27,6 +27,7 @@ object SparkEntry {
     "q_asof" -> (Relational.qAsOf _),
     "q_pivot" -> (Relational.qPivot _),
     "q_partjoin" -> (Relational.qPartJoin _),
+    "q_moments" -> (Relational.qMoments _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -315,6 +316,20 @@ object SparkEntry {
          |  list_min(list_transform(grams, x -> ${ph("x")})) AS min_kgram_hash,
          |  CAST(len(grams) AS BIGINT) AS n_distinct_kgrams
          |FROM g""".stripMargin,
+    "q_moments" ->
+      """SELECT l_returnflag, n,
+        |  round(sx / nd, 9) AS mean_qty,
+        |  round(sy / nd, 9) AS mean_price,
+        |  round((nd * sxy - sx * sy) / (nd * nd), 6) AS cov_pop,
+        |  round((nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 12) AS corr
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag) t""".stripMargin,
     "q_partjoin" ->
       """SELECT p_brand,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -134,6 +134,39 @@ object Relational {
            count(lit(1)).as("n_rows"))
   }
 
+  /** Statistical moments per group: population covariance and
+    * correlation of (quantity, price), computed from DECIMAL-EXACT
+    * power sums rather than streaming moment updates — Welford-style
+    * accumulation is partition-order-dependent and engine-specific,
+    * while exact sums make the final double arithmetic bit-identical
+    * everywhere (only +,-,*,/,sqrt — all IEEE-deterministic). */
+  def qMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = dec($"l_quantity")
+    val p = dec($"l_extendedprice")
+    val g = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast(DoubleType).as("sx"),
+        sum(p).cast(DoubleType).as("sy"),
+        sum(q * p).cast(DoubleType).as("sxy"),
+        sum(q * q).cast(DoubleType).as("sxx"),
+        sum(p * p).cast(DoubleType).as("syy"))
+    val nd = $"n".cast(DoubleType)
+    val num = nd * $"sxy" - $"sx" * $"sy"
+    // derived values are rounded: DECIMAL(38,4)->DOUBLE casts of the
+    // big power sums are not correctly rounded in every engine (a
+    // two-step int/10^scale conversion), observed as 1-ulp corr drift
+    // at sf0.001 — rounding collapses that noise identically
+    g.select($"l_returnflag", $"n",
+      round($"sx" / nd, 9).as("mean_qty"),
+      round($"sy" / nd, 9).as("mean_price"),
+      round(num / (nd * nd), 6).as("cov_pop"),
+      round(num / (sqrt(nd * $"sxx" - $"sx" * $"sx") * sqrt(nd * $"syy" - $"sy" * $"sy")), 12)
+        .as("corr"))
+  }
+
   /** TPC-H-Q14-flavor part join: promo revenue share per brand —
     * part dim broadcast into the lineitem fact, decimal-exact ratio. */
   def qPartJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -54,6 +54,14 @@ class RelationalSpec extends SparkSpec {
     assert(rows.count(r => r.isNullAt(0) && r.isNullAt(1)) == 1)
   }
 
+  test("q_moments yields bounded correlations") {
+    Relational.qMoments(spark, sf).collect().foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
   test("q_asof picks most recent order date <= event ts") {
     val rows = Relational.qAsOf(spark, sf).filter($"last_order_date".isNotNull).collect()
     assert(rows.nonEmpty)
