@@ -36,6 +36,7 @@ object SparkEntry {
     "chunk_messages" -> ((s: SparkSession, d: String) => Telemetry.chunkMessages(s, d)),
     "queue_stats" -> (Telemetry.queueStats _),
     "status_transitions" -> (Telemetry.statusTransitions _),
+    "events_funnel" -> (Telemetry.funnel _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -195,6 +196,15 @@ object SparkEntry {
         |  FROM events) t
         |WHERE prev_type IS NOT NULL AND prev_type <> event_type
         |GROUP BY prev_type, event_type""".stripMargin,
+    "events_funnel" ->
+      """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        |  GROUP BY e.user_id)
+        |SELECT s.user_id, s.signup_ts, p.purchase_ts,
+        |  epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS delay_us
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id""".stripMargin,
     "dedup_exact" ->
       s"""SELECT ${ph("text")} AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,

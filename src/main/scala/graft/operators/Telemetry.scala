@@ -90,6 +90,24 @@ object Telemetry {
       .select($"event_id", $"user_id", $"nbytes", $"chunk_idx", $"chunk_bytes")
   }
 
+  /** Conversion funnel: each user's first signup, first purchase at
+    * or after it, and the exact delay in µs (null when un-converted).
+    * Two narrow aggregations + one join — the funnel shape that holds
+    * at 100 TB because only (user, ts) pairs ever shuffle. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val purchase = ev.filter($"event_type" === "purchase")
+      .join(signup, "user_id")
+      .filter($"ts" >= $"signup_ts")
+      .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+    signup.join(purchase, Seq("user_id"), "left")
+      .select($"user_id", $"signup_ts", $"purchase_ts",
+        (unix_micros($"purchase_ts") - unix_micros($"signup_ts")).as("delay_us"))
+  }
+
   /** Rx/Tx queue accounting (serial_streaming.lua shellCmd:210-262):
     * per stream (event_type): msgs/bytes sent & lost, last-sent /
     * last-lost times. "Lost" ≙ props.k > 50 (overflow marker). */

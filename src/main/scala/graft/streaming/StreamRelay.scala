@@ -69,6 +69,40 @@ object StreamRelay {
 
   case class RelayEvent(user_id: Long, ts_us: Long, kb: Double)
   case class Emitted(user_id: Long, ts_us: Long, cum_kb: Double)
+  case class ClosedSession(user_id: Long, n_events: Long, last_ts_us: Long)
+  /** RelayEvent plus the watermarked event-time column — the
+    * watermark attribute must survive into the stateful operator's
+    * input for event-time timeouts to resolve. */
+  case class TimedEvent(user_id: Long, ts_us: Long, kb: Double, ts: java.sql.Timestamp)
+
+  /** Inactivity shutdown as streaming state (notes.org: "wait for
+    * signal for 30 minutes, if not, start transmitting"/shutdown):
+    * per-user session state expires via EVENT-TIME timeout once the
+    * watermark passes last-activity + the inactivity gap, emitting a
+    * closed-session record. Requires the caller to have applied
+    * `withWatermark` on the `ts` column. */
+  def sessionClose(events: org.apache.spark.sql.Dataset[TimedEvent],
+      inactivityMs: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, evs, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, last) = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, n, last))
+          } else {
+            val batch = evs.toSeq
+            val (n0, last0) = state.getOption.getOrElse((0L, Long.MinValue))
+            val n = n0 + batch.size
+            val last = math.max(last0, batch.map(_.ts_us).max)
+            state.update((n, last))
+            state.setTimeoutTimestamp(last / 1000 + inactivityMs)
+            Iterator.empty
+          }
+      }
+  }
 
   /** Per-user transmission budget as streaming state: events pass
     * through until the cumulative KB crosses the budget, then the

@@ -67,6 +67,32 @@ class InfraSpec extends SparkSpec {
     assert(ingested.count() == batchKeys)
   }
 
+  test("event-time state timeout closes inactive sessions across batches") {
+    import graft.streaming.StreamRelay
+    val dir = Files.createTempDirectory("graft_sessions").toString
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"value".as("kb"))
+    // batch 1: all but the last day; batch 2: the last day (advances
+    // the watermark so day-22 inactivity timeouts fire)
+    val cut = ev.agg(max($"ts_us")).head().getLong(0) - 24L * 3600 * 1000000
+    ev.filter($"ts_us" <= cut).coalesce(1).write.parquet(s"$dir/a_first")
+    ev.filter($"ts_us" > cut).coalesce(1).write.parquet(s"$dir/b_second")
+    val schema = spark.read.parquet(s"$dir/a_first").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .withColumn("ts", timestamp_micros($"ts_us"))
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"ts_us", $"kb", $"ts").as[StreamRelay.TimedEvent]
+    val closed = StreamRelay.sessionClose(stream, inactivityMs = 22L * 3600 * 1000)
+    val q = closed.writeStream.outputMode("append").format("memory")
+      .queryName("closed_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("closed_out").collect()
+    assert(rows.nonEmpty)   // some users are inactive in the final day
+    val perUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(perUser.values.forall(_.length == 1))   // one close per user
+  }
+
   test("watermarked append-mode windowed aggregation emits closed windows") {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     val stream = spark.readStream.schema(schema)
