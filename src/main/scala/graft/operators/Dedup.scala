@@ -115,10 +115,11 @@ object Dedup {
     */
   def ngram(spark: SparkSession, dir: String, maxBucket: Int = 50): DataFrame = {
     import spark.implicits._
-    val grams = Tables.documents(spark, dir)
-      .select($"doc_id", TextFns.charNGrams($"text", 4).as("grams"))
-    val sizes = grams.select($"doc_id", size($"grams").cast(LongType).as("n_grams"))
-    val index = grams.select($"doc_id", explode($"grams").as("gram"))
+    val index = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextFns.charNGrams($"text", 4)).as("gram"))
+    // per-doc set sizes derive from the exploded (already-distinct)
+    // index — no second n-gram pass over the text
+    val sizes = index.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
     val capped = index.groupBy($"gram")
       .agg(collect_list($"doc_id").as("docs"), count(lit(1)).as("df"))
       .filter($"df" <= maxBucket)
