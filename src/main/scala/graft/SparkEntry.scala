@@ -23,6 +23,7 @@ object SparkEntry {
     "q_window" -> (Relational.qWindow _),
     "q_distinct" -> (Relational.qDistinct _),
     "q_exists" -> (Relational.qExists _),
+    "q_semi" -> (Relational.qSemi _),
     "q_rollup" -> (Relational.qRollup _),
     "q_asof" -> (Relational.qAsOf _),
     "q_pivot" -> (Relational.qPivot _),
@@ -131,6 +132,9 @@ object SparkEntry {
     "q_exists" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -113,6 +113,17 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  /** EXISTS via left-semi join: customers who placed at least one
+    * large (> 300k) order — no duplication from the many-side. */
+  def qSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 300000.0).select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+  }
+
   /** NOT EXISTS via left-anti join (no subquery materialization):
     * customers who never placed a large (> 300k) order. */
   def qExists(spark: SparkSession, dir: String): DataFrame = {
