@@ -59,6 +59,16 @@ object HashFns {
   def foldKey(values: Column): Column =
     aggregate(values, lit(0L), (h, x) => (h * 31 + x) % P)
 
+  /** Count of agreeing components of two MinHash signatures — native
+    * single-pass (graft.plans.SigAgreeCount). */
+  def sigAgree(a: Column, b: Column): Column =
+    graft.plans.HashExprs.sigAgreeCol(a, b)
+
+  /** The composed HOF definition of the same count (the shape the
+    * DuckDB oracle evaluates); retained to assert native parity. */
+  def sigAgreeHof(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), eq => eq)).cast(LongType)
+
   /** 62-bit SimHash over an array of tokens — native single-pass
     * (graft.plans.SimHash64). */
   def simHash(tokens: Column): Column = graft.plans.HashExprs.simHashCol(tokens)

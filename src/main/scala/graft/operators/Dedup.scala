@@ -72,8 +72,7 @@ object Dedup {
     bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        (size(filter(zip_with($"a.mh", $"b.mh", (x, y) => x === y), eq => eq))
-          .cast(org.apache.spark.sql.types.DoubleType) / 16.0d).as("est_jaccard"))
+        (HashFns.sigAgree($"a.mh", $"b.mh").cast(DoubleType) / 16.0d).as("est_jaccard"))
       .distinct()
   }
 
@@ -120,9 +119,19 @@ object Dedup {
     // per-doc set sizes derive from the exploded (already-distinct)
     // index — no second n-gram pass over the text
     val sizes = index.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-    val capped = index.groupBy($"gram")
-      .agg(collect_list($"doc_id").as("docs"), count(lit(1)).as("df"))
+    // df cap BEFORE any doc-list materialization: a stop-gram present
+    // in ~every doc would otherwise accumulate a corpus-sized array in
+    // a single aggregation buffer just to be thrown away (single-key
+    // OOM at 100×). Plain count first (bounded partial-agg buffers),
+    // filter to rare grams, then left-semi the index to survivors —
+    // collect_list buffers are now bounded by maxBucket.
+    val rare = index.groupBy($"gram")
+      .agg(count(lit(1)).as("df"))
       .filter($"df" <= maxBucket)
+      .select($"gram")
+    val capped = index.join(rare, Seq("gram"), "left_semi")
+      .groupBy($"gram")
+      .agg(collect_list($"doc_id").as("docs"))
     val shared = capped
       .select(explode(expr(
         "filter(flatten(transform(docs, a -> transform(docs, b -> struct(a, b)))), p -> p.a < p.b)")).as("p"))

@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join of a skewed fact to a (replicable) dim on `key`,
-    * spreading each fact key over `buckets` partitions. */
+    * spreading each fact key over `buckets` partitions.
+    *
+    * The salt is `pmod(hash(all fact columns), buckets)` — a pure
+    * function of row content, not `rand()` — so task retries and plan
+    * re-executions land every row in the same bucket (byte-stable
+    * shuffle layout). A hot key's rows still spread across buckets
+    * because the non-key columns vary row to row. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       buckets: Int = 16): DataFrame = {
     val salted = fact.withColumn("__salt",
-      (rand(seed = 42) * buckets).cast("int"))
+      pmod(hash(fact.columns.map(col): _*), lit(buckets)))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

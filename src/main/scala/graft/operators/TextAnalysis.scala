@@ -90,12 +90,15 @@ object TextAnalysis {
     val terms = docs.select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = terms.groupBy($"term").agg(count(lit(1)).as("df"))
-    val n = docs.count()
+    // corpus size stays inside the plan (single-row agg broadcast to
+    // every task) — no driver-side count() action, one Spark job total
+    val nDf = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
     terms.join(df, "term")
+      .crossJoin(broadcast(nDf))
       .withColumn("score",
-        $"tf".cast("double") * ((lit(n.toDouble) + 1.0d) / ($"df".cast("double") + 1.0d)))
+        $"tf".cast("double") * (($"n_docs" + 1.0d) / ($"df".cast("double") + 1.0d)))
       .withColumn("rnk", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
       .filter($"rnk" === 1L)
       .select($"doc_id", $"term".as("top_term"), $"score".as("tfidf"))

@@ -38,21 +38,39 @@ object Frame {
   def byteSum(bin: Column, n: Column): Column = col(ByteSum(ex(bin), ex(n)))
 }
 
-/** (device int64, ts_secs int64, samples array<int64>[7]) → 24-byte frame. */
+/** (device int64, ts_secs int64, samples array<int64>[7]) → 24-byte frame.
+  *
+  * The frame format's domain is int32 for device/ts_secs and int16 for
+  * samples (main.py's struct codes). Values outside those ranges can't
+  * round-trip, so they yield NULL rather than silently wrapping — a
+  * post-2038 timestamp or an out-of-range sample is a quarantinable
+  * record, not a corrupted frame. */
 case class PackFrame(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](LongType, LongType, ArrayType(LongType))
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = first.nullable || second.nullable || third.nullable
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(d: Any, t: Any, s: Any): Any = {
+    val dv = d.asInstanceOf[Long]
+    val tv = t.asInstanceOf[Long]
+    val arr = s.asInstanceOf[ArrayData]
+    if (dv < Int.MinValue || dv > Int.MaxValue ||
+        tv < Int.MinValue || tv > Int.MaxValue) return null
+    var i = 0
+    val nElems = math.min(Frame.NumSamples, arr.numElements())
+    while (i < nElems) {
+      val sv = arr.getLong(i)
+      if (sv < Short.MinValue || sv > Short.MaxValue) return null
+      i += 1
+    }
     val out = new Array[Byte](Frame.FrameLen)
     out(0) = Frame.Magic0
     out(1) = Frame.Magic1
-    putIntLE(out, 2, d.asInstanceOf[Long].toInt)
-    putIntLE(out, 6, t.asInstanceOf[Long].toInt)
-    val arr = s.asInstanceOf[ArrayData]
-    var i = 0
-    while (i < Frame.NumSamples && i < arr.numElements()) {
+    putIntLE(out, 2, dv.toInt)
+    putIntLE(out, 6, tv.toInt)
+    i = 0
+    while (i < nElems) {
       putShortLE(out, 10 + 2 * i, arr.getLong(i).toShort)
       i += 1
     }
@@ -74,18 +92,24 @@ case class PackFrame(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
-/** 24-byte frame → struct(device int, ts_secs int, samples array<int>). */
+/** 24-byte frame → struct(device int, ts_secs int, samples array<int>).
+  *
+  * Malformed input (short buffer or wrong magic) yields NULL instead
+  * of throwing: at 100 TB one corrupt frame must quarantine as a null
+  * row countable in a side aggregate, not abort the whole job stage. */
 case class UnpackFrame(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](BinaryType)
   override def dataType: DataType = StructType(Seq(
     StructField("device", IntegerType, nullable = false),
     StructField("ts_secs", IntegerType, nullable = false),
     StructField("samples", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(v: Any): Any = {
     val b = v.asInstanceOf[Array[Byte]]
-    require(b.length >= Frame.FrameLen && b(0) == Frame.Magic0 && b(1) == Frame.Magic1,
-      s"not a frame: len=${b.length}")
+    if (b.length < Frame.FrameLen || b(0) != Frame.Magic0 || b(1) != Frame.Magic1)
+      return null
     val device = getIntLE(b, 2)
     val ts = getIntLE(b, 6)
     val samples = new Array[Int](Frame.NumSamples)
@@ -109,7 +133,8 @@ case class UnpackFrame(child: Expression)
 /** Sum of the first n bytes (unsigned) of a binary column — the
   * deterministic stand-in "decode" for multimodal blobs. */
 case class ByteSum(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](BinaryType, LongType)
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(v: Any, n: Any): Any = {

@@ -39,6 +39,22 @@ object HashExprs {
     ColumnBridge.column(MinHashArr(ColumnBridge.expression(shingles)))
   def simHashCol(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  def sigAgreeCol(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreeCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Static body for SigAgreeCount (also called from generated code):
+    * number of positions (over the shorter length) where the two long
+    * signatures agree. */
+  def sigAgree(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
 
   /** Static body for MinHashArr (also called from generated code). */
   def minHashes(arr: ArrayData): ArrayData = {
@@ -97,7 +113,8 @@ object HashExprs {
   * Codegen emits a call to the static loop, keeping whole-stage
   * codegen alive for surrounding operators. */
 case class PolyHashStr(child: Expression, mul: Long, mod: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](StringType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     HashExprs.polyHash(v.asInstanceOf[UTF8String], mul, mod)
@@ -111,7 +128,8 @@ case class PolyHashStr(child: Expression, mul: Long, mod: Long)
   * polyHash): base = polyhash31(shingle); m_j = min over shingles of
   * (a_j·base + b_j) mod P31, a_j = 37+101j, b_j = 1000003j+12345. */
 case class MinHashArr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     HashExprs.minHashes(v.asInstanceOf[ArrayData])
@@ -121,11 +139,28 @@ case class MinHashArr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Component-agreement count of two MinHash signatures — the
+  * estimated-Jaccard numerator of Dedup.minhashEstimate as one native
+  * comparison loop instead of interpreted zip_with + filter + size. */
+case class SigAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashExprs.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.HashExprs.sigAgree($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** array<string> tokens → 62-bit SimHash (HashFns.simHash): token
   * hash = poly31 + poly37·2^31 (both mod P31); each bit votes ±1;
   * bit set when votes > 0. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](ArrayType(StringType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     HashExprs.simHash(v.asInstanceOf[ArrayData])

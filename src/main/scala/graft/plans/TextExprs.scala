@@ -64,7 +64,9 @@ object TextExprs {
   }
 }
 
-case class ShingleSet(child: Expression, w: Int) extends UnaryExpression {
+case class ShingleSet(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     TextExprs.shingles(v.asInstanceOf[UTF8String], w)
@@ -74,7 +76,9 @@ case class ShingleSet(child: Expression, w: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-case class CharNGramSet(child: Expression, n: Int) extends UnaryExpression {
+case class CharNGramSet(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     TextExprs.ngrams(v.asInstanceOf[UTF8String], n)

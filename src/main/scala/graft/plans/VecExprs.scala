@@ -54,7 +54,8 @@ object VecExprs {
 
 /** nPlanes-bit random-hyperplane signature of a float vector. */
 case class LshSig(child: Expression, nPlanes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](ArrayType(FloatType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     VecExprs.lshSig(v.asInstanceOf[ArrayData], nPlanes)
@@ -67,7 +68,8 @@ case class LshSig(child: Expression, nPlanes: Int)
 /** Fixed-order dot product of two float arrays, in double. Codegen
   * calls the static loop so whole-stage codegen stays alive. */
 case class DotProductF(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecExprs.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -12,34 +12,68 @@ import graft.operators.dec
   * accounted, and rebroadcast; per-stream budgets cut off transmission
   * (notes.org "shutdown after 100 mb").
   *
-  * `windowedRelay` runs the relay synchronously over the test parquet
-  * (file stream → 5-min windows per event_type → complete-mode memory
-  * sink) so the driver's batch-style Verify can gate it against the
-  * DuckDB oracle. `statefulBudget` is the arbitrary-state variant
+  * `windowedRelay` is the scale-safe relay shape: watermarked
+  * event-time windows in APPEND mode into a durable parquet sink —
+  * per-key streaming state is bounded by the watermark and finalized
+  * windows leave the executors permanently, unlike a complete-mode
+  * memory sink whose driver-held state grows with key cardinality and
+  * is rewritten every batch. The batch gate drives it synchronously
+  * over the test parquet and reads the sink back for the DuckDB
+  * oracle. `statefulBudget` is the arbitrary-state variant
   * (flatMapGroupsWithState) exercised by ScalaTest.
   */
 object StreamRelay {
 
   private var relayCounter = 0
 
-  /** Windowed rebroadcast with queue accounting, driven to completion. */
+  /** Windowed rebroadcast with queue accounting: watermark + append
+    * mode + parquet sink, driven to completion. A second "barrier"
+    * micro-batch carrying one far-future sentinel row pushes the
+    * watermark past every real window so append mode flushes them all
+    * — the bounded-input analogue of the stream simply staying open. */
   def windowedRelay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file stream source requires a directory; select the events
-    // table out of the sf dir with a glob filter
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
+    val tmp = Files.createTempDirectory("graft_relay_")
+    val inDir = tmp.resolve("in"); val outDir = tmp.resolve("out"); val ck = tmp.resolve("ck")
+    Files.createDirectories(inDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"), inDir.resolve("batch0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val agg = graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(inDir.toString))
+      .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "5 minutes"), $"event_type")
       .agg(count(lit(1)).as("n_events"), sum(dec($"value")).cast(DoubleType).as("bytes_total"))
       .select($"window.start".as("window_start"), $"event_type", $"n_events", $"bytes_total")
-    val name = StreamRelay.synchronized { relayCounter += 1; s"relay_out_$relayCounter" }
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ck.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      barrierRow(spark, schema).coalesce(1).write.mode("append").parquet(inDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(outDir.toString).filter($"event_type" =!= BarrierType)
+  }
+
+  private val BarrierType = "__barrier"
+
+  /** One sentinel event at 2100-01-01 (past any generated data) in the
+    * RAW events schema — nanos-long or timestamp ts both supported. */
+  private def barrierRow(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types.{LongType => SLong, TimestampType => STs}
+    val cols = schema.fields.map { f =>
+      (f.name, f.dataType) match {
+        case ("ts", SLong) => lit(4102444800L * 1000000000L).as("ts")
+        case ("ts", STs) => lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")).as("ts")
+        case ("event_type", _) => lit(BarrierType).as("event_type")
+        case (n, dt) => lit(null).cast(dt).as(n)
+      }
+    }
+    spark.range(1).select(cols.toSeq: _*)
   }
 
   /** The full serial-proxy shape end-to-end: binary frames arrive on
