@@ -83,22 +83,31 @@ object StreamRelay {
     * started query's memory table name via the supplied callback-free
     * synchronous drive. */
   def frameIngest(spark: SparkSession, framesPath: String): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    import graft.plans.Frame
     val schema = spark.read.parquet(framesPath).schema
-    // parse frames, then throttle to one record per (device, second)
-    // via watermarked streaming dedup — the 5 Hz → 1 Hz rule as state
-    val throttled = spark.readStream.schema(schema).parquet(framesPath)
-      .withColumn("parsed", Frame.unpack($"frame"))
-      .select($"parsed.device".as("device"), $"parsed.ts_secs".as("ts_secs"),
-        timestamp_seconds($"parsed.ts_secs").as("tsc"))
-      .withWatermark("tsc", "10 minutes")
-      .dropDuplicates("device", "ts_secs")
+    val throttled = parseAndThrottle(
+      spark.readStream.schema(schema).parquet(framesPath))
     val name = StreamRelay.synchronized { relayCounter += 1; s"frame_ingest_$relayCounter" }
     val q = throttled.writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
+  }
+
+  /** The receive→parse→throttle plan shared by every frame source
+    * (file-backed or live/unbounded): parse frames with the native
+    * UnpackFrame expression, then throttle to one record per
+    * (device, second) via watermarked streaming dedup — the 5 Hz →
+    * 1 Hz rule (notes.org) as bounded streaming state. Works
+    * identically over any streaming DataFrame with a binary `frame`
+    * column (parquet file stream, rate-derived frames, socket bytes). */
+  def parseAndThrottle(frames: DataFrame): DataFrame = {
+    import graft.plans.Frame
+    frames
+      .withColumn("parsed", Frame.unpack(col("frame")))
+      .select(col("parsed.device").as("device"), col("parsed.ts_secs").as("ts_secs"),
+        timestamp_seconds(col("parsed.ts_secs")).as("tsc"))
+      .withWatermark("tsc", "10 minutes")
+      .dropDuplicates("device", "ts_secs")
   }
 
   case class RelayEvent(user_id: Long, ts_us: Long, kb: Double)

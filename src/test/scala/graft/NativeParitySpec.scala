@@ -67,4 +67,16 @@ class NativeParitySpec extends SparkSpec {
       .filter($"native" =!= $"hof")   // exact double equality intended
     assert(bad.isEmpty)
   }
+
+  test("SigAgreeCount == HOF zip_with agreement on minhash signatures") {
+    val mh = Tables.documents(spark, sf)
+      .select($"doc_id", HashFns.minHashesNative(TextFns.shingleSet($"text", 3)).as("mh"))
+    val pairs = mh.as("a").join(mh.as("b"),
+      ($"a.doc_id" % 10) === ($"b.doc_id" % 10) && $"a.doc_id" < $"b.doc_id")
+    val bad = pairs.select(
+      HashFns.sigAgree($"a.mh", $"b.mh").as("native"),
+      HashFns.sigAgreeHof($"a.mh", $"b.mh").as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(bad.isEmpty)
+  }
 }
