@@ -424,14 +424,16 @@ object SparkEntry {
         |    FROM events) a) b
         |GROUP BY device_id""".stripMargin,
     "mm_meta" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      """SELECT doc_id,
+        |  CAST(CASE WHEN lang = 'en' THEN 33 WHEN lang = 'de' THEN 21
+        |            WHEN lang = 'es' THEN 30 ELSE 12 END + length(text) AS BIGINT) AS n_bytes,
         |  CAST((n_chars % 64) + 1 AS BIGINT) AS width,
         |  CAST((doc_id % 48) + 1 AS BIGINT) AS height,
         |  CASE WHEN lang = 'en' THEN 'png' WHEN lang = 'de' THEN 'jpeg'
         |       WHEN lang = 'es' THEN 'webp' ELSE 'raw' END AS format,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(1, 9), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-        |    (a,b) -> a+b) AS fake_feature
+        |    (a,b) -> a+b) AS payload_head_sum
         |FROM documents""".stripMargin,
     "stream_relay" ->
       """SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000) AS window_start,

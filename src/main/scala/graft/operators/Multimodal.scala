@@ -4,33 +4,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.plans.Frame
+import graft.plans.{Frame, Image}
 import graft.sources.Tables
 
 /** Multimodal column plumbing (SURVEY §2.G): media payloads ride as
   * opaque `binary` columns with typed metadata beside them — the
   * schema/partitioning pattern a 100 TB image/audio pipeline uses.
   *
-  * The decode step is a MARKED STUB: real pixel/audio decoding would
-  * sit behind the same column boundary (a batch-wise UDF / native
-  * expression over the blob); here a deterministic byte-level
-  * "feature" (ByteSum over the first 8 bytes) stands in so the
-  * Spark-side plumbing — blob construction, metadata derivation,
-  * schema, per-row batch shape — is real and oracle-checkable.
+  * The blob carries a REAL container header (PNG signature + IHDR
+  * with correct CRC32 / JPEG SOI+SOF0 / WebP RIFF VP8X / raw GRAW —
+  * see [[graft.plans.Image]]) followed by the document payload, and
+  * `meta` recovers format/width/height by parsing those actual bytes
+  * (magic sniffing, a real JPEG marker scan, BE/LE field extraction).
+  * Pixel-level decode (IDAT inflate etc.) would slot behind the same
+  * column boundary with an imaging library; the header layer here is
+  * the genuine wire format, not a stand-in.
+  *
+  * Oracle-parity note: the DuckDB oracle restates header arithmetic
+  * (lengths, width/height formulas) on the assumption the test corpus
+  * is ASCII, where `length(text)` = payload byte length. A spec
+  * guards that assumption explicitly (octet_length == char length on
+  * every document) so a non-ASCII corpus fails loudly, not silently.
   */
 object Multimodal {
 
   def meta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blob = encode($"text", "UTF-8")
-    Tables.documents(spark, dir).select(
-      $"doc_id",
-      octet_length(blob).cast(LongType).as("n_bytes"),
-      (($"n_chars" % 64) + 1).cast(LongType).as("width"),
-      (($"doc_id" % 48) + 1).cast(LongType).as("height"),
-      when($"lang" === "en", "png").when($"lang" === "de", "jpeg")
-        .when($"lang" === "es", "webp").otherwise("raw").as("format"),
-      // STUB decode: deterministic stand-in for the real media decode
-      Frame.byteSum(blob, lit(8L)).as("fake_feature"))
+    val fmt = when($"lang" === "en", "png").when($"lang" === "de", "jpeg")
+      .when($"lang" === "es", "webp").otherwise("raw")
+    val blob = Image.pack(fmt,
+      ($"n_chars" % 64) + 1, ($"doc_id" % 48) + 1, encode($"text", "UTF-8"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", blob.as("blob"))
+      .withColumn("meta", Image.decode($"blob"))
+      .select(
+        $"doc_id",
+        octet_length($"blob").cast(LongType).as("n_bytes"),
+        $"meta.width".cast(LongType).as("width"),
+        $"meta.height".cast(LongType).as("height"),
+        $"meta.format".as("format"),
+        // payload survives intact behind the header: sum of its first
+        // 8 bytes, located via the parsed payload offset
+        Frame.byteSum(expr("substring(blob, meta.payload_off + 1, 8)"), lit(8L))
+          .as("payload_head_sum"))
   }
 }

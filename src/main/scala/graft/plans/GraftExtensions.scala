@@ -41,5 +41,7 @@ object GraftExtensions {
     "graft_pack_frame" -> arity("graft_pack_frame", 3)(es => PackFrame(es(0), es(1), es(2))),
     "graft_unpack_frame" -> arity("graft_unpack_frame", 1)(es => UnpackFrame(es.head)),
     "graft_byte_sum" -> arity("graft_byte_sum", 2)(es => ByteSum(es(0), es(1))),
+    "graft_pack_image" -> arity("graft_pack_image", 4)(es => PackImage(es(0), es(1), es(2), es(3))),
+    "graft_decode_image" -> arity("graft_decode_image", 1)(es => DecodeImageMeta(es.head)),
   )
 }

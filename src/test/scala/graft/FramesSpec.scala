@@ -40,7 +40,7 @@ class FramesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_bytes") > 0)
       assert(r.getAs[Long]("width") >= 1 && r.getAs[Long]("width") <= 64)
       assert(r.getAs[Long]("height") >= 1 && r.getAs[Long]("height") <= 48)
-      assert(r.getAs[Long]("fake_feature") > 0)
+      assert(r.getAs[Long]("payload_head_sum") > 0)
     }
   }
 

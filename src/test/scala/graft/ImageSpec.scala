@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.plans.Image
+import graft.sources.Tables
+
+/** The multimodal codec must parse real container bytes — including
+  * headers it did not write itself — and quarantine garbage as null. */
+class ImageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mm_meta decodes format/width/height from the actual blob bytes") {
+    val rows = Multimodal.meta(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("height") == (doc % 48) + 1)
+      assert(Set("png", "jpeg", "webp", "raw").contains(r.getAs[String]("format")))
+      assert(r.getAs[Long]("n_bytes") >
+        Image.headerLen(r.getAs[String]("format")).toLong)
+    }
+  }
+
+  test("decoder reads a JPEG it did not write (APP0 segment before SOF0)") {
+    // independent construction straight from the JPEG spec: SOI, a
+    // JFIF APP0 segment the decoder must skip, then SOF0 with the
+    // dimensions — proves the marker scan walks segments rather than
+    // assuming our own fixed layout
+    val buf = ByteBuffer.allocate(64)
+    buf.put(0xff.toByte).put(0xd8.toByte)                       // SOI
+    buf.put(0xff.toByte).put(0xe0.toByte).putShort(16)          // APP0, len 16
+    buf.put("JFIF".getBytes).put(0.toByte)
+    buf.put(1.toByte).put(2.toByte).put(0.toByte)
+    buf.putShort(1).putShort(1).put(0.toByte).put(0.toByte)
+    buf.put(0xff.toByte).put(0xc0.toByte).putShort(17)          // SOF0, len 17
+    buf.put(8.toByte).putShort(90).putShort(160).put(3.toByte)  // 160 × 90
+    (1 to 3).foreach(c => buf.put(c.toByte).put(0x11.toByte).put(0.toByte))
+    val jpeg = java.util.Arrays.copyOf(buf.array(), buf.position())
+    val r = Seq(Tuple1(jpeg)).toDF("blob")
+      .select(Image.decode($"blob").as("m")).select($"m.*").head()
+    assert(r.getAs[String]("format") == "jpeg")
+    assert(r.getAs[Int]("width") == 160 && r.getAs[Int]("height") == 90)
+  }
+
+  test("decoder reads a spec-constructed PNG IHDR") {
+    val buf = ByteBuffer.allocate(64)
+    buf.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    buf.putInt(13).put("IHDR".getBytes)
+    buf.putInt(640).putInt(480)
+    buf.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.putInt(0)                                               // crc (unchecked)
+    val png = java.util.Arrays.copyOf(buf.array(), buf.position())
+    val r = Seq(Tuple1(png)).toDF("blob")
+      .select(Image.decode($"blob").as("m")).select($"m.*").head()
+    assert(r.getAs[String]("format") == "png")
+    assert(r.getAs[Int]("width") == 640 && r.getAs[Int]("height") == 480)
+  }
+
+  test("our own PNG header carries a correct CRC32") {
+    val blob = Seq(Tuple1("x")).toDF("p")
+      .select(Image.pack(lit("png"), lit(320L), lit(200L), encode($"p", "UTF-8")))
+      .head().getAs[Array[Byte]](0)
+    val stored = ((blob(29) & 0xff) << 24) | ((blob(30) & 0xff) << 16) |
+      ((blob(31) & 0xff) << 8) | (blob(32) & 0xff)
+    val crc = new java.util.zip.CRC32
+    crc.update(blob, 12, 17)
+    assert(stored == crc.getValue.toInt, "IHDR CRC must be the real CRC32")
+  }
+
+  test("unrecognized bytes decode to null, out-of-domain dims pack to null") {
+    val bad = Seq(Tuple1("not an image at all".getBytes)).toDF("blob")
+      .select(Image.decode($"blob").as("m")).head()
+    assert(bad.isNullAt(0))
+    val over = Seq(Tuple1("p")).toDF("p")
+      .select(Image.pack(lit("png"), lit(100000L), lit(1L), encode($"p", "UTF-8")))
+      .head()
+    assert(over.isNullAt(0))
+  }
+
+  test("oracle-parity ASCII assumption holds on the test corpus") {
+    // mm_meta / hash / text oracles equate char length with byte
+    // length; if the corpus ever grows non-ASCII text this must fail
+    // loudly rather than silently desyncing the DuckDB comparison
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(octet_length($"text") =!= length($"text")).count()
+    assert(nonAscii == 0, "documents corpus must be ASCII for oracle parity")
+  }
+}
