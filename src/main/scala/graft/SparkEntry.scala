@@ -41,6 +41,7 @@ object SparkEntry {
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_minhash_est" -> (Dedup.minhashEstimate _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),
@@ -79,6 +80,29 @@ object SparkEntry {
 
   private def cos(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  /** DuckDB CTE chain producing the verified MinHash candidate pairs
+    * (doc_a, doc_b, jaccard >= 0.2) as `vp` — shared by the
+    * dedup_minhash oracle and the dedup_clusters recursive-CTE
+    * oracle so both gate the same pair set. */
+  private def minhashPairsCtes: String =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |  THEN list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+       |  ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
+       |hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> ${ph("s")}) AS hh FROM sh),
+       |mh AS (SELECT doc_id, list_transform(range(0,16), j ->
+       |  list_min(list_transform(hh, h -> (CAST(37 + 101*j AS BIGINT)*h + CAST(1000003*j + 12345 AS BIGINT)) % 2147483647))) AS m FROM hs),
+       |bands AS (SELECT doc_id, b, list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(m, 4*b+1, 4*b+4)), (h,x) -> (h*31+x) % 1000000007) AS bkey
+       |  FROM mh, UNNEST(range(0,4)) AS tb(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |vp AS (SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |    CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+       |  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b) t
+       |WHERE jaccard >= 0.2)""".stripMargin
 
   /** DuckDB fragment: 4-plane hyperplane signatures CTE (mirrors
     * VecFns.lshSignature over the embeddings table). */
@@ -213,23 +237,18 @@ object SparkEntry {
       s"""SELECT ${ph("text")} AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
     "dedup_minhash" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-         |  THEN list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-         |  ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
-         |hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> ${ph("s")}) AS hh FROM sh),
-         |mh AS (SELECT doc_id, list_transform(range(0,16), j ->
-         |  list_min(list_transform(hh, h -> (CAST(37 + 101*j AS BIGINT)*h + CAST(1000003*j + 12345 AS BIGINT)) % 2147483647))) AS m FROM hs),
-         |bands AS (SELECT doc_id, b, list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(m, 4*b+1, 4*b+4)), (h,x) -> (h*31+x) % 1000000007) AS bkey
-         |  FROM mh, UNNEST(range(0,4)) AS tb(b)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT p.doc_a, p.doc_b,
-         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |    CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
-         |  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b) t
-         |WHERE jaccard >= 0.2""".stripMargin,
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM vp""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM vp UNION SELECT doc_b, doc_a FROM vp),
+         |nodes AS (SELECT DISTINCT u AS node FROM e),
+         |reach AS (SELECT node, node AS r FROM nodes
+         |  UNION SELECT reach.node, e.v AS r FROM reach JOIN e ON e.u = reach.r),
+         |cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cc""".stripMargin,
     "dedup_minhash_est" ->
       s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
          |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3

@@ -146,6 +146,49 @@ object Dedup {
       .limit(20)
   }
 
+  /** Duplicate-cluster resolution — the last mile of the dedup story:
+    * candidate PAIRS (from the verified MinHash join) become connected
+    * components, and each component elects one keeper.
+    *
+    * Implementation is iterative min-label propagation over
+    * distributed joins (the Hash-to-Min family): every node starts
+    * labeled with itself; each round every node takes the min of its
+    * own label and its neighbors' labels; converged when no label
+    * changes. No driver-side graph — edges and labels only ever move
+    * through joins/aggregations, so the operator scales with the
+    * cluster. `localCheckpoint` truncates the growing lineage each
+    * round (on a real cluster a reliable checkpoint dir serves the
+    * same purpose); rounds needed = graph diameter, which for dedup
+    * clusters (near-cliques from LSH) is small.
+    */
+  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pairs = minhash(spark, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
+      .localCheckpoint()
+    val nodes = edges.select($"u".as("node")).distinct()
+    var labels = nodes.withColumn("label", $"node").localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = edges
+        .join(labels.select($"node".as("u"), $"label".as("nl")), "u")
+        .select($"v".as("node"), $"nl")
+        .union(labels.select($"node", $"label".as("nl")))
+        .groupBy($"node").agg(min($"nl").as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter($"label" =!= $"old").isEmpty
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"node".as("doc_id"), $"label".as("cluster_id"),
+        ($"node" === $"label").as("is_keeper"), $"cluster_size")
+  }
+
   /** Embedding-cosine near-duplicates: candidates share a 4-plane
     * random-hyperplane signature; pairs kept at cosine ≥ 0.35 with
     * fold-exact scores. */

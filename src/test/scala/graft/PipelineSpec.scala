@@ -31,6 +31,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clusters equals driver-computed connected components") {
+    val pairs = Dedup.minhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // independent union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> nodes.filter(m => find(m) == find(n)).min).toMap
+    val got = Dedup.clusters(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == nodes.toSet)
+    got.foreach { r =>
+      val (d, c) = (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))
+      assert(c == expected(d), s"doc $d: cluster $c != expected ${expected(d)}")
+      assert(r.getAs[Boolean]("is_keeper") == (d == c))
+      assert(r.getAs[Long]("cluster_size") == expected.values.count(_ == c))
+    }
+  }
+
+  test("dedup_clusters merges transitive chains without a direct pair") {
+    // docs 1-2-3 are near-identical (pairwise LSH hits), 4-5 a
+    // separate pair, 6 unrelated: components {1,2,3} and {4,5}
+    val tmp = java.nio.file.Files.createTempDirectory("clusters_").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again number"
+    Seq(
+      (1L, s"$base one"), (2L, s"$base two"), (3L, s"$base three"),
+      (4L, "completely different corpus text repeated here verbatim yes"),
+      (5L, "completely different corpus text repeated here verbatim yes indeed"),
+      (6L, "nothing shares any shingle with this solitary document at all ok")
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = Dedup.clusters(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L) == (1L, 3L) && got(2L) == (1L, 3L) && got(3L) == (1L, 3L))
+    assert(got(4L) == (4L, 2L) && got(5L) == (4L, 2L))
+  }
+
   test("dedup_simhash hamming bounded by band structure") {
     Dedup.simhash(spark, sf).collect().foreach { r =>
       val h = r.getAs[Long]("hamming")
