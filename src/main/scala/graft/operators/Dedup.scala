@@ -163,12 +163,21 @@ object Dedup {
     */
   def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
     import spark.implicits._
-    val pairs = minhash(spark, dir).select($"doc_a", $"doc_b")
+    // checkpoint the pair set once BEFORE the symmetric union — the
+    // union's two branches would otherwise each recompute the whole
+    // MinHash candidate join
+    val pairs = minhash(spark, dir).select($"doc_a", $"doc_b").localCheckpoint()
     val edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
-      .localCheckpoint()
     val nodes = edges.select($"u".as("node")).distinct()
     var labels = nodes.withColumn("label", $"node").localCheckpoint()
+    // labels only ever decrease under min-propagation, so the label
+    // sum strictly decreases until the fixed point: comparing sums is
+    // a full convergence test at the cost of one aggregate per round
+    // (no old-vs-new join)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum($"label")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -178,8 +187,9 @@ object Dedup {
         .union(labels.select($"node", $"label".as("nl")))
         .groupBy($"node").agg(min($"nl").as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter($"label" =!= $"old").isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }

@@ -40,8 +40,16 @@ object StreamRelay {
     Files.createDirectories(inDir)
     Files.copy(Paths.get(s"$dir/events.parquet"), inDir.resolve("batch0.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
+    // run the streaming query in a cloned session (shared
+    // SparkContext, independent SQLConf): the stateful aggregation
+    // gets shuffle partitions sized to its state, not the batch
+    // engine's width — each state store carries checkpoint sync cost
+    // per micro-batch, so 8 stores beat 32 for a per-window-key
+    // aggregate, without mutating the caller's session conf
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
     val agg = graft.sources.Tables.normalizeEventTs(
-        spark.readStream.schema(schema).parquet(inDir.toString))
+        ss.readStream.schema(schema).parquet(inDir.toString))
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "5 minutes"), $"event_type")
       .agg(count(lit(1)).as("n_events"), sum(dec($"value")).cast(DoubleType).as("bytes_total"))
