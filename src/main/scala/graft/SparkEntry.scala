@@ -38,6 +38,7 @@ object SparkEntry {
     "queue_stats" -> (Telemetry.queueStats _),
     "status_transitions" -> (Telemetry.statusTransitions _),
     "events_funnel" -> (Telemetry.funnel _),
+    "relay_gate" -> (Telemetry.relayGate _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -233,6 +234,16 @@ object SparkEntry {
         |SELECT s.user_id, s.signup_ts, p.purchase_ts,
         |  epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS delay_us
         |FROM s LEFT JOIN p ON s.user_id = p.user_id""".stripMargin,
+    "relay_gate" ->
+      """SELECT event_id, user_id, ts, event_type, COALESCE(lv, 0) = 1 AS forwarded FROM (
+        |  SELECT event_id, user_id, ts, event_type, ctrl,
+        |    LAST_VALUE(ctrl IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+        |  FROM (SELECT *, CASE WHEN event_type = 'signup' THEN 1
+        |                       WHEN event_type = 'error' THEN 0 END AS ctrl
+        |        FROM events) t) w
+        |WHERE ctrl IS NULL""".stripMargin,
     "dedup_exact" ->
       s"""SELECT ${ph("text")} AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,

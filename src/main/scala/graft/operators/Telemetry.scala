@@ -111,6 +111,31 @@ object Telemetry {
   /** Rx/Tx queue accounting (serial_streaming.lua shellCmd:210-262):
     * per stream (event_type): msgs/bytes sent & lost, last-sent /
     * last-lost times. "Lost" ≙ props.k > 50 (overflow marker). */
+  /** Proxy service lifecycle gate (transparent_serial_proxy.lua
+    * 104-147: start/stop + enable/disable): control events toggle a
+    * per-stream forwarding gate — 'signup' enables, 'error' disables,
+    * streams start DISABLED until first enabled (the proxy only
+    * relays after start) — and every data event is tagged with
+    * whether the relay would have forwarded it. One shuffle (hash by
+    * user), gate state recovered with a running last-control window —
+    * no per-row lookup join. The streaming twin is
+    * StreamRelay.statefulGate (flatMapGroupsWithState), parity-tested
+    * in ScalaTest. */
+  def relayGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tagged = Tables.events(spark, dir)
+      .withColumn("ctrl",
+        when($"event_type" === "signup", lit(1))
+          .when($"event_type" === "error", lit(0)))
+    val gate = last($"ctrl", ignoreNulls = true)
+      .over(byUserTime(spark).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tagged
+      .withColumn("gate", gate)
+      .filter($"ctrl".isNull)
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        (coalesce($"gate", lit(0)) === 1).as("forwarded"))
+  }
+
   def queueStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lost = $"k" > 50

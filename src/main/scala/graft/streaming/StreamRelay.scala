@@ -155,6 +155,33 @@ object StreamRelay {
       }
   }
 
+  case class GateEvent(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  case class GateOut(user_id: Long, event_id: Long, forwarded: Boolean)
+
+  /** Proxy lifecycle gate as streaming state (the reference proxy's
+    * enable/disable relay switch): control events flip the per-stream
+    * boolean, data events are emitted tagged with the gate state at
+    * their event time. Streams start disabled. Batch-internal order
+    * is event time (stable), matching Telemetry.relayGate exactly. */
+  def statefulGate(events: Dataset[GateEvent]): Dataset[GateOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, GateOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, evs, state: GroupState[Boolean]) =>
+          var on = state.getOption.getOrElse(false)
+          val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
+            e.event_type match {
+              case "signup" => on = true; None
+              case "error" => on = false; None
+              case _ => Some(GateOut(e.user_id, e.event_id, on))
+            }
+          }
+          state.update(on)
+          out.iterator
+      }
+  }
+
   /** Per-user transmission budget as streaming state: events pass
     * through until the cumulative KB crosses the budget, then the
     * stream for that user shuts down (reference: 100 MB shutdown). */

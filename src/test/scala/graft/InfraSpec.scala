@@ -93,6 +93,32 @@ class InfraSpec extends SparkSpec {
     assert(perUser.values.forall(_.length == 1))   // one close per user
   }
 
+  test("stateful streaming gate matches the batch relayGate operator") {
+    import graft.streaming.StreamRelay
+    val dir = Files.createTempDirectory("graft_gate").toString
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
+    val cut = ev.agg(max($"ts_us")).head().getLong(0) - 24L * 3600 * 1000000
+    ev.filter($"ts_us" <= cut).coalesce(1).write.parquet(s"$dir/a_first")
+    ev.filter($"ts_us" > cut).coalesce(1).write.parquet(s"$dir/b_second")
+    val schema = spark.read.parquet(s"$dir/a_first").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[StreamRelay.GateEvent]
+    val gated = StreamRelay.statefulGate(stream)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("gate_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("gate_out").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("forwarded")).toMap
+    val batch = graft.operators.Telemetry.relayGate(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("forwarded")).toMap
+    assert(streamed.keySet == batch.keySet)
+    assert(streamed == batch,
+      "per-event gate state must match across streaming batches and the batch plan")
+    assert(batch.values.exists(identity) && batch.values.exists(!_))
+  }
+
   test("watermarked append-mode windowed aggregation emits closed windows") {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     val stream = spark.readStream.schema(schema)
