@@ -50,6 +50,7 @@ object SparkEntry {
     // E. similarity search
     "ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -320,6 +321,22 @@ object SparkEntry {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${cos("a.embedding", "b.embedding")} DESC, b.vec_id) AS BIGINT) AS rnk
          |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id != b.vec_id) t
          |WHERE rnk <= 3""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         |scored AS (SELECT e.vec_id, e.embedding, c.cid, c.cvec, ${cos("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT cid, vec_id, embedding FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z
+         |  WHERE rn <= 4)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cos("p.qv", "a.embedding")} AS cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY ${cos("p.qv", "a.embedding")} DESC, a.vec_id) AS BIGINT) AS rnk
+         |  FROM probes p JOIN assign a USING (cid)
+         |  WHERE a.vec_id != p.query_id) t
+         |WHERE rnk <= 5""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (
         |  SELECT doc_id, lang,

@@ -35,6 +35,47 @@ object Similarity {
       .filter($"rnk" <= k)
   }
 
+  /** IVF-style ANN — the other standard scale path beside LSH:
+    * a small coarse-quantizer codebook partitions the corpus into
+    * inverted lists, and queries probe only their nProbe nearest
+    * lists.
+    *
+    * The codebook here is a deterministic seed subset of the corpus
+    * (vec_id < nCentroids) standing in for an offline-trained k-means
+    * codebook — training is an offline batch job in a real pipeline;
+    * what the engine must get right, and what this operator
+    * exercises, is the ONLINE plan shape: centroids broadcast to a
+    * single assignment pass (no shuffle to build the index), the
+    * inverted index lives hash-partitioned by centroid id, and the
+    * search is an equi-join on centroid id touching only the probed
+    * fraction of the corpus (nProbe/nCentroids of the data instead of
+    * all of it). Every vector lands in exactly one list, so probes
+    * need no dedup. */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val cents = emb.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"nrm", $"cid",
+        (VecFns.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm")).as("ccos"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+    val index = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"cid", $"vec_id", $"embedding", $"nrm")
+    val probes = scored.filter($"vec_id" < nQueries)
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" <= nProbe)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"), $"cid")
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    probes.join(index, "cid")
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= k)
+  }
+
   /** LSH-bucketed ANN: vectors meet only within their 4-plane
     * hyperplane-signature bucket (equi-join, shuffle ∝ data), top-3
     * in-bucket neighbors per vector. */

@@ -110,6 +110,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf stays within brute-force scores and keeps useful recall") {
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+    val perQ = ivf.groupBy(_.getAs[Long]("query_id"))
+    assert(perQ.size == 10 && perQ.values.forall(_.length <= 5))
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    perQ.foreach { case (q, rows) =>
+      val best = rows.map(_.getAs[Double]("cosine")).max
+      val bruteBest = brute(q).map(_.getAs[Double]("cosine")).max
+      assert(best <= bruteBest + 1e-12, "approximate search cannot beat exact")
+    }
+    val hits = perQ.map { case (q, rows) =>
+      val exact = brute(q).map(_.getAs[Long]("neighbor_id")).toSet
+      rows.map(_.getAs[Long]("neighbor_id")).count(exact)
+    }.sum
+    assert(hits.toDouble / 50.0 > 0.2, s"recall ${hits / 50.0} too low for nProbe=4/16")
+  }
+
   test("ann_lsh neighbors share the query's signature bucket (<=3 each)") {
     val df = Similarity.lshTopK(spark, sf)
     assert(df.groupBy($"query_id").count().filter($"count" > 3).isEmpty)
