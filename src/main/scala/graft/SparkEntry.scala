@@ -26,6 +26,7 @@ object SparkEntry {
     "q_semi" -> (Relational.qSemi _),
     "q_rollup" -> (Relational.qRollup _),
     "q_asof" -> (Relational.qAsOf _),
+    "q_asof_native" -> (Relational.qAsOfNative _),
     "q_pivot" -> (Relational.qPivot _),
     "q_partjoin" -> (Relational.qPartJoin _),
     "q_moments" -> (Relational.qMoments _),
@@ -117,6 +118,16 @@ object SparkEntry {
       |    FROM embeddings, UNNEST(range(0,4)) AS tp(p)) q
       |  GROUP BY vec_id, embedding)""".stripMargin
 
+  /** Shared by q_asof (union+window shape) and q_asof_native (custom
+    * Catalyst operator) — both must produce identical results. */
+  private val asOfSql: String =
+    """SELECT e.event_id, e.user_id, e.ts, d.o_orderdate AS last_order_date, d.day_total AS last_day_total
+      |FROM events e ASOF LEFT JOIN (
+      |  SELECT o_custkey, o_orderdate,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+      |  FROM orders GROUP BY o_custkey, o_orderdate) d
+      |ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -167,13 +178,8 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
-    "q_asof" ->
-      """SELECT e.event_id, e.user_id, e.ts, d.o_orderdate AS last_order_date, d.day_total AS last_day_total
-        |FROM events e ASOF LEFT JOIN (
-        |  SELECT o_custkey, o_orderdate,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
-        |  FROM orders GROUP BY o_custkey, o_orderdate) d
-        |ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate""".stripMargin,
+    "q_asof" -> asOfSql,
+    "q_asof_native" -> asOfSql,
     "downsample_1hz" ->
       """SELECT event_id, user_id, sec, value FROM (
         |  SELECT event_id, user_id, date_trunc('second', ts) AS sec, value,

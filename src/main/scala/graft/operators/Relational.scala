@@ -232,4 +232,38 @@ object Relational {
       .select($"event_id", $"u".as("user_id"), $"t".as("ts"),
         $"last_order_date", $"last_day_total")
   }
+
+  /** The same as-of join through the custom whole-operator path
+    * (graft.plans.AsOfJoinPlan / AsOfStrategy / AsOfJoinExec): a
+    * first-class Catalyst node planned into a co-partitioned sorted
+    * merge — one shuffle+sort per side, O(1) per-partition state —
+    * demonstrating the LogicalPlan+Strategy+SparkPlan extension tier
+    * beside the composed union+window shape of [[qAsOf]]. Same oracle.
+    */
+  def qAsOfNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.{AsOfJoinPlan, AsOfStrategy}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // idempotent registration; also injected by GraftExtensions for
+    // sessions built with spark.sql.extensions
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+    val ev = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts")
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(dsum($"o_totalprice").as("day_total"))
+    val lPlan = ColumnBridge.analyzed(ev)
+    val rPlan = ColumnBridge.analyzed(daily)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      p.output.find(_.name == name).get
+    val joined = ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, "user_id"), attr(rPlan, "o_custkey"),
+      attr(lPlan, "ts"), attr(rPlan, "o_orderdate")))
+    // o_orderdate is TIMESTAMP_NTZ in the source; align with qAsOf's
+    // session-time output type so both shapes share one oracle
+    joined.select($"event_id", $"user_id", $"ts",
+      $"o_orderdate".cast("timestamp").as("last_order_date"),
+      $"day_total".as("last_day_total"))
+  }
 }

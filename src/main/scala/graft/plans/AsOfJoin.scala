@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator extension demo (SURVEY §4 preference (c)): the
+  * as-of join as a first-class Catalyst operator — a custom
+  * LogicalPlan node, a SparkStrategy, and a physical merge operator —
+  * instead of composing built-ins (the union+window trick in
+  * Relational.qAsOf, kept side by side for comparison).
+  *
+  * Each left row picks the most recent right row of the same key with
+  * rightTime <= leftTime (left-outer: nulls when none). The physical
+  * plan asks Catalyst for hash co-partitioning on the keys and
+  * (key, time) sort within partitions — EnsureRequirements inserts
+  * exactly the one shuffle+sort per side a 100 TB run needs — then a
+  * single forward merge pass joins each partition with O(1) state
+  * (the last matching right row), never materializing a range
+  * product. Keys and times must be integral/timestamp-typed (both are
+  * longs internally); null keys/times never match.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): LogicalPlan = copy(left = l, right = r)
+}
+
+/** Plans AsOfJoinPlan into the physical merge operator. Registered
+  * either via SparkSessionExtensions (GraftExtensions) or
+  * spark.experimental.extraStrategies. */
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rightWidth = right.output.size
+    val outputSchema = output.map(_.dataType).toArray
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val project = UnsafeProjection.create(outputSchema)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      // one-row lookahead over the sorted right side
+      var rHead: InternalRow = null
+      var rHeadKey = 0L
+      var rHeadTime = 0L
+      def advanceRight(): Unit = {
+        rHead = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rKey.eval(r)
+          val t = rTime.eval(r)
+          if (k != null && t != null) {     // null key/time never matches
+            rHead = r
+            rHeadKey = k.asInstanceOf[Long]
+            rHeadTime = t.asInstanceOf[Long]
+          }
+        }
+      }
+      advanceRight()
+      var lastMatch: InternalRow = null
+      var lastMatchKey = 0L
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val k = lKey.eval(l)
+          val t = lTime.eval(l)
+          if (k == null || t == null) {
+            project(joined(l, nullRight))
+          } else {
+            val lk = k.asInstanceOf[Long]
+            val lt = t.asInstanceOf[Long]
+            if (lastMatch != null && lastMatchKey != lk) lastMatch = null
+            // consume right rows up to (key, time): the newest one
+            // with the same key becomes the current match. Rows are
+            // consumed at most once per partition — O(1) state, no
+            // range product.
+            while (rHead != null &&
+              (rHeadKey < lk || (rHeadKey == lk && rHeadTime <= lt))) {
+              if (rHeadKey == lk) {
+                lastMatch = rHead.copy()    // unsafe rows are reused by the iterator
+                lastMatchKey = lk
+              }
+              advanceRight()
+            }
+            project(joined(l, if (lastMatch != null) lastMatch else nullRight))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): SparkPlan = copy(left = l, right = r)
+}

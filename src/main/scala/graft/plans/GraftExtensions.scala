@@ -13,12 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.plans.GraftExtensions", name),
         builder))
     }
+    e.injectPlannerStrategy(_ => AsOfStrategy)
+  }
 }
 
 object GraftExtensions {

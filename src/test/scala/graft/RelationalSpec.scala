@@ -70,4 +70,18 @@ class RelationalSpec extends SparkSpec {
         .after(r.getAs[java.sql.Timestamp]("ts")))
     }
   }
+
+  test("custom as-of operator matches the union+window plan row for row") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.sql.Timestamp]("last_order_date")),
+        Option(r.getAs[java.lang.Double]("last_day_total")).map(_.doubleValue)))
+      .sortBy(_._1)
+    val native = Relational.qAsOfNative(spark, sf)
+    assert(canon(native).sameElements(canon(Relational.qAsOf(spark, sf))))
+    // the physical plan must be our operator, co-partitioned+sorted by
+    // Catalyst (one exchange per side), not a range join fallback
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+  }
 }
