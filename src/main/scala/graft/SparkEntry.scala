@@ -30,6 +30,7 @@ object SparkEntry {
     "q_pivot" -> (Relational.qPivot _),
     "q_partjoin" -> (Relational.qPartJoin _),
     "q_moments" -> (Relational.qMoments _),
+    "q_sketch_distinct" -> ((s: SparkSession, d: String) => Relational.qSketchDistinct(s, d)),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -397,6 +398,16 @@ object SparkEntry {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag) t""".stripMargin,
+    "q_sketch_distinct" ->
+      s"""SELECT l_returnflag, n_exact,
+         |  CASE WHEN len(hs) < 256 THEN CAST(len(hs) AS DOUBLE)
+         |       ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE) / CAST(hs[256] AS DOUBLE) END AS est_distinct
+         |FROM (
+         |  SELECT l_returnflag,
+         |    COUNT(DISTINCT l_partkey) AS n_exact,
+         |    list_slice(list_sort(list_distinct(list(h))), 1, 256) AS hs
+         |  FROM (SELECT l_returnflag, l_partkey, ${ph("CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem) t
+         |  GROUP BY l_returnflag) z""".stripMargin,
     "q_partjoin" ->
       """SELECT p_brand,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -266,4 +266,26 @@ object Relational {
       $"o_orderdate".cast("timestamp").as("last_order_date"),
       $"day_total".as("last_day_total"))
   }
+
+  /** Distinct-count sketch beside the exact count: the KMV aggregate
+    * ([[graft.plans.KMinValues]]) keeps only the k smallest distinct
+    * hash values per group — O(k) aggregation buffers and at most k
+    * longs per group on the shuffle, where COUNT(DISTINCT) moves
+    * every distinct value. Estimate = (k-1)·M/kth-min (exact size
+    * when the group has fewer than k distinct hashes). Deterministic
+    * hash ⇒ the oracle computes the identical sketch. */
+  def qSketchDistinct(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    val h = HashFns.polyHash($"l_partkey".cast("string"))
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_exact"),
+        graft.plans.Sketch.kMinValues(h, k).as("kmv"))
+      .select($"l_returnflag", $"n_exact",
+        when(size($"kmv") < k, size($"kmv").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble) * lit(HashFns.P.toDouble) /
+            element_at($"kmv", k).cast(DoubleType))
+          .as("est_distinct"))
+  }
 }

@@ -71,6 +71,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch stays bounded and estimates within expected error") {
+    Relational.qSketchDistinct(spark, sf).collect().foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("est_distinct")
+      if (exact < 256) assert(est == exact, "below k the sketch is exact")
+      else assert(math.abs(est - exact) / exact < 0.2,
+        s"estimate $est too far from $exact for k=256 (~6% expected)")
+    }
+    // the aggregation result is a bounded, sorted, distinct hash set
+    val kmv = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(graft.plans.Sketch.kMinValues(
+        graft.functions.HashFns.polyHash($"l_partkey".cast("string")), 256).as("kmv"))
+      .collect()
+    kmv.foreach { r =>
+      val a = r.getSeq[Long](r.fieldIndex("kmv"))
+      assert(a.length <= 256)
+      assert(a == a.sorted && a.distinct.length == a.length)
+    }
+  }
+
   test("custom as-of operator matches the union+window plan row for row") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("event_id"),
