@@ -67,6 +67,7 @@ object SparkEntry {
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
     "frame_stats" -> (Frames.stats _),
+    "frame_wire" -> (Frames.wire _),
     // G. multimodal
     "mm_meta" -> (Multimodal.meta _),
     // B. streaming relay (Structured Streaming, driven to completion)
@@ -487,6 +488,13 @@ object SparkEntry {
         |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768) AS ss
         |    FROM events) a) b
         |GROUP BY device_id""".stripMargin,
+    "frame_wire" ->
+      """SELECT user_id AS device_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768)),
+        |    (a,b) -> a+b)) AS BIGINT) AS sample_sum,
+        |  TRUE AS sync_ok
+        |FROM events GROUP BY user_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN lang = 'en' THEN 33 WHEN lang = 'de' THEN 21

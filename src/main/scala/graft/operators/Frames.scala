@@ -56,6 +56,50 @@ object Frames {
       octet_length($"frame").cast(LongType).as("frame_bytes"))
   }
 
+  /** The reference's on-disk wire format end-to-end (bytes_to_file /
+    * get_bytes_from_file + the 0x3a frame delimiter, main.py:33-57):
+    * frames concatenate into one contiguous `frame:frame:...` byte
+    * stream per device, then the stream is re-split and re-parsed
+    * inside the engine.
+    *
+    * The split is by fixed frame length with the sync byte VALIDATED
+    * at every boundary rather than by searching for 0x3a the way
+    * main.py splits — a payload byte that happens to equal 0x3a would
+    * corrupt a search-based split (a real defect in the reference's
+    * parser); length-based framing with sync verification reads the
+    * same wire bytes without that failure mode.
+    *
+    * Per-device wire blobs mirror the reference's one-file-per-device
+    * unit, so blob size is bounded by a device's traffic (the 100 TB
+    * layout would roll files by size exactly as the relay does).
+    */
+  def wire(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val framed = parsedFrames(spark, dir)
+      .select($"user_id".as("device_id"), $"event_id", $"frame")
+    val wires = framed
+      .groupBy($"device_id")
+      .agg(sort_array(collect_list(struct($"event_id", $"frame"))).as("fs"))
+      .select($"device_id",
+        aggregate(transform($"fs", f => f.getField("frame")),
+          lit(Array.emptyByteArray),
+          (acc, f) => concat(acc, f, lit(Array[Byte](0x3a)))).as("wire"))
+    val unit = Frame.FrameLen + 1
+    val n = (octet_length($"wire") / unit).cast(LongType)
+    wires
+      .withColumn("sync_ok", forall(sequence(lit(0L), n - 1),
+        i => $"wire".substr((i * unit + unit).cast("int"), lit(1)) === lit(Array[Byte](0x3a))))
+      .select($"device_id", $"sync_ok",
+        explode(transform(sequence(lit(0L), n - 1),
+          i => $"wire".substr((i * unit + 1).cast("int"), lit(Frame.FrameLen)))).as("frame"))
+      .withColumn("parsed", Frame.unpack($"frame"))
+      .groupBy($"device_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(aggregate(transform($"parsed.samples", s => s.cast(LongType)), lit(0L), _ + _))
+          .as("sample_sum"),
+        min($"sync_ok").as("sync_ok"))
+  }
+
   /** Per-device stats over parsed sample payloads. */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

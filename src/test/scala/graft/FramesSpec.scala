@@ -35,6 +35,39 @@ class FramesSpec extends SparkSpec {
     }
   }
 
+  test("frame_wire round-trips the delimited wire format per device") {
+    val wire = Frames.wire(spark, sf).collect()
+      .map(r => r.getAs[Long]("device_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("sample_sum"), r.getAs[Boolean]("sync_ok"))).toMap
+    val stats = Frames.stats(spark, sf).collect()
+      .map(r => r.getAs[Long]("device_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("sample_sum"))).toMap
+    assert(wire.keySet == stats.keySet)
+    wire.foreach { case (d, (n, s, sync)) =>
+      assert(sync, s"device $d lost frame sync")
+      assert((n, s) == stats(d), s"device $d wire stats diverge from direct parse")
+    }
+  }
+
+  test("wire split survives payload bytes equal to the delimiter") {
+    import graft.plans.Frame
+    // every sample is 58 == 0x3a — the delimiter byte — inside the
+    // payload; the reference's search-based split (main.py split on
+    // b':') would shred these frames, length-based framing must not
+    val two = Seq((1L, 1600000000L)).toDF("device", "ts")
+      .select(Frame.pack($"device", $"ts", array_repeat(lit(58L), 7)).as("f"))
+      .select(concat($"f", lit(Array[Byte](0x3a)), $"f", lit(Array[Byte](0x3a))).as("wire"))
+    val parsed = two.select(explode(transform(sequence(lit(0), lit(1)),
+        i => $"wire".substr((i * 25 + 1).cast("int"), lit(24)))).as("frame"))
+      .select(Frame.unpack($"frame").as("p"))
+      .collect()
+    assert(parsed.length == 2)
+    parsed.foreach { r =>
+      assert(!r.isNullAt(0), "frame with delimiter-valued payload must still parse")
+      assert(r.getStruct(0).getSeq[Int](2).forall(_ == 58))
+    }
+  }
+
   test("mm_meta blob metadata is consistent") {
     Multimodal.meta(spark, sf).collect().foreach { r =>
       assert(r.getAs[Long]("n_bytes") > 0)
