@@ -31,6 +31,8 @@ object SparkEntry {
     "q_partjoin" -> (Relational.qPartJoin _),
     "q_moments" -> (Relational.qMoments _),
     "q_sketch_distinct" -> ((s: SparkSession, d: String) => Relational.qSketchDistinct(s, d)),
+    "q_quantiles" -> (Relational.qQuantiles _),
+    "q_skewjoin" -> (Relational.qSkewJoin _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -399,6 +401,22 @@ object SparkEntry {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag) t""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN l_extendedprice END) AS p50,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.95) THEN l_extendedprice END) AS p95,
+        |  MAX(n) AS n_rows
+        |FROM (SELECT l_returnflag, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem) t
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_skewjoin" ->
+      """SELECT s_nationkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     "q_sketch_distinct" ->
       s"""SELECT l_returnflag, n_exact,
          |  CASE WHEN len(hs) < 256 THEN CAST(len(hs) AS DOUBLE)

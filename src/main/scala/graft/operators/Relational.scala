@@ -267,6 +267,45 @@ object Relational {
       $"day_total".as("last_day_total"))
   }
 
+  /** Exact grouped quantiles without interpolation: discrete p50/p95
+    * picked by rank from one sort-within-group window pass — a single
+    * shuffle on the group key, the honest cost of EXACT quantiles
+    * (approximate sketches trade this for bounded memory but are not
+    * engine-portable bit-for-bit). Rank selection over values is
+    * deterministic regardless of tie order: ties share the value
+    * being picked. */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byFlag = Window.partitionBy($"l_returnflag")
+    val w = byFlag.orderBy($"l_extendedprice".asc)
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byFlag))
+      .groupBy($"l_returnflag")
+      .agg(max(when($"rn" === ceil($"n" * 0.5d), $"l_extendedprice")).as("p50"),
+        max(when($"rn" === ceil($"n" * 0.95d), $"l_extendedprice")).as("p95"),
+        max($"n").as("n_rows"))
+  }
+
+  /** The salted-join infrastructure on the gated surface: lineitem
+    * joined to supplier through Skew.saltedJoin (content-hash salt,
+    * dim replicated across salt buckets) must produce exactly the
+    * plain join's aggregate — the salt changes the shuffle layout,
+    * never the result. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val supp = Tables.supplier(spark, dir)
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_suppkey", $"l_extendedprice", $"l_discount")
+    Skew.saltedJoin(li, supp, "l_suppkey", buckets = 8)
+      .groupBy($"s_nationkey")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Distinct-count sketch beside the exact count: the KMV aggregate
     * ([[graft.plans.KMinValues]]) keeps only the k smallest distinct
     * hash values per group — O(k) aggregation buffers and at most k

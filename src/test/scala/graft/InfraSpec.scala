@@ -93,6 +93,31 @@ class InfraSpec extends SparkSpec {
     assert(perUser.values.forall(_.length == 1))   // one close per user
   }
 
+  test("watermarked stream-stream interval join matches the batch join") {
+    val dir = Files.createTempDirectory("graft_ssjoin").toString
+    val ev = Tables.events(spark, sf)
+    ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("s_ts"))
+      .coalesce(1).write.parquet(s"$dir/signups")
+    ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+      .coalesce(1).write.parquet(s"$dir/purchases")
+    def stream(sub: String) = spark.readStream
+      .schema(spark.read.parquet(s"$dir/$sub").schema).parquet(s"$dir/$sub")
+    val cond = "user_id = p_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 1 DAY"
+    val joined = stream("signups").withWatermark("s_ts", "1 hour")
+      .join(stream("purchases").withWatermark("p_ts", "1 hour"), expr(cond))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin_out").count()
+    val batch = spark.read.parquet(s"$dir/signups")
+      .join(spark.read.parquet(s"$dir/purchases"), expr(cond)).count()
+    assert(streamed == batch,
+      s"inner stream-stream join must emit every match: $streamed vs $batch")
+    assert(streamed > 0)
+  }
+
   test("stateful streaming gate matches the batch relayGate operator") {
     import graft.streaming.StreamRelay
     val dir = Files.createTempDirectory("graft_gate").toString
