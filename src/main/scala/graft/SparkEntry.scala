@@ -65,6 +65,7 @@ object SparkEntry {
     "sample_strata" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStrata(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redact(s, d)),
+    "text_repetition" -> (TextAnalysis.repetition _),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
@@ -454,6 +455,14 @@ object SparkEntry {
         |  regexp_replace(text, '(?i)customer', '<REDACTED>', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(text, '(?i)customer')) AS BIGINT) AS n_redactions
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH g AS (SELECT doc_id, unnest(CASE WHEN length(lower(text)) >= 4
+        |    THEN list_transform(range(1, length(lower(text))-2), i -> substr(lower(text), i, 4))
+        |    ELSE [lower(text)] END) AS gram FROM documents),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_gram_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,

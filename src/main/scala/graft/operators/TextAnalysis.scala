@@ -149,6 +149,26 @@ object TextAnalysis {
         .cast(LongType).as("n_redactions"))
   }
 
+  /** Repetition scoring (the Gopher/C4-style quality signal): the
+    * fraction of a document's character 4-grams taken by its single
+    * most frequent gram — boilerplate and keyword-stuffed documents
+    * score high, natural text low. Needs ALL gram occurrences (not
+    * the distinct set the dedup operators use): explode → two-level
+    * count — one shuffle on (doc, gram) with map-side partials. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lc = lower($"text")
+    val gramsAll = when(length(lc) >= 4,
+      transform(sequence(lit(1), length(lc) - 3), i => lc.substr(i, lit(4))))
+      .otherwise(array(lc))
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(gramsAll).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_grams"),
+        (max($"cnt").cast(DoubleType) / sum($"cnt").cast(DoubleType)).as("top_gram_frac"))
+  }
+
   /** Document fingerprints: full-content polynomial hash plus the
     * minimum 8-gram rolling hash (winnowing-style) and the distinct
     * 8-gram count. */

@@ -192,6 +192,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("text_repetition scores boilerplate above varied text") {
+    val scores = TextAnalysis.repetition(spark, sf).collect()
+    assert(scores.length == 500)
+    scores.foreach { r =>
+      val f = r.getAs[Double]("top_gram_frac")
+      assert(f > 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_grams") > 0)
+    }
+    // synthetic contrast: pure repetition ~1.0, varied text far lower
+    val tmp = java.nio.file.Files.createTempDirectory("rep_").toString
+    Seq((1L, "abab" * 50), (2L, ('a' to 'z').mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val m = TextAnalysis.repetition(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("top_gram_frac")).toMap
+    assert(m(1L) > 0.4 && m(1L) > m(2L) * 3)
+  }
+
   test("text_redact masks every occurrence") {
     val df = TextAnalysis.redact(spark, sf)
     assert(df.filter($"redacted".contains("customer")).isEmpty)
