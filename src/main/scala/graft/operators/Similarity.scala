@@ -68,7 +68,10 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign)).filter($"rn" <= nProbe)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"), $"cid")
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
-    probes.join(index, "cid")
+    // probe set = queries × nProbe, small by contract (like
+    // ann_brute's query batch): broadcast it so the inverted index is
+    // never shuffled for the search
+    broadcast(probes).join(index, "cid")
       .where($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
