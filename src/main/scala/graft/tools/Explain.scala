@@ -17,7 +17,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_agg", "q3_topk", "q5_multijoin", "q_asof", "dedup_minhash")
+      else Seq("q1_agg", "q3_topk", "q5_multijoin", "q_asof", "q_asof_native",
+        "dedup_minhash", "dedup_clusters", "ann_ivf", "q_sketch_distinct",
+        "q_skewjoin", "q_quantiles", "text_repetition", "frame_wire")
     names.foreach { n =>
       println(s"===== $n =====")
       graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
