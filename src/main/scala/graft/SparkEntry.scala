@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
+    "dedup_apply" -> (Dedup.applyDedup _),
     "dedup_minhash_est" -> (Dedup.minhashEstimate _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),
@@ -111,6 +112,16 @@ object SparkEntry {
        |    CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
        |  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b) t
        |WHERE jaccard >= 0.2)""".stripMargin
+
+  /** Extends the pair CTEs to connected components (`cc`): symmetric
+    * edges → reachability closure → min-label component per node. */
+  private def clusterCtes: String =
+    s"""$minhashPairsCtes,
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM vp UNION SELECT doc_b, doc_a FROM vp),
+       |nodes AS (SELECT DISTINCT u AS node FROM e),
+       |reach AS (SELECT node, node AS r FROM nodes
+       |  UNION SELECT reach.node, e.v AS r FROM reach JOIN e ON e.u = reach.r),
+       |cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
   /** DuckDB fragment: 4-plane hyperplane signatures CTE (mirrors
     * VecFns.lshSignature over the embeddings table). */
@@ -263,15 +274,14 @@ object SparkEntry {
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM vp""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsCtes,
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM vp UNION SELECT doc_b, doc_a FROM vp),
-         |nodes AS (SELECT DISTINCT u AS node FROM e),
-         |reach AS (SELECT node, node AS r FROM nodes
-         |  UNION SELECT reach.node, e.v AS r FROM reach JOIN e ON e.u = reach.r),
-         |cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $clusterCtes
          |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM cc""".stripMargin,
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $clusterCtes
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin,
     "dedup_minhash_est" ->
       s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
          |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3

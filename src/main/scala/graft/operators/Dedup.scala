@@ -199,6 +199,20 @@ object Dedup {
         ($"node" === $"label").as("is_keeper"), $"cluster_size")
   }
 
+  /** The dedup pipeline's actual OUTPUT: the corpus with every
+    * non-keeper cluster member dropped — keepers and never-paired
+    * documents survive. A left-anti join against the (tiny relative
+    * to the corpus) loser set; at 100 TB the loser list broadcasts or
+    * shuffles ∝ duplicates found, never ∝ corpus. */
+  def applyDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val losers = clusters(spark, dir)
+      .filter(!$"is_keeper").select($"doc_id")
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
   /** Embedding-cosine near-duplicates: candidates share a 4-plane
     * random-hyperplane signature; pairs kept at cosine ≥ 0.35 with
     * fold-exact scores. */

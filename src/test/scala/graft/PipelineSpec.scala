@@ -77,6 +77,18 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == (4L, 2L) && got(5L) == (4L, 2L))
   }
 
+  test("dedup_apply keeps exactly keepers plus never-paired docs") {
+    val clusters = Dedup.clusters(spark, sf).collect()
+    val losers = clusters.filterNot(_.getAs[Boolean]("is_keeper"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val kept = Dedup.applyDedup(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.size == 500 - losers.size)
+    assert(losers.forall(!kept.contains(_)))
+    assert(clusters.filter(_.getAs[Boolean]("is_keeper"))
+      .forall(r => kept.contains(r.getAs[Long]("doc_id"))))
+  }
+
   test("dedup_simhash hamming bounded by band structure") {
     Dedup.simhash(spark, sf).collect().foreach { r =>
       val h = r.getAs[Long]("hamming")
