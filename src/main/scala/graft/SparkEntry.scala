@@ -43,6 +43,7 @@ object SparkEntry {
     "status_transitions" -> (Telemetry.statusTransitions _),
     "events_funnel" -> (Telemetry.funnel _),
     "relay_gate" -> (Telemetry.relayGate _),
+    "events_retention" -> (Telemetry.retention _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "frame_wire" -> (Frames.wire _),
     // G. multimodal
     "mm_meta" -> (Multimodal.meta _),
+    "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
     // B. streaming relay (Structured Streaming, driven to completion)
     "stream_relay" -> (graft.streaming.StreamRelay.windowedRelay _),
   )
@@ -267,6 +269,15 @@ object SparkEntry {
         |                       WHEN event_type = 'error' THEN 0 END AS ctrl
         |        FROM events) t) w
         |WHERE ctrl IS NULL""".stripMargin,
+    "events_retention" ->
+      """WITH s AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, act_week) / 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_active
+        |FROM s JOIN a ON s.user_id = a.user_id AND act_week >= cohort_week
+        |GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       s"""SELECT ${ph("text")} AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
@@ -543,6 +554,16 @@ object SparkEntry {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(1, 9), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
         |    (a,b) -> a+b) AS payload_head_sum
+        |FROM documents""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang = 'en' THEN 'png' WHEN lang = 'de' THEN 'jpeg'
+        |       WHEN lang = 'es' THEN 'webp' ELSE 'raw' END AS format,
+        |  CAST(greatest(((n_chars % 64) + 1) // 2, 1) AS BIGINT) AS width,
+        |  CAST(greatest(((doc_id % 48) + 1) // 2, 1) AS BIGINT) AS height,
+        |  CAST(CASE WHEN lang = 'en' THEN 33 WHEN lang = 'de' THEN 21
+        |            WHEN lang = 'es' THEN 30 ELSE 12 END
+        |       + least(length(text), 16) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
     "stream_relay" ->
       """SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000) AS window_start,

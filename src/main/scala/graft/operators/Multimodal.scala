@@ -28,12 +28,16 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  private def fmtCol = when(col("lang") === "en", "png")
+    .when(col("lang") === "de", "jpeg")
+    .when(col("lang") === "es", "webp").otherwise("raw")
+
+  private def blobCol = Image.pack(fmtCol,
+    (col("n_chars") % 64) + 1, (col("doc_id") % 48) + 1, encode(col("text"), "UTF-8"))
+
   def meta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fmt = when($"lang" === "en", "png").when($"lang" === "de", "jpeg")
-      .when($"lang" === "es", "webp").otherwise("raw")
-    val blob = Image.pack(fmt,
-      ($"n_chars" % 64) + 1, ($"doc_id" % 48) + 1, encode($"text", "UTF-8"))
+    val blob = blobCol
     Tables.documents(spark, dir)
       .select($"doc_id", blob.as("blob"))
       .withColumn("meta", Image.decode($"blob"))
@@ -47,5 +51,30 @@ object Multimodal {
         // 8 bytes, located via the parsed payload offset
         Frame.byteSum(expr("substring(blob, meta.payload_off + 1, 8)"), lit(8L))
           .as("payload_head_sum"))
+  }
+
+  /** Transform through the codec: decode each blob, halve its canvas
+    * (floor, min 1), re-pack a REAL header at the new dimensions over
+    * the truncated payload, and decode the OUTPUT blob again — the
+    * reported metadata comes from parsing the transformed bytes, not
+    * from the input formulas, so the whole decode→transform→encode→
+    * decode path is exercised. Pixel resampling itself would sit at
+    * the payload step with an imaging library (absent here by
+    * design); header/payload plumbing is the genuine wire format. */
+  def resize(spark: SparkSession, dir: String, payloadCap: Int = 16): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", blobCol.as("blob"))
+      .withColumn("m", Image.decode($"blob"))
+      .withColumn("out", Image.pack($"m.format",
+        greatest(floor($"m.width" / 2), lit(1)).cast(LongType),
+        greatest(floor($"m.height" / 2), lit(1)).cast(LongType),
+        expr(s"substring(blob, m.payload_off + 1, $payloadCap)")))
+      .withColumn("om", Image.decode($"out"))
+      .select($"doc_id",
+        $"om.format".as("format"),
+        $"om.width".cast(LongType).as("width"),
+        $"om.height".cast(LongType).as("height"),
+        octet_length($"out").cast(LongType).as("n_bytes"))
   }
 }

@@ -136,6 +136,28 @@ object Telemetry {
         (coalesce($"gate", lit(0)) === 1).as("forwarded"))
   }
 
+  /** Cohort retention matrix: users grouped by first-signup week,
+    * counted distinct per week offset they remain active. Two
+    * aggregations and one join, all hashed on user/cohort — the
+    * standard retention query shape at any scale. Week offsets are
+    * exact (both sides week-truncated, difference divisible by 7). */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("first_signup"))
+      .select($"user_id", date_trunc("week", $"first_signup").as("cohort_week"))
+    val activity = ev
+      .select($"user_id", date_trunc("week", $"ts").as("act_week")).distinct()
+    cohorts.join(activity, Seq("user_id"))
+      .filter($"act_week" >= $"cohort_week")
+      .select($"cohort_week",
+        (datediff($"act_week", $"cohort_week") / 7).cast(LongType).as("week_offset"),
+        $"user_id")
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+  }
+
   def queueStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lost = $"k" > 50

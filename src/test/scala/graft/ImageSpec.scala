@@ -25,6 +25,19 @@ class ImageSpec extends SparkSpec {
     }
   }
 
+  test("mm_resize halves dimensions through a real decode-encode cycle") {
+    val meta = Multimodal.meta(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("width"), r.getAs[Long]("height"), r.getAs[String]("format"))).toMap
+    Multimodal.resize(spark, sf).collect().foreach { r =>
+      val (w0, h0, f0) = meta(r.getAs[Long]("doc_id"))
+      assert(r.getAs[String]("format") == f0, "format survives the transform")
+      assert(r.getAs[Long]("width") == math.max(w0 / 2, 1L))
+      assert(r.getAs[Long]("height") == math.max(h0 / 2, 1L))
+      assert(r.getAs[Long]("n_bytes") <= Image.headerLen(f0) + 16L)
+    }
+  }
+
   test("decoder reads a JPEG it did not write (APP0 segment before SOF0)") {
     // independent construction straight from the JPEG spec: SOI, a
     // JFIF APP0 segment the decoder must skip, then SOF0 with the
