@@ -93,6 +93,36 @@ class InfraSpec extends SparkSpec {
     assert(perUser.values.forall(_.length == 1))   // one close per user
   }
 
+  test("bucketed tables join with zero exchanges") {
+    // the co-located join SURVEY §6 promises: both sides bucketed on
+    // the join key => the sort-merge join needs no shuffle at all.
+    // Drop both the catalog entry AND the on-disk location: the
+    // warehouse dir outlives the in-memory metastore across JVM runs.
+    Seq("orders_bkt", "customer_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    Tables.orders(spark, sf).write.bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").mode("overwrite").saveAsTable("orders_bkt")
+    Tables.customer(spark, sf).write.bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").mode("overwrite").saveAsTable("customer_bkt")
+    val j = spark.table("orders_bkt").hint("merge")
+      .join(spark.table("customer_bkt"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment").count()
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join must not shuffle its inputs:\n$plan")
+  }
+
   test("watermarked stream-stream interval join matches the batch join") {
     val dir = Files.createTempDirectory("graft_ssjoin").toString
     val ev = Tables.events(spark, sf)
