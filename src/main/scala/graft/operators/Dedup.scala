@@ -161,7 +161,7 @@ object Dedup {
     * same purpose); rounds needed = graph diameter, which for dedup
     * clusters (near-cliques from LSH) is small.
     */
-  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+  def clusters(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
     import spark.implicits._
     // checkpoint the pair set once BEFORE the symmetric union — the
     // union's two branches would otherwise each recompute the whole
@@ -174,9 +174,10 @@ object Dedup {
     // labels only ever decrease under min-propagation, so the label
     // sum strictly decreases until the fixed point: comparing sums is
     // a full convergence test at the cost of one aggregate per round
-    // (no old-vs-new join)
+    // (no old-vs-new join). coalesce(0) covers the clean-corpus case
+    // (no verified pairs at all => empty node set, empty sum)
     def labelSum(df: DataFrame): Long =
-      df.agg(sum($"label")).head().getLong(0)
+      df.agg(coalesce(sum($"label"), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -193,6 +194,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // an unconverged result would silently split real components into
+    // several clusters with wrong keepers — fail loudly instead; the
+    // caller raises maxIters for pathological chain-shaped corpora
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds " +
+          "(component diameter exceeds maxIters); raise maxIters")
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select($"node".as("doc_id"), $"label".as("cluster_id"),

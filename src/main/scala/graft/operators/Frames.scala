@@ -77,13 +77,13 @@ object Frames {
     import spark.implicits._
     val framed = parsedFrames(spark, dir)
       .select($"user_id".as("device_id"), $"event_id", $"frame")
+    // single-pass native join (BinJoin): a fold of binary concats
+    // would re-copy the growing wire per frame — quadratic per device
     val wires = framed
       .groupBy($"device_id")
       .agg(sort_array(collect_list(struct($"event_id", $"frame"))).as("fs"))
       .select($"device_id",
-        aggregate(transform($"fs", f => f.getField("frame")),
-          lit(Array.emptyByteArray),
-          (acc, f) => concat(acc, f, lit(Array[Byte](0x3a)))).as("wire"))
+        Frame.binJoin(transform($"fs", f => f.getField("frame")), 0x3a).as("wire"))
     val unit = Frame.FrameLen + 1
     val n = (octet_length($"wire") / unit).cast(LongType)
     wires

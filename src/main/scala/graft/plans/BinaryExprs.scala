@@ -36,6 +36,39 @@ object Frame {
     col(PackFrame(ex(device), ex(tsSecs), ex(samples)))
   def unpack(frame: Column): Column = col(UnpackFrame(ex(frame)))
   def byteSum(bin: Column, n: Column): Column = col(ByteSum(ex(bin), ex(n)))
+  def binJoin(blobs: Column, sep: Byte): Column = col(BinJoin(ex(blobs), sep))
+}
+
+/** array<binary> → one blob with `sep` appended after every element.
+  * Single pass with the total length computed up front — O(total
+  * bytes), where a fold of binary `concat`s re-copies the growing
+  * accumulator each step (quadratic in elements per group). */
+case class BinJoin(child: Expression, sep: Byte)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var total = 0
+    var i = 0
+    while (i < n) { total += arr.getBinary(i).length + 1; i += 1 }
+    val out = new Array[Byte](total)
+    var off = 0
+    i = 0
+    while (i < n) {
+      val b = arr.getBinary(i)
+      System.arraycopy(b, 0, out, off, b.length)
+      off += b.length
+      out(off) = sep
+      off += 1
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** (device int64, ts_secs int64, samples array<int64>[7]) → 24-byte frame.

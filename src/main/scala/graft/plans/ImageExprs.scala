@@ -145,8 +145,13 @@ object Image {
     } else null
   }
 
+  /** Null (not a row) when the parsed dimensions fall outside the
+    * packer's 1..0xffff domain — a corrupt header that happens to
+    * carry the right magic must quarantine like any other malformed
+    * input, not emit garbage metadata. */
   private def row(fmt: String, w: Int, h: Int, payloadOff: Int): InternalRow =
-    InternalRow(UTF8String.fromString(fmt), w, h, payloadOff)
+    if (w < 1 || h < 1 || w > 0xffff || h > 0xffff) null
+    else InternalRow(UTF8String.fromString(fmt), w, h, payloadOff)
 
   private def isPng(b: Array[Byte]): Boolean = {
     var i = 0

@@ -63,7 +63,17 @@ object StreamRelay {
       q.processAllAvailable()
       barrierRow(spark, schema).coalesce(1).write.mode("append").parquet(inDir.toString)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the staged input copy (full events file) and the checkpoint
+      // are dead once the query stops — delete them so repeated runs
+      // don't accumulate input-sized copies in /tmp. outDir must
+      // outlive this call: the returned DataFrame reads it lazily.
+      import scala.jdk.CollectionConverters._
+      Seq(inDir, ck).filter(Files.exists(_)).foreach { d =>
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
     spark.read.parquet(outDir.toString).filter($"event_type" =!= BarrierType)
   }
 
@@ -162,7 +172,14 @@ object StreamRelay {
     * enable/disable relay switch): control events flip the per-stream
     * boolean, data events are emitted tagged with the gate state at
     * their event time. Streams start disabled. Batch-internal order
-    * is event time (stable), matching Telemetry.relayGate exactly. */
+    * is event time (stable), matching Telemetry.relayGate under the
+    * same delivery contract as [[statefulBudget]]: micro-batches
+    * arrive in event-time order per key (a data event older than an
+    * already-processed control event would be tagged with the current
+    * gate, where the batch plan uses the gate at its event time — an
+    * event-time-buffered variant would need a watermark + timer like
+    * [[sessionClose]]). Per-key state is one boolean and lives for
+    * the stream's lifetime, the gate's actual semantics. */
   def statefulGate(events: Dataset[GateEvent]): Dataset[GateOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

@@ -16,9 +16,12 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // dedup_clusters/dedup_apply excluded: constructing their
+    // DataFrame executes the iterative propagation (checkpoint
+    // actions), so "explaining" them would run the whole pipeline
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q3_topk", "q5_multijoin", "q_asof", "q_asof_native",
-        "dedup_minhash", "dedup_clusters", "ann_ivf", "q_sketch_distinct",
+        "dedup_minhash", "ann_ivf", "q_sketch_distinct",
         "q_skewjoin", "q_quantiles", "text_repetition", "frame_wire")
     names.foreach { n =>
       println(s"===== $n =====")

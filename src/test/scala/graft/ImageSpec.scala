@@ -84,6 +84,16 @@ class ImageSpec extends SparkSpec {
     assert(stored == crc.getValue.toInt, "IHDR CRC must be the real CRC32")
   }
 
+  test("right magic with corrupt dimensions still quarantines as null") {
+    // a GRAW header whose width field is zero: magic passes, the
+    // parsed dimensions are outside the codec domain -> null, never
+    // garbage metadata
+    val bad = "GRAW".getBytes ++ Array[Byte](0, 0, 0, 0) ++ Array[Byte](5, 0, 0, 0)
+    val r = Seq(Tuple1(bad)).toDF("blob")
+      .select(Image.decode($"blob").as("m")).head()
+    assert(r.isNullAt(0))
+  }
+
   test("unrecognized bytes decode to null, out-of-domain dims pack to null") {
     val bad = Seq(Tuple1("not an image at all".getBytes)).toDF("blob")
       .select(Image.decode($"blob").as("m")).head()

@@ -77,6 +77,15 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == (4L, 2L) && got(5L) == (4L, 2L))
   }
 
+  test("dedup_clusters and dedup_apply handle a corpus with no duplicates") {
+    val tmp = java.nio.file.Files.createTempDirectory("clean_").toString
+    (1 to 6).map(i => (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i", "en", "test", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    assert(Dedup.clusters(spark, tmp).count() == 0, "clean corpus has no clusters")
+    assert(Dedup.applyDedup(spark, tmp).count() == 6, "clean corpus survives intact")
+  }
+
   test("dedup_apply keeps exactly keepers plus never-paired docs") {
     val clusters = Dedup.clusters(spark, sf).collect()
     val losers = clusters.filterNot(_.getAs[Boolean]("is_keeper"))
