@@ -138,6 +138,17 @@ class Round2Spec extends SparkSpec {
     }
   }
 
+  test("ivf search reaches the index through a broadcast probe join") {
+    val plan = formattedPlan(graft.operators.Similarity.ivfTopK(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set must broadcast, never shuffle the inverted index:\n$plan")
+  }
+
+  test("q5 dimension joins broadcast") {
+    val plan = formattedPlan(Relational.q5MultiJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("native hash expressions stay inside whole-stage codegen") {
     val df = graft.sources.Tables.documents(spark, sf)
       .select(graft.functions.HashFns.polyHash($"text").as("h"))
