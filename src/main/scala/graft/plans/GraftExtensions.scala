@@ -45,5 +45,6 @@ object GraftExtensions {
     "graft_byte_sum" -> arity("graft_byte_sum", 2)(es => ByteSum(es(0), es(1))),
     "graft_pack_image" -> arity("graft_pack_image", 4)(es => PackImage(es(0), es(1), es(2), es(3))),
     "graft_decode_image" -> arity("graft_decode_image", 1)(es => DecodeImageMeta(es.head)),
+    "graft_bin_join" -> arity("graft_bin_join", 1)(es => BinJoin(es.head, 0x3a)),
   )
 }

@@ -26,4 +26,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) == 1700000000)
     assert(r.getSeq[Int](2) == Seq(1, 2, 3, 4, 5, 6, 32767))
   }
+
+  test("graft image / sketch-support functions work from SQL") {
+    val img = spark.sql(
+      """SELECT graft_decode_image(graft_pack_image('png', CAST(320 AS BIGINT),
+        |  CAST(200 AS BIGINT), CAST('payload' AS BINARY))) AS m""".stripMargin)
+      .select($"m.format", $"m.width", $"m.height").head()
+    assert(img.getString(0) == "png" && img.getInt(1) == 320 && img.getInt(2) == 200)
+    val agree = spark.sql(
+      "SELECT graft_sig_agree(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS n").head()
+    assert(agree.getLong(0) == 2L)
+    val joined = spark.sql(
+      "SELECT octet_length(graft_bin_join(array(CAST('ab' AS BINARY), CAST('c' AS BINARY)))) AS n")
+      .head()
+    assert(joined.getInt(0) == 5)   // 'ab' + 0x3a + 'c' + 0x3a
+  }
 }
