@@ -163,6 +163,17 @@ object Dedup {
     */
   def clusters(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
     import spark.implicits._
+    val labels = componentLabels(spark, dir, maxIters)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"node".as("doc_id"), $"label".as("cluster_id"),
+        ($"node" === $"label").as("is_keeper"), $"cluster_size")
+  }
+
+  /** Converged (node, label) component assignment — the shared core
+    * of [[clusters]] and [[applyDedup]]. */
+  private def componentLabels(spark: SparkSession, dir: String, maxIters: Int): DataFrame = {
+    import spark.implicits._
     // checkpoint the pair set once BEFORE the symmetric union — the
     // union's two branches would otherwise each recompute the whole
     // MinHash candidate join
@@ -201,10 +212,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds " +
           "(component diameter exceeds maxIters); raise maxIters")
-    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select($"node".as("doc_id"), $"label".as("cluster_id"),
-        ($"node" === $"label").as("is_keeper"), $"cluster_size")
+    labels
   }
 
   /** The dedup pipeline's actual OUTPUT: the corpus with every
@@ -214,8 +222,9 @@ object Dedup {
     * shuffles ∝ duplicates found, never ∝ corpus. */
   def applyDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val losers = clusters(spark, dir)
-      .filter(!$"is_keeper").select($"doc_id")
+    // only the loser ids are needed — skip clusters()'s size join
+    val losers = componentLabels(spark, dir, maxIters = 50)
+      .filter($"node" =!= $"label").select($"node".as("doc_id"))
     Tables.documents(spark, dir)
       .join(losers, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"source", $"n_chars")
