@@ -48,17 +48,7 @@ object StreamRelay {
     // aggregate, without mutating the caller's session conf
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val agg = graft.sources.Tables.normalizeEventTs(
-        ss.readStream.schema(schema).parquet(inDir.toString))
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window($"ts", "5 minutes"), $"event_type")
-      .agg(count(lit(1)).as("n_events"), sum(dec($"value")).cast(DoubleType).as("bytes_total"))
-      .select($"window.start".as("window_start"), $"event_type", $"n_events", $"bytes_total")
-    val q = agg.writeStream.outputMode(OutputMode.Append())
-      .format("parquet")
-      .option("path", outDir.toString)
-      .option("checkpointLocation", ck.toString)
-      .start()
+    val q = startAppendRelay(ss, schema, inDir.toString, outDir.toString, ck.toString)
     try {
       q.processAllAvailable()
       barrierRow(spark, schema).coalesce(1).write.mode("append").parquet(inDir.toString)
@@ -77,11 +67,32 @@ object StreamRelay {
     spark.read.parquet(outDir.toString).filter($"event_type" =!= BarrierType)
   }
 
-  private val BarrierType = "__barrier"
+  /** The relay's streaming query: file source → watermarked 5-minute
+    * windows per event_type → append into a durable parquet sink with
+    * a checkpoint. Restartable: a new invocation on the same
+    * (inDir, outDir, ck) resumes from the checkpoint with
+    * exactly-once window emission (tested in InfraSpec). */
+  def startAppendRelay(ss: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      inDir: String, outDir: String, ck: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import ss.implicits._
+    val agg = graft.sources.Tables.normalizeEventTs(
+        ss.readStream.schema(schema).parquet(inDir))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum(dec($"value")).cast(DoubleType).as("bytes_total"))
+      .select($"window.start".as("window_start"), $"event_type", $"n_events", $"bytes_total")
+    agg.writeStream.outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ck)
+      .start()
+  }
+
+  val BarrierType = "__barrier"
 
   /** One sentinel event at 2100-01-01 (past any generated data) in the
     * RAW events schema — nanos-long or timestamp ts both supported. */
-  private def barrierRow(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+  def barrierRow(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.types.{LongType => SLong, TimestampType => STs}
     val cols = schema.fields.map { f =>
       (f.name, f.dataType) match {

@@ -93,6 +93,36 @@ class InfraSpec extends SparkSpec {
     assert(perUser.values.forall(_.length == 1))   // one close per user
   }
 
+  test("append relay resumes from its checkpoint with exactly-once windows") {
+    import graft.streaming.StreamRelay
+    val tmp = Files.createTempDirectory("graft_resume_")
+    val inDir = tmp.resolve("in"); val outDir = tmp.resolve("out"); val ck = tmp.resolve("ck")
+    Files.createDirectories(inDir)
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      inDir.resolve("batch0.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    // first incarnation: process the events, then die (stop)
+    val q1 = StreamRelay.startAppendRelay(spark, schema,
+      inDir.toString, outDir.toString, ck.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    // second incarnation on the same checkpoint: only the barrier
+    // batch remains; resumed state must flush every pending window
+    // exactly once
+    StreamRelay.barrierRow(spark, schema).coalesce(1)
+      .write.mode("append").parquet(inDir.toString)
+    val q2 = StreamRelay.startAppendRelay(spark, schema,
+      inDir.toString, outDir.toString, ck.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir.toString)
+      .filter($"event_type" =!= StreamRelay.BarrierType)
+    // exactly-once across the restart: no window duplicated, totals
+    // equal the batch aggregation
+    assert(out.groupBy($"window_start", $"event_type").count()
+      .filter($"count" > 1).isEmpty, "restart must not re-emit windows")
+    val total = out.agg(sum($"n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
   test("bucketed tables join with zero exchanges") {
     // the co-located join SURVEY §6 promises: both sides bucketed on
     // the join key => the sort-merge join needs no shuffle at all.
