@@ -48,7 +48,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
-    "dedup_apply" -> (Dedup.applyDedup _),
+    "dedup_apply" -> ((s: SparkSession, d: String) => Dedup.applyDedup(s, d)),
     "dedup_minhash_est" -> (Dedup.minhashEstimate _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),

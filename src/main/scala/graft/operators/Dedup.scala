@@ -220,10 +220,10 @@ object Dedup {
     * documents survive. A left-anti join against the (tiny relative
     * to the corpus) loser set; at 100 TB the loser list broadcasts or
     * shuffles ∝ duplicates found, never ∝ corpus. */
-  def applyDedup(spark: SparkSession, dir: String): DataFrame = {
+  def applyDedup(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
     import spark.implicits._
     // only the loser ids are needed — skip clusters()'s size join
-    val losers = componentLabels(spark, dir, maxIters = 50)
+    val losers = componentLabels(spark, dir, maxIters)
       .filter($"node" =!= $"label").select($"node".as("doc_id"))
     Tables.documents(spark, dir)
       .join(losers, Seq("doc_id"), "left_anti")

@@ -168,16 +168,20 @@ object TextAnalysis {
     val gramsAll = when(length(lc) >= 4,
       transform(sequence(lit(1), length(lc) - 3), i => lc.substr(i, lit(4))))
       .otherwise(array(lc))
-    val sorted = sort_array(gramsAll)
     val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx"))
-    val topCnt = aggregate(sorted, zero, (a, g) => {
+    val topCnt = aggregate(sort_array($"grams"), zero, (a, g) => {
       val run = when(g === a.getField("prev"), a.getField("run") + 1L).otherwise(lit(1L))
       struct(g.as("prev"), run.as("run"), greatest(a.getField("mx"), run).as("mx"))
     }).getField("mx")
+    // materialize the gram array ONCE in its own projection: HOFs are
+    // CodegenFallback, so repeating `gramsAll` in three expressions
+    // would rebuild it three times per row (CollapseProject keeps the
+    // two projections apart because the array expression isn't cheap)
     Tables.documents(spark, dir)
+      .select($"doc_id", gramsAll.as("grams"))
       .select($"doc_id",
-        size(gramsAll).cast(LongType).as("n_grams"),
-        (topCnt.cast(DoubleType) / size(gramsAll).cast(DoubleType)).as("top_gram_frac"))
+        size($"grams").cast(LongType).as("n_grams"),
+        (topCnt.cast(DoubleType) / size($"grams").cast(DoubleType)).as("top_gram_frac"))
   }
 
   /** Document fingerprints: full-content polynomial hash plus the

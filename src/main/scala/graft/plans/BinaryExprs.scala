@@ -47,18 +47,30 @@ case class BinJoin(child: Expression, sep: Byte)
     extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq[DataType](ArrayType(BinaryType))
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // single extraction pass (getBinary on unsafe arrays copies, so
+    // cache the elements rather than re-extracting in the write loop);
+    // a null element quarantines the whole join as null, matching the
+    // null propagation of a binary-concat fold
+    val elems = new Array[Array[Byte]](n)
     var total = 0
     var i = 0
-    while (i < n) { total += arr.getBinary(i).length + 1; i += 1 }
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val b = arr.getBinary(i)
+      elems(i) = b
+      total += b.length + 1
+      i += 1
+    }
     val out = new Array[Byte](total)
     var off = 0
     i = 0
     while (i < n) {
-      val b = arr.getBinary(i)
+      val b = elems(i)
       System.arraycopy(b, 0, out, off, b.length)
       off += b.length
       out(off) = sep

@@ -146,12 +146,21 @@ object Image {
   }
 
   /** Null (not a row) when the parsed dimensions fall outside the
-    * packer's 1..0xffff domain — a corrupt header that happens to
+    * FORMAT's own legal domain — a corrupt header that happens to
     * carry the right magic must quarantine like any other malformed
-    * input, not emit garbage metadata. */
-  private def row(fmt: String, w: Int, h: Int, payloadOff: Int): InternalRow =
-    if (w < 1 || h < 1 || w > 0xffff || h > 0xffff) null
+    * input, not emit garbage metadata. Domains follow each spec, not
+    * our packer's narrower 1..0xffff write range: PNG and GRAW carry
+    * u31 fields (any positive int32 is a legal external image), JPEG
+    * is inherently u16, WebP VP8X 24-bit. */
+  private def row(fmt: String, w: Int, h: Int, payloadOff: Int): InternalRow = {
+    val max = fmt match {
+      case "jpeg" => 0xffff
+      case "webp" => 1 << 24
+      case _ => Int.MaxValue
+    }
+    if (w < 1 || h < 1 || w > max || h > max) null
     else InternalRow(UTF8String.fromString(fmt), w, h, payloadOff)
+  }
 
   private def isPng(b: Array[Byte]): Boolean = {
     var i = 0

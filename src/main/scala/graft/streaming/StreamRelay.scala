@@ -61,7 +61,9 @@ object StreamRelay {
       // outlive this call: the returned DataFrame reads it lazily.
       import scala.jdk.CollectionConverters._
       Seq(inDir, ck).filter(Files.exists(_)).foreach { d =>
-        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        val walk = Files.walk(d)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
       }
     }
     spark.read.parquet(outDir.toString).filter($"event_type" =!= BarrierType)

@@ -40,5 +40,9 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT octet_length(graft_bin_join(array(CAST('ab' AS BINARY), CAST('c' AS BINARY)))) AS n")
       .head()
     assert(joined.getInt(0) == 5)   // 'ab' + 0x3a + 'c' + 0x3a
+    // a null element quarantines the whole join, like a concat fold
+    val nul = spark.sql(
+      "SELECT graft_bin_join(array(CAST('a' AS BINARY), CAST(NULL AS BINARY))) AS j").head()
+    assert(nul.isNullAt(0))
   }
 }

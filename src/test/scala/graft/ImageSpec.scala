@@ -84,6 +84,22 @@ class ImageSpec extends SparkSpec {
     assert(stored == crc.getValue.toInt, "IHDR CRC must be the real CRC32")
   }
 
+  test("external PNG wider than our packer's domain still decodes") {
+    // PNG dims are u31: a 70000-px-wide image is legal per spec even
+    // though our own packer never writes one — the decoder follows
+    // the format's domain, not the writer's
+    val buf = ByteBuffer.allocate(64)
+    buf.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    buf.putInt(13).put("IHDR".getBytes)
+    buf.putInt(70000).putInt(2)
+    buf.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.putInt(0)
+    val png = java.util.Arrays.copyOf(buf.array(), buf.position())
+    val r = Seq(Tuple1(png)).toDF("blob")
+      .select(Image.decode($"blob").as("m")).select($"m.*").head()
+    assert(r.getAs[Int]("width") == 70000 && r.getAs[Int]("height") == 2)
+  }
+
   test("right magic with corrupt dimensions still quarantines as null") {
     // a GRAW header whose width field is zero: magic passes, the
     // parsed dimensions are outside the codec domain -> null, never

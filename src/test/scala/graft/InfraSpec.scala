@@ -134,8 +134,10 @@ class InfraSpec extends SparkSpec {
       val loc = java.nio.file.Paths.get(wh, t)
       if (java.nio.file.Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       }
     }
     Tables.orders(spark, sf).write.bucketBy(8, "o_custkey")
