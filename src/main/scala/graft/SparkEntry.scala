@@ -39,6 +39,7 @@ object SparkEntry {
     "data_budget" -> ((s: SparkSession, d: String) => Telemetry.dataBudget(s, d)),
     "session_windows" -> ((s: SparkSession, d: String) => Telemetry.sessionWindows(s, d)),
     "chunk_messages" -> ((s: SparkSession, d: String) => Telemetry.chunkMessages(s, d)),
+    "chunk_reassemble" -> ((s: SparkSession, d: String) => Telemetry.chunkReassemble(s, d)),
     "queue_stats" -> (Telemetry.queueStats _),
     "status_transitions" -> (Telemetry.statusTransitions _),
     "events_funnel" -> (Telemetry.funnel _),
@@ -231,6 +232,17 @@ object SparkEntry {
         |  LEAST(6400, nbytes - t.chunk_idx * 6400) AS chunk_bytes
         |FROM (SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS nbytes FROM events) e,
         |  UNNEST(range(0, CAST(CEIL(nbytes / 6400.0) AS BIGINT))) AS t(chunk_idx)""".stripMargin,
+    "chunk_reassemble" ->
+      """SELECT event_id, user_id, COUNT(*) AS n_received,
+        |  CAST(SUM(LEAST(6400, nbytes - chunk_idx * 6400)) AS BIGINT) AS bytes_received,
+        |  CAST(CEIL(nbytes / 6400.0) AS BIGINT) AS n_expected,
+        |  COUNT(*) = CAST(CEIL(nbytes / 6400.0) AS BIGINT) AS is_complete
+        |FROM (SELECT event_id, user_id, nbytes, CAST(t.chunk_idx AS BIGINT) AS chunk_idx
+        |  FROM (SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS nbytes FROM events) e,
+        |    UNNEST(range(0, CAST(CEIL(nbytes / 6400.0) AS BIGINT))) AS t(chunk_idx)
+        |  WHERE nbytes > 0) c
+        |WHERE (event_id + chunk_idx) % 97 != 0
+        |GROUP BY event_id, user_id, nbytes""".stripMargin,
     "queue_stats" ->
       """SELECT event_type, COUNT(*) AS n_msgs,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bytes_total,

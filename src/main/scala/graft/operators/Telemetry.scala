@@ -90,6 +90,26 @@ object Telemetry {
       .select($"event_id", $"user_id", $"nbytes", $"chunk_idx", $"chunk_bytes")
   }
 
+  /** The receive side of the chunked relay (serial_streaming.lua's
+    * lost-message accounting + notes.org sendImuChunk): reassemble
+    * chunked messages and detect incomplete ones. Chunk loss is
+    * simulated deterministically ((event_id + chunk_idx) % 97 drops)
+    * so completeness detection exercises the real failure path —
+    * received counts/bytes against the expected chunk count derived
+    * from the declared message size. One shuffle on the message key. */
+  def chunkReassemble(spark: SparkSession, dir: String,
+      chunkBytes: Long = 6400L): DataFrame = {
+    import spark.implicits._
+    chunkMessages(spark, dir, chunkBytes)
+      .filter(($"event_id" + $"chunk_idx") % 97 =!= 0L)
+      .groupBy($"event_id", $"user_id", $"nbytes")
+      .agg(count(lit(1)).as("n_received"),
+        sum($"chunk_bytes").as("bytes_received"))
+      .select($"event_id", $"user_id", $"n_received", $"bytes_received",
+        ceil($"nbytes" / lit(chunkBytes.toDouble)).cast(LongType).as("n_expected"))
+      .withColumn("is_complete", $"n_received" === $"n_expected")
+  }
+
   /** Conversion funnel: each user's first signup, first purchase at
     * or after it, and the exact delay in µs (null when un-converted).
     * Two narrow aggregations + one join — the funnel shape that holds

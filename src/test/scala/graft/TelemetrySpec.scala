@@ -55,4 +55,19 @@ class TelemetrySpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[String]("prev_type") != r.getAs[String]("cur_type")))
   }
+
+  test("chunk_reassemble detects exactly the simulated losses") {
+    val rows = Telemetry.chunkReassemble(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rec = r.getAs[Long]("n_received")
+      val exp = r.getAs[Long]("n_expected")
+      assert(rec <= exp)
+      assert(r.getAs[Boolean]("is_complete") == (rec == exp))
+    }
+    // the deterministic drop rule must produce some incomplete
+    // messages and leave the rest intact
+    assert(rows.exists(!_.getAs[Boolean]("is_complete")))
+    assert(rows.exists(_.getAs[Boolean]("is_complete")))
+  }
 }
