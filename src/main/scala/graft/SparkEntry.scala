@@ -233,16 +233,20 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS nbytes FROM events) e,
         |  UNNEST(range(0, CAST(CEIL(nbytes / 6400.0) AS BIGINT))) AS t(chunk_idx)""".stripMargin,
     "chunk_reassemble" ->
-      """SELECT event_id, user_id, COUNT(*) AS n_received,
-        |  CAST(SUM(LEAST(6400, nbytes - chunk_idx * 6400)) AS BIGINT) AS bytes_received,
-        |  CAST(CEIL(nbytes / 6400.0) AS BIGINT) AS n_expected,
-        |  COUNT(*) = CAST(CEIL(nbytes / 6400.0) AS BIGINT) AS is_complete
-        |FROM (SELECT event_id, user_id, nbytes, CAST(t.chunk_idx AS BIGINT) AS chunk_idx
-        |  FROM (SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS nbytes FROM events) e,
-        |    UNNEST(range(0, CAST(CEIL(nbytes / 6400.0) AS BIGINT))) AS t(chunk_idx)
-        |  WHERE nbytes > 0) c
-        |WHERE (event_id + chunk_idx) % 97 != 0
-        |GROUP BY event_id, user_id, nbytes""".stripMargin,
+      """WITH m AS (SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS nbytes
+        |  FROM events WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
+        |r AS (SELECT event_id, COUNT(*) AS n_received,
+        |    CAST(SUM(LEAST(6400, nbytes - chunk_idx * 6400)) AS BIGINT) AS bytes_received
+        |  FROM (SELECT event_id, nbytes, CAST(t.chunk_idx AS BIGINT) AS chunk_idx
+        |    FROM m, UNNEST(range(0, CAST(CEIL(nbytes / 6400.0) AS BIGINT))) AS t(chunk_idx)) c
+        |  WHERE (event_id + chunk_idx) % 97 != 0
+        |  GROUP BY event_id)
+        |SELECT m.event_id, m.user_id,
+        |  COALESCE(r.n_received, 0) AS n_received,
+        |  COALESCE(r.bytes_received, 0) AS bytes_received,
+        |  CAST(CEIL(m.nbytes / 6400.0) AS BIGINT) AS n_expected,
+        |  COALESCE(r.n_received, 0) = CAST(CEIL(m.nbytes / 6400.0) AS BIGINT) AS is_complete
+        |FROM m LEFT JOIN r ON m.event_id = r.event_id""".stripMargin,
     "queue_stats" ->
       """SELECT event_type, COUNT(*) AS n_msgs,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bytes_total,

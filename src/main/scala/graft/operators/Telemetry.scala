@@ -100,12 +100,22 @@ object Telemetry {
   def chunkReassemble(spark: SparkSession, dir: String,
       chunkBytes: Long = 6400L): DataFrame = {
     import spark.implicits._
-    chunkMessages(spark, dir, chunkBytes)
+    // anchor on the EXPECTED message set, not the received chunks: a
+    // message whose every chunk was lost must still appear (with
+    // n_received = 0) — that's the case lost-message accounting
+    // exists to catch
+    val msgs = Tables.events(spark, dir)
+      .select($"event_id", $"user_id",
+        round($"value" * 100).cast(LongType).as("nbytes"))
+      .filter($"nbytes" > 0L)
+    val received = chunkMessages(spark, dir, chunkBytes)
       .filter(($"event_id" + $"chunk_idx") % 97 =!= 0L)
-      .groupBy($"event_id", $"user_id", $"nbytes")
-      .agg(count(lit(1)).as("n_received"),
-        sum($"chunk_bytes").as("bytes_received"))
-      .select($"event_id", $"user_id", $"n_received", $"bytes_received",
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("rcv"), sum($"chunk_bytes").as("rbytes"))
+    msgs.join(received, Seq("event_id"), "left")
+      .select($"event_id", $"user_id",
+        coalesce($"rcv", lit(0L)).as("n_received"),
+        coalesce($"rbytes", lit(0L)).as("bytes_received"),
         ceil($"nbytes" / lit(chunkBytes.toDouble)).cast(LongType).as("n_expected"))
       .withColumn("is_complete", $"n_received" === $"n_expected")
   }

@@ -59,14 +59,22 @@ class TelemetrySpec extends SparkSpec {
   test("chunk_reassemble detects exactly the simulated losses") {
     val rows = Telemetry.chunkReassemble(spark, sf).collect()
     assert(rows.nonEmpty)
+    // every sent message appears, even when every chunk was lost
+    val nMessages = Tables.events(spark, sf)
+      .filter(round($"value" * 100) > 0).count()
+    assert(rows.length == nMessages)
     rows.foreach { r =>
-      val rec = r.getAs[Long]("n_received")
-      val exp = r.getAs[Long]("n_expected")
-      assert(rec <= exp)
+      val (id, rec, exp) = (r.getAs[Long]("event_id"),
+        r.getAs[Long]("n_received"), r.getAs[Long]("n_expected"))
+      // exactness: the deficit equals the count of indices the drop
+      // rule removes for THIS message
+      val dropped = (0L until exp).count(i => (id + i) % 97 == 0)
+      assert(exp - rec == dropped, s"event $id: $rec of $exp with $dropped dropped")
       assert(r.getAs[Boolean]("is_complete") == (rec == exp))
     }
-    // the deterministic drop rule must produce some incomplete
-    // messages and leave the rest intact
+    // single-chunk messages with event_id % 97 == 0 are FULLY lost and
+    // must still be accounted (n_received = 0)
+    assert(rows.exists(r => r.getAs[Long]("n_received") == 0L))
     assert(rows.exists(!_.getAs[Boolean]("is_complete")))
     assert(rows.exists(_.getAs[Boolean]("is_complete")))
   }
