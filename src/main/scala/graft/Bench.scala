@@ -1,28 +1,49 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR
+  * and prints one JSON line of per-query seconds.
+  *
+  * The session is built through [[GraftSession.builder]] so the
+  * numbers of record measure the SHIPPED engine configuration (AQE +
+  * coalescing + skew-join on, tuned broadcast threshold, UTC) — a
+  * bare SparkSession benchmarks a differently-tuned engine than the
+  * one SURVEY §H describes.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and
+  * reports the MEDIAN — single-shot timings on a shared box swing
+  * ±20% and have produced phantom regressions; the median of 3 is
+  * stable to a few percent. Cross-query state (the dedup label cache)
+  * is cleared before every rep so each measurement is the full
+  * operator cost, not a cache hit.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/IO paths once so the first timed query doesn't
     // absorb JVM startup; deterministic name order for stable rounds
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      graft.operators.Dedup.clearLabelCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> median((0 until reps).map(_ => timeOnce(fn)))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -73,7 +73,7 @@ object SparkEntry {
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
     "frame_stats" -> (Frames.stats _),
-    "frame_wire" -> (Frames.wire _),
+    "frame_wire" -> ((s: SparkSession, d: String) => Frames.wire(s, d)),
     // G. multimodal
     "mm_meta" -> (Multimodal.meta _),
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),

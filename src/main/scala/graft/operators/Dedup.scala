@@ -170,18 +170,58 @@ object Dedup {
         ($"node" === $"label").as("is_keeper"), $"cluster_size")
   }
 
+  /** Per-session cache of converged labels: `dedup_clusters` and
+    * `dedup_apply` share the whole MinHash + iteration pipeline, so
+    * within one session the second caller reuses the first's
+    * converged (checkpointed) label set instead of recomputing it.
+    * The cached DataFrame's checkpoint blocks are the ONLY persisted
+    * state the operator leaves behind; [[clearLabelCache]] frees them.
+    */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (DataFrame, Seq[org.apache.spark.rdd.RDD[_]])]
+
+  /** Unpersist every cached converged label set (used by tests and
+    * the bench harness to measure full operator cost). */
+  def clearLabelCache(): Unit = {
+    labelCache.values.foreach { case (_, rdds) =>
+      rdds.foreach(_.unpersist(blocking = false))
+    }
+    labelCache.clear()
+  }
+
+  /** localCheckpoint (eager) plus handles to the RDD blocks it
+    * persisted, so superseded rounds can be unpersisted — without
+    * this every iteration leaks one checkpointed label set for the
+    * lifetime of the application. */
+  private def localCheckpointTracked(df: DataFrame)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ck = df.localCheckpoint()
+    val added = sc.getPersistentRDDs.collect {
+      case (id, rdd) if !before.contains(id) => rdd
+    }.toSeq
+    (ck, added)
+  }
+
   /** Converged (node, label) component assignment — the shared core
-    * of [[clusters]] and [[applyDedup]]. */
-  private def componentLabels(spark: SparkSession, dir: String, maxIters: Int): DataFrame = {
+    * of [[clusters]] and [[applyDedup]]; cached per (session, dir). */
+  private def componentLabels(spark: SparkSession, dir: String, maxIters: Int): DataFrame =
+    labelCache.getOrElseUpdate((spark, dir), computeComponentLabels(spark, dir, maxIters))._1
+
+  private def computeComponentLabels(spark: SparkSession, dir: String, maxIters: Int)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     import spark.implicits._
     // checkpoint the pair set once BEFORE the symmetric union — the
     // union's two branches would otherwise each recompute the whole
     // MinHash candidate join
-    val pairs = minhash(spark, dir).select($"doc_a", $"doc_b").localCheckpoint()
+    val (pairs, pairsRdds) =
+      localCheckpointTracked(minhash(spark, dir).select($"doc_a", $"doc_b"))
     val edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
     val nodes = edges.select($"u".as("node")).distinct()
-    var labels = nodes.withColumn("label", $"node").localCheckpoint()
+    var (labels, labelRdds) = localCheckpointTracked(nodes.withColumn("label", $"node"))
     // labels only ever decrease under min-propagation, so the label
     // sum strictly decreases until the fixed point: comparing sums is
     // a full convergence test at the cost of one aggregate per round
@@ -193,26 +233,34 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = edges
+      val (next, nextRdds) = localCheckpointTracked(edges
         .join(labels.select($"node".as("u"), $"label".as("nl")), "u")
         .select($"v".as("node"), $"nl")
         .union(labels.select($"node", $"label".as("nl")))
-        .groupBy($"node").agg(min($"nl").as("label"))
-        .localCheckpoint()
+        .groupBy($"node").agg(min($"nl").as("label")))
       val s = labelSum(next)
+      // the new round is fully materialized (eager checkpoint + the
+      // sum above), so the superseded round's blocks can go now
+      labelRdds.foreach(_.unpersist(blocking = false))
       converged = s == prevSum
       prevSum = s
       labels = next
+      labelRdds = nextRdds
       iter += 1
     }
+    // the converged labels' lineage is truncated at their own
+    // checkpoint, so the pair set backing `edges` is no longer needed
+    pairsRdds.foreach(_.unpersist(blocking = false))
     // an unconverged result would silently split real components into
     // several clusters with wrong keepers — fail loudly instead; the
     // caller raises maxIters for pathological chain-shaped corpora
-    if (!converged)
+    if (!converged) {
+      labelRdds.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds " +
           "(component diameter exceeds maxIters); raise maxIters")
-    labels
+    }
+    (labels, labelRdds)
   }
 
   /** The dedup pipeline's actual OUTPUT: the corpus with every

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -69,21 +70,44 @@ object Frames {
     * parser); length-based framing with sync verification reads the
     * same wire bytes without that failure mode.
     *
-    * Per-device wire blobs mirror the reference's one-file-per-device
-    * unit, so blob size is bounded by a device's traffic (the 100 TB
-    * layout would roll files by size exactly as the relay does).
+    * Wire blobs ROLL BY COUNT (the relay's roll-by-size with a fixed
+    * frame length): a blob-sequence key — floor(rank / framesPerBlob)
+    * over the device's event order — joins the groupBy key, so each
+    * aggregation buffer holds at most `framesPerBlob` frames. Without
+    * it a hot device (100× the traffic) materializes its entire
+    * history as ONE multi-GB aggregation row — the single-key OOM
+    * that kills per-device files at scale. The roll key rides the
+    * same device partitioning (the window's hash distribution
+    * satisfies both groupBys), so the plan still shuffles once.
     */
-  def wire(spark: SparkSession, dir: String): DataFrame = {
+  def wire(spark: SparkSession, dir: String, framesPerBlob: Int = 64): DataFrame = {
     import spark.implicits._
     val framed = parsedFrames(spark, dir)
       .select($"user_id".as("device_id"), $"event_id", $"frame")
+    wireParse(wireBlobs(framed, framesPerBlob))
+  }
+
+  /** (device_id, event_id, frame) → rolled (device_id, wire) blobs.
+    * One blob per `framesPerBlob` consecutive frames per device. */
+  private[graft] def wireBlobs(framed: DataFrame, framesPerBlob: Int): DataFrame = {
+    val spark = framed.sparkSession
+    import spark.implicits._
+    val byDevice = Window.partitionBy($"device_id").orderBy($"event_id".asc)
     // single-pass native join (BinJoin): a fold of binary concats
     // would re-copy the growing wire per frame — quadratic per device
-    val wires = framed
-      .groupBy($"device_id")
+    framed
+      .withColumn("blob_seq", floor((row_number().over(byDevice) - 1) / framesPerBlob))
+      .groupBy($"device_id", $"blob_seq")
       .agg(sort_array(collect_list(struct($"event_id", $"frame"))).as("fs"))
       .select($"device_id",
         Frame.binJoin(transform($"fs", f => f.getField("frame")), 0x3a).as("wire"))
+  }
+
+  /** Re-split each wire blob by fixed frame length (sync byte checked
+    * at every boundary), re-parse, and aggregate per device. */
+  private[graft] def wireParse(wires: DataFrame): DataFrame = {
+    val spark = wires.sparkSession
+    import spark.implicits._
     val unit = Frame.FrameLen + 1
     val n = (octet_length($"wire") / unit).cast(LongType)
     wires

@@ -105,6 +105,9 @@ case class PackFrame(first: Expression, second: Expression, third: Expression)
     var i = 0
     val nElems = math.min(Frame.NumSamples, arr.numElements())
     while (i < nElems) {
+      // a null sample can't round-trip either — quarantine the frame
+      // (matching BinJoin's null-element rule) instead of packing 0
+      if (arr.isNullAt(i)) return null
       val sv = arr.getLong(i)
       if (sv < Short.MinValue || sv > Short.MaxValue) return null
       i += 1

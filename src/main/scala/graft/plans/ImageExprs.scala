@@ -120,19 +120,37 @@ object Image {
         row("png", getIntBE(b, 16), getIntBE(b, 20), PngHeaderLen)
       else null
     } else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
-      // real JPEG marker scan: walk segments until a SOF marker
+      // real JPEG marker scan: walk segments until a SOF marker.
+      // Per the spec, 0xFF fill bytes may pad between segments, and
+      // TEM (0x01) / RST0-7 (0xD0-0xD7) are standalone markers with
+      // no length field — both legal before SOF; treating every
+      // marker as length-carrying misaligns the walk and quarantines
+      // valid external JPEGs.
       var i = 2
-      while (i + 3 < b.length) {
+      while (i + 1 < b.length) {
         if (b(i) != 0xff.toByte) return null
-        val marker = b(i + 1) & 0xff
+        // skip repeated 0xFF padding to the real marker byte
+        var j = i + 1
+        while (j < b.length && b(j) == 0xff.toByte) j += 1
+        if (j >= b.length) return null
+        val marker = b(j) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          if (i + 9 > b.length) return null
-          val h = getShortBE(b, i + 5)
-          val w = getShortBE(b, i + 7)
-          val segLen = getShortBE(b, i + 2)
-          return row("jpeg", w, h, i + 2 + segLen)
+          if (j + 8 > b.length) return null         // need len + 5 SOF bytes
+          val segLen = getShortBE(b, j + 1)
+          if (segLen < 7) return null               // SOF carries >= 5 data bytes
+          val h = getShortBE(b, j + 4)
+          val w = getShortBE(b, j + 6)
+          return row("jpeg", w, h, j + 1 + segLen)
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return null                               // EOI / SOS: no SOF seen
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i = j + 1                                 // standalone marker, no length
+        } else {
+          if (j + 2 >= b.length) return null
+          val segLen = getShortBE(b, j + 1)
+          if (segLen < 2) return null               // length includes itself
+          i = j + 1 + segLen
         }
-        i += 2 + getShortBE(b, i + 2)
       }
       null
     } else if (b.length >= WebpHeaderLen && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&

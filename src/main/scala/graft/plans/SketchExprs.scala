@@ -33,10 +33,16 @@ object Sketch {
       .toAggregateExpression())
 }
 
+
 case class KMinValues(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
     with UnaryLike[Expression] with ExpectsInputTypes {
+
+  // k <= 0 would silently produce always-empty sketches (update adds
+  // then immediately evicts) and break element_at(kmv, k) consumers —
+  // misconfiguration fails loudly at construction instead
+  require(k >= 1, s"KMinValues requires k >= 1, got $k")
 
   override def inputTypes: Seq[DataType] = Seq[DataType](LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

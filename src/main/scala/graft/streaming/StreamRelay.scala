@@ -33,22 +33,41 @@ object StreamRelay {
     * — the bounded-input analogue of the stream simply staying open. */
   def windowedRelay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def deleteTree(roots: Path*): Unit =
+      roots.filter(Files.exists(_)).foreach { d =>
+        val walk = Files.walk(d)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val tmp = Files.createTempDirectory("graft_relay_")
+    // outDir must outlive this call (the returned DataFrame reads it
+    // lazily), but not the JVM: without the exit hook every
+    // invocation would leave a sink directory in /tmp permanently
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(tmp)))
     val inDir = tmp.resolve("in"); val outDir = tmp.resolve("out"); val ck = tmp.resolve("ck")
-    Files.createDirectories(inDir)
-    Files.copy(Paths.get(s"$dir/events.parquet"), inDir.resolve("batch0.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    // run the streaming query in a cloned session (shared
-    // SparkContext, independent SQLConf): the stateful aggregation
-    // gets shuffle partitions sized to its state, not the batch
-    // engine's width — each state store carries checkpoint sync cost
-    // per micro-batch, so 8 stores beat 32 for a per-window-key
-    // aggregate, without mutating the caller's session conf
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = startAppendRelay(ss, schema, inDir.toString, outDir.toString, ck.toString)
+    // staging or query start can throw (disk full, bad schema): the
+    // input-sized staged copy must not survive such a failure, so the
+    // whole stage+start+drive path cleans up in one try
+    val q =
+      try {
+        Files.createDirectories(inDir)
+        Files.copy(Paths.get(s"$dir/events.parquet"), inDir.resolve("batch0.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        // run the streaming query in a cloned session (shared
+        // SparkContext, independent SQLConf): the stateful aggregation
+        // gets shuffle partitions sized to its state, not the batch
+        // engine's width — each state store carries checkpoint sync cost
+        // per micro-batch, so 8 stores beat 32 for a per-window-key
+        // aggregate, without mutating the caller's session conf
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        startAppendRelay(ss, schema, inDir.toString, outDir.toString, ck.toString)
+      } catch {
+        case e: Throwable => deleteTree(tmp); throw e
+      }
     try {
       q.processAllAvailable()
       barrierRow(spark, schema).coalesce(1).write.mode("append").parquet(inDir.toString)
@@ -57,14 +76,8 @@ object StreamRelay {
       q.stop()
       // the staged input copy (full events file) and the checkpoint
       // are dead once the query stops — delete them so repeated runs
-      // don't accumulate input-sized copies in /tmp. outDir must
-      // outlive this call: the returned DataFrame reads it lazily.
-      import scala.jdk.CollectionConverters._
-      Seq(inDir, ck).filter(Files.exists(_)).foreach { d =>
-        val walk = Files.walk(d)
-        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      // don't accumulate input-sized copies in /tmp
+      deleteTree(inDir, ck)
     }
     spark.read.parquet(outDir.toString).filter($"event_type" =!= BarrierType)
   }
