@@ -27,6 +27,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.qRollup _),
     "q_asof" -> (Relational.qAsOf _),
     "q_asof_native" -> (Relational.qAsOfNative _),
+    "q_asof_tolerance" -> ((s: SparkSession, d: String) => Relational.qAsOfTolerance(s, d)),
     "q_pivot" -> (Relational.qPivot _),
     "q_partjoin" -> (Relational.qPartJoin _),
     "q_moments" -> (Relational.qMoments _),
@@ -199,6 +200,16 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q_asof" -> asOfSql,
     "q_asof_native" -> asOfSql,
+    // the tolerance variant nulls matches older than 8500 days; the
+    // newest right row <= ts is the only candidate, so wrapping the
+    // plain as-of in a recency CASE is exactly equivalent
+    "q_asof_tolerance" ->
+      s"""SELECT event_id, user_id, ts,
+         |  CASE WHEN epoch_us(ts) - epoch_us(last_order_date) <= ${8500L * 86400L * 1000000L}
+         |       THEN last_order_date END AS last_order_date,
+         |  CASE WHEN epoch_us(ts) - epoch_us(last_order_date) <= ${8500L * 86400L * 1000000L}
+         |       THEN last_day_total END AS last_day_total
+         |FROM ($asOfSql) t""".stripMargin,
     "downsample_1hz" ->
       """SELECT event_id, user_id, sec, value FROM (
         |  SELECT event_id, user_id, date_trunc('second', ts) AS sec, value,

@@ -240,7 +240,22 @@ object Relational {
     * demonstrating the LogicalPlan+Strategy+SparkPlan extension tier
     * beside the composed union+window shape of [[qAsOf]]. Same oracle.
     */
-  def qAsOfNative(spark: SparkSession, dir: String): DataFrame = {
+  def qAsOfNative(spark: SparkSession, dir: String): DataFrame =
+    asOfNative(spark, dir, tolerance = None)
+
+  /** The capability that justifies the custom operator's existence:
+    * an as-of join with a per-row RECENCY BOUND — each event matches
+    * its user's most recent daily order aggregate only when that
+    * aggregate is at most `tolDays` old, else nulls. The union+window
+    * shape of [[qAsOf]] cannot express this (`last(_, ignoreNulls)`
+    * has no per-row age condition without a second pass), while the
+    * merge exec decides it with one comparison on its existing O(1)
+    * state. */
+  def qAsOfTolerance(spark: SparkSession, dir: String, tolDays: Long = 8500L): DataFrame =
+    asOfNative(spark, dir, Some(tolDays * 86400L * 1000000L))
+
+  private def asOfNative(spark: SparkSession, dir: String,
+      tolerance: Option[Long]): DataFrame = {
     import spark.implicits._
     import graft.plans.{AsOfJoinPlan, AsOfStrategy}
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -259,7 +274,7 @@ object Relational {
       p.output.find(_.name == name).get
     val joined = ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, "user_id"), attr(rPlan, "o_custkey"),
-      attr(lPlan, "ts"), attr(rPlan, "o_orderdate")))
+      attr(lPlan, "ts"), attr(rPlan, "o_orderdate"), tolerance))
     // o_orderdate is TIMESTAMP_NTZ in the source; align with qAsOf's
     // session-time output type so both shapes share one oracle
     joined.select($"event_id", $"user_id", $"ts",

@@ -14,20 +14,55 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Relational.qAsOf, kept side by side for comparison).
   *
   * Each left row picks the most recent right row of the same key with
-  * rightTime <= leftTime (left-outer: nulls when none). The physical
-  * plan asks Catalyst for hash co-partitioning on the keys and
-  * (key, time) sort within partitions — EnsureRequirements inserts
-  * exactly the one shuffle+sort per side a 100 TB run needs — then a
-  * single forward merge pass joins each partition with O(1) state
-  * (the last matching right row), never materializing a range
-  * product. Keys and times must be integral/timestamp-typed (both are
-  * longs internally); null keys/times never match.
+  * rightTime <= leftTime (left-outer: nulls when none). With a
+  * `tolerance` bound (the capability the union+window shape CANNOT
+  * express — `last(...) over (...)` has no per-row recency
+  * condition), a match additionally requires
+  * leftTime - rightTime <= tolerance: an order older than the bound
+  * yields nulls exactly as no order at all would.
+  *
+  * The physical plan asks Catalyst for hash co-partitioning on the
+  * keys and (key, time) sort within partitions — EnsureRequirements
+  * inserts exactly the one shuffle+sort per side a 100 TB run needs —
+  * then a single forward merge pass joins each partition with O(1)
+  * state (the last matching right row), never materializing a range
+  * product. Keys and times must be long-backed (integral / timestamp
+  * — validated at analysis time); null keys/times never match.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  /** The merge loop reads keys and times as raw longs; any other
+    * internal representation (DateType is Int, Decimal is its own
+    * class, String is UTF8String) would ClassCastException on an
+    * executor mid-job. Fail ANALYSIS instead, like the expression
+    * tier's ExpectsInputTypes. */
+  private def longBacked(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType => true
+    case org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+  override lazy val resolved: Boolean = {
+    val ok = expressions.forall(_.resolved) && childrenResolved
+    if (ok) {
+      Seq("leftKey" -> leftKey, "rightKey" -> rightKey,
+          "leftTime" -> leftTime, "rightTime" -> rightTime).foreach { case (role, e) =>
+        if (!longBacked(e.dataType))
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_1332",
+            messageParameters = Map("errorMessage" ->
+              (s"as-of join $role must be long-backed " +
+                s"(LongType/TimestampType), got ${e.dataType.catalogString}")))
+      }
+    }
+    ok
+  }
+
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): LogicalPlan = copy(left = l, right = r)
 }
@@ -37,15 +72,16 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * spark.experimental.extraStrategies. */
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -88,8 +124,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         }
       }
       advanceRight()
+      val tol = tolerance.getOrElse(Long.MaxValue)
       var lastMatch: InternalRow = null
       var lastMatchKey = 0L
+      var lastMatchTime = 0L
       new Iterator[InternalRow] {
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
@@ -111,10 +149,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               if (rHeadKey == lk) {
                 lastMatch = rHead.copy()    // unsafe rows are reused by the iterator
                 lastMatchKey = lk
+                lastMatchTime = rHeadTime
               }
               advanceRight()
             }
-            project(joined(l, if (lastMatch != null) lastMatch else nullRight))
+            // tolerance: the newest right row <= lt is the ONLY
+            // candidate (any other is older still), so a recency
+            // check on it decides the whole match — the state stays
+            // O(1) with or without the bound
+            val matched = lastMatch != null && lt - lastMatchTime <= tol
+            project(joined(l, if (matched) lastMatch else nullRight))
           }
         }
       }

@@ -65,6 +65,46 @@ class Round3Spec extends SparkSpec {
     assert(hotRow.getLong(1) == 500L && hotRow.getBoolean(3))
   }
 
+  // --- as-of join: tolerance + analysis-time typing -------------------------
+
+  test("qAsOfTolerance nulls matches older than the bound, keeps the rest") {
+    import graft.operators.Relational
+    val plain = Relational.qAsOfNative(spark, sf)
+    val tolUs = 8500L * 86400L * 1000000L
+    // the newest right row <= ts is the only candidate, so the
+    // expected result is the plain as-of with a recency CASE
+    val expected = plain.select($"event_id", $"user_id", $"ts",
+      when(unix_micros($"ts") - unix_micros($"last_order_date") <= tolUs,
+        $"last_order_date").as("last_order_date"),
+      when(unix_micros($"ts") - unix_micros($"last_order_date") <= tolUs,
+        $"last_day_total").as("last_day_total"))
+    val got = Relational.qAsOfTolerance(spark, sf)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // the bound must actually bite: some rows null, some matched
+    val n = got.count()
+    val matched = got.filter($"last_order_date".isNotNull).count()
+    assert(matched > 0 && matched < n, s"tolerance split degenerate: $matched/$n")
+  }
+
+  test("AsOfJoinPlan rejects non-long-backed key/time at analysis time") {
+    import graft.plans.{AsOfJoinPlan, AsOfStrategy}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+    val l = ColumnBridge.analyzed(Seq(("a", 1L)).toDF("k", "t"))
+    val r = ColumnBridge.analyzed(Seq(("a", 1L)).toDF("k", "t"))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    // string keys: internal representation is UTF8String, not Long —
+    // must fail analysis, not ClassCastException on an executor
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      ColumnBridge.ofRows(spark, AsOfJoinPlan(l, r,
+        attr(l, "k"), attr(r, "k"), attr(l, "t"), attr(r, "t"))).collect()
+    }
+    assert(ex.getMessage.contains("long"), ex.getMessage)
+  }
+
   // --- codec edge cases (round-2 advisory) ----------------------------------
 
   test("PackFrame quarantines frames with null sample elements") {
