@@ -43,6 +43,13 @@ object SparkEntry {
     "chunk_reassemble" -> ((s: SparkSession, d: String) => Telemetry.chunkReassemble(s, d)),
     "queue_stats" -> (Telemetry.queueStats _),
     "status_transitions" -> (Telemetry.statusTransitions _),
+    // day-scale timers / half-day restarts: sized to the synthetic
+    // corpus's ~4-day inter-event gaps so the Paused and restart
+    // windows actually catch data events (see operator docs)
+    "status_delayed" ->
+      ((s: SparkSession, d: String) => Telemetry.statusDelayed(s, d, tauUnitSecs = 86400L)),
+    "config_gate" ->
+      ((s: SparkSession, d: String) => Telemetry.configGate(s, d, restartSecs = 43200L)),
     "events_funnel" -> (Telemetry.funnel _),
     "relay_gate" -> (Telemetry.relayGate _),
     "events_retention" -> (Telemetry.retention _),
@@ -277,6 +284,52 @@ object SparkEntry {
         |  FROM events) t
         |WHERE prev_type IS NOT NULL AND prev_type <> event_type
         |GROUP BY prev_type, event_type""".stripMargin,
+    "status_delayed" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS target,
+        |    epoch_us(ts) AS cmd_us,
+        |    epoch_us(ts) + (event_id % 4) * 86400000000 AS apply_us,
+        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |tl AS (
+        |  SELECT user_id, apply_us AS t_us, 0 AS kind, event_id, target,
+        |    CAST(NULL AS BIGINT) AS arm_us, CAST(NULL AS TIMESTAMP) AS ts
+        |  FROM c WHERE next_us IS NULL OR next_us >= apply_us
+        |  UNION ALL
+        |  SELECT user_id, cmd_us, 1, event_id, NULL, apply_us, NULL FROM c
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 2, event_id, NULL, NULL, ts
+        |  FROM events WHERE event_type NOT IN ('signup', 'error')),
+        |w AS (
+        |  SELECT *,
+        |    LAST_VALUE(target IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, kind, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+        |    LAST_VALUE(arm_us IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, kind, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_arm_us
+        |  FROM tl)
+        |SELECT event_id, user_id, ts,
+        |  COALESCE(st, 0) = 1 AS enabled,
+        |  COALESCE(last_arm_us, 0) > t_us AS pending
+        |FROM w WHERE kind = 2""".stripMargin,
+    "config_gate" ->
+      """SELECT event_id, user_id, ts, event_type,
+        |  COALESCE(gate, 0) = 1 AS gate_on,
+        |  COALESCE(blackout_us, 0) > epoch_us(ts) AS in_restart,
+        |  COALESCE(gate, 0) = 1 AND NOT (COALESCE(blackout_us, 0) > epoch_us(ts)) AS forwarded
+        |FROM (
+        |  SELECT *,
+        |    LAST_VALUE(gate_v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, ctl, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gate,
+        |    LAST_VALUE(restart_until IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, ctl, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blackout_us
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN event_type = 'signup' THEN 1 WHEN event_type = 'error' THEN 0 END AS gate_v,
+        |      CASE WHEN event_type = 'purchase' THEN epoch_us(ts) + 43200000000 END AS restart_until,
+        |      CASE WHEN event_type IN ('signup', 'error', 'purchase') THEN 0 ELSE 1 END AS ctl
+        |    FROM events) a) b
+        |WHERE event_type NOT IN ('signup', 'error', 'purchase')""".stripMargin,
     "events_funnel" ->
       """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id),
         |p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts

@@ -203,6 +203,103 @@ object Telemetry {
         max(when(lost, $"ts")).as("last_lost"))
   }
 
+  /** Delayed status transitions (serial_streaming.lua SetStatus
+    * 120-180): a command `SetStatus(enabled, timeout)` with timeout
+    * τ > 0 moves the service into the intermediate Paused state and
+    * applies the target only at t+τ (the armed timer); a NEWER
+    * command disarms the pending timer, so a command applies iff no
+    * later command arrives before its apply instant (the timer wins
+    * exact ties). τ ≙ (event_id % 4) minutes, so ~1/4 of commands are
+    * immediate. Control events: 'signup' → enable, 'error' →
+    * disable; streams start disabled. `tauUnitSecs` scales the timer
+    * (the reference arms seconds; the synthetic corpus has ~4-day
+    * inter-event gaps, so the gate runs day-scale timers to exercise
+    * the Paused window on real data).
+    *
+    * Every DATA event is tagged with the state actually in effect at
+    * its event time (`enabled`) and whether a timer was still pending
+    * (`pending` — the Paused window). One shuffle (hash by user):
+    * each command contributes two timeline rows — its ARRIVAL
+    * (carrying the apply instant, for pending detection) and, when
+    * armed, its APPLY point (carrying the target state) — and two
+    * running last-non-null windows recover both facts; the same
+    * union+window shape as [[relayGate]], which is the instantaneous
+    * (τ=0) special case. Streaming twin:
+    * [[graft.streaming.StreamRelay.statefulDelayed]], parity-tested.
+    */
+  def statusDelayed(spark: SparkSession, dir: String,
+      tauUnitSecs: Long = 60L): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cmds = ev.filter($"event_type".isin("signup", "error"))
+      .select($"user_id", $"event_id",
+        when($"event_type" === "signup", 1).otherwise(0).as("target"),
+        unix_micros($"ts").as("cmd_us"),
+        (unix_micros($"ts") + ($"event_id" % 4) * (tauUnitSecs * 1000000L)).as("apply_us"))
+      .withColumn("next_us",
+        lead($"cmd_us", 1).over(Window.partitionBy($"user_id")
+          .orderBy($"cmd_us".asc, $"event_id".asc)))
+    // kind order at equal t_us: timer fires (0), then command arrival
+    // (1), then data events (2) — the disarm/tie contract above
+    val applies = cmds.filter($"next_us".isNull || $"next_us" >= $"apply_us")
+      .select($"user_id", $"apply_us".as("t_us"), lit(0).as("kind"), $"event_id",
+        $"target", lit(null).cast(LongType).as("arm_us"),
+        lit(null).cast("timestamp").as("ts"))
+    val arrivals = cmds
+      .select($"user_id", $"cmd_us".as("t_us"), lit(1).as("kind"), $"event_id",
+        lit(null).cast(IntegerType).as("target"), $"apply_us".as("arm_us"),
+        lit(null).cast("timestamp").as("ts"))
+    val data = ev.filter(!$"event_type".isin("signup", "error"))
+      .select($"user_id", unix_micros($"ts").as("t_us"), lit(2).as("kind"),
+        $"event_id", lit(null).cast(IntegerType).as("target"),
+        lit(null).cast(LongType).as("arm_us"), $"ts")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"t_us".asc, $"kind".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    applies.unionByName(arrivals).unionByName(data)
+      .withColumn("st", last($"target", ignoreNulls = true).over(w))
+      .withColumn("last_arm_us", last($"arm_us", ignoreNulls = true).over(w))
+      .filter($"kind" === 2)
+      .select($"event_id", $"user_id", $"ts",
+        (coalesce($"st", lit(0)) === 1).as("enabled"),
+        (coalesce($"last_arm_us", lit(0L)) > $"t_us").as("pending"))
+  }
+
+  /** Config-change classification + restart windows
+    * (transparent_serial_proxy.lua onConfigChange 143-167): a change
+    * to the `enabled` parameter only toggles the relay gate; ANY
+    * other parameter change forces a service restart. Control events
+    * 'signup'/'error' are enabled-changes (gate on/off, as in
+    * [[relayGate]]); 'purchase' stands in for an other-parameter
+    * config change and opens a `restartSecs` restart blackout during
+    * which the proxy forwards nothing. Every data event is tagged
+    * with the gate state, whether it fell inside a restart window,
+    * and the resulting forwarded verdict. Same single-shuffle
+    * union+window shape as [[statusDelayed]]. */
+  def configGate(spark: SparkSession, dir: String, restartSecs: Long = 30L): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val gateCtrl = $"event_type" === "signup" || $"event_type" === "error"
+    val restartCtrl = $"event_type" === "purchase"
+    val tagged = ev
+      .withColumn("gate_v", when($"event_type" === "signup", 1)
+        .when($"event_type" === "error", 0))
+      .withColumn("restart_until",
+        when(restartCtrl, unix_micros($"ts") + restartSecs * 1000000L))
+    val w = Window.partitionBy($"user_id")
+      // control rows sort ahead of data rows at the same instant
+      .orderBy($"ts".asc, when(gateCtrl || restartCtrl, 0).otherwise(1).asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("gate", last($"gate_v", ignoreNulls = true).over(w))
+      .withColumn("blackout_us", last($"restart_until", ignoreNulls = true).over(w))
+      .filter(!gateCtrl && !restartCtrl)
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        (coalesce($"gate", lit(0)) === 1).as("gate_on"),
+        (coalesce($"blackout_us", lit(0L)) > unix_micros($"ts")).as("in_restart"))
+      .withColumn("forwarded", $"gate_on" && !$"in_restart")
+  }
+
   /** Status-transition timeline (serial_streaming.lua SetStatus):
     * state = event_type; count transitions between distinct states
     * and total dwell time (µs, exact) in the source state. */

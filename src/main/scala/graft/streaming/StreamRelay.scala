@@ -225,6 +225,58 @@ object StreamRelay {
       }
   }
 
+  case class DelayedOut(user_id: Long, event_id: Long, enabled: Boolean, pending: Boolean)
+  /** (current status, pending target, pending apply time µs) — apply
+    * time Long.MinValue when no timer is armed. */
+  case class DelayedState(cur: Int, pendTarget: Int, pendApplyUs: Long)
+
+  /** Delayed status transitions as streaming state — the timer twin
+    * of [[graft.operators.Telemetry.statusDelayed]] (reference:
+    * serial_streaming.lua SetStatus): a command with timeout τ arms a
+    * pending transition applied at t+τ; a newer command disarms it
+    * (the timer wins exact ties, matching the batch plan's
+    * armed-iff-next ≥ apply rule). The timer is applied LAZILY when
+    * the next event for the user crosses the apply instant — data
+    * events only observe state AT their event time, so lazy firing is
+    * observationally identical to a wall-clock timer while keeping
+    * per-key state at three fields. Delivery contract as
+    * [[statefulGate]]: micro-batches arrive in event-time order per
+    * key. */
+  def statefulDelayed(events: Dataset[GateEvent], tauUnitUs: Long): Dataset[DelayedOut] = {
+    import events.sparkSession.implicits._
+    val none = Long.MinValue
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DelayedState, DelayedOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, evs, state: GroupState[DelayedState]) =>
+          var st = state.getOption.getOrElse(DelayedState(0, 0, none))
+          def firePending(t: Long): Unit =
+            if (st.pendApplyUs != none && st.pendApplyUs <= t)
+              st = DelayedState(st.pendTarget, 0, none)
+          // controls sort ahead of data at the same instant (the
+          // batch plan's kind order: apply 0, arrival 1, data 2)
+          val ordered = evs.toSeq.sortBy(e =>
+            (e.ts_us, if (e.event_type == "signup" || e.event_type == "error") 0 else 1,
+              e.event_id))
+          val out = ordered.flatMap { e =>
+            firePending(e.ts_us)
+            e.event_type match {
+              case "signup" | "error" =>
+                val target = if (e.event_type == "signup") 1 else 0
+                val tau = (e.event_id % 4) * tauUnitUs
+                st = if (tau <= 0) DelayedState(target, 0, none)
+                     else DelayedState(st.cur, target, e.ts_us + tau)
+                None
+              case _ =>
+                Some(DelayedOut(e.user_id, e.event_id, st.cur == 1,
+                  st.pendApplyUs != none && st.pendApplyUs > e.ts_us))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-user transmission budget as streaming state: events pass
     * through until the cumulative KB crosses the budget, then the
     * stream for that user shuts down (reference: 100 MB shutdown). */

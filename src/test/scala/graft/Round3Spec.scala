@@ -105,6 +105,40 @@ class Round3Spec extends SparkSpec {
     assert(ex.getMessage.contains("long"), ex.getMessage)
   }
 
+  // --- delayed status: streaming twin ---------------------------------------
+
+  test("statefulDelayed matches the batch statusDelayed operator across batches") {
+    import graft.sources.Tables
+    import graft.streaming.StreamRelay
+    val dir = java.nio.file.Files.createTempDirectory("graft_delayed").toString
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
+    val cut = ev.agg(max($"ts_us")).head().getLong(0) - 7L * 86400 * 1000000
+    ev.filter($"ts_us" <= cut).coalesce(1).write.parquet(s"$dir/a_first")
+    ev.filter($"ts_us" > cut).coalesce(1).write.parquet(s"$dir/b_second")
+    val schema = spark.read.parquet(s"$dir/a_first").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[StreamRelay.GateEvent]
+    val out = StreamRelay.statefulDelayed(stream, tauUnitUs = 86400L * 1000000L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("delayed_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("delayed_out").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Boolean]("enabled"), r.getAs[Boolean]("pending"))).toMap
+    val batch = graft.operators.Telemetry.statusDelayed(spark, sf, tauUnitSecs = 86400L)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Boolean]("enabled"), r.getAs[Boolean]("pending"))).toMap
+    assert(streamed.keySet == batch.keySet)
+    assert(streamed == batch,
+      "per-event (enabled, pending) must match across streaming batches and the batch plan")
+    // the timer machinery must actually be exercised
+    assert(batch.values.exists(_._2) && batch.values.exists(!_._2))
+    assert(batch.values.exists(_._1) && batch.values.exists(!_._1))
+  }
+
   // --- codec edge cases (round-2 advisory) ----------------------------------
 
   test("PackFrame quarantines frames with null sample elements") {
