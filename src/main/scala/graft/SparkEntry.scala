@@ -87,6 +87,11 @@ object SparkEntry {
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
     // B. streaming relay (Structured Streaming, driven to completion)
     "stream_relay" -> (graft.streaming.StreamRelay.windowedRelay _),
+    // D. streaming incremental dedup: the documents corpus as two
+    // micro-batches through the stateful LSH band index; matches the
+    // batch minhashEstimate pair set only if batch-2 arrivals are
+    // caught against batch-1 state
+    "dedup_stream" -> (graft.streaming.StreamDedup.streamedDedup _),
   )
 
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
@@ -144,6 +149,23 @@ object SparkEntry {
       |        CAST(embedding[d+1] AS DOUBLE) * CAST(((1 + (p*64+d)*2654435761) % 1000003) - 500001 AS DOUBLE))), (a,t) -> a+t) AS proj
       |    FROM embeddings, UNNEST(range(0,4)) AS tp(p)) q
       |  GROUP BY vec_id, embedding)""".stripMargin
+
+  /** Shared by dedup_minhash_est (single-scan batch) and dedup_stream
+    * (stateful incremental index) — both must produce the identical
+    * estimated-Jaccard candidate pair set. */
+  private def minhashEstSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |  THEN list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+       |  ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
+       |hs AS (SELECT doc_id, list_transform(shingles, s -> ${ph("s")}) AS hh FROM sh),
+       |mh AS (SELECT doc_id, list_transform(range(0,16), j ->
+       |  list_min(list_transform(hh, h -> (CAST(37 + 101*j AS BIGINT)*h + CAST(1000003*j + 12345 AS BIGINT)) % 2147483647))) AS m FROM hs),
+       |bands AS (SELECT doc_id, m, b, list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(m, 4*b+1, 4*b+4)), (h,x) -> (h*31+x) % 1000000007) AS bkey
+       |  FROM mh, UNNEST(range(0,4)) AS tb(b))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_filter(range(1,17), i -> a.m[i] = b.m[i])) AS DOUBLE) / 16.0 AS est_jaccard
+       |FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
 
   /** Shared by q_asof (union+window shape) and q_asof_native (custom
     * Catalyst operator) — both must produce identical results. */
@@ -373,19 +395,10 @@ object SparkEntry {
       s"""WITH RECURSIVE $clusterCtes
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin,
-    "dedup_minhash_est" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-         |  THEN list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-         |  ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
-         |hs AS (SELECT doc_id, list_transform(shingles, s -> ${ph("s")}) AS hh FROM sh),
-         |mh AS (SELECT doc_id, list_transform(range(0,16), j ->
-         |  list_min(list_transform(hh, h -> (CAST(37 + 101*j AS BIGINT)*h + CAST(1000003*j + 12345 AS BIGINT)) % 2147483647))) AS m FROM hs),
-         |bands AS (SELECT doc_id, m, b, list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(m, 4*b+1, 4*b+4)), (h,x) -> (h*31+x) % 1000000007) AS bkey
-         |  FROM mh, UNNEST(range(0,4)) AS tb(b))
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(len(list_filter(range(1,17), i -> a.m[i] = b.m[i])) AS DOUBLE) / 16.0 AS est_jaccard
-         |FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_minhash_est" -> minhashEstSql,
+    // the streaming incremental index must recover the batch
+    // operator's exact pair set (same hashes, same agree/16 estimate)
+    "dedup_stream" -> minhashEstSql,
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
          |th AS (SELECT doc_id, list_transform(t, tok ->

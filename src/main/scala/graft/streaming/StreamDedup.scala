@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.{HashFns, TextFns}
+
+/** Streaming incremental near-duplicate detection — the piece a
+  * production training-data pipeline runs daily: newly arriving
+  * documents are flagged against the EXISTING corpus without
+  * re-scanning it.
+  *
+  * The state is the LSH band index itself: per (band, bandkey) bucket,
+  * the member list (doc_id, MinHash signature). A new document joins
+  * each of its 4 band buckets and immediately emits an estimated-
+  * Jaccard candidate pair against every member already there — the
+  * incremental twin of [[graft.operators.Dedup.minhashEstimate]]'s
+  * single-scan batch shape, with identical hashes and the identical
+  * agree/16 estimate, so a replay of the corpus through the stream
+  * produces exactly the batch operator's pair set (parity-tested, and
+  * oracle-gated as `dedup_stream`).
+  *
+  * Scale posture: state shards by bucket key (the same equi-join key
+  * the batch plan shuffles on), per-bucket membership is capped at
+  * `maxBucket` (the SimHash stop-band rule — a hot bucket stops
+  * absorbing members but keeps comparing, trading recall for bounded
+  * state), and signatures are 16 longs per member — the 100 TB corpus
+  * never re-shuffles, only the day's increment moves.
+  */
+object StreamDedup {
+
+  case class BandRow(band: Int, bkey: Long, doc_id: Long, sig: Seq[Long])
+  case class Member(id: Long, sig: Seq[Long])
+  case class PairOut(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  private var sinkCounter = 0
+
+  /** (doc_id, text) stream → one row per (band, bucket) — the same
+    * MinHash + band-key plan as the batch operator, stateless, so it
+    * runs identically over bounded or unbounded sources. */
+  def bandRows(docs: DataFrame): Dataset[BandRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", HashFns.minHashesNative(TextFns.shingleSet($"text", 3)).as("mh"))
+      .select($"doc_id", $"mh", explode(array((0 until HashFns.Bands).map { b =>
+        struct(lit(b).as("band"),
+          HashFns.foldKey(slice($"mh", b * HashFns.RowsPerBand + 1, HashFns.RowsPerBand))
+            .as("bkey"))
+      }: _*)).as("bk"))
+      .select($"bk.band".as("band"), $"bk.bkey".as("bkey"), $"doc_id", $"mh".as("sig"))
+      .as[BandRow]
+  }
+
+  /** The stateful core: per-bucket member lists; every arrival emits
+    * candidate pairs against the bucket's existing members (state
+    * from ALL previous batches plus earlier arrivals in this batch).
+    * Estimate = agreeing signature components / 16, bit-identical to
+    * the batch SigAgreeCount path. */
+  def incrementalPairs(bands: Dataset[BandRow], maxBucket: Int = 200): Dataset[PairOut] = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    bands.groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[Seq[Member], PairOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Seq[Member]]) =>
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+          // deterministic intra-batch order (arrival order proxy)
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!members.exists(_.id == r.doc_id)) {   // replay-safe
+              members.foreach { m =>
+                var c = 0
+                var i = 0
+                val n = math.min(m.sig.length, r.sig.length)
+                while (i < n) { if (m.sig(i) == r.sig(i)) c += 1; i += 1 }
+                val (a, b) = if (m.id < r.doc_id) (m.id, r.doc_id) else (r.doc_id, m.id)
+                out += PairOut(a, b, c / 16.0d)
+              }
+              // hot-bucket cap: stop absorbing, keep comparing
+              if (members.size < maxBucket) members = members :+ Member(r.doc_id, r.sig)
+            }
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+
+  /** The batch-gated end-to-end run (`dedup_stream`): the documents
+    * table staged as TWO micro-batches (split at the median doc_id),
+    * streamed through the incremental index, pairs deduplicated
+    * across bands on the sink read-back. A near-duplicate whose
+    * partner arrived in the earlier batch is caught against the
+    * bucket state, not a rescan — the oracle (dedup_minhash_est's
+    * pair set) only matches if cross-batch detection works. */
+  def streamedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.Files
+    val docs = graft.sources.Tables.documents(spark, dir).select($"doc_id", $"text")
+    val cut = docs.agg(((min($"doc_id") + max($"doc_id")) / 2).cast("long")).head().getLong(0)
+    val tmp = Files.createTempDirectory("graft_sdedup_")
+    try {
+      docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$tmp/in/a_first")
+      docs.filter($"doc_id" > cut).coalesce(1).write.parquet(s"$tmp/in/b_second")
+      val schema = spark.read.parquet(s"$tmp/in/a_first").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+      val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_stream_$sinkCounter" }
+      val q = incrementalPairs(bandRows(stream))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      // one pair per band bucket shared -> distinct across bands
+      // (est_jaccard depends only on the full signatures, so the
+      // duplicates are exact); the memory sink holds the rows, so the
+      // staged input can be deleted below without breaking lineage
+      spark.table(name).distinct()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+}

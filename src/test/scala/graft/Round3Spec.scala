@@ -139,6 +139,39 @@ class Round3Spec extends SparkSpec {
     assert(batch.values.exists(_._1) && batch.values.exists(!_._1))
   }
 
+  // --- streaming incremental dedup ------------------------------------------
+
+  test("streamed dedup recovers the batch minhashEstimate pair set across batches") {
+    import graft.streaming.StreamDedup
+    val streamed = StreamDedup.streamedDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minhashEstimate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("a near-duplicate arriving in batch 2 is caught against batch 1's corpus") {
+    import graft.streaming.StreamDedup
+    // engineered corpus: doc 2 (batch 1, ids <= cut=5) and doc 9
+    // (batch 2) are near-identical — the pair is only findable if
+    // batch 2 probes state built from batch 1
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, base),
+      (3L, "completely different text about spark catalyst planning rules"),
+      (9L, base + " ok"),
+      (10L, "unrelated closing document with its own vocabulary entirely")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val pairs = StreamDedup.streamedDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 9L)),
+      s"cross-batch near-dup (2,9) must be caught; got $pairs")
+  }
+
   // --- codec edge cases (round-2 advisory) ----------------------------------
 
   test("PackFrame quarantines frames with null sample elements") {
