@@ -636,16 +636,21 @@ object SparkEntry {
         |    (a,b) -> a+b)) AS BIGINT) AS sample_sum,
         |  TRUE AS sync_ok
         |FROM events GROUP BY user_id""".stripMargin,
+    // blob sizes and payload bytes are UTF-8 BYTE quantities:
+    // strlen() (bytes), not length() (code points), and the payload
+    // head sum walks the hex of the encoded text — exact for any
+    // Unicode corpus, not just ASCII
     "mm_meta" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN lang = 'en' THEN 33 WHEN lang = 'de' THEN 21
-        |            WHEN lang = 'es' THEN 30 ELSE 12 END + length(text) AS BIGINT) AS n_bytes,
+        |            WHEN lang = 'es' THEN 30 ELSE 12 END + strlen(text) AS BIGINT) AS n_bytes,
         |  CAST((n_chars % 64) + 1 AS BIGINT) AS width,
         |  CAST((doc_id % 48) + 1 AS BIGINT) AS height,
         |  CASE WHEN lang = 'en' THEN 'png' WHEN lang = 'de' THEN 'jpeg'
         |       WHEN lang = 'es' THEN 'webp' ELSE 'raw' END AS format,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, 9), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |    list_transform(range(0, LEAST(strlen(text), 8)),
+        |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT))),
         |    (a,b) -> a+b) AS payload_head_sum
         |FROM documents""".stripMargin,
     "mm_resize" ->
@@ -656,7 +661,7 @@ object SparkEntry {
         |  CAST(greatest(((doc_id % 48) + 1) // 2, 1) AS BIGINT) AS height,
         |  CAST(CASE WHEN lang = 'en' THEN 33 WHEN lang = 'de' THEN 21
         |            WHEN lang = 'es' THEN 30 ELSE 12 END
-        |       + least(length(text), 16) AS BIGINT) AS n_bytes
+        |       + least(strlen(text), 16) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
     "stream_relay" ->
       """SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000) AS window_start,

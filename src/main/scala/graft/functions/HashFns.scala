@@ -21,8 +21,9 @@ object HashFns {
   val Bands = 4
   val RowsPerBand = 4
 
-  /** Code points of a string as longs (text here is ASCII; `ascii`
-    * yields the leading code point per single-char token). */
+  /** Code points of a string as longs: split("") yields one element
+    * per code point and `ascii` its value — the same contract as
+    * DuckDB's string_split('')+ascii(), for any Unicode text. */
   def codePoints(c: Column): Column =
     transform(split(c, ""), ch => ascii(ch).cast(LongType))
 

@@ -22,14 +22,21 @@ object HashExprs {
   val P: Long = 1000000007L
   val P31: Long = 2147483647L
 
-  /** h = fold(chars)(h*mul + code) mod `mod` — chars as UTF-16 units,
-    * matching split('')+ascii() for BMP text. */
+  /** h = fold(code points)(h*mul + cp) mod `mod`. CODE POINTS, not
+    * UTF-16 units: DuckDB's string_split('')+ascii() iterates code
+    * points (one element per code point, ascii = the code point), and
+    * Spark's own split/ascii builtins do too — a charAt loop would
+    * silently diverge on any non-BMP character (surrogate pairs). */
   @inline def polyHash(s: UTF8String, mul: Long, mod: Long): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
     val n = str.length
-    while (i < n) { h = (h * mul + str.charAt(i)) % mod; i += 1 }
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * mul + cp) % mod
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -85,11 +92,11 @@ object HashExprs {
       var h1 = 0L
       var h2 = 0L
       var i = 0
-      while (i < str.length) {
-        val c = str.charAt(i)
+      while (i < str.length) {          // code points (see polyHash)
+        val c = str.codePointAt(i)
         h1 = (h1 * 31 + c) % P31
         h2 = (h2 * 37 + c) % P31
-        i += 1
+        i += Character.charCount(c)
       }
       val th = h1 + h2 * 2147483648L
       var b = 0

@@ -52,13 +52,17 @@ object TextExprs {
     new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
   }
 
-  /** Static body for CharNGramSet (also called from generated code). */
+  /** Static body for CharNGramSet (also called from generated code).
+    * Windows are CODE-POINT indexed: Spark's length()/substring() and
+    * DuckDB's length()/substr() both count code points, so a UTF-16
+    * window would shift every gram after the first non-BMP char. */
   def ngrams(v: UTF8String, n: Int): ArrayData = {
     val s = v.toString.toLowerCase(java.util.Locale.ROOT)
     val out = new mutable.LinkedHashSet[String]
-    if (s.length >= n) {
+    val cps = s.codePoints().toArray
+    if (cps.length >= n) {
       var i = 0
-      while (i + n <= s.length) { out += s.substring(i, i + n); i += 1 }
+      while (i + n <= cps.length) { out += new String(cps, i, n); i += 1 }
     } else out += s
     new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
   }

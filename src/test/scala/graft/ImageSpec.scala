@@ -120,12 +120,20 @@ class ImageSpec extends SparkSpec {
     assert(over.isNullAt(0))
   }
 
-  test("oracle-parity ASCII assumption holds on the test corpus") {
-    // mm_meta / hash / text oracles equate char length with byte
-    // length; if the corpus ever grows non-ASCII text this must fail
-    // loudly rather than silently desyncing the DuckDB comparison
-    val nonAscii = Tables.documents(spark, sf)
-      .filter(octet_length($"text") =!= length($"text")).count()
-    assert(nonAscii == 0, "documents corpus must be ASCII for oracle parity")
+  test("codec handles non-ASCII payloads: blob sizes are UTF-8 bytes") {
+    // round-3 lifted the ASCII-corpus restriction: hashes/ngrams are
+    // code-point-defined and the mm oracles count UTF-8 bytes
+    // (strlen/hex walk), so a non-ASCII payload must round-trip with
+    // byte-accurate sizes. 'héllo😀' = 6 code points, 10 UTF-8 bytes.
+    val r = Seq(Tuple1("héllo😀")).toDF("t")
+      .select(
+        Image.pack(lit("png"), lit(3L), lit(2L), encode($"t", "UTF-8")).as("blob"),
+        length($"t").as("cps"), octet_length(encode($"t", "UTF-8")).as("bytes"))
+      .withColumn("m", Image.decode($"blob"))
+      .select($"cps", $"bytes", octet_length($"blob").as("blob_len"),
+        $"m.format".as("fmt")).head()
+    assert(r.getInt(0) == 6 && r.getInt(1) == 10)
+    assert(r.getInt(2) == Image.PngHeaderLen + 10, "blob length counts bytes")
+    assert(r.getString(3) == "png")
   }
 }

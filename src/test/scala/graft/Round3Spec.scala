@@ -172,6 +172,33 @@ class Round3Spec extends SparkSpec {
       s"cross-batch near-dup (2,9) must be caught; got $pairs")
   }
 
+  // --- non-ASCII code-point semantics ---------------------------------------
+
+  test("hashes and ngrams are code-point-defined: native == HOF on non-ASCII") {
+    import graft.functions.{HashFns, TextFns}
+    // accents (2-byte UTF-8), CJK (3-byte), emoji (4-byte, non-BMP:
+    // a UTF-16 charAt loop would hash surrogate halves and diverge)
+    val docs = Seq("héllo wörld café", "中文 文本 处理", "emoji 😀 inside 🚀 text",
+      "mixed ascii and 日本語 and más").toDF("text")
+    val r = docs.select(
+      HashFns.polyHash($"text").as("nat"),
+      HashFns.polyHashHof($"text").as("hof"),
+      HashFns.simHash(TextFns.tokens($"text")).as("nat_sh"),
+      HashFns.simHashHof(TextFns.tokens($"text")).as("hof_sh"),
+      array_sort(TextFns.charNGrams($"text", 4)).as("nat_ng"),
+      array_sort(TextFns.charNGramsHof($"text", 4)).as("hof_ng")).collect()
+    r.foreach { row =>
+      assert(row.getLong(0) == row.getLong(1), "polyHash code-point parity")
+      assert(row.getLong(2) == row.getLong(3), "simHash code-point parity")
+      assert(row.getSeq[String](4) == row.getSeq[String](5), "ngram code-point parity")
+    }
+    // 4-gram windows must slide by code point: "abc😀e" has exactly
+    // two 4-grams, ["abc😀", "bc😀e"]
+    val g = Seq("abc😀e").toDF("text")
+      .select(TextFns.charNGrams($"text", 4)).head().getSeq[String](0)
+    assert(g == Seq("abc😀", "bc😀e"), g.toString)
+  }
+
   // --- codec edge cases (round-2 advisory) ----------------------------------
 
   test("PackFrame quarantines frames with null sample elements") {
