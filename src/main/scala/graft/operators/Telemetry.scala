@@ -218,13 +218,16 @@ object Telemetry {
     *
     * Every DATA event is tagged with the state actually in effect at
     * its event time (`enabled`) and whether a timer was still pending
-    * (`pending` — the Paused window). One shuffle (hash by user):
-    * each command contributes two timeline rows — its ARRIVAL
-    * (carrying the apply instant, for pending detection) and, when
-    * armed, its APPLY point (carrying the target state) — and two
-    * running last-non-null windows recover both facts; the same
-    * union+window shape as [[relayGate]], which is the instantaneous
-    * (τ=0) special case. Streaming twin:
+    * (`pending` — the Paused window). Each command contributes two
+    * timeline rows — its ARRIVAL (carrying the apply instant, for
+    * pending detection) and, when armed, its APPLY point (carrying
+    * the target state) — and two running last-non-null windows
+    * recover both facts; the same union+window shape as
+    * [[relayGate]], which is the instantaneous (τ=0) special case.
+    * The data stream shuffles ONCE (hash by user); commands take one
+    * extra narrow pre-pass (the lead window that decides arming) over
+    * control rows only, a vanishing fraction of the stream; filters
+    * push to the scans (explain-verified). Streaming twin:
     * [[graft.streaming.StreamRelay.statefulDelayed]], parity-tested.
     */
   def statusDelayed(spark: SparkSession, dir: String,
@@ -286,9 +289,12 @@ object Telemetry {
         .when($"event_type" === "error", 0))
       .withColumn("restart_until",
         when(restartCtrl, unix_micros($"ts") + restartSecs * 1000000L))
+      // materialized so both window lasts share ONE Window node (an
+      // inline expression in orderBy defeats spec-equality matching)
+      .withColumn("ctl", when(gateCtrl || restartCtrl, 0).otherwise(1))
     val w = Window.partitionBy($"user_id")
       // control rows sort ahead of data rows at the same instant
-      .orderBy($"ts".asc, when(gateCtrl || restartCtrl, 0).otherwise(1).asc, $"event_id".asc)
+      .orderBy($"ts".asc, $"ctl".asc, $"event_id".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("gate", last($"gate_v", ignoreNulls = true).over(w))

@@ -104,7 +104,13 @@ object StreamDedup {
       docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$tmp/in/a_first")
       docs.filter($"doc_id" > cut).coalesce(1).write.parquet(s"$tmp/in/b_second")
       val schema = spark.read.parquet(s"$tmp/in/a_first").schema
-      val stream = spark.readStream.schema(schema)
+      // cloned session (shared context, independent SQLConf): each
+      // state store pays checkpoint sync per micro-batch, so 8 stores
+      // beat 32 for a small-increment stateful op — same rationale as
+      // windowedRelay, without mutating the caller's conf
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
       val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_stream_$sinkCounter" }
       val q = incrementalPairs(bandRows(stream))
@@ -114,7 +120,7 @@ object StreamDedup {
       // (est_jaccard depends only on the full signatures, so the
       // duplicates are exact); the memory sink holds the rows, so the
       // staged input can be deleted below without breaking lineage
-      spark.table(name).distinct()
+      ss.table(name).distinct()
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = Files.walk(tmp)
