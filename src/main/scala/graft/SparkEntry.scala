@@ -33,6 +33,7 @@ object SparkEntry {
     "q_moments" -> (Relational.qMoments _),
     "q_sketch_distinct" -> ((s: SparkSession, d: String) => Relational.qSketchDistinct(s, d)),
     "q_quantiles" -> (Relational.qQuantiles _),
+    "q_quantiles_approx" -> ((s: SparkSession, d: String) => Relational.qQuantilesApprox(s, d)),
     "q_skewjoin" -> (Relational.qSkewJoin _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "sample_strata" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStrata(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redact(s, d)),
+    "corpus_pipeline" -> ((s: SparkSession, d: String) => TextAnalysis.corpusPipeline(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
@@ -85,6 +87,7 @@ object SparkEntry {
     // G. multimodal
     "mm_meta" -> (Multimodal.meta _),
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
+    "mm_framesample" -> ((s: SparkSession, d: String) => Frames.frameSample(s, d)),
     // B. streaming relay (Structured Streaming, driven to completion)
     "stream_relay" -> (graft.streaming.StreamRelay.windowedRelay _),
     // D. streaming incremental dedup: the documents corpus as two
@@ -526,6 +529,17 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
         |  FROM lineitem) t
         |GROUP BY l_returnflag""".stripMargin,
+    "q_quantiles_approx" ->
+      s"""SELECT l_returnflag,
+         |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN l_extendedprice END) AS p50,
+         |  MAX(CASE WHEN rn = CEIL(n * 0.95) THEN l_extendedprice END) AS p95,
+         |  MAX(n) AS n_sampled
+         |FROM (SELECT l_returnflag, l_extendedprice,
+         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem
+         |  WHERE ${ph("CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)")} % 100 < 10) t
+         |GROUP BY l_returnflag""".stripMargin,
     "q_skewjoin" ->
       """SELECT s_nationkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -564,6 +578,28 @@ object SparkEntry {
         |FROM sh s JOIN ev USING (shingle)
         |WHERE s.doc_id >= 50
         |GROUP BY s.doc_id""".stripMargin,
+    // quality gate + dedup survivors + decontamination + stratified
+    // sample, as one conjunction over the same cluster/shingle CTEs
+    // the individual oracles use
+    "corpus_pipeline" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |sh5 AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 5
+         |    THEN list_transform(range(1, len(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+         |    ELSE [array_to_string(t, ' ')] END)) AS shingle
+         |  FROM toks),
+         |ev5 AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id < 50),
+         |contaminated AS (SELECT DISTINCT s.doc_id FROM sh5 s JOIN ev5 USING (shingle) WHERE s.doc_id >= 50)
+         |SELECT doc_id, lang, source, n_tokens, bucket FROM (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |    ${ph("text")} % 100 AS bucket
+         |  FROM documents) b
+         |WHERE n_tokens >= 10 AND punct_ratio < 0.1 AND bucket < 20
+         |  AND doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(text, '(?i)customer', '<REDACTED>', 'g') AS redacted,
@@ -663,6 +699,19 @@ object SparkEntry {
         |            WHEN lang = 'es' THEN 30 ELSE 12 END
         |       + least(strlen(text), 16) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    "mm_framesample" ->
+      """SELECT device_id, COUNT(*) AS n_sampled,
+        |  CAST(SUM(ssum) AS BIGINT) AS sample_sum,
+        |  MIN(ts_secs) AS first_ts_secs, MAX(ts_secs) AS last_ts_secs
+        |FROM (
+        |  SELECT user_id AS device_id, epoch_us(ts) // 1000000 AS ts_secs,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768)),
+        |      (a,b) -> a+b) AS ssum,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events) t
+        |WHERE (rn - 1) % 4 = 0
+        |GROUP BY device_id""".stripMargin,
     "stream_relay" ->
       """SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000) AS window_start,
         |  event_type, COUNT(*) AS n_events,

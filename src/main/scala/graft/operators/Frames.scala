@@ -87,8 +87,11 @@ object Frames {
     wireParse(wireBlobs(framed, framesPerBlob))
   }
 
-  /** (device_id, event_id, frame) → rolled (device_id, wire) blobs.
-    * One blob per `framesPerBlob` consecutive frames per device. */
+  /** (device_id, event_id, frame) → rolled (device_id, blob_seq,
+    * wire) blobs. One blob per `framesPerBlob` consecutive frames per
+    * device; frames inside a blob are event-id ordered, so
+    * blob_seq·framesPerBlob + in-blob position is the device's global
+    * frame index. */
   private[graft] def wireBlobs(framed: DataFrame, framesPerBlob: Int): DataFrame = {
     val spark = framed.sparkSession
     import spark.implicits._
@@ -99,7 +102,7 @@ object Frames {
       .withColumn("blob_seq", floor((row_number().over(byDevice) - 1) / framesPerBlob))
       .groupBy($"device_id", $"blob_seq")
       .agg(sort_array(collect_list(struct($"event_id", $"frame"))).as("fs"))
-      .select($"device_id",
+      .select($"device_id", $"blob_seq",
         Frame.binJoin(transform($"fs", f => f.getField("frame")), 0x3a).as("wire"))
   }
 
@@ -122,6 +125,36 @@ object Frames {
         sum(aggregate(transform($"parsed.samples", s => s.cast(LongType)), lit(0L), _ + _))
           .as("sample_sum"),
         min($"sync_ok").as("sync_ok"))
+  }
+
+  /** Container-level FRAME SAMPLING (the video frame-sample pattern
+    * over the engine's real container format): keep every k-th frame
+    * per device from the rolled wire blobs — a media pipeline
+    * extracting every k-th video frame for feature work does exactly
+    * this against its chunked containers. The sample index is the
+    * device's GLOBAL frame position (blob_seq·framesPerBlob + in-blob
+    * offset), so the stride runs across blob boundaries; only the
+    * sampled 1/k frames are parsed past the split. */
+  def frameSample(spark: SparkSession, dir: String, k: Int = 4,
+      framesPerBlob: Int = 64): DataFrame = {
+    import spark.implicits._
+    val framed = parsedFrames(spark, dir)
+      .select($"user_id".as("device_id"), $"event_id", $"frame")
+    val unit = Frame.FrameLen + 1
+    val n = (octet_length($"wire") / unit).cast(LongType)
+    wireBlobs(framed, framesPerBlob)
+      .select($"device_id", $"blob_seq",
+        posexplode(transform(sequence(lit(0L), n - 1),
+          i => $"wire".substr((i * unit + 1).cast("int"), lit(Frame.FrameLen)))))
+      .withColumn("global_idx", $"blob_seq" * framesPerBlob + $"pos")
+      .filter($"global_idx" % k === 0)
+      .withColumn("parsed", Frame.unpack($"col"))
+      .groupBy($"device_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(aggregate(transform($"parsed.samples", s => s.cast(LongType)), lit(0L), _ + _))
+          .as("sample_sum"),
+        min($"parsed.ts_secs".cast(LongType)).as("first_ts_secs"),
+        max($"parsed.ts_secs".cast(LongType)).as("last_ts_secs"))
   }
 
   /** Per-device stats over parsed sample payloads. */

@@ -303,6 +303,37 @@ object Relational {
         max($"n").as("n_rows"))
   }
 
+  /** Approximate grouped quantiles via DETERMINISTIC hash sampling:
+    * keep rows whose row-key polynomial hash lands under `pct`% of
+    * the hash space (a content-addressed uniform sample — the same
+    * rows on every engine and every run, unlike rand() or
+    * reservoir/KLL sketches whose state is arrival-order-dependent
+    * and therefore not oracle-comparable), then take EXACT rank
+    * quantiles of the sample. The scan-local filter drops (100-pct)%
+    * of the data before the only shuffle, so the sort that dominates
+    * [[qQuantiles]] runs on pct% of the rows — the trade a 100 TB
+    * quantile query actually wants, with the sampling rule auditable
+    * and reproducible. */
+  def qQuantilesApprox(spark: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    // l_linenumber in 1..7, so orderkey*10+linenumber is a unique,
+    // engine-portable row key
+    val rowKey = ($"l_orderkey" * 10 + $"l_linenumber").cast("string")
+    val sampled = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      .filter(HashFns.polyHash(rowKey) % 100 < pct)
+    val byFlag = Window.partitionBy($"l_returnflag")
+    val w = byFlag.orderBy($"l_extendedprice".asc)
+    sampled
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byFlag))
+      .groupBy($"l_returnflag")
+      .agg(max(when($"rn" === ceil($"n" * 0.5d), $"l_extendedprice")).as("p50"),
+        max(when($"rn" === ceil($"n" * 0.95d), $"l_extendedprice")).as("p95"),
+        max($"n").as("n_sampled"))
+  }
+
   /** The salted-join infrastructure on the gated surface: lineitem
     * joined to supplier through Skew.saltedJoin (content-hash salt,
     * dim replicated across salt buckets) must produce exactly the

@@ -53,6 +53,46 @@ object TextAnalysis {
       .withColumn("is_quality", $"n_tokens" >= 10 && $"punct_ratio" < 0.1)
   }
 
+  /** The COMPOSED training-corpus pipeline — the end-to-end run a
+    * 100 TB data-curation job executes as ONE declarative plan, here
+    * over the engine's own operators so Catalyst fuses the stages:
+    *
+    *   1. quality gate  (scan-local: ≥10 tokens, punct ratio < 0.1)
+    *   2. dedup         (left-semi vs [[Dedup.applyDedup]]'s
+    *                     survivor set — losers of verified MinHash
+    *                     clusters drop; shuffle ∝ duplicates)
+    *   3. decontamination (left-anti vs the holdout-shingle overlap
+    *                     set of [[decontaminate]] — inverted-index
+    *                     join, never a cross join)
+    *   4. stratified sample (scan-local content-hash bucket < pct)
+    *
+    * The scan-local predicates (1, 4) evaluate in the FIRST pass over
+    * the corpus and the two joins carry only doc ids, so the pipeline
+    * adds one semi + one anti join to a single corpus scan — it never
+    * re-tokenizes per stage. Output: the surviving training corpus
+    * with its audit columns. */
+  def corpusPipeline(spark: SparkSession, dir: String, holdout: Long = 50L,
+      bucketPct: Int = 20): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    val toks = TextFns.tokens($"text")
+    val nTok = size(toks).cast(LongType)
+    val nChars = length($"text").cast(LongType)
+    val punct = nChars - length(regexp_replace($"text", "[.,!?;:]", "")).cast(LongType)
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        nTok.as("n_tokens"),
+        (punct.cast(DoubleType) / nChars.cast(DoubleType)).as("punct_ratio"),
+        (HashFns.polyHash($"text") % 100).as("bucket"))
+      .filter($"n_tokens" >= 10 && $"punct_ratio" < 0.1 && $"bucket" < bucketPct)
+    val survivors = Dedup.applyDedup(spark, dir).select($"doc_id")
+    val contaminated = decontaminate(spark, dir, holdout).select($"doc_id")
+    base
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_tokens", $"bucket")
+  }
+
   /** Token counting: whitespace tokens, regex sub-tokens ("BPE-ish"
     * word/number/punct units), and a chars/4 BPE estimate. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {

@@ -199,6 +199,49 @@ class Round3Spec extends SparkSpec {
     assert(g == Seq("abc😀", "bc😀e"), g.toString)
   }
 
+  // --- plan-shape guards for the round-3 operators --------------------------
+
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("statusDelayed pushes control/data filters to the parquet scans") {
+    val plan = formattedPlan(graft.operators.Telemetry.statusDelayed(spark, sf))
+    assert(plan.contains("PushedFilters: [In(event_type"),
+      s"control-event filters must reach the scan:\n$plan")
+    assert(plan.contains("PushedFilters: [Not(In(event_type"),
+      s"data-event filter must reach the scan:\n$plan")
+  }
+
+  test("configGate computes both running lasts in a single window pass") {
+    val plan = formattedPlan(graft.operators.Telemetry.configGate(spark, sf))
+    val windows = "Window \\(".r.findAllIn(plan).length
+    assert(windows == 1, s"expected one Window node, got $windows:\n$plan")
+    val exchanges = "Exchange \\(".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one shuffle, got $exchanges:\n$plan")
+  }
+
+  test("qQuantilesApprox drops non-sampled rows before its only shuffle") {
+    val df = graft.operators.Relational.qQuantilesApprox(spark, sf)
+    val plan = formattedPlan(df)
+    // the hash-sample Filter must sit below the Exchange (scan side),
+    // so the sort-bearing shuffle carries only the sample
+    val exIdx = plan.indexOf("+- Exchange")
+    val scanSide = plan.substring(exIdx)
+    assert(exIdx >= 0 && scanSide.contains("Filter") && scanSide.contains("Scan parquet"),
+      s"sample filter must precede the shuffle:\n$plan")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\)".r.findFirstIn(executed).isDefined,
+      s"sampling filter fell out of codegen:\n$executed")
+  }
+
+  test("corpusPipeline keeps semi/anti joins for dedup and decontamination") {
+    val plan = formattedPlan(graft.operators.TextAnalysis.corpusPipeline(spark, sf))
+    assert(plan.contains("LeftSemi"), s"dedup survivors must left-semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"contamination must left-anti join:\n$plan")
+  }
+
   // --- codec edge cases (round-2 advisory) ----------------------------------
 
   test("PackFrame quarantines frames with null sample elements") {
