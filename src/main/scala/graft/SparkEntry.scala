@@ -538,7 +538,7 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
          |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
          |  FROM lineitem
-         |  WHERE ${ph("CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)")} % 100 < 10) t
+         |  WHERE (((l_orderkey * 10 + l_linenumber) % 1000000007) * 2654435761) % 1000000007 % 100 < 10) t
          |GROUP BY l_returnflag""".stripMargin,
     "q_skewjoin" ->
       """SELECT s_nationkey,

@@ -316,13 +316,19 @@ object Relational {
     * and reproducible. */
   def qQuantilesApprox(spark: SparkSession, dir: String, pct: Int = 10): DataFrame = {
     import spark.implicits._
-    import graft.functions.HashFns
-    // l_linenumber in 1..7, so orderkey*10+linenumber is a unique,
-    // engine-portable row key
-    val rowKey = ($"l_orderkey" * 10 + $"l_linenumber").cast("string")
+    // l_linenumber in 1..7, so orderkey*10+linenumber is a unique
+    // row key; Knuth multiplicative hash in pure int64 arithmetic —
+    // identical in any engine with exact 64-bit ints, and free of the
+    // per-row string allocation a text hash would pay on every scanned
+    // row (measured: the string form made sampling COST more than the
+    // full exact sort at sf0.1)
+    // reduce mod P BEFORE the multiply so the product stays under
+    // 2^63 for any orderkey (engines differ on int64 overflow:
+    // Spark wraps, DuckDB raises)
+    val rowKey = ($"l_orderkey" * 10 + $"l_linenumber") % 1000000007L
     val sampled = Tables.lineitem(spark, dir)
       .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
-      .filter(HashFns.polyHash(rowKey) % 100 < pct)
+      .filter((rowKey * 2654435761L) % 1000000007L % 100 < pct)
     val byFlag = Window.partitionBy($"l_returnflag")
     val w = byFlag.orderBy($"l_extendedprice".asc)
     sampled

@@ -96,13 +96,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKey = BindReferences.bindReference(leftKey, left.output)
-    val lTime = BindReferences.bindReference(leftTime, left.output)
-    val rKey = BindReferences.bindReference(rightKey, right.output)
-    val rTime = BindReferences.bindReference(rightTime, right.output)
     val rightWidth = right.output.size
     val outputSchema = output.map(_.dataType).toArray
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // key/time extraction through code-generated unsafe projections
+      // (getLong on a flat row) instead of boxed Expression.eval per
+      // row — the merge loop's per-row cost is two primitive reads
+      val lKeyTime = UnsafeProjection.create(Seq(leftKey, leftTime), left.output)
+      val rKeyTime = UnsafeProjection.create(Seq(rightKey, rightTime), right.output)
       val project = UnsafeProjection.create(outputSchema)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
@@ -114,12 +115,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         rHead = null
         while (rHead == null && rIter.hasNext) {
           val r = rIter.next()
-          val k = rKey.eval(r)
-          val t = rTime.eval(r)
-          if (k != null && t != null) {     // null key/time never matches
+          val kt = rKeyTime(r)
+          if (!kt.isNullAt(0) && !kt.isNullAt(1)) {  // null key/time never matches
             rHead = r
-            rHeadKey = k.asInstanceOf[Long]
-            rHeadTime = t.asInstanceOf[Long]
+            rHeadKey = kt.getLong(0)
+            rHeadTime = kt.getLong(1)
           }
         }
       }
@@ -132,13 +132,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val k = lKey.eval(l)
-          val t = lTime.eval(l)
-          if (k == null || t == null) {
+          val kt = lKeyTime(l)
+          if (kt.isNullAt(0) || kt.isNullAt(1)) {
             project(joined(l, nullRight))
           } else {
-            val lk = k.asInstanceOf[Long]
-            val lt = t.asInstanceOf[Long]
+            val lk = kt.getLong(0)
+            val lt = kt.getLong(1)
             if (lastMatch != null && lastMatchKey != lk) lastMatch = null
             // consume right rows up to (key, time): the newest one
             // with the same key becomes the current match. Rows are

@@ -225,6 +225,42 @@ object StreamRelay {
       }
   }
 
+  case class ConfigOut(user_id: Long, event_id: Long, gate_on: Boolean,
+      in_restart: Boolean, forwarded: Boolean)
+
+  /** Config-change gate as streaming state — the twin of
+    * [[graft.operators.Telemetry.configGate]]: enabled-changes flip
+    * the per-stream gate, any other config change opens a restart
+    * blackout until ts + restartUs; data events are tagged with
+    * (gate, in-restart, forwarded) at their event time. Two-field
+    * state per key; same delivery contract as [[statefulGate]]. */
+  def statefulConfigGate(events: Dataset[GateEvent], restartUs: Long): Dataset[ConfigOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Boolean, Long), ConfigOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, evs, state: GroupState[(Boolean, Long)]) =>
+          var (on, blackoutUntil) = state.getOption.getOrElse((false, Long.MinValue))
+          val ordered = evs.toSeq.sortBy(e =>
+            (e.ts_us,
+              if (e.event_type == "signup" || e.event_type == "error" ||
+                e.event_type == "purchase") 0 else 1,
+              e.event_id))
+          val out = ordered.flatMap { e =>
+            e.event_type match {
+              case "signup" => on = true; None
+              case "error" => on = false; None
+              case "purchase" => blackoutUntil = e.ts_us + restartUs; None
+              case _ =>
+                val inRestart = blackoutUntil > e.ts_us
+                Some(ConfigOut(e.user_id, e.event_id, on, inRestart, on && !inRestart))
+            }
+          }
+          state.update((on, blackoutUntil))
+          out.iterator
+      }
+  }
+
   case class DelayedOut(user_id: Long, event_id: Long, enabled: Boolean, pending: Boolean)
   /** (current status, pending target, pending apply time µs) — apply
     * time Long.MinValue when no timer is armed. */

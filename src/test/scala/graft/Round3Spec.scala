@@ -139,6 +139,34 @@ class Round3Spec extends SparkSpec {
     assert(batch.values.exists(_._1) && batch.values.exists(!_._1))
   }
 
+  test("statefulConfigGate matches the batch configGate operator across batches") {
+    import graft.sources.Tables
+    import graft.streaming.StreamRelay
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg").toString
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
+    val cut = ev.agg(max($"ts_us")).head().getLong(0) - 7L * 86400 * 1000000
+    ev.filter($"ts_us" <= cut).coalesce(1).write.parquet(s"$dir/a_first")
+    ev.filter($"ts_us" > cut).coalesce(1).write.parquet(s"$dir/b_second")
+    val schema = spark.read.parquet(s"$dir/a_first").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[StreamRelay.GateEvent]
+    val out = StreamRelay.statefulConfigGate(stream, restartUs = 43200L * 1000000L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("cfg_out").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("event_id") ->
+      (r.getAs[Boolean]("gate_on"), r.getAs[Boolean]("in_restart"), r.getAs[Boolean]("forwarded"))
+    val streamed = spark.table("cfg_out").collect().map(key).toMap
+    val batch = graft.operators.Telemetry.configGate(spark, sf, restartSecs = 43200L)
+      .collect().map(key).toMap
+    assert(streamed.keySet == batch.keySet)
+    assert(streamed == batch,
+      "per-event (gate, restart, forwarded) must match across batches and the batch plan")
+    assert(batch.values.exists(_._2) && batch.values.exists(!_._2))
+  }
+
   // --- streaming incremental dedup ------------------------------------------
 
   test("streamed dedup recovers the batch minhashEstimate pair set across batches") {
