@@ -46,5 +46,20 @@ object GraftExtensions {
     "graft_pack_image" -> arity("graft_pack_image", 4)(es => PackImage(es(0), es(1), es(2), es(3))),
     "graft_decode_image" -> arity("graft_decode_image", 1)(es => DecodeImageMeta(es.head)),
     "graft_bin_join" -> arity("graft_bin_join", 1)(es => BinJoin(es.head, 0x3a)),
+    // aggregate: the analyzer wraps a raw AggregateFunction returned
+    // from a registry builder; k must be a foldable int literal
+    "graft_kmv" -> arity("graft_kmv", 2)(es => KMinValues(es.head, litInt("graft_kmv", es(1)))),
   )
+
+  private def litInt(name: String, e: Expression): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal if lit.foldable =>
+      lit.value match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$name expects an integer literal k, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal k, got ${other.sql}")
+  }
 }

@@ -45,4 +45,15 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_bin_join(array(CAST('a' AS BINARY), CAST(NULL AS BINARY))) AS j").head()
     assert(nul.isNullAt(0))
   }
+
+  test("graft_kmv aggregate works from SQL and keeps the k smallest distinct") {
+    val r = spark.sql(
+      """SELECT graft_kmv(h, 3) AS kmv FROM
+        |  (SELECT explode(array(9L, 5L, 7L, 5L, 1L, 8L)) AS h)""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq(1L, 5L, 7L))
+    // non-literal k fails loudly at analysis, not silently
+    intercept[Exception] {
+      spark.sql("SELECT graft_kmv(h, h) FROM (SELECT 1L AS h) t").collect()
+    }
+  }
 }

@@ -200,6 +200,28 @@ class Round3Spec extends SparkSpec {
       s"cross-batch near-dup (2,9) must be caught; got $pairs")
   }
 
+  test("streaming dedup hot buckets stop absorbing past the cap but keep comparing") {
+    import graft.streaming.StreamDedup
+    import StreamDedup.{BandRow, Member}
+    // one bucket, cap 2: docs 1..5 arrive in order; members stay
+    // {1,2} but every later arrival still pairs against them
+    val sig = (1L to 16L).toSeq
+    val rows = (1L to 5L).map(d => BandRow(0, 7L, d, sig))
+    // flatMapGroupsWithState in Append mode needs a streaming source;
+    // drive the rows through a memory stream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BandRow]
+    mem.addData(rows: _*)
+    val q = StreamDedup.incrementalPairs(mem.toDS(), maxBucket = 2)
+      .writeStream.outputMode("append").format("memory").queryName("cap_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val pairs = spark.table("cap_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // members {1,2}: pairs = (1,2) + (1..2)x(3,4,5) — never (3,4) etc
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (1L, 5L), (2L, 5L))
+    assert(pairs == expected, s"got $pairs")
+  }
+
   // --- non-ASCII code-point semantics ---------------------------------------
 
   test("hashes and ngrams are code-point-defined: native == HOF on non-ASCII") {
