@@ -26,6 +26,32 @@ object StreamRelay {
 
   private var relayCounter = 0
 
+  /** Temp roots awaiting JVM-exit deletion; ONE static hook drains
+    * the registry (a hook per windowedRelay call would accumulate
+    * one thread per invocation in a long-lived application). */
+  private val exitCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val exitHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      exitCleanup.asScala.toSeq.foreach { d =>
+        try {
+          if (java.nio.file.Files.exists(d)) {
+            val walk = java.nio.file.Files.walk(d)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          }
+        } catch { case _: Throwable => () }
+      }
+    }))
+    true
+  }
+  private[streaming] def deleteOnExit(p: java.nio.file.Path): Unit = {
+    exitHookInstalled
+    exitCleanup.add(p)
+  }
+
   /** Windowed rebroadcast with queue accounting: watermark + append
     * mode + parquet sink, driven to completion. A second "barrier"
     * micro-batch carrying one far-future sentinel row pushes the
@@ -44,9 +70,9 @@ object StreamRelay {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val tmp = Files.createTempDirectory("graft_relay_")
     // outDir must outlive this call (the returned DataFrame reads it
-    // lazily), but not the JVM: without the exit hook every
+    // lazily), but not the JVM: without the exit registration every
     // invocation would leave a sink directory in /tmp permanently
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(tmp)))
+    deleteOnExit(tmp)
     val inDir = tmp.resolve("in"); val outDir = tmp.resolve("out"); val ck = tmp.resolve("ck")
     // staging or query start can throw (disk full, bad schema): the
     // input-sized staged copy must not survive such a failure, so the

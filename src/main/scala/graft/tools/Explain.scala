@@ -21,8 +21,10 @@ object Explain {
     // actions), so "explaining" them would run the whole pipeline
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q3_topk", "q5_multijoin", "q_asof", "q_asof_native",
-        "dedup_minhash", "ann_ivf", "q_sketch_distinct",
-        "q_skewjoin", "q_quantiles", "text_repetition", "frame_wire")
+        "q_asof_tolerance", "dedup_minhash", "ann_ivf", "q_sketch_distinct",
+        "q_skewjoin", "q_quantiles", "q_quantiles_approx", "text_repetition",
+        "frame_wire", "status_delayed", "config_gate", "mm_framesample",
+        "corpus_pipeline")
     names.foreach { n =>
       println(s"===== $n =====")
       graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
