@@ -67,6 +67,7 @@ object SparkEntry {
     "ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -108,6 +109,15 @@ object SparkEntry {
 
   private def cos(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  /** DuckDB fragments for the PQ oracle: sub-space slice and
+    * fold-exact squared L2 (elements cast to double BEFORE the
+    * subtraction, mirroring Similarity.pqTopK). */
+  private def pqSub(e: String, mi: Int): String =
+    s"list_slice($e, ${mi * 16 + 1}, ${(mi + 1) * 16})"
+  private def pqSd(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,16), i -> " +
+      s"(CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)))), (x,y) -> x+y)"
 
   /** DuckDB CTE chain producing the verified MinHash candidate pairs
     * (doc_a, doc_b, jaccard >= 0.2) as `vp` — shared by the
@@ -464,6 +474,37 @@ object SparkEntry {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY ${cos("p.qv", "a.embedding")} DESC, a.vec_id) AS BIGINT) AS rnk
          |  FROM probes p JOIN assign a USING (cid)
          |  WHERE a.vec_id != p.query_id) t
+         |WHERE rnk <= 5""".stripMargin,
+    "ann_pq" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         |ep AS (SELECT e.vec_id, c.cid,
+         |    ${pqSd(pqSub("e.embedding", 0), pqSub("c.cvec", 0))} AS d0,
+         |    ${pqSd(pqSub("e.embedding", 1), pqSub("c.cvec", 1))} AS d1,
+         |    ${pqSd(pqSub("e.embedding", 2), pqSub("c.cvec", 2))} AS d2,
+         |    ${pqSd(pqSub("e.embedding", 3), pqSub("c.cvec", 3))} AS d3
+         |  FROM embeddings e CROSS JOIN c),
+         |codes AS (SELECT vec_id,
+         |    struct_extract(min({'d': d0, 'c': cid}), 'c') AS c0,
+         |    struct_extract(min({'d': d1, 'c': cid}), 'c') AS c1,
+         |    struct_extract(min({'d': d2, 'c': cid}), 'c') AS c2,
+         |    struct_extract(min({'d': d3, 'c': cid}), 'c') AS c3
+         |  FROM ep GROUP BY vec_id),
+         |lp AS (SELECT e.vec_id AS query_id, c.cid,
+         |    ${pqSd(pqSub("e.embedding", 0), pqSub("c.cvec", 0))} AS q0,
+         |    ${pqSd(pqSub("e.embedding", 1), pqSub("c.cvec", 1))} AS q1,
+         |    ${pqSd(pqSub("e.embedding", 2), pqSub("c.cvec", 2))} AS q2,
+         |    ${pqSd(pqSub("e.embedding", 3), pqSub("c.cvec", 3))} AS q3
+         |  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 10),
+         |luta AS (SELECT query_id,
+         |    list(q0 ORDER BY cid) AS a0, list(q1 ORDER BY cid) AS a1,
+         |    list(q2 ORDER BY cid) AS a2, list(q3 ORDER BY cid) AS a3
+         |  FROM lp GROUP BY query_id),
+         |scored AS (SELECT l.query_id, x.vec_id AS neighbor_id,
+         |    a0[CAST(c0+1 AS INT)] + a1[CAST(c1+1 AS INT)] + a2[CAST(c2+1 AS INT)] + a3[CAST(c3+1 AS INT)] AS approx_dist
+         |  FROM codes x CROSS JOIN luta l WHERE x.vec_id != l.query_id)
+         |SELECT query_id, neighbor_id, approx_dist, rnk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored) t
          |WHERE rnk <= 5""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (

@@ -18,6 +18,70 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Product-quantization ANN (IVF-PQ's compression half) — the
+    * memory-bound piece of a 100 TB vector index: each 64-dim vector
+    * compresses to M=4 sub-space codes (one byte each against a
+    * 16-entry codebook), and query scoring runs against CODES through
+    * a per-query lookup table instead of raw vectors — the corpus
+    * the search touches shrinks ~64×, which is what makes a billion-
+    * vector index fit a cluster's memory at all.
+    *
+    * Codebooks are deterministic corpus-seed subsets standing in for
+    * offline k-means (the [[ivfTopK]] convention). The plan shape is
+    * the part the engine must get right: codebooks BROADCAST to a
+    * single encoding pass (min-struct argmin per sub-space — ties
+    * break to the smaller centroid deterministically); the per-query
+    * distance LUT (nQueries × M × K floats) broadcasts to the code
+    * table; the approximate distance is a fixed-order sum of M
+    * element_at lookups, so results are bit-reproducible across
+    * engines (no shuffled-order double addition anywhere).
+    */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      m: Int = 4, subDim: Int = 16, nCentroids: Int = 16): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.DoubleType
+    def sub(c: Column, mi: Int): Column = slice(c, mi * subDim + 1, subDim)
+    // fold-exact squared L2 over one sub-space; elements cast to
+    // double BEFORE subtraction (float arithmetic differs)
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
+      }), lit(0.0d), _ + _)
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cents = emb.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    // encode: one broadcast pass; argmin per sub-space via min(struct)
+    val codes = emb.crossJoin(broadcast(cents))
+      .select($"vec_id" +: (0 until m).map(mi =>
+        struct(sqDist(sub($"embedding", mi), sub($"cvec", mi)).as("d"),
+          $"cid".as("c")).as(s"s$mi")): _*)
+      .groupBy($"vec_id")
+      .agg(min(col("s0")).getField("c").as("c0"),
+        (1 until m).map(mi => min(col(s"s$mi")).getField("c").as(s"c$mi")): _*)
+    // per-query LUT: distance of each query sub-vector to each
+    // centroid, packed into cid-ordered arrays (element_at by cid+1)
+    val lut = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .crossJoin(broadcast(cents))
+      .select($"query_id" +: $"cid" +: (0 until m).map(mi =>
+        sqDist(sub($"qv", mi), sub($"cvec", mi)).as(s"q$mi")): _*)
+      .groupBy($"query_id")
+      .agg(transform(sort_array(collect_list(struct($"cid", col("q0")))), _.getField("q0")).as("a0"),
+        (1 until m).map(mi =>
+          transform(sort_array(collect_list(struct($"cid", col(s"q$mi")))), _.getField(s"q$mi"))
+            .as(s"a$mi")): _*)
+    // ADC scoring: fixed-order sum of M lookups; LUT broadcasts
+    val dist = (0 until m).map(mi =>
+      element_at(col(s"a$mi"), (col(s"c$mi") + 1).cast("int"))).reduceLeft(_ + _)
+    val w = Window.partitionBy($"query_id").orderBy($"approx_dist".asc, $"neighbor_id".asc)
+    codes.crossJoin(broadcast(lut))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), dist.as("approx_dist"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= k)
+  }
+
   /** Exact cosine top-k of a small query batch (vec_id < nQueries)
     * against the whole corpus. Query side broadcasts; scores are
     * fold-exact doubles (SURVEY §5), ranks tie-break on vec_id. */
