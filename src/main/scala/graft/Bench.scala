@@ -27,23 +27,34 @@ object Bench {
     // absorb JVM startup; deterministic name order for stable rounds
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a crashing query must NOT show up as a normal-looking timing —
+    // record it as -1 and list it under "failed" so a bench with a
+    // broken query is visibly broken, not quietly fast/slow
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       graft.operators.Dedup.clearLabelCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case t: Throwable =>
+          System.err.println(s"bench query failed: ${t.getClass.getName}: ${t.getMessage}")
+          None
+      }
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> median((0 until reps).map(_ => timeOnce(fn)))
+      val runs = (0 until reps).flatMap(_ => timeOnce(fn))
+      // a query only counts as measured if EVERY rep succeeded
+      name -> (if (runs.length == reps) Some(median(runs)) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

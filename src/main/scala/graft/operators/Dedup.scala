@@ -193,22 +193,50 @@ object Dedup {
   /** localCheckpoint (eager) plus handles to the RDD blocks it
     * persisted, so superseded rounds can be unpersisted — without
     * this every iteration leaks one checkpointed label set for the
-    * lifetime of the application. */
+    * lifetime of the application.
+    *
+    * The persisted RDD is read straight off the checkpointed
+    * Dataset's plan (a `LogicalRDD` leaf over exactly the RDD
+    * `localCheckpoint` persisted) — NOT by diffing
+    * `sc.getPersistentRDDs` before/after, which would capture RDDs
+    * persisted concurrently by unrelated queries on the shared
+    * context and later unpersist them out from under their owners
+    * (fatal after lineage truncation). */
   private def localCheckpointTracked(df: DataFrame)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint()
-    val added = sc.getPersistentRDDs.collect {
-      case (id, rdd) if !before.contains(id) => rdd
-    }.toSeq
-    (ck, added)
+    val rdds = ck.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    assert(rdds.nonEmpty, "localCheckpoint did not yield a LogicalRDD leaf")
+    (ck, rdds)
   }
 
   /** Converged (node, label) component assignment — the shared core
-    * of [[clusters]] and [[applyDedup]]; cached per (session, dir). */
-  private def componentLabels(spark: SparkSession, dir: String, maxIters: Int): DataFrame =
-    labelCache.getOrElseUpdate((spark, dir), computeComponentLabels(spark, dir, maxIters))._1
+    * of [[clusters]] and [[applyDedup]]; cached per (session, dir).
+    *
+    * The cache assumes the data under `dir` is immutable for the
+    * session's lifetime (the norm for a parquet snapshot dir); if a
+    * caller rewrites `dir` mid-session it must [[clearLabelCache]]
+    * first or stale labels are served. Concurrent first callers may
+    * both compute; `putIfAbsent` picks one winner and the loser's
+    * checkpoint blocks are unpersisted immediately (TrieMap's
+    * `getOrElseUpdate` would leak the losing computation's blocks —
+    * its RDD handles are discarded when the winning entry is kept). */
+  private def componentLabels(spark: SparkSession, dir: String, maxIters: Int): DataFrame = {
+    val key = (spark, dir)
+    labelCache.get(key) match {
+      case Some((df, _)) => df
+      case None =>
+        val computed = computeComponentLabels(spark, dir, maxIters)
+        labelCache.putIfAbsent(key, computed) match {
+          case Some(existing) =>
+            computed._2.foreach(_.unpersist(blocking = false))
+            existing._1
+          case None => computed._1
+        }
+    }
+  }
 
   private def computeComponentLabels(spark: SparkSession, dir: String, maxIters: Int)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {

@@ -58,7 +58,8 @@ object StreamDedup {
     * from ALL previous batches plus earlier arrivals in this batch).
     * Estimate = agreeing signature components / 16, bit-identical to
     * the batch SigAgreeCount path. */
-  def incrementalPairs(bands: Dataset[BandRow], maxBucket: Int = 200): Dataset[PairOut] = {
+  def incrementalPairs(bands: Dataset[BandRow], maxBucket: Int = 200,
+      overflow: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[PairOut] = {
     val spark = bands.sparkSession
     import spark.implicits._
     bands.groupByKey(r => (r.band, r.bkey))
@@ -78,8 +79,12 @@ object StreamDedup {
                 val (a, b) = if (m.id < r.doc_id) (m.id, r.doc_id) else (r.doc_id, m.id)
                 out += PairOut(a, b, c / 16.0d)
               }
-              // hot-bucket cap: stop absorbing, keep comparing
+              // hot-bucket cap: stop absorbing, keep comparing. The
+              // drop is counted so exactness-gated callers can detect
+              // that recall was actually traded (a silently shrunk
+              // pair set fails an oracle with an opaque set diff).
               if (members.size < maxBucket) members = members :+ Member(r.doc_id, r.sig)
+              else overflow.foreach(_.add(1L))
             }
           }
           state.update(members)
@@ -98,7 +103,11 @@ object StreamDedup {
     import spark.implicits._
     import java.nio.file.Files
     val docs = graft.sources.Tables.documents(spark, dir).select($"doc_id", $"text")
-    val cut = docs.agg(((min($"doc_id") + max($"doc_id")) / 2).cast("long")).head().getLong(0)
+    // empty corpus: min/max aggregate to null — return the (empty)
+    // pair set directly instead of NPEing on getLong
+    val bounds = docs.agg(min($"doc_id"), max($"doc_id")).head()
+    if (bounds.isNullAt(0)) return spark.emptyDataset[PairOut].toDF()
+    val cut = ((bounds.getLong(0) + bounds.getLong(1)) / 2)
     val tmp = Files.createTempDirectory("graft_sdedup_")
     try {
       docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$tmp/in/a_first")
@@ -113,9 +122,18 @@ object StreamDedup {
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
       val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_stream_$sinkCounter" }
-      val q = incrementalPairs(bandRows(stream))
+      // this path is oracle-gated against the BATCH pair set, which
+      // has no bucket cap — if the cap ever actually truncates, fail
+      // loudly here rather than letting the gate fail with a set diff
+      val dropped = spark.sparkContext.longAccumulator(s"${name}_bucket_overflow")
+      val q = incrementalPairs(bandRows(stream), overflow = Some(dropped))
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
+      if (dropped.value > 0)
+        throw new IllegalStateException(
+          s"dedup_stream hot-bucket cap truncated ${dropped.value} member " +
+            "insertions — the streamed pair set is no longer exact vs the " +
+            "batch oracle; raise maxBucket for this corpus")
       // one pair per band bucket shared -> distinct across bands
       // (est_jaccard depends only on the full signatures, so the
       // duplicates are exact); the memory sink holds the rows, so the

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.StreamDedup
+
+/** Round-4 hardening from the round-3 advisory: checkpoint tracking
+  * that cannot capture foreign RDDs, label-cache race semantics, and
+  * streamed-dedup edge cases (empty corpus, loud hot-bucket cap). */
+class Round4Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup checkpoint tracking never unpersists a foreign RDD") {
+    Dedup.clearLabelCache()
+    // an unrelated query's persisted data, alive across the whole
+    // clustering run — the old getPersistentRDDs diff would capture
+    // concurrent persists like this one and clearLabelCache would
+    // then unpersist someone else's (lineage-truncated) blocks
+    val foreign = Seq((1L, "a"), (2L, "b")).toDF("id", "v").persist()
+    assert(foreign.count() == 2)
+    val foreignIds = spark.sparkContext.getPersistentRDDs.keySet
+    val clusters = Dedup.clusters(spark, sf).collect()
+    assert(clusters.nonEmpty)
+    Dedup.clearLabelCache()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(foreignIds.subsetOf(after),
+      "clearing the dedup label cache must leave foreign persisted RDDs alone")
+    assert(foreign.count() == 2, "foreign data must remain readable")
+    foreign.unpersist()
+  }
+
+  test("streamed dedup on an empty corpus returns an empty pair set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd_empty").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = StreamDedup.streamedDedup(spark, dir)
+    assert(out.columns.toSeq == Seq("doc_a", "doc_b", "est_jaccard"))
+    assert(out.count() == 0L)
+  }
+
+  test("streamed dedup fails loudly when the hot-bucket cap truncates") {
+    // 210 identical docs: every band bucket exceeds the 200-member
+    // cap, so the streamed pair set silently loses pairs vs the batch
+    // oracle — the operator must throw, not return a shrunk set
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd_hot").toString
+    (1L to 210L).map(i => (i, "same text repeated verbatim in every document"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalStateException] {
+      StreamDedup.streamedDedup(spark, dir).count()
+    }
+    assert(e.getMessage.contains("hot-bucket cap"), e.getMessage)
+  }
+}
