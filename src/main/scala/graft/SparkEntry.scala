@@ -68,6 +68,7 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    "embed_kmeans" -> ((s: SparkSession, d: String) => Similarity.kmeans(s, d)),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -80,6 +81,9 @@ object SparkEntry {
     "text_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redact(s, d)),
     "corpus_pipeline" -> ((s: SparkSession, d: String) => TextAnalysis.corpusPipeline(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
+    "corpus_cap" -> ((s: SparkSession, d: String) => Curation.corpusCap(s, d)),
+    "dedup_lines" -> ((s: SparkSession, d: String) => Curation.dedupLines(s, d)),
+    "decontaminate_bloom" -> ((s: SparkSession, d: String) => Curation.decontaminateBloom(s, d)),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
@@ -189,6 +193,26 @@ object SparkEntry {
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
       |  FROM orders GROUP BY o_custkey, o_orderdate) d
       |ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate""".stripMargin
+
+  /** Shared by `decontaminate` (exact semi-join) and
+    * `decontaminate_bloom` (bloom-prefiltered scale path) — the bloom
+    * prefilter must be invisible in the result. */
+  private val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 5
+      |    THEN list_transform(range(1, len(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+      |    ELSE [array_to_string(t, ' ')] END)) AS shingle
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents) a),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
+      |SELECT s.doc_id, COUNT(*) AS n_shared_shingles
+      |FROM sh s JOIN ev USING (shingle)
+      |WHERE s.doc_id >= 50
+      |GROUP BY s.doc_id""".stripMargin
+
+  /** DuckDB fragment: fold-exact squared L2 between two DOUBLE lists
+    * (mirrors Similarity.kmeans' sqDist — same sequential order). */
+  private def kmDist(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,64), i -> ($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1]))), (x,y) -> x+y)"
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -608,17 +632,58 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source, bucket FROM (
          |  SELECT doc_id, lang, source, ${ph("text")} % 100 AS bucket FROM documents) t
          |WHERE bucket < 20""".stripMargin,
-    "decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 5
-        |    THEN list_transform(range(1, len(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
-        |    ELSE [array_to_string(t, ' ')] END)) AS shingle
-        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents) a),
-        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
-        |SELECT s.doc_id, COUNT(*) AS n_shared_shingles
-        |FROM sh s JOIN ev USING (shingle)
-        |WHERE s.doc_id >= 50
-        |GROUP BY s.doc_id""".stripMargin,
+    "decontaminate" -> decontaminateSql,
+    "decontaminate_bloom" -> decontaminateSql,
+    "corpus_cap" ->
+      """SELECT source, doc_id, score, rnk FROM (
+        |  SELECT source, doc_id, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk
+        |  FROM (SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS score
+        |    FROM documents) t) z
+        |WHERE rnk <= 20""".stripMargin,
+    "dedup_lines" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |cl AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(t)/10.0) AS BIGINT)),
+        |    i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS chunks
+        |  FROM toks),
+        |chunks AS (SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS cidx,
+        |  unnest(chunks) AS chunk FROM cl),
+        |firsts AS (SELECT doc_id, cidx, chunk,
+        |  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn FROM chunks),
+        |tot AS (SELECT doc_id, COUNT(*) AS total_chunks FROM chunks GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  string_agg(f.chunk, ' ' ORDER BY f.cidx) AS text_dedup,
+        |  COUNT(*) AS kept_chunks,
+        |  MIN(t.total_chunks) AS total_chunks
+        |FROM firsts f JOIN tot t USING (doc_id)
+        |WHERE f.rn = 1
+        |GROUP BY f.doc_id""".stripMargin,
+    "embed_kmeans" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |qd AS (SELECT vec_id, qv, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv FROM q),
+         |seeds AS (SELECT vec_id AS cid, list_transform(qv, v -> CAST(v AS DOUBLE)) AS cvec
+         |  FROM q WHERE vec_id < 8),
+         |d1 AS (SELECT a.vec_id, a.qv, s.cid, ${kmDist("a.dv", "s.cvec")} AS d
+         |  FROM qd a CROSS JOIN seeds s),
+         |a1 AS (SELECT vec_id, qv, cid AS c1 FROM (
+         |  SELECT vec_id, qv, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1) x
+         |  WHERE rn = 1),
+         |m2 AS (SELECT c1 AS cid, pos, CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean
+         |  FROM (SELECT c1, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1) e
+         |  GROUP BY cid, pos),
+         |c2 AS (SELECT cid, list(mean ORDER BY pos) AS cvec FROM m2 GROUP BY cid),
+         |d2 AS (SELECT a.vec_id, a.c1, c.cid, ${kmDist("a.dv2", "c.cvec")} AS d
+         |  FROM (SELECT vec_id, c1, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv2 FROM a1) a
+         |  CROSS JOIN c2 c)
+         |SELECT vec_id, c1, cluster, (c1 <> cluster) AS moved FROM (
+         |  SELECT vec_id, c1, cid AS cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2) y
+         |WHERE rn = 1""".stripMargin,
     // quality gate + dedup survivors + decontamination + stratified
     // sample, as one conjunction over the same cluster/shingle CTEs
     // the individual oracles use

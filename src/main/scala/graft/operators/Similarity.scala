@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.VecFns
 import graft.sources.Tables
@@ -141,6 +141,65 @@ object Similarity {
         (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter($"rnk" <= k)
+  }
+
+  /** Distributed k-means over the embeddings (Lloyd's algorithm, a
+    * fixed `iters` rounds) — the offline training job the IVF/PQ
+    * codebooks stand in for, run as the standard Spark shape: the K
+    * centroids BROADCAST to a single assignment pass per round
+    * (min-struct argmin, ties to the smaller centroid id), and the
+    * centroid update is one partial-aggregated groupBy over
+    * (cluster, dimension) — per round the corpus is scanned once and
+    * only K×dim numbers ever return to the plan. Rounds are a fixed
+    * small constant (k-means iterations, not data size), so the 100 TB
+    * cost is `iters` corpus scans with map-side combine.
+    *
+    * Engine-exact by construction (SURVEY §5): vectors quantize to
+    * 1e-6-resolution longs (one deterministic round-half-away-from-
+    * zero per element), so centroid sums are EXACT integers in any
+    * aggregation order — the one place naive k-means goes
+    * nondeterministic under Spark's unordered partial aggregation —
+    * and each mean is a single long/long IEEE division. Distances
+    * fold sequentially in doubles (same order both engines). Output:
+    * per-vector assignment after round 1 and after round `iters`,
+    * plus whether it moved — integers and booleans only. */
+  def kmeans(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    require(iters >= 1, "kmeans needs at least one assignment round")
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => round(x.cast(DoubleType) * 1e6d).cast(LongType)).as("qv"))
+    // fold-exact squared L2: quantized longs vs double centroids
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast(DoubleType) - y; d * d
+      }), lit(0.0d), _ + _)
+    // one assignment pass: centroids broadcast, argmin via min(struct)
+    def assign(cents: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cents))
+        .select($"vec_id", $"qv",
+          struct(sqDist($"qv", $"cvec").as("d"), $"cid".as("c")).as("s"))
+        .groupBy($"vec_id", $"qv").agg(min($"s").getField("c").as("cluster"))
+    // centroid update: exact long sums per (cluster, dim), one
+    // division per mean, repacked dim-ordered
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned.select($"cluster".as("cid"), posexplode($"qv").as(Seq("pos", "v")))
+        .groupBy($"cid", $"pos")
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .withColumn("mean", $"s".cast(DoubleType) / $"n".cast(DoubleType))
+        .groupBy($"cid")
+        .agg(transform(sort_array(collect_list(struct($"pos", $"mean"))),
+          _.getField("mean")).as("cvec"))
+    // deterministic seeding: the K smallest vec_ids (every seed is
+    // its own nearest centroid in round 1, so no cluster starts empty)
+    val seeds = q.filter($"vec_id" < k)
+      .select($"vec_id".as("cid"), transform($"qv", _.cast(DoubleType)).as("cvec"))
+    val first = assign(seeds)
+    val last = (1 until iters).foldLeft(first)((a, _) => assign(recenter(a)))
+    first.select($"vec_id", $"cluster".as("c1"))
+      .join(last.select($"vec_id", $"cluster"), "vec_id")
+      .select($"vec_id", $"c1", $"cluster", ($"c1" =!= $"cluster").as("moved"))
   }
 
   /** LSH-bucketed ANN: vectors meet only within their 4-plane
