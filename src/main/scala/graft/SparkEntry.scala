@@ -84,6 +84,9 @@ object SparkEntry {
     "corpus_cap" -> ((s: SparkSession, d: String) => Curation.corpusCap(s, d)),
     "dedup_lines" -> ((s: SparkSession, d: String) => Curation.dedupLines(s, d)),
     "decontaminate_bloom" -> ((s: SparkSession, d: String) => Curation.decontaminateBloom(s, d)),
+    "corpus_pack" -> ((s: SparkSession, d: String) => Curation.corpusPack(s, d)),
+    "source_mix" -> ((s: SparkSession, d: String) => Curation.sourceMix(s, d)),
+    "corpus_shard" -> ((s: SparkSession, d: String) => Curation.corpusShard(s, d)),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
@@ -660,6 +663,31 @@ object SparkEntry {
         |FROM firsts f JOIN tot t USING (doc_id)
         |WHERE f.rn = 1
         |GROUP BY f.doc_id""".stripMargin,
+    "corpus_pack" ->
+      """SELECT doc_id, n_tokens, start_off,
+        |  CAST(floor(start_off / 2048.0) AS BIGINT) AS pack_id,
+        |  start_off % 2048 AS off_in_pack,
+        |  (CAST(floor((start_off + n_tokens - 1) / 2048.0) AS BIGINT)
+        |     > CAST(floor(start_off / 2048.0) AS BIGINT)) AS spans_packs
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |    FROM documents) t) z""".stripMargin,
+    "source_mix" ->
+      s"""SELECT doc_id, lang, source, bucket, target_pct FROM (
+         |  SELECT doc_id, lang, source, ${ph("text")} % 100 AS bucket,
+         |    CAST(CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30
+         |      WHEN lang = 'fr' THEN 20 ELSE 10 END AS BIGINT) AS target_pct
+         |  FROM documents) t
+         |WHERE bucket < target_pct""".stripMargin,
+    "corpus_shard" ->
+      s"""SELECT doc_id, shard, pos FROM (
+         |  SELECT doc_id, h % 16 AS shard,
+         |    CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
+         |  FROM (SELECT doc_id, ${ph("text")} AS h FROM documents) t) z""".stripMargin,
     "embed_kmeans" ->
       s"""WITH q AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv

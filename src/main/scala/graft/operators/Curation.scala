@@ -85,6 +85,92 @@ object Curation {
         min($"total_chunks").as("total_chunks"))
   }
 
+  /** Sequence packing (the concatenate-then-chunk step every LLM
+    * training pipeline runs): documents concatenate in doc_id order
+    * and split into fixed `ctx`-token context windows; each document
+    * reports its global token offset, which pack it starts in, its
+    * offset inside that pack, and whether it straddles a pack
+    * boundary.
+    *
+    * The global running sum is the scale hazard: a bare
+    * `Window.orderBy` drags the whole corpus through ONE task. This
+    * plan is the classic two-phase distributed prefix sum instead,
+    * keyed on DATA-derived blocks (`doc_id div blockDocs`), never on
+    * physical partition ids — partition identity silently changes
+    * under task merging (a downstream coalesce(1) collapses
+    * TaskContext partition ids while per-parent-partition folds still
+    * reset, which mispairs local sums with their bases) and under
+    * repartitioning, while block keys are deterministic under ANY
+    * physical layout and stay balanced because doc ids are dense.
+    * Phase 1 computes block-local running sums (one balanced hash
+    * shuffle of the corpus, the only one); phase 2 partial-aggregates
+    * per-block totals map-side (rows crossing ∝ blocks, not corpus),
+    * runs the tiny running sum over them, and BROADCASTS each block's
+    * exclusive base offset back. At extreme scale the base layer
+    * recurses (blocks of blocks); one level covers 10^8 blocks
+    * comfortably. */
+  def corpusPack(spark: SparkSession, dir: String, ctx: Int = 2048,
+      blockDocs: Int = 256): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", size(TextFns.tokens($"text")).cast(LongType).as("n_tokens"),
+        floor($"doc_id" / blockDocs.toLong).cast(LongType).as("block"))
+    val localW = Window.partitionBy($"block").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = toks.withColumn("local_cum", sum($"n_tokens").over(localW))
+    val baseW = Window.orderBy($"block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = toks.groupBy($"block").agg(sum($"n_tokens").as("ptotal"))
+      .withColumn("base", coalesce(sum($"ptotal").over(baseW), lit(0L)))
+      .select($"block", $"base")
+    local.join(broadcast(bases), "block")
+      .withColumn("start_off", $"base" + $"local_cum" - $"n_tokens")
+      .withColumn("pack_id", floor($"start_off" / ctx.toLong).cast(LongType))
+      .withColumn("off_in_pack", $"start_off" % ctx.toLong)
+      .withColumn("spans_packs",
+        floor(($"start_off" + $"n_tokens" - 1L) / ctx.toLong) > $"pack_id")
+      .select($"doc_id", $"n_tokens", $"start_off", $"pack_id", $"off_in_pack", $"spans_packs")
+  }
+
+  /** Mixture-weighted sampling (the source-weighting step of corpus
+    * assembly): each language samples at its own rate — the
+    * "2 epochs of Wikipedia, 0.3 of CommonCrawl" dial — via the same
+    * deterministic content-hash buckets as `sample_strata`, so the
+    * mixture is reproducible across engines and cluster sizes and
+    * composable with every other hash-bucketed stage. Scan-local:
+    * the per-group rate is a CASE over the group key, no shuffle. */
+  def sourceMix(spark: SparkSession, dir: String,
+      rates: Map[String, Int] = Map("en" -> 50, "de" -> 30, "fr" -> 20),
+      defaultRate: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    val rate = rates.foldLeft(lit(defaultRate)) { case (e, (lang, pct)) =>
+      when($"lang" === lang, lit(pct)).otherwise(e)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(HashFns.polyHash($"text"), lit(100L)))
+      .withColumn("target_pct", rate.cast(LongType))
+      .filter($"bucket" < $"target_pct")
+      .select($"doc_id", $"lang", $"source", $"bucket", $"target_pct")
+  }
+
+  /** Deterministic training-shard assignment + within-shard order
+    * (the "global shuffle" a training job needs, without rand()):
+    * shard = content-hash mod `nShards`, order inside the shard by
+    * (hash, doc_id) — a reproducible permutation of the corpus that
+    * any engine recomputes bit-identically. One shuffle on the shard
+    * key; shards are balanced by the hash. */
+  def corpusShard(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    val w = Window.partitionBy($"shard").orderBy($"h".asc, $"doc_id".asc)
+    Tables.documents(spark, dir)
+      .select($"doc_id", HashFns.polyHash($"text").as("h"))
+      .withColumn("shard", pmod($"h", lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select($"doc_id", $"shard", $"pos")
+  }
+
   /** Bloom-prefiltered benchmark decontamination — the 100 TB shape
     * of [[TextAnalysis.decontaminate]]: the holdout shingle set
     * aggregates into a Bloom filter INSIDE the plan (scalar subquery

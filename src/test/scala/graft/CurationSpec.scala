@@ -71,6 +71,76 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(3L), "a fully-duplicated document must drop")
   }
 
+  // --- corpus_pack ----------------------------------------------------------
+
+  test("pack offsets equal the naive global prefix sum; boundaries detected") {
+    val packed = Curation.corpusPack(spark, sf, ctx = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val naiveW = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val naive = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split(lower($"text"), "\\s+")).cast("long").as("n"))
+      .withColumn("start", coalesce(sum($"n").over(naiveW), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(naive.nonEmpty)
+    naive.foreach { case (id, n, start) =>
+      val (gotStart, packId, off, spans) = packed(id)
+      assert(gotStart == start, s"doc $id: start $gotStart != $start")
+      assert(packId == start / 64 && off == start % 64)
+      assert(spans == ((start + n - 1) / 64 > start / 64))
+    }
+    // the corpus straddles many packs, so some doc must span
+    assert(packed.values.exists(_._4) && packed.values.exists(!_._4))
+  }
+
+  test("pack prefix sum shuffles the corpus once, by block — and survives task merging") {
+    val df = Curation.corpusPack(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    // corpus-side window clusters by the data-derived block key...
+    assert(executed.contains("hashpartitioning(block"), executed)
+    // ...and the only single-partition exchange is the tiny per-block
+    // totals window (rows ∝ blocks); the corpus never global-sorts
+    assert(executed.contains("Exchange SinglePartition"), executed)
+    assert(!executed.contains("rangepartitioning"),
+      s"corpus must not pay a global range sort:\n$executed")
+    // regression: offsets keyed on physical partition ids broke under
+    // a downstream coalesce(1) (Verify's dump shape) — task merging
+    // collapses partition ids while per-parent folds still reset
+    val plain = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val merged = Curation.corpusPack(spark, sf).coalesce(1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(merged == plain, "offsets must be identical under coalesce(1)")
+  }
+
+  // --- source_mix / corpus_shard --------------------------------------------
+
+  test("mixture sampling rates apply per language") {
+    val out = Curation.sourceMix(spark, sf)
+    val got = out.groupBy($"lang").agg(max($"target_pct")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (lang, pct) =>
+      val want = Map("en" -> 50L, "de" -> 30L, "fr" -> 20L).getOrElse(lang, 10L)
+      assert(pct == want, s"$lang sampled at $pct, want $want")
+    }
+    assert(out.filter($"bucket" >= $"target_pct").count() == 0)
+  }
+
+  test("shard assignment is a deterministic permutation: every doc exactly once") {
+    val out = Curation.corpusShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length == n)
+    assert(out.map(_._1).distinct.length == n)
+    // within every shard, positions are 1..size with no gaps
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard has position gaps")
+    }
+    val again = Curation.corpusShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet, "shard permutation must be reproducible")
+  }
+
   // --- decontaminate_bloom --------------------------------------------------
 
   test("bloom prefilter is result-invisible and present in the plan") {
