@@ -158,17 +158,33 @@ object Curation {
     * (the "global shuffle" a training job needs, without rand()):
     * shard = content-hash mod `nShards`, order inside the shard by
     * (hash, doc_id) — a reproducible permutation of the corpus that
-    * any engine recomputes bit-identically. One shuffle on the shard
-    * key; shards are balanced by the hash. */
-  def corpusShard(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    * any engine recomputes bit-identically.
+    *
+    * Ranking inside a shard is the scale hazard: a window partitioned
+    * by shard alone has only `nShards` groups, so each task sorts
+    * corpus/nShards rows. Ranks are therefore computed in two phases
+    * over hash-RANGE buckets (monotone in the sort key, so bucket
+    * order = rank order): local row_numbers within (shard, bucket) —
+    * many balanced groups — plus each bucket's exclusive base from a
+    * tiny per-bucket-counts running sum, broadcast back. Same
+    * distributed-rank decomposition as [[corpusPack]]'s prefix sum. */
+  def corpusShard(spark: SparkSession, dir: String, nShards: Int = 16,
+      bucketWidth: Long = 16000000L): DataFrame = {
     import spark.implicits._
     import graft.functions.HashFns
-    val w = Window.partitionBy($"shard").orderBy($"h".asc, $"doc_id".asc)
-    Tables.documents(spark, dir)
+    val hashed = Tables.documents(spark, dir)
       .select($"doc_id", HashFns.polyHash($"text").as("h"))
       .withColumn("shard", pmod($"h", lit(nShards.toLong)))
-      .withColumn("pos", row_number().over(w).cast(LongType))
-      .select($"doc_id", $"shard", $"pos")
+      .withColumn("bucket", floor($"h" / bucketWidth).cast(LongType))
+    val localW = Window.partitionBy($"shard", $"bucket").orderBy($"h".asc, $"doc_id".asc)
+    val local = hashed.withColumn("lrn", row_number().over(localW).cast(LongType))
+    val baseW = Window.partitionBy($"shard").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = hashed.groupBy($"shard", $"bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("base", coalesce(sum($"bn").over(baseW), lit(0L)))
+      .select($"shard", $"bucket", $"base")
+    local.join(broadcast(bases), Seq("shard", "bucket"))
+      .select($"doc_id", $"shard", ($"base" + $"lrn").as("pos"))
   }
 
   /** Bloom-prefiltered benchmark decontamination — the 100 TB shape

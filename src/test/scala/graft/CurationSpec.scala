@@ -139,6 +139,16 @@ class CurationSpec extends SparkSpec {
     val again = Curation.corpusShard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet == out.toSet, "shard permutation must be reproducible")
+    // the two-phase rank (hash-range buckets + broadcast bases) must
+    // equal the naive per-shard window exactly
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.HashFns.polyHash($"text").as("h"))
+      .withColumn("shard", pmod($"h", lit(16L)))
+    val naiveW = Window.partitionBy($"shard").orderBy($"h".asc, $"doc_id".asc)
+    val naive = docs.withColumn("pos", row_number().over(naiveW).cast("long"))
+      .select($"doc_id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == naive.toSet)
   }
 
   // --- decontaminate_bloom --------------------------------------------------
