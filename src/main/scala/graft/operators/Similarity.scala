@@ -43,11 +43,11 @@ object Similarity {
     import org.apache.spark.sql.types.DoubleType
     def sub(c: Column, mi: Int): Column = slice(c, mi * subDim + 1, subDim)
     // fold-exact squared L2 over one sub-space; elements cast to
-    // double BEFORE subtraction (float arithmetic differs)
+    // double BEFORE subtraction (float arithmetic differs). Native
+    // single-pass expression (codegen'd; HOF folds are
+    // CodegenFallback) — parity with the composed form is spec-held
     def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => {
-        val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
-      }), lit(0.0d), _ + _)
+      graft.plans.VecExprs.sqDistFFCol(a, b)
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val cents = emb.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"))
@@ -170,11 +170,11 @@ object Similarity {
     val q = Tables.embeddings(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => round(x.cast(DoubleType) * 1e6d).cast(LongType)).as("qv"))
-    // fold-exact squared L2: quantized longs vs double centroids
+    // fold-exact squared L2: quantized longs vs double centroids —
+    // native single-pass (codegen'd), parity with the HOF form
+    // spec-held
     def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => {
-        val d = x.cast(DoubleType) - y; d * d
-      }), lit(0.0d), _ + _)
+      graft.plans.VecExprs.sqDistLDCol(a, b)
     // one assignment pass: centroids broadcast, argmin via min(struct)
     def assign(cents: DataFrame): DataFrame =
       q.crossJoin(broadcast(cents))

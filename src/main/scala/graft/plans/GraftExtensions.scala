@@ -37,6 +37,7 @@ object GraftExtensions {
     "graft_simhash" -> arity("graft_simhash", 1)(es => SimHash64(es.head)),
     "graft_minhash" -> arity("graft_minhash", 1)(es => MinHashArr(es.head)),
     "graft_dot" -> arity("graft_dot", 2)(es => DotProductF(es(0), es(1))),
+    "graft_sqdist" -> arity("graft_sqdist", 2)(es => SqDistFF(es(0), es(1))),
     "graft_sig_agree" -> arity("graft_sig_agree", 2)(es => SigAgreeCount(es(0), es(1))),
     "graft_shingles" -> arity("graft_shingles", 1)(es => ShingleSet(es.head, 3)),
     "graft_ngrams" -> arity("graft_ngrams", 1)(es => CharNGramSet(es.head, 4)),

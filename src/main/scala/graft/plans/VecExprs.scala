@@ -18,6 +18,10 @@ object VecExprs {
     ColumnBridge.column(DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def lshSigCol(v: Column, nPlanes: Int): Column =
     ColumnBridge.column(LshSig(ColumnBridge.expression(v), nPlanes))
+  def sqDistFFCol(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDistFF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sqDistLDCol(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDistLD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   @inline def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -25,6 +29,39 @@ object VecExprs {
     var i = 0
     while (i < n) {
       s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Static body for SqDistFF: left-fold of (double(a[i]) −
+    * double(b[i]))², the order/widening of the HOF definition
+    * (elements cast BEFORE the subtraction). Lengths must agree —
+    * a mismatch fails loudly rather than silently diverging from the
+    * zip_with null semantics it replaces. */
+  def sqDistFF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"sqdist over unequal lengths: $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Static body for SqDistLD: quantized-long vs double-centroid
+    * squared L2, same fold order as the HOF form. */
+  def sqDistLD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"sqdist over unequal lengths: $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i).toDouble - b.getDouble(i)
+      s += d * d
       i += 1
     }
     s
@@ -63,6 +100,37 @@ case class LshSig(child: Expression, nPlanes: Int)
       ev: codegen.ExprCode): codegen.ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.VecExprs.lshSig($c, $nPlanes)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Fold-exact squared L2 between two float arrays (the ANN-PQ
+  * sub-space distance), in double. Codegen calls the static loop so
+  * whole-stage codegen stays alive. */
+case class SqDistFF(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecExprs.sqDistFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecExprs.sqDistFF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** Fold-exact squared L2 between a quantized long vector and a
+  * double centroid (the k-means assignment distance). */
+case class SqDistLD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](ArrayType(LongType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecExprs.sqDistLD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecExprs.sqDistLD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 /** Fixed-order dot product of two float arrays, in double. Codegen

@@ -14,6 +14,10 @@ class ExtensionsSpec extends SparkSpec {
       .select(HashFns.polyHash($"s")).head().getLong(0)
     assert(sql.getAs[Long]("h") == viaCol)
     assert(sql.getAs[Double]("d") == 4.0)
+    // squared L2: (1.5-2)^2 + (2-0.5)^2 = 2.5
+    val sd = spark.sql(
+      "SELECT graft_sqdist(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS sd").head()
+    assert(sd.getAs[Double]("sd") == 2.5)
   }
 
   test("graft_pack_frame / graft_unpack_frame roundtrip in SQL") {

@@ -28,6 +28,31 @@ class NativeParitySpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("SqDistFF / SqDistLD == HOF squared-L2 folds on all embeddings") {
+    import org.apache.spark.sql.types.DoubleType
+    val e = Tables.embeddings(spark, sf)
+    // float-float: the ANN-PQ sub-space distance (here over the full
+    // vector against a shifted copy)
+    val shifted = reverse($"embedding")
+    val badFF = e.select(
+      graft.plans.VecExprs.sqDistFFCol($"embedding", shifted).as("native"),
+      aggregate(zip_with($"embedding", shifted, (x, y) => {
+        val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
+      }), lit(0.0d), _ + _).as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(badFF.isEmpty)
+    // long-double: the k-means assignment distance
+    val qv = transform($"embedding", x => round(x.cast(DoubleType) * 1e6d).cast("long"))
+    val cv = transform(reverse($"embedding"), x => x.cast(DoubleType))
+    val badLD = e.select(
+      graft.plans.VecExprs.sqDistLDCol(qv, cv).as("native"),
+      aggregate(zip_with(qv, cv, (x, y) => {
+        val d = x.cast(DoubleType) - y; d * d
+      }), lit(0.0d), _ + _).as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(badLD.isEmpty)
+  }
+
   test("SimHash64 == HOF simhash on all documents") {
     val bad = Tables.documents(spark, sf)
       .select(HashFns.simHash(TextFns.tokens($"text")).as("native"),
