@@ -103,6 +103,10 @@ object SparkEntry {
     // batch minhashEstimate pair set only if batch-2 arrivals are
     // caught against batch-1 state
     "dedup_stream" -> (graft.streaming.StreamDedup.streamedDedup _),
+    // D. streaming exact dedup: keeper state per content hash; the
+    // arrival log aggregates to the batch dedup_exact result only if
+    // batch-2 copies hit batch-1 state
+    "dedup_exact_stream" -> (graft.streaming.StreamDedup.streamedExactDedup _),
   )
 
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
@@ -211,6 +215,12 @@ object SparkEntry {
       |FROM sh s JOIN ev USING (shingle)
       |WHERE s.doc_id >= 50
       |GROUP BY s.doc_id""".stripMargin
+
+  /** Shared by `dedup_exact` and its streaming twin
+    * `dedup_exact_stream` (keeper state per content hash). */
+  private lazy val exactDedupSql: String =
+    s"""SELECT ${ph("text")} AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+       |FROM documents GROUP BY 1""".stripMargin
 
   /** DuckDB fragment: fold-exact squared L2 between two DOUBLE lists
     * (mirrors Similarity.kmeans' sqDist — same sequential order). */
@@ -420,9 +430,10 @@ object SparkEntry {
         |  COUNT(DISTINCT a.user_id) AS n_active
         |FROM s JOIN a ON s.user_id = a.user_id AND act_week >= cohort_week
         |GROUP BY 1, 2""".stripMargin,
-    "dedup_exact" ->
-      s"""SELECT ${ph("text")} AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
-         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_exact" -> exactDedupSql,
+    // streaming twin: the arrival log aggregated — identical result
+    // by construction when cross-batch keeper state works
+    "dedup_exact_stream" -> exactDedupSql,
     "dedup_minhash" ->
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM vp""".stripMargin,

@@ -33,6 +33,8 @@ object StreamDedup {
   case class BandRow(band: Int, bkey: Long, doc_id: Long, sig: Seq[Long])
   case class Member(id: Long, sig: Seq[Long])
   case class PairOut(doc_a: Long, doc_b: Long, est_jaccard: Double)
+  case class HashRow(content_hash: Long, doc_id: Long)
+  case class ArrivalOut(content_hash: Long, doc_id: Long, is_dup: Boolean)
 
   private var sinkCounter = 0
 
@@ -90,6 +92,88 @@ object StreamDedup {
           state.update(members)
           out.iterator
       }
+  }
+
+  /** Streaming EXACT dedup — the other half of the daily pipeline
+    * beside the near-dup index: per content hash the state is the
+    * keeper's existence, and every arrival is flagged new-vs-duplicate
+    * against the standing corpus without rescanning it. Emission is
+    * append-safe (one immutable row per arrival), so any sink works
+    * and the keeper/copy-count view is a plain aggregation of the
+    * emitted log. State per hash is one boolean — the 100 TB state
+    * footprint is the distinct-document count, sharded by the same
+    * hash the batch plan groups on. */
+  def incrementalExact(rows: Dataset[HashRow]): Dataset[ArrivalOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Boolean, ArrivalOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (hash, it, state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          // deterministic intra-batch order (arrival order proxy):
+          // smaller doc_id arrives first, so the keeper is the global
+          // min when batches are staged in doc_id order
+          val out = it.toSeq.sortBy(_.doc_id).map { r =>
+            val dup = seen
+            seen = true
+            ArrivalOut(hash, r.doc_id, dup)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** The batch-gated run (`dedup_exact_stream`): two doc_id-ordered
+    * micro-batches through [[incrementalExact]]; the arrival log
+    * aggregates to exactly the batch [[graft.operators.Dedup.exact]]
+    * result (keeper = first arrival = min doc_id, copies = arrivals)
+    * — which only holds if batch-2 copies are caught against batch-1
+    * state. */
+  def streamedExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.Files
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", graft.functions.HashFns.polyHash($"text").as("content_hash"))
+    val bounds = docs.agg(min($"doc_id"), max($"doc_id")).head()
+    if (bounds.isNullAt(0))
+      return spark.emptyDataset[ArrivalOut].toDF()
+        .groupBy($"content_hash")
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val tmp = Files.createTempDirectory("graft_sxdedup_")
+    try {
+      docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$tmp/in/a_first")
+      docs.filter($"doc_id" > cut).coalesce(1).write.parquet(s"$tmp/in/b_second")
+      val schema = spark.read.parquet(s"$tmp/in/a_first").schema
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+      val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_xstream_$sinkCounter" }
+      val q = incrementalExact(stream.select($"content_hash", $"doc_id").as[HashRow])
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val log = ss.table(name)
+      // exactly one keeper per hash, and it must be the smallest id —
+      // anything else means cross-batch state was not consulted
+      val badKeeper = log.groupBy($"content_hash")
+        .agg(count(when(!$"is_dup", 1)).as("keepers"),
+          min($"doc_id").as("mn"),
+          min(when(!$"is_dup", $"doc_id")).as("keeper"))
+        .filter($"keepers" =!= 1 || $"keeper" =!= $"mn").count()
+      if (badKeeper > 0)
+        throw new IllegalStateException(
+          s"streamed exact dedup: $badKeeper hashes have a wrong keeper " +
+            "(duplicate not matched against earlier-batch state)")
+      log.groupBy($"content_hash")
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 
   /** The batch-gated end-to-end run (`dedup_stream`): the documents

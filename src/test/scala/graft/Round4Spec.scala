@@ -39,6 +39,30 @@ class Round4Spec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("streamed exact dedup recovers the batch keeper set across batches") {
+    val streamed = StreamDedup.streamedExactDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.exact(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("an exact copy arriving in batch 2 is a duplicate of batch 1's keeper") {
+    val same = "identical content that appears twice across the batch split"
+    val docs = Seq(
+      (1L, "first unique document body"),
+      (2L, same),                        // batch 1 (ids <= cut = 5)
+      (9L, same),                        // batch 2 — must dup against state
+      (10L, "final unique document body")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sxd").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = StreamDedup.streamedExactDedup(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains((2L, 2L)), s"keeper 2 with 2 copies expected; got $out")
+  }
+
   test("streamed dedup fails loudly when the hot-bucket cap truncates") {
     // 210 identical docs: every band bucket exceeds the 200-member
     // cap, so the streamed pair set silently loses pairs vs the batch
