@@ -25,6 +25,8 @@ object SparkEntry {
     "q_exists" -> (Relational.qExists _),
     "q_semi" -> (Relational.qSemi _),
     "q_rollup" -> (Relational.qRollup _),
+    "q_cube" -> (Relational.qCube _),
+    "q_rangejoin" -> ((s: SparkSession, d: String) => Relational.qRangeJoin(s, d)),
     "q_asof" -> (Relational.qAsOf _),
     "q_asof_native" -> (Relational.qAsOfNative _),
     "q_asof_tolerance" -> ((s: SparkSession, d: String) => Relational.qAsOfTolerance(s, d)),
@@ -277,6 +279,22 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_rangejoin" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS eus,
+        |  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT a.event_id,
+        |  COUNT(CASE WHEN abs(b.eus - a.eus) <= 600000000 THEN 1 END) AS n_nearby,
+        |  CAST(COALESCE(SUM(CASE WHEN abs(b.eus - a.eus) <= 600000000 THEN b.v END), 0) AS DOUBLE) AS nearby_value
+        |FROM e a LEFT JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        |  AND abs(b.eus - a.eus) <= 600000000
+        |GROUP BY a.event_id""".stripMargin,
     "q_asof" -> asOfSql,
     "q_asof_native" -> asOfSql,
     // the tolerance variant nulls matches older than 8500 days; the

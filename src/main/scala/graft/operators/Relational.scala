@@ -145,6 +145,51 @@ object Relational {
            count(lit(1)).as("n_rows"))
   }
 
+  /** CUBE over (returnflag, linestatus): all four grouping sets in
+    * one pass — same partial-aggregation shape as rollup, one shuffle
+    * regardless of how many grouping sets expand. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"),
+           dsum($"l_extendedprice").as("sum_price"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** Banded (bucketized) range join — the scale shape for interval
+    * predicates: for every event, the OTHER events of the same user
+    * within ±10 minutes (burst detection). A raw range join
+    * degenerates to a per-key cross product; here the probe side
+    * bucketizes time into 10-minute bands (each build row lands in
+    * exactly ONE bucket, each probe visits its ≤3 overlapping
+    * buckets), so candidates meet through a plain EQUI-join on
+    * (user, bucket) — shuffle ∝ data, never |events|² — and the exact
+    * |Δt| ≤ 10 min predicate trims band edges afterwards. Each
+    * qualifying pair meets exactly once (a build row's single bucket
+    * is probed once), so no dedup is needed. Time math is integer
+    * microseconds end-to-end (engine-exact; no interval/timezone
+    * semantics in the hot predicate). */
+  def qRangeJoin(spark: SparkSession, dir: String, minutes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = minutes.toLong * 60L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("eus"), $"value")
+    val build = ev
+      .select($"user_id", $"event_id".as("nb_id"), $"eus".as("nb_us"), $"value".as("nb_value"))
+      .withColumn("bucket", floor($"nb_us" / w))
+    val probes = ev.withColumn("bucket",
+      explode(sequence(floor(($"eus" - w) / w), floor(($"eus" + w) / w))))
+    val within = abs($"nb_us" - $"eus") <= w && $"nb_id" =!= $"event_id"
+    probes.join(build, Seq("user_id", "bucket"), "left")
+      .groupBy($"event_id")
+      .agg(count(when(within, 1)).as("n_nearby"),
+        // decimal-exact neighbor-value sum (SURVEY §5: double sums are
+        // aggregation-order-dependent and never oracle-safe)
+        coalesce(sum(when(within, dec($"nb_value")))
+          .cast(org.apache.spark.sql.types.DoubleType), lit(0.0d)).as("nearby_value"))
+  }
+
   /** Statistical moments per group: population covariance and
     * correlation of (quantity, price), computed from DECIMAL-EXACT
     * power sums rather than streaming moment updates — Welford-style

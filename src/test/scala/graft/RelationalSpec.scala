@@ -92,6 +92,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("banded range join equals the naive range join, through an equi-join") {
+    import org.apache.spark.sql.functions._
+    val banded = Relational.qRangeJoin(spark, sf)
+    val got = banded.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // naive form: direct theta self-join on |Δt| <= 10 min (fine at
+    // spec scale)
+    val w = 10L * 60 * 1000000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("eus"),
+        $"value".cast("decimal(18,2)").as("v"))
+    val a = ev.select($"event_id", $"user_id", $"eus")
+    val b = ev.select($"event_id".as("nb_id"), $"user_id", $"eus".as("nus"), $"v")
+    val naive = a.join(b, a("user_id") === b("user_id") &&
+        $"nb_id" =!= $"event_id" && abs($"nus" - $"eus") <= w, "left")
+      .groupBy($"event_id")
+      .agg(count($"nb_id").as("n"),
+        coalesce(sum($"v").cast("double"), lit(0.0d)).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == naive)
+    assert(got.values.exists(_._1 > 0))
+    // the banded plan must candidate through an EQUI-join on
+    // (user, bucket) — never a per-key cross product
+    banded.collect()
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a cross product:\n$plan")
+  }
+
   test("custom as-of operator matches the union+window plan row for row") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("event_id"),
