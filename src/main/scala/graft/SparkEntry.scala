@@ -98,6 +98,7 @@ object SparkEntry {
     "mm_meta" -> (Multimodal.meta _),
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
     "mm_framesample" -> ((s: SparkSession, d: String) => Frames.frameSample(s, d)),
+    "mm_audio" -> (Multimodal.audio _),
     // B. streaming relay (Structured Streaming, driven to completion)
     "stream_relay" -> (graft.streaming.StreamRelay.windowedRelay _),
     // D. streaming incremental dedup: the documents corpus as two
@@ -862,6 +863,23 @@ object SparkEntry {
         |            WHEN lang = 'es' THEN 30 ELSE 12 END
         |       + least(strlen(text), 16) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    "mm_audio" ->
+      """SELECT doc_id,
+        |  CAST(44 + dl AS BIGINT) AS n_bytes,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(dl // (ch * 2) AS BIGINT) AS n_samples,
+        |  CAST((dl // (ch * 2)) * 1000000 // rate AS BIGINT) AS duration_us,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, LEAST(dl, 8)),
+        |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT))),
+        |    (a,b) -> a+b) AS payload_head_sum
+        |FROM (SELECT doc_id, text,
+        |    (doc_id % 2 + 1) AS ch,
+        |    CASE WHEN lang = 'en' THEN 16000 WHEN lang = 'de' THEN 44100
+        |         WHEN lang = 'es' THEN 8000 ELSE 22050 END AS rate,
+        |    strlen(text) - strlen(text) % ((doc_id % 2 + 1) * 2) AS dl
+        |  FROM documents) t""".stripMargin,
     "mm_framesample" ->
       """SELECT device_id, COUNT(*) AS n_sampled,
         |  CAST(SUM(ssum) AS BIGINT) AS sample_sum,

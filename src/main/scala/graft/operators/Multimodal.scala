@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.plans.{Frame, Image}
+import graft.plans.{Audio, Frame, Image}
 import graft.sources.Tables
 
 /** Multimodal column plumbing (SURVEY §2.G): media payloads ride as
@@ -50,6 +50,33 @@ object Multimodal {
         // payload survives intact behind the header: sum of its first
         // 8 bytes, located via the parsed payload offset
         Frame.byteSum(expr("substring(blob, meta.payload_off + 1, 8)"), lit(8L))
+          .as("payload_head_sum"))
+  }
+
+  /** The audio modality through the same column pattern: blobs carry
+    * a REAL canonical PCM WAV header (RIFF/fmt/data chunks, see
+    * [[graft.plans.Audio]]) over the document payload standing in
+    * for s16le frames; decode parses channels / sample rate / frame
+    * count back out of the little-endian bytes, and duration derives
+    * by integer µs arithmetic (engine-exact — no floating time
+    * math). Scan-local, zero shuffle. */
+  def audio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val channels = (col("doc_id") % 2) + 1
+    val rate = when(col("lang") === "en", 16000L)
+      .when(col("lang") === "de", 44100L)
+      .when(col("lang") === "es", 8000L).otherwise(22050L)
+    Tables.documents(spark, dir)
+      .select($"doc_id", Audio.pack(channels, rate, encode($"text", "UTF-8")).as("blob"))
+      .withColumn("m", Audio.decode($"blob"))
+      .select($"doc_id",
+        octet_length($"blob").cast(LongType).as("n_bytes"),
+        $"m.channels".cast(LongType).as("channels"),
+        $"m.sample_rate".cast(LongType).as("sample_rate"),
+        expr("m.data_len div (m.channels * 2)").cast(LongType).as("n_samples"),
+        expr("(CAST(m.data_len AS BIGINT) div (m.channels * 2)) * 1000000 div m.sample_rate")
+          .cast(LongType).as("duration_us"),
+        Frame.byteSum(expr("substring(blob, m.payload_off + 1, 8)"), lit(8L))
           .as("payload_head_sum"))
   }
 
