@@ -99,6 +99,7 @@ object SparkEntry {
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
     "mm_framesample" -> ((s: SparkSession, d: String) => Frames.frameSample(s, d)),
     "mm_audio" -> (Multimodal.audio _),
+    "mm_audio_downsample" -> (Multimodal.audioDownsample _),
     // B. streaming relay (Structured Streaming, driven to completion)
     "stream_relay" -> (graft.streaming.StreamRelay.windowedRelay _),
     // D. streaming incremental dedup: the documents corpus as two
@@ -880,6 +881,20 @@ object SparkEntry {
         |         WHEN lang = 'es' THEN 8000 ELSE 22050 END AS rate,
         |    strlen(text) - strlen(text) % ((doc_id % 2 + 1) * 2) AS dl
         |  FROM documents) t""".stripMargin,
+    "mm_audio_downsample" ->
+      """SELECT doc_id,
+        |  CAST(44 + dl2 AS BIGINT) AS n_bytes,
+        |  CAST(rate // 2 AS BIGINT) AS sample_rate,
+        |  CAST(dl2 // (ch * 2) AS BIGINT) AS n_samples,
+        |  CAST((dl2 // (ch * 2)) * 1000000 // (rate // 2) AS BIGINT) AS duration_us
+        |FROM (SELECT doc_id, ch, rate,
+        |    (dl // 2) - (dl // 2) % (ch * 2) AS dl2
+        |  FROM (SELECT doc_id,
+        |      (doc_id % 2 + 1) AS ch,
+        |      CASE WHEN lang = 'en' THEN 16000 WHEN lang = 'de' THEN 44100
+        |           WHEN lang = 'es' THEN 8000 ELSE 22050 END AS rate,
+        |      strlen(text) - strlen(text) % ((doc_id % 2 + 1) * 2) AS dl
+        |    FROM documents) a) t""".stripMargin,
     "mm_framesample" ->
       """SELECT device_id, COUNT(*) AS n_sampled,
         |  CAST(SUM(ssum) AS BIGINT) AS sample_sum,

@@ -80,6 +80,36 @@ object Multimodal {
           .as("payload_head_sum"))
   }
 
+  /** Transform through the audio codec (the mm_resize twin):
+    * decode each WAV blob, halve the sample rate AND keep only the
+    * first half of the payload bytes (the packer re-truncates to
+    * whole frames), re-pack a real header, and decode the OUTPUT
+    * bytes — half the frames at half the rate preserves duration up
+    * to frame rounding, which the spec asserts. Sample-accurate
+    * decimation (every other frame) would sit at the payload step
+    * exactly like pixel resampling for images. */
+  def audioDownsample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val channels = (col("doc_id") % 2) + 1
+    val rate = when(col("lang") === "en", 16000L)
+      .when(col("lang") === "de", 44100L)
+      .when(col("lang") === "es", 8000L).otherwise(22050L)
+    Tables.documents(spark, dir)
+      .select($"doc_id", Audio.pack(channels, rate, encode($"text", "UTF-8")).as("blob"))
+      .withColumn("m", Audio.decode($"blob"))
+      .withColumn("out", Audio.pack(
+        expr("CAST(m.channels AS BIGINT)"),
+        expr("CAST(m.sample_rate div 2 AS BIGINT)"),
+        expr("substring(blob, m.payload_off + 1, m.data_len div 2)")))
+      .withColumn("om", Audio.decode($"out"))
+      .select($"doc_id",
+        octet_length($"out").cast(LongType).as("n_bytes"),
+        $"om.sample_rate".cast(LongType).as("sample_rate"),
+        expr("om.data_len div (om.channels * 2)").cast(LongType).as("n_samples"),
+        expr("(CAST(om.data_len AS BIGINT) div (om.channels * 2)) * 1000000 div om.sample_rate")
+          .cast(LongType).as("duration_us"))
+  }
+
   /** Transform through the codec: decode each blob, halve its canvas
     * (floor, min 1), re-pack a REAL header at the new dimensions over
     * the truncated payload, and decode the OUTPUT blob again — the

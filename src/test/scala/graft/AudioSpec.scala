@@ -75,6 +75,23 @@ class AudioSpec extends SparkSpec {
     }
   }
 
+  test("downsample halves rate and frames, preserving duration to frame rounding") {
+    val in = graft.operators.Multimodal.audio(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val out = graft.operators.Multimodal.audioDownsample(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (rate, n, dur) = in(r.getLong(0))
+      assert(r.getLong(2) == rate / 2)
+      assert(r.getLong(3) <= n / 2 && r.getLong(3) >= n / 2 - 2)
+      // half the frames at half the rate: duration within one output
+      // frame period of the original
+      val framePeriodUs = 1000000L / (rate / 2) + 1
+      assert(math.abs(r.getLong(4) - dur) <= 2 * framePeriodUs + 2,
+        s"doc ${r.getLong(0)}: in $dur out ${r.getLong(4)}")
+    }
+  }
+
   test("graft_pack_wav / graft_decode_wav resolve in SQL") {
     val r = spark.sql(
       """SELECT graft_decode_wav(graft_pack_wav(CAST(1 AS BIGINT), CAST(8000 AS BIGINT),
