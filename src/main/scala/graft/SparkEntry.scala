@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),
     "dedup_embed" -> (Dedup.embed _),
+    "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     // E. similarity search
     "ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_topterms" -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
+    "q_cms_topterms" -> ((s: SparkSession, d: String) => TextAnalysis.cmsTopTerms(s, d)),
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "sample_strata" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStrata(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
@@ -497,6 +499,18 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / CAST(sa.ng + sb.ng - shared AS DOUBLE) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "dedup_containment" ->
+      """WITH grams AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) >= 4
+        |  THEN list_transform(range(1, length(lower(text))-2), i -> substr(lower(text), i, 4))
+        |  ELSE [lower(text)] END) AS gs FROM documents),
+        |sizes AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS ng FROM grams),
+        |idx AS (SELECT gram, list(doc_id) AS docs FROM (SELECT doc_id, unnest(gs) AS gram FROM grams) u GROUP BY gram HAVING COUNT(*) <= 50),
+        |pairs AS (SELECT p.a AS doc_a, p.b AS doc_b, COUNT(*) AS shared FROM (
+        |  SELECT unnest(list_filter(flatten(list_transform(docs, a -> list_transform(docs, b -> {'a': a, 'b': b}))), p -> p.a < p.b)) AS p FROM idx) z
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / CAST(LEAST(sa.ng, sb.ng) AS DOUBLE) AS containment
+        |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "dedup_embed" ->
       s"""WITH $sigsCte
          |SELECT vec_a, vec_b, cosine FROM (
@@ -666,6 +680,21 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source, bucket FROM (
          |  SELECT doc_id, lang, source, ${ph("text")} % 100 AS bucket FROM documents) t
          |WHERE bucket < 20""".stripMargin,
+    "q_cms_topterms" ->
+      s"""WITH terms AS (SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |    FROM documents) u),
+         |th AS (SELECT doc_id, term, ${ph("term")} AS h FROM terms),
+         |params(j, a, b) AS (VALUES (0, 506952114, 12345), (1, 1013904228, 52848),
+         |  (2, 1520856342, 93351), (3, 2027808456, 133854)),
+         |bc AS (SELECT p.j, ((th.h * p.a + p.b) % 2147483647) % 1024 AS bucket, COUNT(*) AS c
+         |  FROM th CROSS JOIN params p GROUP BY 1, 2),
+         |top AS (SELECT term, ANY_VALUE(h) AS h, COUNT(*) AS doc_freq FROM th
+         |  GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20)
+         |SELECT t.term, t.doc_freq, MIN(COALESCE(bc.c, 0)) AS cms_est
+         |FROM top t CROSS JOIN params p
+         |LEFT JOIN bc ON bc.j = p.j AND bc.bucket = ((t.h * p.a + p.b) % 2147483647) % 1024
+         |GROUP BY t.term, t.doc_freq""".stripMargin,
     "decontaminate" -> decontaminateSql,
     "decontaminate_bloom" -> decontaminateSql,
     "corpus_cap" ->

@@ -114,6 +114,32 @@ object Dedup {
     */
   def ngram(spark: SparkSession, dir: String, maxBucket: Int = 50): DataFrame = {
     import spark.implicits._
+    ngramShared(spark, dir, maxBucket)
+      .select($"doc_a", $"doc_b",
+        ($"shared".cast(DoubleType) / ($"na" + $"nb" - $"shared").cast(DoubleType)).as("jaccard"))
+      .orderBy($"jaccard".desc, $"doc_a".asc, $"doc_b".asc)
+      .limit(20)
+  }
+
+  /** Containment near-dup (the asymmetric case Jaccard under-scores:
+    * a short document quoted whole inside a long one — their union
+    * dwarfs the intersection, but |A∩B| / min(|A|,|B|) is ~1). Same
+    * capped inverted index as [[ngram]]; only the final score
+    * differs, so the scale posture is identical. */
+  def containment(spark: SparkSession, dir: String, maxBucket: Int = 50): DataFrame = {
+    import spark.implicits._
+    ngramShared(spark, dir, maxBucket)
+      .select($"doc_a", $"doc_b",
+        ($"shared".cast(DoubleType) / least($"na", $"nb").cast(DoubleType)).as("containment"))
+      .orderBy($"containment".desc, $"doc_a".asc, $"doc_b".asc)
+      .limit(20)
+  }
+
+  /** Shared core of [[ngram]] and [[containment]]: candidate pairs
+    * with shared-gram counts and both set sizes, through the
+    * frequency-capped inverted index. */
+  private def ngramShared(spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+    import spark.implicits._
     val index = Tables.documents(spark, dir)
       .select($"doc_id", explode(TextFns.charNGrams($"text", 4)).as("gram"))
     // per-doc set sizes derive from the exploded (already-distinct)
@@ -140,10 +166,6 @@ object Dedup {
     shared
       .join(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na")), "doc_a")
       .join(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        ($"shared".cast(DoubleType) / ($"na" + $"nb" - $"shared").cast(DoubleType)).as("jaccard"))
-      .orderBy($"jaccard".desc, $"doc_a".asc, $"doc_b".asc)
-      .limit(20)
   }
 
   /** Duplicate-cluster resolution — the last mile of the dedup story:

@@ -119,6 +119,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Heavy hitters through the Count-Min sketch (the frequency twin
+    * of q_sketch_distinct's KMV): term document-frequencies estimated
+    * from a fixed 4×1024 counter grid instead of an exact per-term
+    * groupBy — at 100 TB the sketch aggregates in O(D·w) memory per
+    * partition and ships ONE small array through the shuffle where
+    * the exact plan ships every distinct term. The exact top-k (kept
+    * here as ground truth) joins against the broadcast grid; CMS
+    * estimates only ever over-count (spec-asserted), with error
+    * bounded by the bucket-collision mass. */
+  def cmsTopTerms(spark: SparkSession, dir: String, k: Int = 20, w: Int = 1024): DataFrame = {
+    import spark.implicits._
+    import graft.plans.{CountMin, Sketch}
+    val terms = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(TextFns.tokens($"text"))).as("term"))
+    val cms = terms.agg(Sketch.countMin(HashFns.polyHash($"term"), w).as("cms"))
+    val top = terms.groupBy($"term")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy($"doc_freq".desc, $"term".asc)
+      .limit(k)
+    val h = HashFns.polyHash($"term")
+    val est = (0 until CountMin.D).map { j =>
+      element_at($"cms",
+        (lit(j * w) + pmod(pmod(h * CountMin.A(j) + CountMin.B(j), lit(CountMin.P31)),
+          lit(w.toLong)) + 1).cast("int"))
+    }
+    top.crossJoin(broadcast(cms))
+      .select($"term", $"doc_freq", least(est: _*).as("cms_est"))
+  }
+
   /** TF-IDF-style top term per document: term frequency × reciprocal
     * document frequency, idf = (N+1)/(df+1). The reciprocal form (not
     * ln) is deliberate: libm ln() is not correctly-rounded and Java vs

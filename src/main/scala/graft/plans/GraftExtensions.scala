@@ -52,6 +52,7 @@ object GraftExtensions {
     // aggregate: the analyzer wraps a raw AggregateFunction returned
     // from a registry builder; k must be a foldable int literal
     "graft_kmv" -> arity("graft_kmv", 2)(es => KMinValues(es.head, litInt("graft_kmv", es(1)))),
+    "graft_cms" -> arity("graft_cms", 2)(es => CountMin(es.head, litInt("graft_cms", es(1)))),
   )
 
   private def litInt(name: String, e: Expression): Int = e match {

@@ -31,8 +31,89 @@ object Sketch {
   def kMinValues(e: Column, k: Int): Column =
     ColumnBridge.column(KMinValues(ColumnBridge.expression(e), k)
       .toAggregateExpression())
+  def countMin(e: Column, w: Int = CountMin.DefaultW): Column =
+    ColumnBridge.column(CountMin(ColumnBridge.expression(e), w)
+      .toAggregateExpression())
 }
 
+object CountMin {
+  /** Rows (independent hash functions) and default bucket width. */
+  val D = 4
+  val DefaultW = 1024
+  /** Pairwise-independent-hash parameters ((h·A + B) mod P31 mod w):
+    * fixed integer constants so the DuckDB oracle evaluates the SAME
+    * functions. A values stay < 2^31 and inputs < 2^31, so h·A fits
+    * a 64-bit signed integer on both engines (no wrap/raise split). */
+  val A: Array[Long] = Array(506952114L, 1013904228L, 1520856342L, 2027808456L)
+  val B: Array[Long] = Array(12345L, 52848L, 93351L, 133854L)
+  val P31 = 2147483647L
+
+  def bucket(j: Int, h: Long, w: Int): Int =
+    (Math.floorMod(Math.floorMod(h * A(j) + B(j), P31), w.toLong)).toInt
+}
+
+
+/** Count-Min frequency sketch as a custom Catalyst aggregate — the
+  * frequency-estimation twin of [[KMinValues]]: a fixed D×w counter
+  * grid regardless of how many distinct items stream through, so
+  * heavy-hitter frequencies come out of O(D·w) memory where an exact
+  * groupBy shuffles every distinct key. Partials merge by elementwise
+  * addition (map-side combine works); estimates (min over the D
+  * counters an item hashes to) only ever OVER-count, and the whole
+  * grid is deterministic integer arithmetic the oracle replays. */
+case class CountMin(child: Expression, w: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] with ExpectsInputTypes {
+
+  require(w >= 1, s"CountMin requires bucket width >= 1, got $w")
+  private val d = CountMin.D
+
+  override def inputTypes: Seq[DataType] = Seq[DataType](LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < d) { buf(j * w + CountMin.bucket(j, h, w)) += 1; j += 1 }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): CountMin =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CountMin =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
 
 case class KMinValues(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
