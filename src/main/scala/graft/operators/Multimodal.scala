@@ -60,7 +60,10 @@ object Multimodal {
     * count back out of the little-endian bytes, and duration derives
     * by integer µs arithmetic (engine-exact — no floating time
     * math). Scan-local, zero shuffle. */
-  def audio(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared (doc_id, WAV blob) derivation for the audio operators —
+    * the channel/rate dials live here once; their restatements in the
+    * mm_audio / mm_audio_downsample oracle SQL must move in step. */
+  private def packedAudio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val channels = (col("doc_id") % 2) + 1
     val rate = when(col("lang") === "en", 16000L)
@@ -68,6 +71,11 @@ object Multimodal {
       .when(col("lang") === "es", 8000L).otherwise(22050L)
     Tables.documents(spark, dir)
       .select($"doc_id", Audio.pack(channels, rate, encode($"text", "UTF-8")).as("blob"))
+  }
+
+  def audio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packedAudio(spark, dir)
       .withColumn("m", Audio.decode($"blob"))
       .select($"doc_id",
         octet_length($"blob").cast(LongType).as("n_bytes"),
@@ -90,12 +98,7 @@ object Multimodal {
     * exactly like pixel resampling for images. */
   def audioDownsample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val channels = (col("doc_id") % 2) + 1
-    val rate = when(col("lang") === "en", 16000L)
-      .when(col("lang") === "de", 44100L)
-      .when(col("lang") === "es", 8000L).otherwise(22050L)
-    Tables.documents(spark, dir)
-      .select($"doc_id", Audio.pack(channels, rate, encode($"text", "UTF-8")).as("blob"))
+    packedAudio(spark, dir)
       .withColumn("m", Audio.decode($"blob"))
       .withColumn("out", Audio.pack(
         expr("CAST(m.channels AS BIGINT)"),

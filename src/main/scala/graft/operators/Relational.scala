@@ -178,8 +178,14 @@ object Relational {
     val build = ev
       .select($"user_id", $"event_id".as("nb_id"), $"eus".as("nb_us"), $"value".as("nb_value"))
       .withColumn("bucket", floor($"nb_us" / w))
+    // a NULL ts must survive as an event with zero neighbors (the
+    // oracle's left join keeps it): a bare explode of the null bucket
+    // sequence would emit no probe rows and silently DROP the event —
+    // the sentinel bucket (-1) can never collide with an epoch-µs
+    // band, so the row flows through and counts nothing
     val probes = ev.withColumn("bucket",
-      explode(sequence(floor(($"eus" - w) / w), floor(($"eus" + w) / w))))
+      explode(coalesce(sequence(floor(($"eus" - w) / w), floor(($"eus" + w) / w)),
+        array(lit(-1L)))))
     val within = abs($"nb_us" - $"eus") <= w && $"nb_id" =!= $"event_id"
     probes.join(build, Seq("user_id", "bucket"), "left")
       .groupBy($"event_id")

@@ -133,9 +133,15 @@ object TextAnalysis {
     import graft.plans.{CountMin, Sketch}
     val terms = Tables.documents(spark, dir)
       .select($"doc_id", explode(array_distinct(TextFns.tokens($"text"))).as("term"))
-    val cms = terms.agg(Sketch.countMin(HashFns.polyHash($"term"), w).as("cms"))
-    val top = terms.groupBy($"term")
-      .agg(count(lit(1)).as("doc_freq"))
+    // one corpus pass: the exact per-term counts feed BOTH the top-k
+    // and the sketch (weighted updates are additive, so a grid built
+    // from (term, doc_freq) equals one built per occurrence) — the
+    // two branches share the groupBy exchange instead of each
+    // re-scanning and re-exploding the corpus
+    val byTerm = terms.groupBy($"term").agg(count(lit(1)).as("doc_freq"))
+    val cms = byTerm.agg(
+      Sketch.countMinWeighted(HashFns.polyHash($"term"), $"doc_freq", w).as("cms"))
+    val top = byTerm
       .orderBy($"doc_freq".desc, $"term".asc)
       .limit(k)
     val h = HashFns.polyHash($"term")

@@ -90,25 +90,31 @@ object Audio {
     * malformation. */
   def decodeWav(b: Array[Byte]): InternalRow = {
     if (b.length < HeaderLen || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
-    var off = 12
+    // chunk offsets/sizes advance in LONG arithmetic: the size field
+    // is u32 from untrusted bytes, and Int math would overflow on a
+    // crafted ~2^31 size — wrapping past the bounds check and then
+    // indexing with a negative offset (a crash, not the promised
+    // null quarantine)
+    var off = 12L
     var channels = -1
     var rate = -1
     var blockAlign = -1
     while (off + 8 <= b.length) {
-      val size = getIntLE(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return null
-      if (tag(b, off, "fmt ")) {
+      val size = getIntLE(b, off.toInt + 4).toLong & 0xffffffffL  // u32
+      if (off + 8 + size > b.length) return null
+      val o = off.toInt
+      if (tag(b, o, "fmt ")) {
         if (size < 16) return null
-        if (getShortLE(b, off + 8) != 1) return null          // PCM only
-        channels = getShortLE(b, off + 10)
-        rate = getIntLE(b, off + 12)
-        blockAlign = getShortLE(b, off + 20)
-        if (getShortLE(b, off + 22) != Bits) return null
+        if (getShortLE(b, o + 8) != 1) return null            // PCM only
+        channels = getShortLE(b, o + 10)
+        rate = getIntLE(b, o + 12)
+        blockAlign = getShortLE(b, o + 20)
+        if (getShortLE(b, o + 22) != Bits) return null
         if (channels < 1 || rate < 1 || blockAlign != channels * (Bits / 8)) return null
-      } else if (tag(b, off, "data")) {
+      } else if (tag(b, o, "data")) {
         if (channels < 0) return null                          // fmt must precede data
         if (size % blockAlign != 0) return null                // whole frames only
-        return InternalRow(channels, rate, Bits, size, off + 8)
+        return InternalRow(channels, rate, Bits, size.toInt, o + 8)
       }
       off += 8 + size + (size % 2)                             // RIFF even-byte pad
     }

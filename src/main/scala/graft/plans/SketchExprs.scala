@@ -34,6 +34,13 @@ object Sketch {
   def countMin(e: Column, w: Int = CountMin.DefaultW): Column =
     ColumnBridge.column(CountMin(ColumnBridge.expression(e), w)
       .toAggregateExpression())
+  /** Weighted updates: counters advance by `weight` per row — the
+    * grid equals per-occurrence updates when weight is that item's
+    * occurrence count, which lets a pre-aggregated relation feed the
+    * sketch without re-scanning the raw data. */
+  def countMinWeighted(e: Column, weight: Column, w: Int = CountMin.DefaultW): Column =
+    ColumnBridge.column(CountMin(ColumnBridge.expression(e), w,
+      weight = ColumnBridge.expression(weight)).toAggregateExpression())
 }
 
 object CountMin {
@@ -62,14 +69,17 @@ object CountMin {
   * counters an item hashes to) only ever OVER-count, and the whole
   * grid is deterministic integer arithmetic the oracle replays. */
 case class CountMin(child: Expression, w: Int,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]]
-    with UnaryLike[Expression] with ExpectsInputTypes {
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0,
+    weight: Expression = Literal(1L))
+    extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
 
   require(w >= 1, s"CountMin requires bucket width >= 1, got $w")
   private val d = CountMin.D
 
-  override def inputTypes: Seq[DataType] = Seq[DataType](LongType)
+  override def children: Seq[Expression] = Seq(child, weight)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression = copy(child = cs(0), weight = cs(1))
+  override def inputTypes: Seq[DataType] = Seq[DataType](LongType, LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
@@ -77,10 +87,12 @@ case class CountMin(child: Expression, w: Int,
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
+    val wt = weight.eval(input)
+    if (v != null && wt != null) {
       val h = v.asInstanceOf[Long]
+      val inc = wt.asInstanceOf[Long]
       var j = 0
-      while (j < d) { buf(j * w + CountMin.bucket(j, h, w)) += 1; j += 1 }
+      while (j < d) { buf(j * w + CountMin.bucket(j, h, w)) += inc; j += 1 }
     }
     buf
   }
@@ -112,7 +124,6 @@ case class CountMin(child: Expression, w: Int,
     copy(mutableAggBufferOffset = offset)
   override def withNewInputAggBufferOffset(offset: Int): CountMin =
     copy(inputAggBufferOffset = offset)
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class KMinValues(child: Expression, k: Int,

@@ -94,6 +94,47 @@ object StreamDedup {
       }
   }
 
+  /** Shared two-batch staging for the batch-gated streaming twins:
+    * split `docs` at the median doc_id into two parquet files, stream
+    * them through `transform` one file per micro-batch into a memory
+    * sink, and return the sink contents (None on an empty corpus).
+    * The memory sink holds the rows, so the staged input is deleted
+    * before returning without breaking lineage. */
+  private def runTwoBatchStream(spark: SparkSession, docs: DataFrame)
+      (transform: DataFrame => DataFrame): Option[DataFrame] = {
+    import spark.implicits._
+    import java.nio.file.Files
+    // empty corpus: min/max aggregate to null — signal the caller
+    // instead of NPEing on getLong
+    val bounds = docs.agg(min($"doc_id"), max($"doc_id")).head()
+    if (bounds.isNullAt(0)) return None
+    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val tmp = Files.createTempDirectory("graft_sdedup_")
+    try {
+      docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$tmp/in/a_first")
+      docs.filter($"doc_id" > cut).coalesce(1).write.parquet(s"$tmp/in/b_second")
+      val schema = spark.read.parquet(s"$tmp/in/a_first").schema
+      // cloned session (shared context, independent SQLConf): each
+      // state store pays checkpoint sync per micro-batch, so 8 stores
+      // beat 32 for a small-increment stateful op — same rationale as
+      // windowedRelay, without mutating the caller's conf
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+      val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_stream_$sinkCounter" }
+      val q = transform(stream)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      Some(ss.table(name))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Streaming EXACT dedup — the other half of the daily pipeline
     * beside the near-dup index: per content hash the state is the
     * keeper's existence, and every arrival is flagged new-vs-duplicate
@@ -132,48 +173,24 @@ object StreamDedup {
     * state. */
   def streamedExactDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import java.nio.file.Files
     val docs = graft.sources.Tables.documents(spark, dir)
       .select($"doc_id", graft.functions.HashFns.polyHash($"text").as("content_hash"))
-    val bounds = docs.agg(min($"doc_id"), max($"doc_id")).head()
-    if (bounds.isNullAt(0))
-      return spark.emptyDataset[ArrivalOut].toDF()
-        .groupBy($"content_hash")
-        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
-    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
-    val tmp = Files.createTempDirectory("graft_sxdedup_")
-    try {
-      docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$tmp/in/a_first")
-      docs.filter($"doc_id" > cut).coalesce(1).write.parquet(s"$tmp/in/b_second")
-      val schema = spark.read.parquet(s"$tmp/in/a_first").schema
-      val ss = spark.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
-      val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_xstream_$sinkCounter" }
-      val q = incrementalExact(stream.select($"content_hash", $"doc_id").as[HashRow])
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      val log = ss.table(name)
-      // exactly one keeper per hash, and it must be the smallest id —
-      // anything else means cross-batch state was not consulted
-      val badKeeper = log.groupBy($"content_hash")
-        .agg(count(when(!$"is_dup", 1)).as("keepers"),
-          min($"doc_id").as("mn"),
-          min(when(!$"is_dup", $"doc_id")).as("keeper"))
-        .filter($"keepers" =!= 1 || $"keeper" =!= $"mn").count()
-      if (badKeeper > 0)
-        throw new IllegalStateException(
-          s"streamed exact dedup: $badKeeper hashes have a wrong keeper " +
-            "(duplicate not matched against earlier-batch state)")
-      log.groupBy($"content_hash")
-        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
+    val log = runTwoBatchStream(spark, docs) { stream =>
+      incrementalExact(stream.select($"content_hash", $"doc_id").as[HashRow]).toDF()
+    }.getOrElse(spark.emptyDataset[ArrivalOut].toDF())
+    // exactly one keeper per hash, and it must be the smallest id —
+    // anything else means cross-batch state was not consulted
+    val badKeeper = log.groupBy($"content_hash")
+      .agg(count(when(!$"is_dup", 1)).as("keepers"),
+        min($"doc_id").as("mn"),
+        min(when(!$"is_dup", $"doc_id")).as("keeper"))
+      .filter($"keepers" =!= 1 || $"keeper" =!= $"mn").count()
+    if (badKeeper > 0)
+      throw new IllegalStateException(
+        s"streamed exact dedup: $badKeeper hashes have a wrong keeper " +
+          "(duplicate not matched against earlier-batch state)")
+    log.groupBy($"content_hash")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
   }
 
   /** The batch-gated end-to-end run (`dedup_stream`): the documents
@@ -185,49 +202,22 @@ object StreamDedup {
     * pair set) only matches if cross-batch detection works. */
   def streamedDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import java.nio.file.Files
     val docs = graft.sources.Tables.documents(spark, dir).select($"doc_id", $"text")
-    // empty corpus: min/max aggregate to null — return the (empty)
-    // pair set directly instead of NPEing on getLong
-    val bounds = docs.agg(min($"doc_id"), max($"doc_id")).head()
-    if (bounds.isNullAt(0)) return spark.emptyDataset[PairOut].toDF()
-    val cut = ((bounds.getLong(0) + bounds.getLong(1)) / 2)
-    val tmp = Files.createTempDirectory("graft_sdedup_")
-    try {
-      docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$tmp/in/a_first")
-      docs.filter($"doc_id" > cut).coalesce(1).write.parquet(s"$tmp/in/b_second")
-      val schema = spark.read.parquet(s"$tmp/in/a_first").schema
-      // cloned session (shared context, independent SQLConf): each
-      // state store pays checkpoint sync per micro-batch, so 8 stores
-      // beat 32 for a small-increment stateful op — same rationale as
-      // windowedRelay, without mutating the caller's conf
-      val ss = spark.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
-      val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_stream_$sinkCounter" }
-      // this path is oracle-gated against the BATCH pair set, which
-      // has no bucket cap — if the cap ever actually truncates, fail
-      // loudly here rather than letting the gate fail with a set diff
-      val dropped = spark.sparkContext.longAccumulator(s"${name}_bucket_overflow")
-      val q = incrementalPairs(bandRows(stream), overflow = Some(dropped))
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      if (dropped.value > 0)
-        throw new IllegalStateException(
-          s"dedup_stream hot-bucket cap truncated ${dropped.value} member " +
-            "insertions — the streamed pair set is no longer exact vs the " +
-            "batch oracle; raise maxBucket for this corpus")
-      // one pair per band bucket shared -> distinct across bands
-      // (est_jaccard depends only on the full signatures, so the
-      // duplicates are exact); the memory sink holds the rows, so the
-      // staged input can be deleted below without breaking lineage
-      ss.table(name).distinct()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
+    // this path is oracle-gated against the BATCH pair set, which
+    // has no bucket cap — if the cap ever actually truncates, fail
+    // loudly here rather than letting the gate fail with a set diff
+    val dropped = spark.sparkContext.longAccumulator("dedup_stream_bucket_overflow")
+    val sink = runTwoBatchStream(spark, docs) { stream =>
+      incrementalPairs(bandRows(stream), overflow = Some(dropped)).toDF()
+    }.getOrElse(return spark.emptyDataset[PairOut].toDF())
+    if (dropped.value > 0)
+      throw new IllegalStateException(
+        s"dedup_stream hot-bucket cap truncated ${dropped.value} member " +
+          "insertions — the streamed pair set is no longer exact vs the " +
+          "batch oracle; raise maxBucket for this corpus")
+    // one pair per band bucket shared -> distinct across bands
+    // (est_jaccard depends only on the full signatures, so the
+    // duplicates are exact)
+    sink.distinct()
   }
 }

@@ -53,6 +53,13 @@ class AudioSpec extends SparkSpec {
       {
         val b = Audio.packWav(2, 16000, "abcdefgh".getBytes("UTF-8"))
         b(40) = 7; b                                             // data not whole frames
+      },
+      {
+        // crafted near-2^31 chunk size: Int arithmetic would wrap the
+        // bounds check and index negatively (crash) instead of null
+        val b = Audio.packWav(1, 8000, "abcdef".getBytes("UTF-8"))
+        b(16) = 0xf0.toByte; b(17) = 0xff.toByte
+        b(18) = 0xff.toByte; b(19) = 0x7f.toByte; b              // fmt size = 0x7ffffff0
       })
     cases.foreach { bytes =>
       val out = Seq(bytes).toDF("blob").select(Audio.decode($"blob").as("m")).head()
