@@ -90,6 +90,7 @@ object SparkEntry {
     "decontaminate_bloom" -> ((s: SparkSession, d: String) => Curation.decontaminateBloom(s, d)),
     "corpus_pack" -> ((s: SparkSession, d: String) => Curation.corpusPack(s, d)),
     "source_mix" -> ((s: SparkSession, d: String) => Curation.sourceMix(s, d)),
+    "corpus_epochs" -> ((s: SparkSession, d: String) => Curation.corpusEpochs(s, d)),
     "corpus_shard" -> ((s: SparkSession, d: String) => Curation.corpusShard(s, d)),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
@@ -743,6 +744,14 @@ object SparkEntry {
          |      WHEN lang = 'fr' THEN 20 ELSE 10 END AS BIGINT) AS target_pct
          |  FROM documents) t
          |WHERE bucket < target_pct""".stripMargin,
+    "corpus_epochs" ->
+      s"""SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy FROM (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN lang = 'en' THEN 2
+         |         WHEN lang = 'de' THEN 1 + CASE WHEN bucket < 50 THEN 1 ELSE 0 END
+         |         WHEN lang = 'fr' THEN CASE WHEN bucket < 30 THEN 1 ELSE 0 END
+         |         ELSE 1 END AS n
+         |  FROM (SELECT doc_id, lang, ${ph("text")} % 100 AS bucket FROM documents) b) t""".stripMargin,
     "corpus_shard" ->
       s"""SELECT doc_id, shard, pos FROM (
          |  SELECT doc_id, h % 16 AS shard,

@@ -154,6 +154,42 @@ object Curation {
       .select($"doc_id", $"lang", $"source", $"bucket", $"target_pct")
   }
 
+  /** Epoch multipliers — the other half of mixture weighting beside
+    * [[sourceMix]]'s sampling rates: a per-language epoch count ≥ 1
+    * REPLICATES documents ("2 epochs of Wikipedia") and < 1
+    * subsamples them, with the fractional part resolved per document
+    * by the same deterministic content-hash buckets (a 1.5-epoch
+    * source emits 2 copies for the hash-lower half of its docs and 1
+    * for the rest — exactly 1.5× in expectation, reproducibly).
+    * Scan-local explode; output rows carry the copy index a
+    * downstream shuffle/pack stage mixes on. */
+  def corpusEpochs(spark: SparkSession, dir: String,
+      epochs: Map[String, Double] = Map("en" -> 2.0, "de" -> 1.5, "fr" -> 0.3),
+      defaultEpochs: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    def copiesFor(e: Double): (Int, Int) = {
+      require(e >= 0 && e < 100, s"epoch multiplier out of range: $e")
+      val base = math.floor(e).toInt
+      val fracPct = math.round((e - base) * 100).toInt
+      (base, fracPct)
+    }
+    val byLang = epochs.map { case (l, e) => l -> copiesFor(e) }
+    val (defBase, defFrac) = copiesFor(defaultEpochs)
+    val nCopies = byLang.foldLeft(
+      lit(defBase) + when($"bucket" < defFrac, 1).otherwise(0)) {
+      case (expr_, (lang, (base, frac))) =>
+        when($"lang" === lang, lit(base) + when($"bucket" < frac, 1).otherwise(0))
+          .otherwise(expr_)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(HashFns.polyHash($"text"), lit(100L)))
+      .withColumn("n", nCopies.cast(LongType))
+      .select($"doc_id", $"lang",
+        explode(when($"n" >= 1L, sequence(lit(1L), $"n"))
+          .otherwise(array().cast("array<bigint>"))).as("copy"))
+  }
+
   /** Deterministic training-shard assignment + within-shard order
     * (the "global shuffle" a training job needs, without rand()):
     * shard = content-hash mod `nShards`, order inside the shard by

@@ -125,6 +125,29 @@ class CurationSpec extends SparkSpec {
     assert(out.filter($"bucket" >= $"target_pct").count() == 0)
   }
 
+  test("epoch multipliers replicate and subsample per language deterministically") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("bucket", pmod(graft.functions.HashFns.polyHash($"text"), lit(100L)))
+      .select($"doc_id", $"lang", $"bucket").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val copies = Curation.corpusEpochs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    docs.foreach { case (id, (lang, bucket)) =>
+      val expect = lang match {
+        case "en" => 2L
+        case "de" => if (bucket < 50) 2L else 1L
+        case "fr" => if (bucket < 30) 1L else 0L
+        case _ => 1L
+      }
+      val got = copies.getOrElse(id, Seq.empty)
+      assert(got == (1L to expect), s"doc $id ($lang, bucket $bucket): $got")
+    }
+    // the corpus genuinely exercises both replication and subsampling
+    assert(copies.values.exists(_.length == 2) &&
+      docs.exists { case (id, (l, b)) => l == "fr" && b >= 30 && !copies.contains(id) })
+  }
+
   test("shard assignment is a deterministic permutation: every doc exactly once") {
     val out = Curation.corpusShard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
