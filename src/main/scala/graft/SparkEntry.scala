@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),
     "dedup_embed" -> (Dedup.embed _),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
+    "graph_pagerank" -> ((s: SparkSession, d: String) => Dedup.pagerank(s, d)),
     // E. similarity search
     "ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -500,6 +501,25 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / CAST(sa.ng + sb.ng - shared AS DOUBLE) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "graph_pagerank" ->
+      s"""WITH $minhashPairsCtes,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM vp UNION SELECT doc_b, doc_a FROM vp),
+         |deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+         |nodes AS (SELECT DISTINCT u AS node FROM e),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM nodes),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) // cnt AS r FROM nodes CROSS JOIN n),
+         |c1 AS (SELECT e.v AS node, CAST(SUM(r0.r // deg.d) AS BIGINT) AS s
+         |  FROM e JOIN r0 ON r0.node = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+         |r1 AS (SELECT nodes.node,
+         |    (CAST(15000000 AS BIGINT) // (100 * cnt)) + ((85 * COALESCE(c1.s, 0)) // 100) AS r
+         |  FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.node = nodes.node),
+         |c2 AS (SELECT e.v AS node, CAST(SUM(r1.r // deg.d) AS BIGINT) AS s
+         |  FROM e JOIN r1 ON r1.node = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+         |r2 AS (SELECT nodes.node,
+         |    (CAST(15000000 AS BIGINT) // (100 * cnt)) + ((85 * COALESCE(c2.s, 0)) // 100) AS r
+         |  FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.node = nodes.node)
+         |SELECT r2.node AS doc_id, CAST(r2.r AS BIGINT) AS pr_micro, deg.d AS degree
+         |FROM r2 JOIN deg ON deg.u = r2.node""".stripMargin,
     "dedup_containment" ->
       """WITH grams AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) >= 4
         |  THEN list_transform(range(1, length(lower(text))-2), i -> substr(lower(text), i, 4))

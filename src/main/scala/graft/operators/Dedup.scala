@@ -245,13 +245,22 @@ object Dedup {
     * checkpoint blocks are unpersisted immediately (TrieMap's
     * `getOrElseUpdate` would leak the losing computation's blocks —
     * its RDD handles are discarded when the winning entry is kept). */
-  private def componentLabels(spark: SparkSession, dir: String, maxIters: Int): DataFrame = {
-    val key = (spark, dir)
-    labelCache.get(key) match {
+  private def componentLabels(spark: SparkSession, dir: String, maxIters: Int): DataFrame =
+    cachedTracked(spark, dir)(computeComponentLabels(spark, dir, maxIters))
+
+  /** Shared cache protocol for expensive derived results whose only
+    * persisted state is their tracked checkpoint blocks (converged
+    * component labels, PageRank scores): winner-takes-all insertion,
+    * the losing concurrent computation's blocks unpersist
+    * immediately, [[clearLabelCache]] frees everything. */
+  private def cachedTracked(spark: SparkSession, key: String)(
+      compute: => (DataFrame, Seq[org.apache.spark.rdd.RDD[_]])): DataFrame = {
+    val k = (spark, key)
+    labelCache.get(k) match {
       case Some((df, _)) => df
       case None =>
-        val computed = computeComponentLabels(spark, dir, maxIters)
-        labelCache.putIfAbsent(key, computed) match {
+        val computed = compute
+        labelCache.putIfAbsent(k, computed) match {
           case Some(existing) =>
             computed._2.foreach(_.unpersist(blocking = false))
             existing._1
@@ -311,6 +320,61 @@ object Dedup {
           "(component diameter exceeds maxIters); raise maxIters")
     }
     (labels, labelRdds)
+  }
+
+  /** PageRank over the duplicate-similarity graph (fixed `iters`
+    * rounds): centrality scores that rank each near-dup neighborhood's
+    * most-connected documents — the signal a curation pipeline uses to
+    * pick canonical pages out of boilerplate families (beyond
+    * [[clusters]]' arbitrary min-id keeper). Joins-and-aggregations
+    * only (contributions shuffle on the edge key, like the label
+    * propagation), rounds a fixed constant — the classic
+    * iterative-graph-on-Spark shape.
+    *
+    * Engine-exact (SURVEY §5): mass is integer MICRO-units — rank
+    * 1e6/N to start, per-edge contribution `r div deg`, damping
+    * 15/100 + 85·Σ/100 in integer arithmetic — so partial-aggregation
+    * order cannot perturb results (double-sum PageRank is famously
+    * nondeterministic on Spark) and the oracle replays the identical
+    * integers. The candidate pair set is localCheckpointed once
+    * (same lifecycle as the clustering loop; cached per (session,
+    * dir), freed by [[clearLabelCache]]). */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 2): DataFrame =
+    cachedTracked(spark, dir + "#pagerank")(computePagerank(spark, dir, iters))
+
+  private def computePagerank(spark: SparkSession, dir: String, iters: Int)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    import spark.implicits._
+    val (pairs, pairsRdds) =
+      localCheckpointTracked(minhash(spark, dir).select($"doc_a", $"doc_b"))
+    val edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+    val nodes = edges.select($"u".as("node")).distinct()
+    // node count stays in-plan (single-row broadcast), no driver action
+    val nDf = nodes.agg(count(lit(1)).as("cnt"))
+    var r = nodes.crossJoin(broadcast(nDf))
+      .selectExpr("node", "CAST(1000000 AS BIGINT) div cnt AS r")
+    var it = 0
+    while (it < iters) {
+      val contrib = edges
+        .join(r.select($"node".as("u"), $"r"), "u")
+        .join(deg, "u")
+        .selectExpr("v AS node", "r div d AS c")
+        .groupBy($"node").agg(sum($"c").as("s"))
+      r = nodes.crossJoin(broadcast(nDf))
+        .join(contrib, Seq("node"), "left")
+        .selectExpr("node",
+          "(CAST(15000000 AS BIGINT) div (100 * cnt)) + ((85 * coalesce(s, CAST(0 AS BIGINT))) div 100) AS r")
+      it += 1
+    }
+    val (fin, finRdds) = localCheckpointTracked(
+      r.join(deg.select($"u".as("node"), $"d"), "node")
+        .select($"node".as("doc_id"), $"r".as("pr_micro"), $"d".as("degree")))
+    // the final scores' lineage is truncated at their own checkpoint,
+    // so the pair blocks can go now
+    pairsRdds.foreach(_.unpersist(blocking = false))
+    (fin, finRdds)
   }
 
   /** The dedup pipeline's actual OUTPUT: the corpus with every

@@ -39,6 +39,32 @@ class Round4Spec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("pagerank: integer mass stays bounded, determinism holds, blocks are freed") {
+    Dedup.clearLabelCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.pagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // total mass ≤ 1e6 (integer floor division only ever loses mass)
+    // and every node keeps at least the damping floor
+    val total = out.map(_._2).sum
+    assert(total <= 1000000L && total > 0, s"mass $total")
+    val n = out.length
+    out.foreach { case (id, pr, d) =>
+      assert(pr >= 150000L / (10L * n) && d >= 1, s"doc $id pr=$pr deg=$d")
+    }
+    // deterministic across invocations (cache cleared in between)
+    Dedup.clearLabelCache()
+    val again = Dedup.pagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+    // the only persisted residue is the cached final scores; the pair
+    // checkpoint must already be gone, and clearing frees everything
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    Dedup.clearLabelCache()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("streamed exact dedup recovers the batch keeper set across batches") {
     val streamed = StreamDedup.streamedExactDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
