@@ -32,6 +32,12 @@ object HashFns {
     * keeps the composed definition for equivalence tests. */
   def polyHash(c: Column): Column = graft.plans.HashExprs.polyHashCol(c, 31L, P)
 
+  /** The shared 0..99 content-hash bucket every hash-sampled operator
+    * keys on (sample_strata, source_mix, corpus_epochs, the pipeline
+    * gate) — one definition so their subsets stay composable and
+    * oracle restatements (`polyhash % 100`) stay valid everywhere. */
+  def hashBucket(c: Column): Column = pmod(polyHash(c), lit(100L))
+
   /** The same hash composed from higher-order functions — the form
     * the DuckDB oracle evaluates; retained to assert native parity. */
   def polyHashHof(c: Column): Column =

@@ -148,7 +148,7 @@ object Curation {
       when($"lang" === lang, lit(pct)).otherwise(e)
     }
     Tables.documents(spark, dir)
-      .withColumn("bucket", pmod(HashFns.polyHash($"text"), lit(100L)))
+      .withColumn("bucket", HashFns.hashBucket($"text"))
       .withColumn("target_pct", rate.cast(LongType))
       .filter($"bucket" < $"target_pct")
       .select($"doc_id", $"lang", $"source", $"bucket", $"target_pct")
@@ -183,7 +183,7 @@ object Curation {
           .otherwise(expr_)
     }
     Tables.documents(spark, dir)
-      .withColumn("bucket", pmod(HashFns.polyHash($"text"), lit(100L)))
+      .withColumn("bucket", HashFns.hashBucket($"text"))
       .withColumn("n", nCopies.cast(LongType))
       .select($"doc_id", $"lang",
         explode(when($"n" >= 1L, sequence(lit(1L), $"n"))

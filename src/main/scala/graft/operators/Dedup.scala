@@ -248,6 +248,18 @@ object Dedup {
   private def componentLabels(spark: SparkSession, dir: String, maxIters: Int): DataFrame =
     cachedTracked(spark, dir)(computeComponentLabels(spark, dir, maxIters))
 
+  /** The verified MinHash candidate pair set, checkpointed ONCE per
+    * (session, dir) and shared by every consumer (clustering, apply,
+    * the composed pipeline, PageRank) — the shingle+MinHash+LSH+
+    * verify sub-pipeline is the expensive half of all of them. Owned
+    * by the cache: blocks live until [[clearLabelCache]], so a
+    * consumer failing mid-computation can never orphan them. */
+  private def cachedPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cachedTracked(spark, dir + "#pairs")(
+      localCheckpointTracked(minhash(spark, dir).select($"doc_a", $"doc_b")))
+  }
+
   /** Shared cache protocol for expensive derived results whose only
     * persisted state is their tracked checkpoint blocks (converged
     * component labels, PageRank scores): winner-takes-all insertion,
@@ -272,11 +284,10 @@ object Dedup {
   private def computeComponentLabels(spark: SparkSession, dir: String, maxIters: Int)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     import spark.implicits._
-    // checkpoint the pair set once BEFORE the symmetric union — the
-    // union's two branches would otherwise each recompute the whole
-    // MinHash candidate join
-    val (pairs, pairsRdds) =
-      localCheckpointTracked(minhash(spark, dir).select($"doc_a", $"doc_b"))
+    // the cached pair checkpoint: computed once per (session, dir),
+    // shared with pagerank/apply/pipeline — the symmetric union's two
+    // branches read its blocks instead of recomputing the MinHash join
+    val pairs = cachedPairs(spark, dir)
     val edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
     val nodes = edges.select($"u".as("node")).distinct()
@@ -307,9 +318,6 @@ object Dedup {
       labelRdds = nextRdds
       iter += 1
     }
-    // the converged labels' lineage is truncated at their own
-    // checkpoint, so the pair set backing `edges` is no longer needed
-    pairsRdds.foreach(_.unpersist(blocking = false))
     // an unconverged result would silently split real components into
     // several clusters with wrong keepers — fail loudly instead; the
     // caller raises maxIters for pathological chain-shaped corpora
@@ -340,13 +348,12 @@ object Dedup {
     * (same lifecycle as the clustering loop; cached per (session,
     * dir), freed by [[clearLabelCache]]). */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 2): DataFrame =
-    cachedTracked(spark, dir + "#pagerank")(computePagerank(spark, dir, iters))
+    cachedTracked(spark, dir + s"#pagerank$iters")(computePagerank(spark, dir, iters))
 
   private def computePagerank(spark: SparkSession, dir: String, iters: Int)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     import spark.implicits._
-    val (pairs, pairsRdds) =
-      localCheckpointTracked(minhash(spark, dir).select($"doc_a", $"doc_b"))
+    val pairs = cachedPairs(spark, dir)
     val edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
@@ -371,9 +378,6 @@ object Dedup {
     val (fin, finRdds) = localCheckpointTracked(
       r.join(deg.select($"u".as("node"), $"d"), "node")
         .select($"node".as("doc_id"), $"r".as("pr_micro"), $"d".as("degree")))
-    // the final scores' lineage is truncated at their own checkpoint,
-    // so the pair blocks can go now
-    pairsRdds.foreach(_.unpersist(blocking = false))
     (fin, finRdds)
   }
 

