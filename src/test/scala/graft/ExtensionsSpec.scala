@@ -20,6 +20,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(sd.getAs[Double]("sd") == 2.5)
   }
 
+  test("native expressions constant-fold under Catalyst") {
+    // deterministic pure expressions over literals must disappear
+    // into literals at optimization time (e.g. the RHS of
+    // `WHERE graft_poly_hash(text) = graft_poly_hash('needle')` is
+    // computed once, not per row) — holds because every graft
+    // expression extends the arity bases whose foldable propagates
+    // from children
+    val p = spark.sql(
+      "SELECT graft_poly_hash('abc') AS h, graft_sqdist(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
+      .queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("polyhashstr") && !p.toLowerCase.contains("sqdist"),
+      s"literal-input native expressions must fold:\n$p")
+  }
+
   test("graft_pack_frame / graft_unpack_frame roundtrip in SQL") {
     val r = spark.sql(
       """SELECT graft_unpack_frame(graft_pack_frame(CAST(42 AS BIGINT), CAST(1700000000 AS BIGINT),
