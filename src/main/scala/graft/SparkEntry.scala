@@ -56,6 +56,7 @@ object SparkEntry {
     "events_funnel" -> (Telemetry.funnel _),
     "relay_gate" -> (Telemetry.relayGate _),
     "events_retention" -> (Telemetry.retention _),
+    "events_anomaly" -> (Telemetry.anomaly _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -454,6 +455,16 @@ object SparkEntry {
         |  COUNT(DISTINCT a.user_id) AS n_active
         |FROM s JOIN a ON s.user_id = a.user_id AND act_week >= cohort_week
         |GROUP BY 1, 2""".stripMargin,
+    "events_anomaly" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS x FROM events),
+        |s AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+        |    CAST(SUM(x * x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m2
+        |  FROM ev GROUP BY user_id)
+        |SELECT ev.event_id, ev.user_id, s.n,
+        |  ((CAST(ev.x AS DOUBLE) - s.mu) * (CAST(ev.x AS DOUBLE) - s.mu)
+        |     > 4.0 * (s.m2 - s.mu * s.mu)) AS is_anomaly
+        |FROM ev JOIN s USING (user_id)""".stripMargin,
     "dedup_exact" -> exactDedupSql,
     // streaming twin: the arrival log aggregated — identical result
     // by construction when cross-batch keeper state works

@@ -21,6 +21,37 @@ object Telemetry {
     Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
   }
 
+  /** Per-user outlier flags (the telemetry sanity gate a fleet runs
+    * before trusting sensor values): an event is anomalous when its
+    * value sits more than 2σ from its user's mean. One grouped
+    * aggregation (decimal-exact power sums — Welford-style streaming
+    * moments are partition-order-dependent, SURVEY §5) broadcast back
+    * onto the stream; the 2σ test compares SQUARES ((x−μ)² > 4·var),
+    * so no sqrt enters the oracle-compared arithmetic and every
+    * double derives from exact sums by deterministic single ops. */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", dec($"value").as("x"))
+    val stats = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("s1"),
+        sum($"x" * $"x").as("s2"))
+      .select($"user_id", $"n",
+        (col("s1").cast(DoubleType) / col("n").cast(DoubleType)).as("mu"),
+        (col("s2").cast(DoubleType) / col("n").cast(DoubleType)).as("m2"))
+      .withColumn("variance", $"m2" - $"mu" * $"mu")
+    // no forced broadcast: per-user stats are one row per user, which
+    // at fleet scale is itself large — the equi-join shuffles on the
+    // same key the aggregation just used (AQE still broadcasts when
+    // the stats side turns out small)
+    val d = ev("x").cast(DoubleType) - stats("mu")
+    ev.join(stats, "user_id")
+      .select($"event_id", $"user_id", stats("n"),
+        ((d * d) > (lit(4.0d) * stats("variance"))).as("is_anomaly"))
+  }
+
   /** Rate downsampling, "don't send at 5 hz, send at 1 hz"
     * (notes.org): keep the first event per (user, second). */
   def downsample1Hz(spark: SparkSession, dir: String): DataFrame = {

@@ -5,6 +5,31 @@ import graft.operators.Telemetry
 import graft.sources.Tables
 
 class TelemetrySpec extends SparkSpec {
+  import org.apache.spark.sql.functions.{abs => cabs, _}
+
+  test("anomaly flags exactly the events beyond 2 sigma of their user") {
+    val out = graft.operators.Telemetry.anomaly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(out.nonEmpty && out.values.exists(identity) && out.values.exists(!_))
+    // recompute the rule per user on the driver (spec scale) and match
+    import spark.implicits._
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"value".cast("decimal(18,2)").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.groupBy(_._2).foreach { case (_, es) =>
+      // exact decimal power sums like the operator (a double
+      // accumulation here would drift in the last ulp and flip
+      // near-boundary flags)
+      val n = es.length.toDouble
+      val mu = es.map(v => BigDecimal(v._3)).sum.toDouble / n
+      val m2 = es.map(v => BigDecimal(v._3) * BigDecimal(v._3)).sum.toDouble / n
+      val variance = m2 - mu * mu
+      es.foreach { case (id, _, x) =>
+        val expect = (x - mu) * (x - mu) > 4.0 * variance
+        assert(out(id) == expect, s"event $id: got ${out(id)}, want $expect")
+      }
+    }
+  }
   import spark.implicits._
 
   test("downsample_1hz emits at most one row per (user, second)") {
