@@ -26,6 +26,7 @@ object SparkEntry {
     "q_semi" -> (Relational.qSemi _),
     "q_rollup" -> (Relational.qRollup _),
     "q_cube" -> (Relational.qCube _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_rangejoin" -> ((s: SparkSession, d: String) => Relational.qRangeJoin(s, d)),
     "q_asof" -> (Relational.qAsOf _),
     "q_asof_native" -> (Relational.qAsOfNative _),
@@ -292,6 +293,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q_rangejoin" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS eus,
         |  CAST(value AS DECIMAL(18,2)) AS v FROM events)

@@ -157,6 +157,21 @@ object Relational {
            count(lit(1)).as("n_rows"))
   }
 
+  /** Custom GROUPING SETS — the grouping-set shapes rollup/cube can't
+    * express (here: per-flag totals, per-status totals, and the grand
+    * total, but NOT the (flag, status) cross): one partial-aggregated
+    * pass regardless of set count, through the SQL surface (the
+    * Dataset API only exposes the rollup/cube specializations). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
   /** Banded (bucketized) range join — the scale shape for interval
     * predicates: for every event, the OTHER events of the same user
     * within ±10 minutes (burst detection). A raw range join
