@@ -244,9 +244,12 @@ object Dedup {
     * both compute; `putIfAbsent` picks one winner and the loser's
     * checkpoint blocks are unpersisted immediately (TrieMap's
     * `getOrElseUpdate` would leak the losing computation's blocks —
-    * its RDD handles are discarded when the winning entry is kept). */
+    * its RDD handles are discarded when the winning entry is kept).
+    * `maxIters` is part of the key (like pagerank's `iters`), so a
+    * later call with a different iteration budget recomputes instead
+    * of silently serving labels converged under the old setting. */
   private def componentLabels(spark: SparkSession, dir: String, maxIters: Int): DataFrame =
-    cachedTracked(spark, dir)(computeComponentLabels(spark, dir, maxIters))
+    cachedTracked(spark, dir + s"#labels$maxIters")(computeComponentLabels(spark, dir, maxIters))
 
   /** The verified MinHash candidate pair set, checkpointed ONCE per
     * (session, dir) and shared by every consumer (clustering, apply,

@@ -160,16 +160,19 @@ object Relational {
   /** Custom GROUPING SETS — the grouping-set shapes rollup/cube can't
     * express (here: per-flag totals, per-status totals, and the grand
     * total, but NOT the (flag, status) cross): one partial-aggregated
-    * pass regardless of set count, through the SQL surface (the
-    * Dataset API only exposes the rollup/cube specializations). */
+    * pass regardless of set count, via the Spark 4 Dataset
+    * `groupingSets` API — side-effect-free like the rest of the
+    * registry (the earlier SQL form registered a session-global temp
+    * view, which raced between concurrent invocations on different
+    * dirs). */
   def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem_gs")
-    spark.sql(
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  COUNT(*) AS n_rows
-        |FROM graft_lineitem_gs
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq.empty),
+        $"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"),
+           count(lit(1)).as("n_rows"))
   }
 
   /** Banded (bucketized) range join — the scale shape for interval

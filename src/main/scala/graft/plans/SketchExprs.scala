@@ -49,14 +49,23 @@ object CountMin {
   val DefaultW = 1024
   /** Pairwise-independent-hash parameters ((h·A + B) mod P31 mod w):
     * fixed integer constants so the DuckDB oracle evaluates the SAME
-    * functions. A values stay < 2^31 and inputs < 2^31, so h·A fits
-    * a 64-bit signed integer on both engines (no wrap/raise split). */
+    * functions. The input is reduced mod P31 BEFORE the multiply, so
+    * both factors stay < 2^31 and the product fits a 64-bit signed
+    * integer for ANY Long input — without the reduction an |h| ≥ 2^31
+    * would silently wrap here while the oracle's BIGINT multiply
+    * raises (Spark-wraps vs DuckDB-raises split). For the canonical
+    * callers (polynomial hashes in [0, 1e9+7)) the reduction is the
+    * identity, so replayed oracle SQL needs no mod on its side; a
+    * general caller feeding h outside [0, 2^31) must mirror the
+    * floorMod(h, P31) reduction in its oracle. */
   val A: Array[Long] = Array(506952114L, 1013904228L, 1520856342L, 2027808456L)
   val B: Array[Long] = Array(12345L, 52848L, 93351L, 133854L)
   val P31 = 2147483647L
 
-  def bucket(j: Int, h: Long, w: Int): Int =
-    (Math.floorMod(Math.floorMod(h * A(j) + B(j), P31), w.toLong)).toInt
+  def bucket(j: Int, h: Long, w: Int): Int = {
+    val hr = Math.floorMod(h, P31)
+    (Math.floorMod(Math.floorMod(hr * A(j) + B(j), P31), w.toLong)).toInt
+  }
 }
 
 

@@ -113,6 +113,24 @@ object StreamDedup {
     try {
       docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$tmp/in/a_first")
       docs.filter($"doc_id" > cut).coalesce(1).write.parquet(s"$tmp/in/b_second")
+      // Batch ORDER is load-bearing for the keeper-state twins
+      // (keeper = first arrival): FileStreamSource orders files by
+      // mtime with path as the tiebreak, and on coarse-granularity
+      // filesystems the two writes can land in the same tick with no
+      // guaranteed path order. Pin strictly increasing mtimes so
+      // a_first always forms micro-batch 1.
+      locally {
+        import java.nio.file.attribute.FileTime
+        var t = 1000000L
+        Seq("a_first", "b_second").foreach { d =>
+          val walk = Files.walk(java.nio.file.Paths.get(s"$tmp/in/$d"))
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.foreach(p => Files.setLastModifiedTime(p, FileTime.fromMillis(t)))
+          } finally walk.close()
+          t += 60000L
+        }
+      }
       val schema = spark.read.parquet(s"$tmp/in/a_first").schema
       // cloned session (shared context, independent SQLConf): each
       // state store pays checkpoint sync per micro-batch, so 8 stores
