@@ -38,6 +38,7 @@ object SparkEntry {
     "q_quantiles" -> (Relational.qQuantiles _),
     "q_quantiles_approx" -> ((s: SparkSession, d: String) => Relational.qQuantilesApprox(s, d)),
     "q_skewjoin" -> (Relational.qSkewJoin _),
+    "q_bucket_join" -> ((s: SparkSession, d: String) => Relational.qBucketJoin(s, d)),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "source_mix" -> ((s: SparkSession, d: String) => Curation.sourceMix(s, d)),
     "corpus_epochs" -> ((s: SparkSession, d: String) => Curation.corpusEpochs(s, d)),
     "corpus_shard" -> ((s: SparkSession, d: String) => Curation.corpusShard(s, d)),
+    "corpus_windows" -> ((s: SparkSession, d: String) => Curation.corpusWindows(s, d)),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
@@ -698,6 +700,12 @@ object SparkEntry {
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
+    // bucketing is a pure layout property: the oracle is the plain join
+    "q_bucket_join" ->
+      """SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment""".stripMargin,
     "q_sketch_distinct" ->
       s"""SELECT l_returnflag, n_exact,
          |  CASE WHEN len(hs) < 256 THEN CAST(len(hs) AS DOUBLE)
@@ -795,6 +803,16 @@ object SparkEntry {
          |  SELECT doc_id, h % 16 AS shard,
          |    CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
          |  FROM (SELECT doc_id, ${ph("text")} AS h FROM documents) t) z""".stripMargin,
+    // windows are purely positional: starts 0, 25, 50, ... while
+    // start < n, tail window short — ceil(n/25) windows per doc
+    "corpus_windows" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents)
+        |SELECT doc_id, win_idx,
+        |  CAST(least(50, len(t) - win_idx*25) AS BIGINT) AS win_len,
+        |  array_to_string(t[(win_idx*25+1):(win_idx*25+50)], ' ') AS win_text
+        |FROM (SELECT doc_id, t,
+        |  unnest(range(0, CAST(ceil(len(t)/25.0) AS BIGINT))) AS win_idx FROM toks) z
+        |WHERE len(t) > 0""".stripMargin,
     "embed_kmeans" ->
       s"""WITH q AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv

@@ -47,6 +47,25 @@ object Curation {
       .select($"source", $"doc_id", $"score", $"rnk")
   }
 
+  /** Context-window chunking (the training-sample construction step:
+    * "split each document into ≤`size`-token windows every `stride`
+    * tokens") through the native [[graft.plans.TokenWindows]]
+    * GENERATOR — one input row fans out to its windows inside
+    * Catalyst's `Generate`, the same scan-local zero-shuffle path as
+    * `explode`, with no intermediate array-of-windows materialized
+    * per document. Overlapping windows (stride < size) are the shape
+    * `posexplode(sequence(...))` compositions pay for twice: once to
+    * build every window as an array element, once to explode it. */
+  def corpusWindows(spark: SparkSession, dir: String,
+      size: Int = 50, stride: Int = 25): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        ColumnBridge.column(graft.plans.TokenWindows(
+          ColumnBridge.expression(TextFns.tokens($"text")), size, stride))
+          .as(Seq("win_idx", "win_len", "win_text")))
+  }
+
   /** Corpus-wide span-level exact dedup (the CCNet/RefinedWeb "line
     * dedup" pass, over fixed `chunkTokens`-token chunks because the
     * synthetic corpus has no newlines): every chunk keeps only its

@@ -175,6 +175,28 @@ object Relational {
            count(lit(1)).as("n_rows"))
   }
 
+  /** Co-located join over bucketed tables — the SHUFFLE-FREE join
+    * shape ([[graft.sources.Bucketed]] carries the layout rationale):
+    * customer and orders are both bucketed on custkey with the same
+    * bucket count, so the sort-merge join reads co-located,
+    * pre-sorted buckets and the executed plan carries NO Exchange and
+    * NO Sort on either side (spec-held) — at 100 TB that is the
+    * entire shuffle of both fact tables paid once at write time
+    * instead of per query. The MERGE hint keeps the planner on the
+    * sort-merge path (a broadcast would hide the property under
+    * test); the aggregation after the join ALSO needs no exchange —
+    * the join's bucketed output partitioning already clusters by
+    * custkey, and (c_custkey, c_mktsegment) groups are custkey-local. */
+  def qBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ct, ot) = graft.sources.Bucketed.custOrders(spark, dir)
+    spark.table(ct).hint("MERGE")
+      .join(spark.table(ot), $"c_custkey" === $"o_custkey")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum($"o_totalprice").as("total_spent"))
+  }
+
   /** Banded (bucketized) range join — the scale shape for interval
     * predicates: for every event, the OTHER events of the same user
     * within ±10 minutes (burst detection). A raw range join

@@ -53,6 +53,10 @@ object GraftExtensions {
     // from a registry builder; k must be a foldable int literal
     "graft_kmv" -> arity("graft_kmv", 2)(es => KMinValues(es.head, litInt("graft_kmv", es(1)))),
     "graft_cms" -> arity("graft_cms", 2)(es => CountMin(es.head, litInt("graft_cms", es(1)))),
+    // generator (UDTF): usable in SELECT / LATERAL VIEW like explode
+    "graft_token_windows" -> arity("graft_token_windows", 3)(es =>
+      TokenWindows(es.head, litInt("graft_token_windows", es(1)),
+        litInt("graft_token_windows", es(2)))),
   )
 
   private def litInt(name: String, e: Expression): Int = e match {

@@ -47,7 +47,7 @@ object StreamRelay {
     }))
     true
   }
-  private[streaming] def deleteOnExit(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteOnExit(p: java.nio.file.Path): Unit = {
     exitHookInstalled
     exitCleanup.add(p)
   }
