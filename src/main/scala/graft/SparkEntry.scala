@@ -39,6 +39,7 @@ object SparkEntry {
     "q_quantiles_approx" -> ((s: SparkSession, d: String) => Relational.qQuantilesApprox(s, d)),
     "q_skewjoin" -> (Relational.qSkewJoin _),
     "q_bucket_join" -> ((s: SparkSession, d: String) => Relational.qBucketJoin(s, d)),
+    "q_unpivot" -> ((s: SparkSession, d: String) => Relational.qUnpivot(s, d)),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -59,6 +60,7 @@ object SparkEntry {
     "relay_gate" -> (Telemetry.relayGate _),
     "events_retention" -> (Telemetry.retention _),
     "events_anomaly" -> (Telemetry.anomaly _),
+    "ts_gapfill" -> ((s: SparkSession, d: String) => Telemetry.gapfill(s, d)),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -75,6 +77,7 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    "ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.ivfpqTopK(s, d)),
     "embed_kmeans" -> ((s: SparkSession, d: String) => Similarity.kmeans(s, d)),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
@@ -97,6 +100,9 @@ object SparkEntry {
     "corpus_epochs" -> ((s: SparkSession, d: String) => Curation.corpusEpochs(s, d)),
     "corpus_shard" -> ((s: SparkSession, d: String) => Curation.corpusShard(s, d)),
     "corpus_windows" -> ((s: SparkSession, d: String) => Curation.corpusWindows(s, d)),
+    "corpus_merge" -> ((s: SparkSession, d: String) => Curation.corpusMerge(s, d)),
+    "text_boilerplate" -> ((s: SparkSession, d: String) => Curation.boilerplate(s, d)),
+    "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
@@ -619,6 +625,50 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rnk
          |  FROM scored) t
          |WHERE rnk <= 5""".stripMargin,
+    // IVF probes (from ann_ivf) restrict which inverted lists each
+    // query scores; ADC scoring (from ann_pq) prices each candidate
+    "ann_ivfpq" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         |scored AS (SELECT e.vec_id, e.embedding, c.cid, ${cos("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT cid, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z
+         |  WHERE rn <= 4),
+         |ep AS (SELECT e.vec_id, c.cid,
+         |    ${pqSd(pqSub("e.embedding", 0), pqSub("c.cvec", 0))} AS d0,
+         |    ${pqSd(pqSub("e.embedding", 1), pqSub("c.cvec", 1))} AS d1,
+         |    ${pqSd(pqSub("e.embedding", 2), pqSub("c.cvec", 2))} AS d2,
+         |    ${pqSd(pqSub("e.embedding", 3), pqSub("c.cvec", 3))} AS d3
+         |  FROM embeddings e CROSS JOIN c),
+         |codes AS (SELECT vec_id,
+         |    struct_extract(min({'d': d0, 'c': cid}), 'c') AS c0,
+         |    struct_extract(min({'d': d1, 'c': cid}), 'c') AS c1,
+         |    struct_extract(min({'d': d2, 'c': cid}), 'c') AS c2,
+         |    struct_extract(min({'d': d3, 'c': cid}), 'c') AS c3
+         |  FROM ep GROUP BY vec_id),
+         |lp AS (SELECT e.vec_id AS query_id, c.cid,
+         |    ${pqSd(pqSub("e.embedding", 0), pqSub("c.cvec", 0))} AS q0,
+         |    ${pqSd(pqSub("e.embedding", 1), pqSub("c.cvec", 1))} AS q1,
+         |    ${pqSd(pqSub("e.embedding", 2), pqSub("c.cvec", 2))} AS q2,
+         |    ${pqSd(pqSub("e.embedding", 3), pqSub("c.cvec", 3))} AS q3
+         |  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 10),
+         |luta AS (SELECT query_id,
+         |    list(q0 ORDER BY cid) AS a0, list(q1 ORDER BY cid) AS a1,
+         |    list(q2 ORDER BY cid) AS a2, list(q3 ORDER BY cid) AS a3
+         |  FROM lp GROUP BY query_id),
+         |sc2 AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    a0[CAST(c0+1 AS INT)] + a1[CAST(c1+1 AS INT)] + a2[CAST(c2+1 AS INT)] + a3[CAST(c3+1 AS INT)] AS approx_dist
+         |  FROM probes p JOIN assign a USING (cid)
+         |  JOIN codes x ON x.vec_id = a.vec_id
+         |  JOIN luta l ON l.query_id = p.query_id
+         |  WHERE a.vec_id != p.query_id)
+         |SELECT query_id, neighbor_id, approx_dist, rnk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rnk
+         |  FROM sc2) t
+         |WHERE rnk <= 5""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (
         |  SELECT doc_id, lang,
@@ -706,6 +756,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+    // the Expand-based unpivot equals the UNION ALL formulation
+    "q_unpivot" ->
+      """SELECT l_returnflag, metric,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |  COUNT(*) AS n_rows
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) t
+        |GROUP BY l_returnflag, metric""".stripMargin,
     "q_sketch_distinct" ->
       s"""SELECT l_returnflag, n_exact,
          |  CASE WHEN len(hs) < 256 THEN CAST(len(hs) AS DOUBLE)
@@ -803,6 +864,63 @@ object SparkEntry {
          |  SELECT doc_id, h % 16 AS shard,
          |    CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
          |  FROM (SELECT doc_id, ${ph("text")} AS h FROM documents) t) z""".stripMargin,
+    // the union+window as-of trick replayed in SQL: grid slot ends and
+    // events share one ordered pass per (user, hour)
+    "ts_gapfill" ->
+      """WITH ev0 AS (SELECT user_id, ts, value, event_id, date_trunc('hour', ts) AS hr
+        |  FROM events WHERE ts IS NOT NULL),
+        |ev AS (SELECT user_id, hr, ts AS t, 0 AS isg, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM ev0) z WHERE rn = 1),
+        |slots AS (SELECT user_id, hr, hr + to_microseconds((m+1)*60000000 - 1) AS t,
+        |    1 AS isg, CAST(NULL AS DOUBLE) AS value
+        |  FROM (SELECT user_id, hr, unnest(range(0,60)) AS m
+        |        FROM (SELECT DISTINCT user_id, hr FROM ev) h) s),
+        |w AS (SELECT user_id, hr, isg,
+        |    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id, hr ORDER BY t, isg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  FROM (SELECT * FROM ev UNION ALL SELECT * FROM slots) u)
+        |SELECT user_id, hr AS hour_ts, COUNT(*) AS n_slots, COUNT(v) AS n_filled,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled
+        |FROM w WHERE isg = 1 GROUP BY user_id, hr""".stripMargin,
+    "text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |cl AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(t)/10.0) AS BIGINT)),
+        |    i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS chunks
+        |  FROM toks),
+        |chunks AS (SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS cidx,
+        |  unnest(chunks) AS chunk FROM cl),
+        |boiler AS (SELECT chunk FROM (
+        |  SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk) z
+        |  WHERE df > 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS total_chunks FROM chunks GROUP BY doc_id),
+        |kept AS (SELECT c.doc_id,
+        |    string_agg(c.chunk, ' ' ORDER BY c.cidx) AS text_clean,
+        |    COUNT(*) AS kept_chunks
+        |  FROM chunks c ANTI JOIN boiler b ON c.chunk = b.chunk
+        |  GROUP BY c.doc_id)
+        |SELECT t.doc_id, COALESCE(k.text_clean, '') AS text_clean,
+        |  CAST(COALESCE(k.kept_chunks, 0) AS BIGINT) AS kept_chunks, t.total_chunks
+        |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id""".stripMargin,
+    "corpus_merge" ->
+      """WITH docs AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+        |allv AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS rev, n_chars FROM docs
+        |  UNION ALL SELECT doc_id, 2, n_chars + 7 FROM docs WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 100000, 1, n_chars FROM docs WHERE doc_id % 13 = 0)
+        |SELECT doc_id, rev, n_chars, n_versions FROM (
+        |  SELECT doc_id, rev, n_chars,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY rev DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n_versions
+        |  FROM allv) z
+        |WHERE rn = 1""".stripMargin,
+    "text_bpe_pairs" ->
+      """SELECT pair, n_occurrences FROM (
+        |  SELECT pair, COUNT(*) AS n_occurrences FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+        |    FROM (SELECT regexp_split_to_array(lower(text), '\s+') AS t FROM documents) a) b
+        |  GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 30) z""".stripMargin,
     // windows are purely positional: starts 0, 25, 50, ... while
     // start < n, tail window short — ceil(n/25) windows per doc
     "corpus_windows" ->

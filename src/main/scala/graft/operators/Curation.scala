@@ -104,6 +104,50 @@ object Curation {
         min($"total_chunks").as("total_chunks"))
   }
 
+  /** Boilerplate removal (the CCNet paragraph-df pass, over fixed
+    * token chunks because the corpus has no newlines): a chunk that
+    * appears in MORE THAN `maxDf` distinct documents is boilerplate
+    * (headers, navigation, license blocks) and is removed from EVERY
+    * document — including the first occurrence, which is what
+    * distinguishes this from [[dedupLines]] (first occurrence kept).
+    * Documents whose every chunk is boilerplate survive with empty
+    * text (they are corpus members with audit counts, not drops —
+    * dropping is [[dedupLines]]' output contract).
+    *
+    * Scale shape: chunking is scan-local; the df census is one
+    * partial-aggregated shuffle on the chunk; the boilerplate set
+    * (rare by definition at a sane maxDf) comes back as a left-anti
+    * join on the chunk key; reassembly groups by doc_id. At 100 TB
+    * the chunk keys would be 128-bit hashes (narrow exchange rows),
+    * as with dedupLines. */
+  def boilerplate(spark: SparkSession, dir: String, chunkTokens: Int = 10,
+      maxDf: Int = 1): DataFrame = {
+    import spark.implicits._
+    val toks = TextFns.tokens($"text")
+    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = Tables.documents(spark, dir)
+      .select($"doc_id",
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")).as("chunks"))
+      .select($"doc_id", size($"chunks").cast(LongType).as("total_chunks"),
+        posexplode($"chunks").as(Seq("cidx", "chunk")))
+    val boiler = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" > maxDf)
+      .select($"chunk")
+    val kept = chunks.join(boiler, Seq("chunk"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(array_join(transform(sort_array(collect_list(struct($"cidx", $"chunk"))),
+          _.getField("chunk")), " ").as("text_clean"),
+        count(lit(1)).as("kept_chunks"))
+    chunks.groupBy($"doc_id").agg(min($"total_chunks").as("total_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"text_clean", lit("")).as("text_clean"),
+        coalesce($"kept_chunks", lit(0L)).as("kept_chunks"),
+        $"total_chunks")
+  }
+
   /** Sequence packing (the concatenate-then-chunk step every LLM
     * training pipeline runs): documents concatenate in doc_id order
     * and split into fixed `ctx`-token context windows; each document
@@ -240,6 +284,37 @@ object Curation {
       .select($"shard", $"bucket", $"base")
     local.join(broadcast(bases), Seq("shard", "bucket"))
       .select($"doc_id", $"shard", ($"base" + $"lrn").as("pos"))
+  }
+
+  /** Incremental corpus merge — the CDC/upsert step of a continuously
+    * re-crawled corpus: a DELTA batch (re-crawled revisions of
+    * existing documents + newly discovered ones) merges into the BASE
+    * snapshot with latest-revision-wins semantics. The merge is one
+    * window shuffle keyed on doc_id — rows ∝ base + delta, and at
+    * 100 TB the window's per-key state is O(revisions of that key),
+    * never corpus-sized; this is exactly the merge-on-read compaction
+    * shape a table format runs, expressed as a plain plan.
+    *
+    * The delta here is derived deterministically from the corpus
+    * (docs with doc_id % 7 == 0 re-crawled as revision 2 with an
+    * edited length; docs with doc_id % 13 == 0 re-discovered under a
+    * shifted id as revision-1 inserts) so the oracle replays it. */
+  def corpusMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", length($"text").cast(LongType).as("n_chars"))
+    val base = docs.select($"doc_id", lit(1L).as("rev"), $"n_chars")
+    val updates = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", lit(2L).as("rev"), ($"n_chars" + 7L).as("n_chars"))
+    val inserts = docs.filter($"doc_id" % 13 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"), lit(1L).as("rev"), $"n_chars")
+    val all = base.unionByName(updates).unionByName(inserts)
+    val w = Window.partitionBy($"doc_id").orderBy($"rev".desc)
+    all
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"rev", $"n_chars", $"n_versions")
   }
 
   /** Bloom-prefiltered benchmark decontamination — the 100 TB shape

@@ -175,6 +175,24 @@ object Relational {
            count(lit(1)).as("n_rows"))
   }
 
+  /** Unpivot / melt (wide → long): the four lineitem measures become
+    * (metric, val) rows through Catalyst's `Expand` — the table is
+    * SCANNED ONCE and each row emits four, where the UNION ALL
+    * formulation scans the fact table once per measure (4× the IO at
+    * 100 TB). One partial-aggregated shuffle on (flag, metric)
+    * follows; decimal-exact sums as everywhere. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+      .unpivot(
+        Array($"l_returnflag"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "metric", "val")
+      .groupBy($"l_returnflag", $"metric")
+      .agg(dsum($"val").as("sum_val"), count(lit(1)).as("n_rows"))
+  }
+
   /** Co-located join over bucketed tables — the SHUFFLE-FREE join
     * shape ([[graft.sources.Bucketed]] carries the layout rationale):
     * customer and orders are both bucketed on custkey with the same

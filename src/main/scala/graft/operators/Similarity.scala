@@ -82,6 +82,65 @@ object Similarity {
       .filter($"rnk" <= k)
   }
 
+  /** IVF-PQ — the two scale levers composed, the way a production
+    * billion-vector index actually runs: IVF picks WHICH fraction of
+    * the corpus a query touches (nProbe/nCentroids of the inverted
+    * lists), PQ decides HOW CHEAPLY each touched vector is scored
+    * (M code lookups in a broadcast per-query LUT instead of a
+    * 64-dim distance). Codes are computed ON the inverted list
+    * (list_id, vec_id, c0..cM) — at scale codes are STORED with the
+    * list, so the search-time plan never touches raw corpus vectors:
+    * the broadcast (probes ⋈ LUTs) relation equi-joins the code table
+    * on list_id, and the code table itself never shuffles. ADC sums
+    * are fixed-order (bit-reproducible); coarse assignment and ties
+    * follow [[ivfTopK]]/[[pqTopK]] exactly. */
+  def ivfpqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 4, subDim: Int = 16): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    def sub(c: Column, mi: Int): Column = slice(c, mi * subDim + 1, subDim)
+    def sqDist(a: Column, b: Column): Column = graft.plans.VecExprs.sqDistFFCol(a, b)
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val cents = emb.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cid",
+        (VecFns.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm")).as("ccos"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+    val assign = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"cid".as("list_id"), $"vec_id", $"embedding")
+    val codes = assign.crossJoin(broadcast(cents))
+      .select($"list_id" +: $"vec_id" +: (0 until m).map(mi =>
+        struct(sqDist(sub($"embedding", mi), sub($"cvec", mi)).as("d"),
+          $"cid".as("c")).as(s"s$mi")): _*)
+      .groupBy($"list_id", $"vec_id")
+      .agg(min(col("s0")).getField("c").as("c0"),
+        (1 until m).map(mi => min(col(s"s$mi")).getField("c").as(s"c$mi")): _*)
+    val probes = scored.filter($"vec_id" < nQueries)
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" <= nProbe)
+      .select($"vec_id".as("query_id"), $"cid".as("list_id"))
+    val lut = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .crossJoin(broadcast(cents))
+      .select($"query_id" +: $"cid" +: (0 until m).map(mi =>
+        sqDist(sub($"qv", mi), sub($"cvec", mi)).as(s"q$mi")): _*)
+      .groupBy($"query_id")
+      .agg(transform(sort_array(collect_list(struct($"cid", col("q0")))), _.getField("q0")).as("a0"),
+        (1 until m).map(mi =>
+          transform(sort_array(collect_list(struct($"cid", col(s"q$mi")))), _.getField(s"q$mi"))
+            .as(s"a$mi")): _*)
+    val dist = (0 until m).map(mi =>
+      element_at(col(s"a$mi"), (col(s"c$mi") + 1).cast("int"))).reduceLeft(_ + _)
+    val w = Window.partitionBy($"query_id").orderBy($"approx_dist".asc, $"neighbor_id".asc)
+    broadcast(probes.join(lut, "query_id"))
+      .join(codes, "list_id")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), dist.as("approx_dist"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= k)
+  }
+
   /** Exact cosine top-k of a small query batch (vec_id < nQueries)
     * against the whole corpus. Query side broadcasts; scores are
     * fold-exact doubles (SURVEY §5), ranks tie-break on vec_id. */

@@ -21,6 +21,48 @@ object Telemetry {
     Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
   }
 
+  /** Time-series gap-fill / resample (the "regular grid" step between
+    * raw telemetry and any downstream model): for every (user, hour)
+    * that saw at least one event, materialize all 60 one-minute slots
+    * and carry the latest value at-or-before each slot's end forward
+    * (slots before the hour's first event stay null). The grid is
+    * BOUNDED by construction — slots exist only for active hours, so
+    * output ∝ active (user, hour) pairs, never ∝ the time axis (a
+    * min-to-max sequence per user would explode on a sparse year).
+    *
+    * Plan shape: the as-of union+window trick — grid points and
+    * events union into ONE window pass per (user, hour) (a single
+    * shuffle), exactly like [[Relational.qAsOf]]; no range join, no
+    * correlated lookup per slot. Same-µs event collisions are
+    * resolved first (max event_id wins) so the carried value is
+    * deterministic. Output aggregates per (user, hour) — fill counts
+    * and the decimal-exact sum of carried values. */
+  def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev0 = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .select($"user_id", $"ts", $"value", $"event_id",
+        date_trunc("hour", $"ts").as("hr"))
+    val dedupW = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val ev = ev0.withColumn("rn", row_number().over(dedupW)).filter($"rn" === 1)
+      .select($"user_id", $"hr", $"ts".as("t"), lit(0).as("isg"), $"value")
+    val slots = ev.select($"user_id", $"hr").distinct()
+      .select($"user_id", $"hr", explode(sequence(lit(0), lit(59))).as("m"))
+      .select($"user_id", $"hr",
+        timestamp_micros(unix_micros($"hr") + ($"m" + 1).cast(LongType) * 60000000L - 1L).as("t"),
+        lit(1).as("isg"), lit(null).cast(DoubleType).as("value"))
+    val fillW = Window.partitionBy($"user_id", $"hr")
+      .orderBy($"t".asc, $"isg".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(slots)
+      .withColumn("v", last($"value", ignoreNulls = true).over(fillW))
+      .filter($"isg" === 1)
+      .groupBy($"user_id", $"hr".as("hour_ts"))
+      .agg(count(lit(1)).as("n_slots"),
+           count($"v").as("n_filled"),
+           dsum($"v").as("sum_filled"))
+  }
+
   /** Per-user outlier flags (the telemetry sanity gate a fleet runs
     * before trusting sensor values): an event is anomalous when its
     * value sits more than 2σ from its user's mean. One grouped

@@ -119,6 +119,30 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE merge-candidate counting — one round of the tokenizer-
+    * training inner loop ("count every adjacent token pair across the
+    * corpus, merge the most frequent"): pair construction is
+    * SCAN-LOCAL (zip_with of the token array against its own tail —
+    * no per-token explode before pairing, so nothing corpus-sized
+    * materializes per row), then the explode feeds one partial-
+    * aggregated count shuffle and the top-k leaves through
+    * TakeOrdered. At 100 TB this is the exact plan a distributed BPE
+    * trainer runs per merge round; ties break on the pair text. */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    import spark.implicits._
+    val toks = TextFns.tokens($"text")
+    val n = size(toks)
+    Tables.documents(spark, dir)
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(n - 1, lit(0))),
+        slice(toks, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy($"n_occurrences".desc, $"pair".asc)
+      .limit(k)
+  }
+
   /** Heavy hitters through the Count-Min sketch (the frequency twin
     * of q_sketch_distinct's KMV): term document-frequencies estimated
     * from a fixed 4×1024 counter grid instead of an exact per-term

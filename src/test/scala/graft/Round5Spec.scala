@@ -69,4 +69,118 @@ class Round5Spec extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq ==
       Seq((0L, 3L, "a b c"), (1L, 3L, "c d e"), (2L, 1L, "e")))
   }
+
+  // --- unpivot -------------------------------------------------------------------
+
+  test("unpivot runs through Expand: one scan of the fact table, not four") {
+    val df = operators.Relational.qUnpivot(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"unpivot must use Expand:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"unpivot must scan lineitem exactly once:\n$plan")
+    // 4 metrics per returnflag value
+    val rows = df.collect()
+    assert(rows.groupBy(_.getString(0)).values.forall(_.length == 4))
+  }
+
+  // --- BPE pair counting ----------------------------------------------------------
+
+  test("bpe pairs: adjacent-pair counts with deterministic ties") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = operators.TextAnalysis.bpePairs(spark, dir, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // doc1 pairs: "a b","b a","a b"; doc2: "b a"
+    assert(out == Seq(("a b", 2L), ("b a", 2L)))
+  }
+
+  // --- corpus merge (upsert) ------------------------------------------------------
+
+  test("corpus merge: latest revision wins, inserts appear, untouched docs stay") {
+    import graft.sources.Tables
+    val out = operators.Curation.corpusMerge(spark, sf)
+    val rows = out.collect()
+    val n = Tables.documents(spark, sf).count()
+    val docs = Tables.documents(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val updated = docs.count(_ % 7 == 0)
+    val inserted = docs.count(_ % 13 == 0)
+    assert(rows.length == n + inserted)
+    // every updated doc resolves to rev 2 with 2 versions
+    assert(rows.filter(r => docs.contains(r.getLong(0)) && r.getLong(0) % 7 == 0)
+      .forall(r => r.getLong(1) == 2L && r.getLong(3) == 2L))
+    assert(rows.count(_.getLong(1) == 2L) == updated)
+    // inserts are rev-1 singletons under shifted ids
+    assert(rows.filter(_.getLong(0) >= 100000L)
+      .forall(r => r.getLong(1) == 1L && r.getLong(3) == 1L))
+  }
+
+  // --- time-series gap fill --------------------------------------------------------
+
+  test("gapfill: full minute grid per active hour, carry-forward from slot of first event") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap").toString
+    // one user, one hour: events at minute 10 (v=1.0) and minute 40 (v=3.0);
+    // a same-µs collision at minute 40 must resolve to the higher event_id
+    val base = java.sql.Timestamp.valueOf("2024-01-01 05:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    Seq(
+      (1L, at(10), 7L, "m", 1.0, "{}"),
+      (2L, at(40), 7L, "m", 99.0, "{}"),
+      (3L, at(40), 7L, "m", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = operators.Telemetry.gapfill(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_slots") == 60L)
+    // slots 0..9 are null (before the first event), 10..59 carry a value
+    assert(r.getAs[Long]("n_filled") == 50L)
+    // minutes 10..39 carry 1.0 (30 slots), 40..59 carry 3.0 (20 slots, max
+    // event_id wins the same-µs collision): 30*1 + 20*3 = 90
+    assert(r.getAs[Double]("sum_filled") == 90.0)
+  }
+
+  // --- boilerplate removal ----------------------------------------------------------
+
+  test("boilerplate removes high-df chunks from EVERY doc; dedup_lines keeps the first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")   // one exact 10-token chunk
+    val aTail = (1 to 10).map(i => s"a$i").mkString(" ")
+    val bTail = (1 to 10).map(i => s"b$i").mkString(" ")
+    Seq((1L, s"$header $aTail"), (2L, s"$header $bTail")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val boiler = operators.Curation.boilerplate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the shared header chunk disappears from BOTH docs
+    assert(boiler(1L) == aTail && boiler(2L) == bTail)
+    val dedup = operators.Curation.dedupLines(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // dedup_lines keeps the first occurrence (doc 1) and strips doc 2's copy
+    assert(dedup(1L) == s"$header $aTail" && dedup(2L) == bTail)
+  }
+
+  test("boilerplate keeps fully-boilerplate docs as empty-text rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler2").toString
+    val chunk = (1 to 10).map(i => s"c$i").mkString(" ")
+    Seq((1L, chunk), (2L, chunk)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = operators.Curation.boilerplate(spark, dir).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getString(1) == "" && r.getLong(2) == 0L && r.getLong(3) == 1L))
+  }
+
+  // --- IVF-PQ --------------------------------------------------------------------
+
+  test("ivfpq: neighbors come only from probed lists, scored identically to ann_pq") {
+    val ivfpq = operators.Similarity.ivfpqTopK(spark, sf).collect()
+    assert(ivfpq.groupBy(_.getLong(0)).values.forall(_.length == 5))
+    // ADC distances must agree with ann_pq's for the same (query, neighbor)
+    val pq = operators.Similarity.pqTopK(spark, sf, k = 499).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(pq.contains(key) && pq(key) == r.getDouble(2),
+        s"ADC score mismatch for $key")
+    }
+  }
 }
