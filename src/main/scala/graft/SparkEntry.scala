@@ -40,6 +40,8 @@ object SparkEntry {
     "q_skewjoin" -> (Relational.qSkewJoin _),
     "q_bucket_join" -> ((s: SparkSession, d: String) => Relational.qBucketJoin(s, d)),
     "q_unpivot" -> ((s: SparkSession, d: String) => Relational.qUnpivot(s, d)),
+    "q_intersect" -> ((s: SparkSession, d: String) => Relational.qIntersect(s, d)),
+    "q_except" -> ((s: SparkSession, d: String) => Relational.qExcept(s, d)),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -61,6 +63,8 @@ object SparkEntry {
     "events_retention" -> (Telemetry.retention _),
     "events_anomaly" -> (Telemetry.anomaly _),
     "ts_gapfill" -> ((s: SparkSession, d: String) => Telemetry.gapfill(s, d)),
+    "ts_moving_avg" -> ((s: SparkSession, d: String) => Telemetry.movingAvg(s, d)),
+    "events_props" -> (Telemetry.propsExtract _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -864,6 +868,32 @@ object SparkEntry {
          |  SELECT doc_id, h % 16 AS shard,
          |    CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
          |  FROM (SELECT doc_id, ${ph("text")} AS h FROM documents) t) z""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "events_props" ->
+      """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type, k_bucket""".stripMargin,
+    "ts_moving_avg" ->
+      """SELECT event_id, user_id, eus, value, n_window,
+        |  CAST(sw AS DOUBLE) / n_window AS avg_window
+        |FROM (
+        |  SELECT event_id, user_id, eus, value,
+        |    COUNT(*) OVER w AS n_window,
+        |    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sw
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS eus, value
+        |        FROM events WHERE ts IS NOT NULL) t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY eus
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)) z""".stripMargin,
     // the union+window as-of trick replayed in SQL: grid slot ends and
     // events share one ordered pass per (user, hour)
     "ts_gapfill" ->

@@ -175,6 +175,28 @@ object Relational {
            count(lit(1)).as("n_rows"))
   }
 
+  /** INTERSECT — customers who ordered in BOTH years. Catalyst plans
+    * set intersection as a left-semi join between the two distinct
+    * key sets (partial-aggregated distincts, then a key-hashed semi
+    * join) — shuffle ∝ distinct keys, never raw rows; the year
+    * filters push to the parquet scan. */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def buyers(y: Int) = Tables.orders(spark, dir)
+      .filter(year($"o_orderdate") === y).select($"o_custkey")
+    buyers(1995).intersect(buyers(1996))
+  }
+
+  /** EXCEPT — customers who ordered in 1995 but not 1996 (the left-
+    * anti twin of [[qIntersect]]; same distinct + key-hashed join
+    * shape). */
+  def qExcept(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def buyers(y: Int) = Tables.orders(spark, dir)
+      .filter(year($"o_orderdate") === y).select($"o_custkey")
+    buyers(1995).except(buyers(1996))
+  }
+
   /** Unpivot / melt (wide → long): the four lineitem measures become
     * (metric, val) rows through Catalyst's `Expand` — the table is
     * SCANNED ONCE and each row emits four, where the UNION ALL

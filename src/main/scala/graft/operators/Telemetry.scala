@@ -21,6 +21,46 @@ object Telemetry {
     Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
   }
 
+  /** Schema-on-read JSON extraction — the semi-structured half of an
+    * event stream (the reference's shellCmd notifications carry
+    * key-value payloads the same way): the `props` JSON string column
+    * parses against a DECLARED schema inside the plan (`from_json` —
+    * no driver-side parsing, no dynamic schema inference pass over
+    * 100 TB), extracted fields immediately participate in relational
+    * ops. Extraction is scan-local; the only shuffle is the grouped
+    * aggregation. Malformed JSON yields null fields (quarantinable),
+    * never a job failure. */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", $"value",
+        from_json($"props", lit("k BIGINT")).getField("k").as("k"))
+      .groupBy($"event_type", ($"k" % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum($"value").as("sum_value"),
+           max($"k").as("max_k"))
+  }
+
+  /** Trailing moving average over an event-TIME window (RANGE frame,
+    * not ROWS): each event averages its user's values over the
+    * preceding `minutes` of event time — the irregular-cadence
+    * smoothing a sensor fleet needs (ROWS frames are wrong when
+    * arrival rates vary). One shuffle per user; per-key frame state
+    * is bounded by the time span, not the stream; integer-µs frame
+    * bounds and a decimal-exact windowed sum keep the division the
+    * only double op (deterministic both engines). */
+  def movingAvg(spark: SparkSession, dir: String, minutes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val span = minutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"eus")
+      .rangeBetween(-span, 0)
+    Tables.events(spark, dir).filter($"ts".isNotNull)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("eus"), $"value")
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("avg_window",
+        sum(dec($"value")).over(w).cast(DoubleType) / $"n_window")
+  }
+
   /** Time-series gap-fill / resample (the "regular grid" step between
     * raw telemetry and any downstream model): for every (user, hour)
     * that saw at least one event, materialize all 60 one-minute slots

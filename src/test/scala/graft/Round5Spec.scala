@@ -169,6 +169,58 @@ class Round5Spec extends SparkSpec {
     assert(rows.forall(r => r.getString(1) == "" && r.getLong(2) == 0L && r.getLong(3) == 1L))
   }
 
+  // --- set operations --------------------------------------------------------------
+
+  test("intersect and except partition the 1995 buyer set exactly") {
+    import graft.sources.Tables
+    val y95 = Tables.orders(spark, sf).filter(year($"o_orderdate") === 1995)
+      .select($"o_custkey").distinct().as[Long].collect().toSet
+    val y96 = Tables.orders(spark, sf).filter(year($"o_orderdate") === 1996)
+      .select($"o_custkey").distinct().as[Long].collect().toSet
+    val both = operators.Relational.qIntersect(spark, sf).as[Long].collect().toSet
+    val only95 = operators.Relational.qExcept(spark, sf).as[Long].collect().toSet
+    assert(both == (y95 intersect y96))
+    assert(only95 == (y95 diff y96))
+    assert((both intersect only95).isEmpty && (both union only95) == y95)
+  }
+
+  // --- JSON props extraction ---------------------------------------------------------
+
+  test("props extraction: declared schema, malformed JSON quarantines as null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_props").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq(
+      (1L, ts, 1L, "a", 1.0, """{"k": 42}"""),
+      (2L, ts, 1L, "a", 2.0, """not json"""),
+      (3L, ts, 1L, "a", 4.0, """{"other": 1}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = operators.Telemetry.propsExtract(spark, dir).collect()
+    val byBucket = rows.map(r => Option(r.get(1)).map(_.asInstanceOf[Long]) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(byBucket(Some(2L)) == ((1L, 1.0)))     // k=42 -> bucket 2
+    assert(byBucket(None) == ((2L, 6.0)))         // malformed + missing key -> null bucket
+  }
+
+  // --- range-frame moving average -------------------------------------------------------
+
+  test("moving average frame is event-time based: inclusive at -10min, exclusive past it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mavg").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    Seq(
+      (1L, at(0), 5L, "m", 10.0, "{}"),
+      (2L, at(10), 5L, "m", 20.0, "{}"),   // exactly 10 min later: IN frame
+      (3L, at(21), 5L, "m", 40.0, "{}")    // 11 min after event 2: only itself
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = operators.Telemetry.movingAvg(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(rows(1L) == ((1L, 10.0)))
+    assert(rows(2L) == ((2L, 15.0)))
+    assert(rows(3L) == ((1L, 40.0)))
+  }
+
   // --- IVF-PQ --------------------------------------------------------------------
 
   test("ivfpq: neighbors come only from probed lists, scored identically to ann_pq") {
