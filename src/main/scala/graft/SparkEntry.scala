@@ -118,6 +118,8 @@ object SparkEntry {
     "mm_framesample" -> ((s: SparkSession, d: String) => Frames.frameSample(s, d)),
     "mm_audio" -> (Multimodal.audio _),
     "mm_audio_downsample" -> (Multimodal.audioDownsample _),
+    "mm_video" -> (Multimodal.video _),
+    "mm_video_trim" -> (Multimodal.videoTrim _),
     // B. streaming relay (Structured Streaming, driven to completion)
     "stream_relay" -> (graft.streaming.StreamRelay.windowedRelay _),
     // D. streaming incremental dedup: the documents corpus as two
@@ -1122,6 +1124,41 @@ object SparkEntry {
         |    CASE WHEN lang = 'en' THEN 16000 WHEN lang = 'de' THEN 44100
         |         WHEN lang = 'es' THEN 8000 ELSE 22050 END AS rate,
         |    strlen(text) - strlen(text) % ((doc_id % 2 + 1) * 2) AS dl
+        |  FROM documents) t""".stripMargin,
+    // header = ftyp(24) + moov(116) + mdat header(8) = 148 bytes; the
+    // brand/timescale/duration dials restate Multimodal.packedVideo
+    "mm_video" ->
+      """SELECT doc_id,
+        |  CAST(148 + strlen(text) AS BIGINT) AS n_bytes,
+        |  brand,
+        |  CAST(tsc AS BIGINT) AS timescale,
+        |  CAST(dur AS BIGINT) AS duration_ticks,
+        |  CAST(dur * 1000000 // tsc AS BIGINT) AS duration_us,
+        |  CAST(strlen(text) AS BIGINT) AS mdat_len,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, LEAST(strlen(text), 8)),
+        |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT))),
+        |    (a,b) -> a+b) AS payload_head_sum
+        |FROM (SELECT doc_id, text,
+        |    CASE WHEN lang = 'en' THEN 'isom' WHEN lang = 'de' THEN 'mp42'
+        |         WHEN lang = 'es' THEN 'avc1' ELSE 'mp41' END AS brand,
+        |    CASE WHEN lang = 'en' THEN 90000 WHEN lang = 'de' THEN 600
+        |         WHEN lang = 'es' THEN 1000 ELSE 30000 END AS tsc,
+        |    (n_chars * 3 + doc_id) % 100000 AS dur
+        |  FROM documents) t""".stripMargin,
+    "mm_video_trim" ->
+      """SELECT doc_id,
+        |  CAST(148 + strlen(text) // 2 AS BIGINT) AS n_bytes,
+        |  brand,
+        |  CAST(dur // 2 AS BIGINT) AS duration_ticks,
+        |  CAST((dur // 2) * 1000000 // tsc AS BIGINT) AS duration_us,
+        |  CAST(strlen(text) // 2 AS BIGINT) AS mdat_len
+        |FROM (SELECT doc_id, text,
+        |    CASE WHEN lang = 'en' THEN 'isom' WHEN lang = 'de' THEN 'mp42'
+        |         WHEN lang = 'es' THEN 'avc1' ELSE 'mp41' END AS brand,
+        |    CASE WHEN lang = 'en' THEN 90000 WHEN lang = 'de' THEN 600
+        |         WHEN lang = 'es' THEN 1000 ELSE 30000 END AS tsc,
+        |    (n_chars * 3 + doc_id) % 100000 AS dur
         |  FROM documents) t""".stripMargin,
     "mm_audio_downsample" ->
       """SELECT doc_id,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.plans.{Audio, Frame, Image}
+import graft.plans.{Audio, Frame, Image, Video}
 import graft.sources.Tables
 
 /** Multimodal column plumbing (SURVEY §2.G): media payloads ride as
@@ -111,6 +111,66 @@ object Multimodal {
         expr("om.data_len div (om.channels * 2)").cast(LongType).as("n_samples"),
         expr("(CAST(om.data_len AS BIGINT) div (om.channels * 2)) * 1000000 div om.sample_rate")
           .cast(LongType).as("duration_us"))
+  }
+
+  /** Shared (doc_id, MP4 blob) derivation for the video operators —
+    * brand/timescale/duration dials live here once; the mm_video /
+    * mm_video_trim oracle restatements must move in step. */
+  private def packedVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brand = when($"lang" === "en", "isom").when($"lang" === "de", "mp42")
+      .when($"lang" === "es", "avc1").otherwise("mp41")
+    val timescale = when($"lang" === "en", 90000L).when($"lang" === "de", 600L)
+      .when($"lang" === "es", 1000L).otherwise(30000L)
+    val ticks = ($"n_chars" * 3L + $"doc_id") % 100000L
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        Video.pack(brand, timescale, ticks, encode($"text", "UTF-8")).as("blob"))
+  }
+
+  /** The video modality through the same column pattern: blobs carry
+    * a REAL ISO-BMFF box structure (ftyp brand / moov>mvhd timescale+
+    * duration / mdat payload — see [[graft.plans.Video]]); decode is
+    * a genuine top-level box scan and duration derives by integer µs
+    * arithmetic from the parsed timescale. Scan-local, zero
+    * shuffle. */
+  def video(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packedVideo(spark, dir)
+      .withColumn("m", Video.decode($"blob"))
+      .select($"doc_id",
+        octet_length($"blob").cast(LongType).as("n_bytes"),
+        $"m.brand".as("brand"),
+        $"m.timescale".as("timescale"),
+        $"m.duration".as("duration_ticks"),
+        expr("m.duration * 1000000 div m.timescale").cast(LongType).as("duration_us"),
+        $"m.mdat_len".cast(LongType).as("mdat_len"),
+        Frame.byteSum(expr("substring(blob, m.payload_off + 1, 8)"), lit(8L))
+          .as("payload_head_sum"))
+  }
+
+  /** Transform through the video codec (the mm_resize/mm_audio_
+    * downsample twin): decode each blob, halve the mvhd duration AND
+    * keep the first half of the mdat payload (a container-level trim
+    * — sample-accurate cutting would consult the stbl tables behind
+    * the same boundary), re-pack a real box structure, decode the
+    * OUTPUT bytes. */
+  def videoTrim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packedVideo(spark, dir)
+      .withColumn("m", Video.decode($"blob"))
+      .withColumn("out", Video.pack(
+        expr("m.brand"),
+        expr("m.timescale"),
+        expr("m.duration div 2"),
+        expr("substring(blob, m.payload_off + 1, m.mdat_len div 2)")))
+      .withColumn("om", Video.decode($"out"))
+      .select($"doc_id",
+        octet_length($"out").cast(LongType).as("n_bytes"),
+        $"om.brand".as("brand"),
+        $"om.duration".as("duration_ticks"),
+        expr("om.duration * 1000000 div om.timescale").cast(LongType).as("duration_us"),
+        $"om.mdat_len".cast(LongType).as("mdat_len"))
   }
 
   /** Transform through the codec: decode each blob, halve its canvas

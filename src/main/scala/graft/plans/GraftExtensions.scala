@@ -48,6 +48,8 @@ object GraftExtensions {
     "graft_decode_image" -> arity("graft_decode_image", 1)(es => DecodeImageMeta(es.head)),
     "graft_pack_wav" -> arity("graft_pack_wav", 3)(es => PackWav(es(0), es(1), es(2))),
     "graft_decode_wav" -> arity("graft_decode_wav", 1)(es => DecodeWavMeta(es.head)),
+    "graft_pack_mp4" -> arity("graft_pack_mp4", 4)(es => PackMp4(es(0), es(1), es(2), es(3))),
+    "graft_decode_mp4" -> arity("graft_decode_mp4", 1)(es => DecodeMp4Meta(es.head)),
     "graft_bin_join" -> arity("graft_bin_join", 1)(es => BinJoin(es.head, 0x3a)),
     // aggregate: the analyzer wraps a raw AggregateFunction returned
     // from a registry builder; k must be a foldable int literal
