@@ -42,6 +42,7 @@ object SparkEntry {
     "q_unpivot" -> ((s: SparkSession, d: String) => Relational.qUnpivot(s, d)),
     "q_intersect" -> ((s: SparkSession, d: String) => Relational.qIntersect(s, d)),
     "q_except" -> ((s: SparkSession, d: String) => Relational.qExcept(s, d)),
+    "q_outerjoin" -> (Relational.qOuterJoin _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -65,6 +66,8 @@ object SparkEntry {
     "ts_gapfill" -> ((s: SparkSession, d: String) => Telemetry.gapfill(s, d)),
     "ts_moving_avg" -> ((s: SparkSession, d: String) => Telemetry.movingAvg(s, d)),
     "events_props" -> (Telemetry.propsExtract _),
+    "events_paths" -> (Telemetry.paths _),
+    "ts_ewma" -> ((s: SparkSession, d: String) => Telemetry.ewma(s, d)),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -885,6 +888,51 @@ object SparkEntry {
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY event_type, k_bucket""".stripMargin,
+    "q_outerjoin" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders, o.spend
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY o_custkey) o
+        |ON c_custkey = o.o_custkey""".stripMargin,
+    "events_paths" ->
+      """SELECT from_type, to_type, COUNT(*) AS n_transitions,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events WHERE ts IS NOT NULL) z
+        |WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type""".stripMargin,
+    "ts_ewma" ->
+      """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS eus,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |l AS (SELECT event_id, user_id, eus, cents AS l0,
+        |    lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
+        |    lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4,
+        |    lag(cents, 5) OVER w AS l5, lag(cents, 6) OVER w AS l6,
+        |    lag(cents, 7) OVER w AS l7
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id))
+        |SELECT event_id, user_id, eus,
+        |  CAST(CASE WHEN l0 IS NULL THEN 0 ELSE 1 END + CASE WHEN l1 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN l4 IS NULL THEN 0 ELSE 1 END + CASE WHEN l5 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN l6 IS NULL THEN 0 ELSE 1 END + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END
+        |   AS BIGINT) AS n_window,
+        |  CAST(COALESCE(l0*128,0) + COALESCE(l1*64,0) + COALESCE(l2*32,0) + COALESCE(l3*16,0)
+        |     + COALESCE(l4*8,0) + COALESCE(l5*4,0) + COALESCE(l6*2,0) + COALESCE(l7*1,0) AS DOUBLE)
+        |  / CAST(CASE WHEN l0 IS NULL THEN 0 ELSE 128 END + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+        |       + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+        |       + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+        |       + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END
+        |       AS DOUBLE)
+        |  / 100.0 AS ewma
+        |FROM l""".stripMargin,
     "ts_moving_avg" ->
       """SELECT event_id, user_id, eus, value, n_window,
         |  CAST(sw AS DOUBLE) / n_window AS avg_window

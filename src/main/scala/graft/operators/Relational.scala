@@ -510,4 +510,30 @@ object Relational {
             element_at($"kmv", k).cast(DoubleType))
           .as("est_distinct"))
   }
+
+  /** Left-outer join with the dimension on the PRESERVED side:
+    * per-customer 1996 order activity where customers with no
+    * qualifying orders survive with n_orders = 0 (the "all entities,
+    * even inactive" report shape inner joins silently drop).
+    *
+    * Scale posture: the fact table aggregates FIRST — the year filter
+    * pushes to the parquet scan and the per-custkey rollup partial-
+    * aggregates map-side, so the outer join only ever sees one row
+    * per active customer, never raw order rows. The join itself hashes
+    * on custkey (both sides shuffle ∝ customers — at 100 TB the
+    * aggregated side is the small one and AQE will broadcast it when
+    * it fits). `spend` stays NULL for order-less customers (absence,
+    * not zero — the decimal sum never fabricates a value). */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+              $"o_orderdate" < to_timestamp(lit("1997-01-01")))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("spend"))
+    Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
+      .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_custkey", $"c_mktsegment",
+        coalesce($"n", lit(0L)).as("n_orders"), $"spend")
+  }
 }

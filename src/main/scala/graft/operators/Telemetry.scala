@@ -434,4 +434,67 @@ object Telemetry {
            sum(coalesce($"next_us" - unix_micros($"ts"), lit(0L))).as("total_dwell_us"))
       .select($"prev_type", $"event_type".as("cur_type"), $"n_transitions", $"total_dwell_us")
   }
+
+  /** Event-path transition matrix (the Markov-chain view of user
+    * behavior — "what do users do AFTER a signup?"): consecutive
+    * event-type bigrams per user via one lead() pass, rolled up to
+    * (from_type, to_type) with transition and distinct-user counts.
+    *
+    * Unlike [[statusTransitions]] (state dwell on DISTINCT state
+    * changes), this counts every adjacent pair including self-loops —
+    * the navigation-graph edge weights. One sort-window shuffle per
+    * user, one partial-aggregated count shuffle; per-user window
+    * state is O(1) (lead 1). Distinct users per edge is the only
+    * expensive aggregate and it hashes on the edge key. */
+  def paths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = byUserTime(spark)
+    Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n_transitions"),
+           countDistinct($"user_id").as("n_users"))
+  }
+
+  /** Trailing EWMA with dyadic weights (the telemetry smoothing
+    * filter, engine-exact): for each event, the last `taps` values
+    * weight as 2^-1, 2^-2, ..., renormalized over the taps actually
+    * present. True recursive EWMA is a sequential fold (arrival-order
+    * state no engine reproduces bit-for-bit under reordering);
+    * truncating at `taps` makes every weight a dyadic rational, so
+    * the whole sum runs in INTEGER cents-×-power-of-two arithmetic —
+    * num and den are exact longs in any evaluation order and the one
+    * IEEE division at the end is deterministic on both engines
+    * (2^-8 ≈ 0.4% truncation error — below any telemetry noise
+    * floor).
+    *
+    * Plan shape: `taps` lag() columns share ONE window sort shuffle
+    * (per-user O(taps) frame state); everything after is scan-local.
+    */
+  def ewma(spark: SparkSession, dir: String, taps: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(taps >= 1 && taps <= 32, "dyadic weights need 1..32 taps")
+    val w = byUserTime(spark)
+    val base = Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"value".isNotNull)
+      .select($"event_id", $"user_id", $"ts",
+        round($"value" * 100).cast(LongType).as("cents"))
+    // tap j (0 = current row) carries weight 2^(taps-1-j): newest
+    // heaviest, halving per step back
+    val lagged = base.select(
+      ($"event_id" :: $"user_id" :: unix_micros($"ts").as("eus") :: Nil) ++
+        (0 until taps).map(j =>
+          (if (j == 0) $"cents" else lag($"cents", j).over(w)).as(s"l$j")): _*)
+    val num = (0 until taps).map(j =>
+      coalesce(col(s"l$j") * lit(1L << (taps - 1 - j)), lit(0L))).reduce(_ + _)
+    val den = (0 until taps).map(j =>
+      when(col(s"l$j").isNotNull, lit(1L << (taps - 1 - j))).otherwise(lit(0L))).reduce(_ + _)
+    val nw = (0 until taps).map(j =>
+      when(col(s"l$j").isNotNull, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    lagged.select($"event_id", $"user_id", $"eus", nw.as("n_window"),
+      (num.cast(DoubleType) / den.cast(DoubleType) / lit(100.0d)).as("ewma"))
+  }
 }
