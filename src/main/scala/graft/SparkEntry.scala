@@ -86,6 +86,7 @@ object SparkEntry {
     "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.ivfpqTopK(s, d)),
     "embed_kmeans" -> ((s: SparkSession, d: String) => Similarity.kmeans(s, d)),
+    "dedup_semdedup" -> ((s: SparkSession, d: String) => Similarity.semdedup(s, d)),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -110,6 +111,8 @@ object SparkEntry {
     "corpus_merge" -> ((s: SparkSession, d: String) => Curation.corpusMerge(s, d)),
     "text_boilerplate" -> ((s: SparkSession, d: String) => Curation.boilerplate(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
+    "text_ngram_lm" -> (TextAnalysis.ngramLm _),
+    "corpus_interleave" -> ((s: SparkSession, d: String) => Curation.interleave(s, d)),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
@@ -253,6 +256,35 @@ object SparkEntry {
     * (mirrors Similarity.kmeans' sqDist — same sequential order). */
   private def kmDist(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,64), i -> ($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1]))), (x,y) -> x+y)"
+
+  /** DuckDB CTE chain replaying Similarity.kmeans (k=8, 2 rounds)
+    * down to the final per-vector assignment `ka(vec_id, c1,
+    * cluster)` — shared by the embed_kmeans oracle and the
+    * dedup_semdedup oracle so both gate the same clustering. */
+  private def kmeansAssignCtes: String =
+    s"""q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |qd AS (SELECT vec_id, qv, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv FROM q),
+       |seeds AS (SELECT vec_id AS cid, list_transform(qv, v -> CAST(v AS DOUBLE)) AS cvec
+       |  FROM q WHERE vec_id < 8),
+       |d1 AS (SELECT a.vec_id, a.qv, s.cid, ${kmDist("a.dv", "s.cvec")} AS d
+       |  FROM qd a CROSS JOIN seeds s),
+       |a1 AS (SELECT vec_id, qv, cid AS c1 FROM (
+       |  SELECT vec_id, qv, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1) x
+       |  WHERE rn = 1),
+       |m2 AS (SELECT c1 AS cid, pos, CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean
+       |  FROM (SELECT c1, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1) e
+       |  GROUP BY cid, pos),
+       |c2 AS (SELECT cid, list(mean ORDER BY pos) AS cvec FROM m2 GROUP BY cid),
+       |d2 AS (SELECT a.vec_id, a.c1, c.cid, ${kmDist("a.dv2", "c.cvec")} AS d
+       |  FROM (SELECT vec_id, c1, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv2 FROM a1) a
+       |  CROSS JOIN c2 c),
+       |ka AS (SELECT vec_id, c1, cid AS cluster FROM (
+       |  SELECT vec_id, c1, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2) y
+       |  WHERE rn = 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -995,6 +1027,28 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY doc_id) AS n_versions
         |  FROM allv) z
         |WHERE rn = 1""".stripMargin,
+    "text_ngram_lm" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |big AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2),
+        |occ AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM big GROUP BY doc_id, bigram),
+        |dfc AS (SELECT bigram, COUNT(*) AS df FROM occ GROUP BY bigram)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(cnt*df) AS BIGINT) AS sum_df,
+        |  CAST(SUM(cnt*df) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS lm_score
+        |FROM occ JOIN dfc USING (bigram) GROUP BY doc_id""".stripMargin,
+    "corpus_interleave" ->
+      s"""WITH s AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+         |  FROM (SELECT DISTINCT source FROM documents) d),
+         |ns AS (SELECT COUNT(*) AS n FROM s),
+         |r AS (SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY ${ph("text")}, doc_id) - 1 AS BIGINT)
+         |      AS rank_in_source
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, s.sidx, r.rank_in_source,
+         |  r.rank_in_source * ns.n + s.sidx AS global_pos
+         |FROM r JOIN s USING (source) CROSS JOIN ns""".stripMargin,
     "text_bpe_pairs" ->
       """SELECT pair, n_occurrences FROM (
         |  SELECT pair, COUNT(*) AS n_occurrences FROM (
@@ -1012,29 +1066,22 @@ object SparkEntry {
         |  unnest(range(0, CAST(ceil(len(t)/25.0) AS BIGINT))) AS win_idx FROM toks) z
         |WHERE len(t) > 0""".stripMargin,
     "embed_kmeans" ->
-      s"""WITH q AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |qd AS (SELECT vec_id, qv, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv FROM q),
-         |seeds AS (SELECT vec_id AS cid, list_transform(qv, v -> CAST(v AS DOUBLE)) AS cvec
-         |  FROM q WHERE vec_id < 8),
-         |d1 AS (SELECT a.vec_id, a.qv, s.cid, ${kmDist("a.dv", "s.cvec")} AS d
-         |  FROM qd a CROSS JOIN seeds s),
-         |a1 AS (SELECT vec_id, qv, cid AS c1 FROM (
-         |  SELECT vec_id, qv, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1) x
-         |  WHERE rn = 1),
-         |m2 AS (SELECT c1 AS cid, pos, CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean
-         |  FROM (SELECT c1, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1) e
-         |  GROUP BY cid, pos),
-         |c2 AS (SELECT cid, list(mean ORDER BY pos) AS cvec FROM m2 GROUP BY cid),
-         |d2 AS (SELECT a.vec_id, a.c1, c.cid, ${kmDist("a.dv2", "c.cvec")} AS d
-         |  FROM (SELECT vec_id, c1, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv2 FROM a1) a
-         |  CROSS JOIN c2 c)
-         |SELECT vec_id, c1, cluster, (c1 <> cluster) AS moved FROM (
-         |  SELECT vec_id, c1, cid AS cluster,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2) y
-         |WHERE rn = 1""".stripMargin,
+      s"""WITH $kmeansAssignCtes
+         |SELECT vec_id, c1, cluster, (c1 <> cluster) AS moved FROM ka""".stripMargin,
+    "dedup_semdedup" ->
+      s"""WITH $kmeansAssignCtes,
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM ka a JOIN ka b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE ${cos("ea.embedding", "eb.embedding")} >= 0.35),
+         |nb AS (SELECT vec_id, COUNT(*) AS n FROM (
+         |  SELECT va AS vec_id FROM p UNION ALL SELECT vb FROM p) u GROUP BY vec_id)
+         |SELECT k.vec_id, k.cluster,
+         |  CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_dup_neighbors,
+         |  k.vec_id NOT IN (SELECT vb FROM p) AS keep
+         |FROM ka k LEFT JOIN nb ON nb.vec_id = k.vec_id""".stripMargin,
     // quality gate + dedup survivors + decontamination + stratified
     // sample, as one conjunction over the same cluster/shingle CTEs
     // the individual oracles use

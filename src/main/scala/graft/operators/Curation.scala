@@ -286,6 +286,49 @@ object Curation {
       .select($"doc_id", $"shard", ($"base" + $"lrn").as("pos"))
   }
 
+  /** Deterministic source interleaving — the training-order step
+    * after mixture weighting: documents from S sources emit in strict
+    * round-robin (source 0's rank-r doc at global position r·S + 0,
+    * source 1's at r·S + 1, ...) so a sequential reader sees the
+    * sources evenly mixed at every prefix — without rand() anywhere,
+    * the whole permutation replays bit-identically on any engine or
+    * cluster size.
+    *
+    * Within-source order is the content-hash permutation of
+    * [[corpusShard]], ranked in the same TWO phases over hash-range
+    * buckets (local row_numbers + broadcast per-bucket base offsets)
+    * so no single task ever sorts a whole source — the skew shape
+    * that matters when one source is half the corpus. The source
+    * index and source count come from a distinct-aggregate over the
+    * source column (a handful of rows; broadcast back). */
+  def interleave(spark: SparkSession, dir: String,
+      bucketWidth: Long = 16000000L): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", HashFns.polyHash($"text").as("h"))
+      .withColumn("bucket", floor($"h" / bucketWidth).cast(LongType))
+    // source dim: a handful of rows — the single-task window is over
+    // S rows, not the corpus
+    val srcs = docs.select($"source").distinct()
+      .withColumn("sidx",
+        (row_number().over(Window.orderBy($"source")) - 1).cast(LongType))
+    val ns = srcs.agg(count(lit(1)).as("ns"))
+    val localW = Window.partitionBy($"source", $"bucket").orderBy($"h".asc, $"doc_id".asc)
+    val local = docs.withColumn("lrn", row_number().over(localW).cast(LongType))
+    val baseW = Window.partitionBy($"source").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = docs.groupBy($"source", $"bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("base", coalesce(sum($"bn").over(baseW), lit(0L)))
+      .select($"source", $"bucket", $"base")
+    local.join(broadcast(bases), Seq("source", "bucket"))
+      .join(broadcast(srcs), "source")
+      .crossJoin(broadcast(ns))
+      .select($"doc_id", $"source", $"sidx",
+        ($"base" + $"lrn" - 1L).as("rank_in_source"),
+        (($"base" + $"lrn" - 1L) * $"ns" + $"sidx").as("global_pos"))
+  }
+
   /** Incremental corpus merge — the CDC/upsert step of a continuously
     * re-crawled corpus: a DELTA batch (re-crawled revisions of
     * existing documents + newly discovered ones) merges into the BASE

@@ -261,6 +261,49 @@ object Similarity {
       .select($"vec_id", $"c1", $"cluster", ($"c1" =!= $"cluster").as("moved"))
   }
 
+  /** Semantic deduplication (the SemDeDup shape — Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings with k-means,
+    * then mark near-duplicate pairs ONLY within each cluster and keep
+    * one representative per duplicate neighborhood (smallest vec_id —
+    * the [[graft.operators.Dedup]] keeper convention). The clusters
+    * are what make this a 100 TB operator: the quadratic pair search
+    * is bounded to Σ|cluster|² instead of N² — k grows with the
+    * corpus so cluster sizes stay bounded, and each cluster's pairs
+    * co-locate through one equi-join on the cluster id (shuffle ∝
+    * corpus, never ∝ pairs).
+    *
+    * Reuses [[kmeans]]' engine-exact assignment (quantized-long
+    * centroids, deterministic argmin) and [[Dedup.embed]]'s
+    * fold-exact cosine, so the oracle replays both verbatim. Output:
+    * every vector with its cluster, duplicate-neighbor count, and
+    * whether it survives (keep = no smaller-id near neighbor in its
+    * cluster). */
+  def semdedup(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2,
+      tau: Double = 0.35d): DataFrame = {
+    import spark.implicits._
+    val asg = kmeans(spark, dir, k, iters).select($"vec_id", $"cluster")
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val v = asg.join(emb, "vec_id")
+    val pairs = v.as("a").join(v.as("b"),
+        $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        (VecFns.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cosine"))
+      .filter($"cosine" >= tau)
+    // neighbor census (both directions) + loser set (has a smaller-id
+    // near neighbor); both shuffle ∝ duplicate pairs, not corpus
+    val nbrs = pairs.select($"va".as("vec_id"))
+      .unionByName(pairs.select($"vb".as("vec_id")))
+      .groupBy($"vec_id").agg(count(lit(1)).as("n"))
+    val losers = pairs.select($"vb".as("vec_id")).distinct()
+      .withColumn("lost", lit(true))
+    asg.join(nbrs, Seq("vec_id"), "left_outer")
+      .join(losers, Seq("vec_id"), "left_outer")
+      .select($"vec_id", $"cluster",
+        coalesce($"n", lit(0L)).as("n_dup_neighbors"),
+        $"lost".isNull.as("keep"))
+  }
+
   /** LSH-bucketed ANN: vectors meet only within their 4-plane
     * hyperplane-signature bucket (equi-join, shuffle ∝ data), top-3
     * in-bucket neighbors per vector. */

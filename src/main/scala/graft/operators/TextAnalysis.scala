@@ -128,6 +128,42 @@ object TextAnalysis {
     * aggregated count shuffle and the top-k leaves through
     * TakeOrdered. At 100 TB this is the exact plan a distributed BPE
     * trainer runs per merge round; ties break on the pair text. */
+  /** Bigram-LM quality proxy (the perplexity stand-in that needs no
+    * model weights and no floating-point log): score a document by
+    * how CORPUS-TYPICAL its token bigrams are — the per-occurrence
+    * mean document frequency of its bigrams. Natural prose reuses
+    * bigrams the corpus reuses (high mean df); gibberish, boilerplate
+    * markup, and wrong-language text sit in the df tail. A true
+    * n-gram LM scores log-probabilities — libm log diverges across
+    * engines, so the score here stays in INTEGER df arithmetic
+    * (exact in any aggregation order) with one final IEEE division.
+    *
+    * Plan: bigrams form scan-local ([[bpePairs]]' zip-with-tail — no
+    * per-token explode), collapse to per-(doc, bigram) counts (one
+    * partial-aggregated shuffle), df census over that (second
+    * shuffle, ∝ distinct bigrams), then a hash join back and the
+    * per-doc rollup. The join input is the COLLAPSED occurrence
+    * table, so a corpus-hot bigram costs its distinct-doc count, not
+    * its raw occurrence count. */
+  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextFns.tokens($"text")
+    val n = size(toks)
+    val occ = Tables.documents(spark, dir)
+      .select($"doc_id", explode(zip_with(
+        slice(toks, lit(1), greatest(n - 1, lit(0))),
+        slice(toks, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy($"doc_id", $"bigram")
+      .agg(count(lit(1)).as("cnt"))
+    val dfc = occ.groupBy($"bigram").agg(count(lit(1)).as("df"))
+    occ.join(dfc, "bigram")
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_bigrams"), sum($"cnt" * $"df").as("sum_df"))
+      .select($"doc_id", $"n_bigrams", $"sum_df",
+        ($"sum_df".cast(DoubleType) / $"n_bigrams".cast(DoubleType)).as("lm_score"))
+  }
+
   def bpePairs(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
     import spark.implicits._
     val toks = TextFns.tokens($"text")

@@ -94,4 +94,99 @@ class Round6Spec extends SparkSpec {
     val nExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(nExchanges == 1, s"expected one window shuffle, got $nExchanges:\n$plan")
   }
+
+  // --- dedup_semdedup ----------------------------------------------------------
+
+  test("semdedup: every vector classified; losers exactly = smaller-id near neighbor") {
+    val out = operators.Similarity.semdedup(spark, sf).collect()
+    val nVecs = sources.Tables.embeddings(spark, sf).count()
+    assert(out.length == nVecs)
+    // replay the pair predicate by hand (500 vecs locally)
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .orderBy($"vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var da = 0.0; var db = 0.0; var ab = 0.0
+      var i = 0
+      while (i < a.length) { da += a(i)*a(i); db += b(i)*b(i); ab += a(i)*b(i); i += 1 }
+      ab / (math.sqrt(da) * math.sqrt(db))
+    }
+    out.foreach { r =>
+      val (vid, keep) = (r.getLong(0), r.getBoolean(3))
+      val hasSmallerNbr = vecs.keys.exists(o =>
+        o < vid && cluster(o) == cluster(vid) && cos(vecs(o), vecs(vid)) >= 0.35)
+      assert(keep == !hasSmallerNbr, s"vec $vid: keep=$keep but smaller-nbr=$hasSmallerNbr")
+    }
+  }
+
+  test("semdedup: no-neighbor vectors always keep; corpus min id always keeps") {
+    val out = operators.Similarity.semdedup(spark, sf).collect()
+    assert(out.filter(_.getLong(2) == 0L).forall(_.getBoolean(3)))
+    val minId = out.map(_.getLong(0)).min
+    assert(out.find(_.getLong(0) == minId).get.getBoolean(3))
+    assert(out.exists(!_.getBoolean(3)), "corpus must contain semantic dups at this tau")
+  }
+
+  // --- text_ngram_lm -----------------------------------------------------------
+
+  test("ngram LM score: bounded below by 1 and consistent with its own integers") {
+    val rows = operators.TextAnalysis.ngramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s, score) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n >= 1 && s >= n, s"df >= 1 per bigram: n=$n sum=$s")
+      assert(score == s.toDouble / n.toDouble)
+    }
+  }
+
+  test("ngram LM: corpus-typical docs outscore a unique-bigram doc (engineered)") {
+    // two docs sharing all bigrams + one gibberish doc: shared bigrams
+    // have df 2, unique ones df 1
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "zxq wvu tsr qpo nml")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_test_lm_docs")
+    // run the same plan shape inline
+    val toks = split(lower($"text"), "\\s+")
+    val n = size(toks)
+    val occ = docs.select($"doc_id", explode(zip_with(
+        slice(toks, lit(1), greatest(n - 1, lit(0))),
+        slice(toks, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("cnt"))
+    val dfc = occ.groupBy($"bigram").agg(count(lit(1)).as("df"))
+    val scored = occ.join(dfc, "bigram").groupBy($"doc_id")
+      .agg((sum($"cnt" * $"df") / sum($"cnt")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) == 2.0 && scored(2L) == 2.0 && scored(3L) == 1.0)
+  }
+
+  // --- corpus_interleave -------------------------------------------------------
+
+  test("interleave: round-robin positions — distinct, mod-S = source index, dense ranks") {
+    val rows = operators.Curation.interleave(spark, sf).collect()
+    val nSrc = rows.map(_.getLong(2)).distinct.length
+    // positions are globally distinct
+    assert(rows.map(_.getLong(4)).distinct.length == rows.length)
+    // pos ≡ sidx (mod S): strict round-robin
+    assert(rows.forall(r => r.getLong(4) % nSrc == r.getLong(2)))
+    // within each source the ranks are exactly 0..n_s-1
+    rows.groupBy(_.getString(1)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(3)).sorted.toSeq == (0L until g.length).toSeq)
+    }
+    // every prefix of the global order is evenly mixed: among the
+    // first S*m positions each source contributes at most m docs
+    val byPos = rows.sortBy(_.getLong(4)).take(nSrc * 10)
+    byPos.groupBy(_.getLong(2)).foreach { case (_, g) => assert(g.length <= 10) }
+  }
+
+  test("interleave plan: corpus rank never sorts a whole source in one task") {
+    val df = operators.Curation.interleave(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the corpus-sized window must partition on (source, bucket);
+    // windows on source alone are only over the tiny distinct dim
+    assert(plan.contains("bucket"), plan)
+  }
 }
