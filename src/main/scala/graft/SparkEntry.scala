@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_embed" -> (Dedup.embed _),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "graph_pagerank" -> ((s: SparkSession, d: String) => Dedup.pagerank(s, d)),
+    "graph_triangles" -> ((s: SparkSession, d: String) => Dedup.triangles(s, d)),
     // E. similarity search
     "ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -126,6 +127,7 @@ object SparkEntry {
     "mm_audio_downsample" -> (Multimodal.audioDownsample _),
     "mm_video" -> (Multimodal.video _),
     "mm_video_trim" -> (Multimodal.videoTrim _),
+    "mm_phash" -> ((s: SparkSession, d: String) => Multimodal.phash(s, d)),
     // B. streaming relay (Structured Streaming, driven to completion)
     "stream_relay" -> (graft.streaming.StreamRelay.windowedRelay _),
     // D. streaming incremental dedup: the documents corpus as two
@@ -587,6 +589,42 @@ object SparkEntry {
          |  FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.node = nodes.node)
          |SELECT r2.node AS doc_id, CAST(r2.r AS BIGINT) AS pr_micro, deg.d AS degree
          |FROM r2 JOIN deg ON deg.u = r2.node""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH $minhashPairsCtes,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM vp),
+         |deg AS (SELECT node, COUNT(*) AS d FROM (
+         |  SELECT u AS node FROM und UNION ALL SELECT v FROM und) z GROUP BY node),
+         |o AS (SELECT
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND und.u < und.v) THEN und.u ELSE und.v END AS src,
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND und.u < und.v) THEN und.v ELSE und.u END AS dst,
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND und.u < und.v) THEN db.d ELSE da.d END AS dd
+         |  FROM und JOIN deg da ON da.node = und.u JOIN deg db ON db.node = und.v),
+         |w AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c FROM o o1 JOIN o o2
+         |  ON o1.src = o2.src AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))),
+         |t AS (SELECT a, b, c FROM w SEMI JOIN o ON o.src = w.b AND o.dst = w.c)
+         |SELECT node AS doc_id, COUNT(*) AS n_triangles FROM (
+         |  SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) z
+         |GROUP BY node""".stripMargin,
+    "mm_phash" ->
+      """WITH bytes AS (SELECT doc_id,
+        |    list_transform(range(0, LEAST(strlen(text), 62)),
+        |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bs
+        |  FROM documents WHERE strlen(text) >= 1),
+        |sums AS (SELECT doc_id, bs,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (a,b) -> a+b) AS s,
+        |    CAST(len(bs) AS BIGINT) AS n FROM bytes),
+        |ah AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, n), i -> CASE WHEN bs[i+1] > (s // n)
+        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), (a,x) -> a+x) AS ahash
+        |  FROM sums),
+        |allbands AS (SELECT doc_id, ahash, b, ((ahash >> (16*b)) & 65535) AS bkey
+        |  FROM ah, UNNEST(range(0,4)) AS tb(b)),
+        |rare AS (SELECT b, bkey FROM allbands GROUP BY b, bkey HAVING COUNT(*) <= 200),
+        |bands AS (SELECT allbands.* FROM allbands JOIN rare USING (b, bkey))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 8""".stripMargin,
     "dedup_containment" ->
       """WITH grams AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) >= 4
         |  THEN list_transform(range(1, length(lower(text))-2), i -> substr(lower(text), i, 4))

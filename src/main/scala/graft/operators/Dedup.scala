@@ -384,6 +384,45 @@ object Dedup {
     (fin, finRdds)
   }
 
+  /** Triangle counting over the duplicate-similarity graph (the
+    * clustering-coefficient signal: a near-dup pair inside a triangle
+    * is corroborated by a third document — high-triangle nodes are
+    * template families, zero-triangle pairs are more likely LSH
+    * noise). Edges are [[minhash]]'s verified pairs.
+    *
+    * The plan is the degree-ORIENTED wedge join (the standard
+    * distributed triangle shape): each undirected edge points from
+    * its lower-(degree, id) endpoint to the higher one, so every
+    * node's out-degree is O(√m) regardless of how hot a hub is —
+    * wedge work is bounded by Σ out-deg² ≤ O(m^1.5), never the
+    * naive Σ deg² a popularity hub explodes. Wedges equi-join on
+    * the center node, close with one semi-join on the third edge;
+    * every triangle is found exactly once (at its minimum-key
+    * vertex). Output: per-node triangle participation counts. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = cachedPairs(spark, dir)
+    val und = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
+    val deg = und.select($"u".as("node")).union(und.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val j = und
+      .join(deg.select($"node".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
+    val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+    val oriented = j.select(
+      when(fwd, $"u").otherwise($"v").as("src"),
+      when(fwd, $"v").otherwise($"u").as("dst"),
+      when(fwd, $"dv").otherwise($"du").as("dd"))
+    val wedges = oriented.as("o1").join(oriented.as("o2"),
+        $"o1.src" === $"o2.src" &&
+        ($"o1.dd" < $"o2.dd" || ($"o1.dd" === $"o2.dd" && $"o1.dst" < $"o2.dst")))
+      .select($"o1.src".as("a"), $"o1.dst".as("b"), $"o2.dst".as("c"))
+    val tri = wedges.join(
+      oriented.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"), "left_semi")
+    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** The dedup pipeline's actual OUTPUT: the corpus with every
     * non-keeper cluster member dropped — keepers and never-paired
     * documents survive. A left-anti join against the (tiny relative

@@ -88,6 +88,46 @@ object Multimodal {
           .as("payload_head_sum"))
   }
 
+  /** Perceptual-hash near-duplicate detection for the image modality
+    * (the visual twin of [[graft.operators.Dedup.simhash]]): each
+    * blob's PAYLOAD region — located by actually parsing the
+    * container header, never by formula — fingerprints to a 62-bit
+    * average hash ([[graft.plans.AHash62]]: bit i set iff payload
+    * byte i exceeds the region mean; over a real pixel decode the
+    * same expression would consume the 8×8 luma grid). Candidate
+    * pairs then meet through 16-bit band buckets exactly like
+    * simhash — an equi-join, shuffle ∝ corpus — with hot buckets
+    * capped, and survive at Hamming ≤ 8.
+    *
+    * This is the image-dedup pipeline shape at 100 TB: fingerprints
+    * are scan-local per blob (one decode, no pixel shuffle), and only
+    * 8-byte hashes ever reach the join. */
+  def phash(spark: SparkSession, dir: String, maxBucket: Int = 200,
+      maxHamming: Int = 8): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir)
+      .select($"doc_id", blobCol.as("blob"))
+      .withColumn("m", Image.decode($"blob"))
+      .filter($"m".isNotNull)
+      .withColumn("ahash", Image.ahash($"blob", $"m.payload_off"))
+      .filter($"ahash".isNotNull)
+      .select($"doc_id", $"ahash")
+    val bands = hashes.select($"doc_id", $"ahash", explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright($"ahash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
+    }: _*)).as("bk")).select($"doc_id", $"ahash", $"bk.band", $"bk.bkey")
+    val rare = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+      .select($"band", $"bkey")
+    val pruned = bands.join(rare, Seq("band", "bkey"))
+    pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.ahash".bitwiseXOR($"b.ahash")).cast(LongType).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming.toLong)
+  }
+
   /** Transform through the audio codec (the mm_resize twin):
     * decode each WAV blob, halve the sample rate AND keep only the
     * first half of the payload bytes (the packer re-truncates to

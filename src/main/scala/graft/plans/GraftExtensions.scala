@@ -46,6 +46,7 @@ object GraftExtensions {
     "graft_byte_sum" -> arity("graft_byte_sum", 2)(es => ByteSum(es(0), es(1))),
     "graft_pack_image" -> arity("graft_pack_image", 4)(es => PackImage(es(0), es(1), es(2), es(3))),
     "graft_decode_image" -> arity("graft_decode_image", 1)(es => DecodeImageMeta(es.head)),
+    "graft_ahash" -> arity("graft_ahash", 2)(es => AHash62(es(0), es(1))),
     "graft_pack_wav" -> arity("graft_pack_wav", 3)(es => PackWav(es(0), es(1), es(2))),
     "graft_decode_wav" -> arity("graft_decode_wav", 1)(es => DecodeWavMeta(es.head)),
     "graft_pack_mp4" -> arity("graft_pack_mp4", 4)(es => PackMp4(es(0), es(1), es(2), es(3))),

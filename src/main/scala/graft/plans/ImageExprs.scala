@@ -32,6 +32,8 @@ object Image {
       ColumnBridge.expression(height), ColumnBridge.expression(payload)))
   def decode(blob: Column): Column =
     ColumnBridge.column(DecodeImageMeta(ColumnBridge.expression(blob)))
+  def ahash(blob: Column, off: Column): Column =
+    ColumnBridge.column(AHash62(ColumnBridge.expression(blob), ColumnBridge.expression(off)))
 
   val PngHeaderLen = 33   // 8 signature + 25 IHDR chunk (len+type+13+crc)
   val JpegHeaderLen = 21  // 2 SOI + 2 marker + 17 SOF0 segment
@@ -237,6 +239,45 @@ case class PackImage(first: Expression, second: Expression, third: Expression,
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression, d: Expression): Expression =
     copy(a, b, c, d)
+}
+
+/** (bytes binary, off int) → 62-bit average-hash fingerprint of the
+  * byte region starting at `off` (the perceptual-hash shape over a
+  * decoded image's sample grid, computed here over the payload
+  * region a full pixel decoder would fill): up to 62 unsigned bytes
+  * are read, their integer mean taken once, and bit i is set iff
+  * byte i exceeds the mean. 62 bits keeps the value strictly
+  * positive in an int64 on every engine (the [[graft.functions
+  * .HashFns]] simhash convention — bit 63 would flip the sign, and
+  * bit 62 differs between engines' `<<` overflow behavior).
+  * Null when `off` is out of range or the region is empty —
+  * malformed blobs quarantine, they don't fingerprint. */
+case class AHash62(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](BinaryType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(bytes: Any, off: Any): Any = {
+    val b = bytes.asInstanceOf[Array[Byte]]
+    val o = off.asInstanceOf[Int]
+    if (o < 0 || o >= b.length) return null
+    val n = math.min(62, b.length - o)
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (b(o + i) & 0xff); i += 1 }
+    val mean = sum / n
+    var hash = 0L
+    i = 0
+    while (i < n) {
+      if ((b(o + i) & 0xff) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 /** blob → struct(format string, width int, height int, payload_off int),

@@ -189,4 +189,63 @@ class Round6Spec extends SparkSpec {
     // windows on source alone are only over the tiny distinct dim
     assert(plan.contains("bucket"), plan)
   }
+
+  // --- graph_triangles ---------------------------------------------------------
+
+  test("triangles: degree-oriented count equals the naive closed-wedge count") {
+    val pairs = operators.Dedup.minhash(spark, sf)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive reference: for a<b<c all three edges present
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    def edge(a: Long, b: Long) = pairs.contains((a min b, a max b))
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if edge(a, b) && edge(b, c) && edge(a, c)
+    } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+    val got = operators.Dedup.triangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive.toMap, s"got=$got naive=$naive")
+    assert(got.nonEmpty, "the dup graph must contain at least one triangle at sf0.001")
+  }
+
+  // --- mm_phash ----------------------------------------------------------------
+
+  test("AHash62: bits set exactly above the mean; sign-safe; quarantines bad offsets") {
+    val bytes = Array.tabulate[Byte](70)(i => (i * 4).toByte) // 0,4,8,...
+    val df = Seq((bytes, 0), (bytes, 65), (bytes, -1), (null.asInstanceOf[Array[Byte]], 0))
+      .toDF("b", "off")
+      .select(plans.Image.ahash($"b", $"off").as("h"))
+    val rows = df.collect()
+    // region = bytes 0..61 (values 0,4,...,244), mean = 122 -> bytes
+    // 124.. set: indices 31..61
+    val expected = (31 to 61).map(i => 1L << i).sum
+    assert(rows(0).getLong(0) == expected)
+    assert(rows(0).getLong(0) > 0L, "62-bit hash stays positive")
+    assert(rows(1).isNullAt(0) === false, "offset 65 still has 5 bytes of region")
+    assert(rows(2).isNullAt(0) && rows(3).isNullAt(0))
+  }
+
+  test("phash finds the corpus's duplicate blobs (hamming 0 for identical payloads)") {
+    val out = operators.Multimodal.phash(spark, sf).collect()
+    assert(out.nonEmpty)
+    // exact-duplicate documents must appear at hamming 0
+    val exactDups = operators.Dedup.exact(spark, sf)
+      .filter($"n_copies" > 1).count()
+    if (exactDups > 0) assert(out.exists(_.getLong(2) == 0L))
+    assert(out.forall(_.getLong(2) <= 8L))
+  }
+
+  test("phash fingerprints are scan-local: no shuffle before the band join") {
+    val df = operators.Multimodal.phash(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the hash+explode stage reads the parquet scan directly; the
+    // first exchange in any path is the band/bucket hash partitioning
+    assert(!plan.contains("SortMergeJoin") || plan.contains("Exchange"),
+      "sanity: plan printable")
+    val scanToFirstExchange = plan.split("Exchange").head
+    assert(!scanToFirstExchange.contains("Window"),
+      s"no window pass before banding:\n$plan")
+  }
 }
