@@ -139,6 +139,12 @@ object SparkEntry {
     // arrival log aggregates to the batch dedup_exact result only if
     // batch-2 copies hit batch-1 state
     "dedup_exact_stream" -> (graft.streaming.StreamDedup.streamedExactDedup _),
+    // B. streaming sessionization: the events table as two median-
+    // time micro-batches + a sentinel barrier through per-user open-
+    // session state; aggregates to the batch session_windows result
+    // only if straddling sessions continue from cross-batch state
+    "stream_sessions" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamSessions.streamedSessions(s, d)),
   )
 
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
@@ -288,6 +294,20 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2) y
        |  WHERE rn = 1)""".stripMargin
 
+  /** Inactivity-gap sessionization — one oracle, two gated surfaces
+    * (the batch window plan and the stateful streaming twin). */
+  private def sessionWindowsSql: String =
+    """SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_s
+      |    FROM events) a) b
+      |GROUP BY user_id, session_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -389,17 +409,11 @@ object SparkEntry {
         |    SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM events) t
         |WHERE cum <= 5000.00""".stripMargin,
-    "session_windows" ->
-      """SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM (
-        |  SELECT user_id, ts,
-        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM (
-        |    SELECT user_id, ts, event_id,
-        |      CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
-        |      THEN 1 ELSE 0 END AS new_s
-        |    FROM events) a) b
-        |GROUP BY user_id, session_id""".stripMargin,
+    "session_windows" -> sessionWindowsSql,
+    // the streaming twin is gated against the SAME oracle: the
+    // stitched cross-batch sessions must aggregate to the batch
+    // window result exactly
+    "stream_sessions" -> sessionWindowsSql,
     "chunk_messages" ->
       """SELECT event_id, user_id, nbytes, CAST(t.chunk_idx AS BIGINT) AS chunk_idx,
         |  LEAST(6400, nbytes - t.chunk_idx * 6400) AS chunk_bytes

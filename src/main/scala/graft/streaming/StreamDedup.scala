@@ -103,27 +103,38 @@ object StreamDedup {
   private def runTwoBatchStream(spark: SparkSession, docs: DataFrame)
       (transform: DataFrame => DataFrame): Option[DataFrame] = {
     import spark.implicits._
-    import java.nio.file.Files
     // empty corpus: min/max aggregate to null — signal the caller
     // instead of NPEing on getLong
     val bounds = docs.agg(min($"doc_id"), max($"doc_id")).head()
     if (bounds.isNullAt(0)) return None
     val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    runStagedStream(spark,
+      Seq(docs.filter($"doc_id" <= cut), docs.filter($"doc_id" > cut)))(transform)
+  }
+
+  /** Shared N-batch staging for every batch-gated streaming twin:
+    * write each DataFrame as one parquet file, stream them through
+    * `transform` one file per micro-batch into a memory sink, return
+    * the sink contents. Batch ORDER is load-bearing for keeper-state
+    * twins (keeper = first arrival): FileStreamSource orders files by
+    * mtime with path as the tiebreak, and on coarse-granularity
+    * filesystems the writes can land in the same tick with no
+    * guaranteed path order — so mtimes are pinned strictly
+    * increasing, batch i always forms micro-batch i+1. */
+  private[streaming] def runStagedStream(spark: SparkSession, batches: Seq[DataFrame])
+      (transform: DataFrame => DataFrame): Option[DataFrame] = {
+    import java.nio.file.Files
+    require(batches.nonEmpty, "staged stream needs at least one batch")
     val tmp = Files.createTempDirectory("graft_sdedup_")
     try {
-      docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$tmp/in/a_first")
-      docs.filter($"doc_id" > cut).coalesce(1).write.parquet(s"$tmp/in/b_second")
-      // Batch ORDER is load-bearing for the keeper-state twins
-      // (keeper = first arrival): FileStreamSource orders files by
-      // mtime with path as the tiebreak, and on coarse-granularity
-      // filesystems the two writes can land in the same tick with no
-      // guaranteed path order. Pin strictly increasing mtimes so
-      // a_first always forms micro-batch 1.
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.coalesce(1).write.parquet(f"$tmp/in/b_$i%03d")
+      }
       locally {
         import java.nio.file.attribute.FileTime
         var t = 1000000L
-        Seq("a_first", "b_second").foreach { d =>
-          val walk = Files.walk(java.nio.file.Paths.get(s"$tmp/in/$d"))
+        batches.indices.foreach { i =>
+          val walk = Files.walk(java.nio.file.Paths.get(f"$tmp/in/b_$i%03d"))
           try {
             import scala.jdk.CollectionConverters._
             walk.iterator().asScala.foreach(p => Files.setLastModifiedTime(p, FileTime.fromMillis(t)))
@@ -131,7 +142,7 @@ object StreamDedup {
           t += 60000L
         }
       }
-      val schema = spark.read.parquet(s"$tmp/in/a_first").schema
+      val schema = spark.read.parquet(s"$tmp/in/b_000").schema
       // cloned session (shared context, independent SQLConf): each
       // state store pays checkpoint sync per micro-batch, so 8 stores
       // beat 32 for a small-increment stateful op — same rationale as

@@ -237,6 +237,46 @@ class Round6Spec extends SparkSpec {
     assert(out.forall(_.getLong(2) <= 8L))
   }
 
+  // --- stream_sessions ---------------------------------------------------------
+
+  test("streaming sessions stitch across micro-batches; sentinel flushes the tail") {
+    import graft.streaming.StreamSessions
+    import StreamSessions.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 1800L * 1000000L
+    val mn = 60L * 1000000L
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamSessions.sessionize(mem.toDS(), gapUs)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: two events 10 min apart (one open session)
+      mem.addData(Ev(1L, 0L, 1L), Ev(1L, 10L * mn, 2L))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0L, "session still open: nothing emits")
+      // batch 2: 20 min later (extends the SAME session from state),
+      // then a 40-min gap (closes it, opens session 2)
+      mem.addData(Ev(1L, 30L * mn, 3L), Ev(1L, 70L * mn, 4L))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sess_out").collect()
+      assert(afterB2.length == 1)
+      assert(afterB2(0).getLong(1) == 1L && afterB2(0).getLong(2) == 3L,
+        s"session 1 must hold all three stitched events: ${afterB2.toSeq}")
+      // sentinel: far future, closes session 2
+      mem.addData(Ev(1L, 70L * mn + 3L * gapUs, -1L))
+      q.processAllAvailable()
+      val all = spark.table("sess_out").collect().sortBy(_.getLong(1))
+      assert(all.length == 2 && all(1).getLong(1) == 2L && all(1).getLong(2) == 1L)
+    } finally q.stop()
+  }
+
+  test("stream_sessions equals the batch session_windows result") {
+    val batch = operators.Telemetry.sessionWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = graft.streaming.StreamSessions.streamedSessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("phash fingerprints are scan-local: no shuffle before the band join") {
     val df = operators.Multimodal.phash(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
