@@ -43,6 +43,7 @@ object SparkEntry {
     "q_intersect" -> ((s: SparkSession, d: String) => Relational.qIntersect(s, d)),
     "q_except" -> ((s: SparkSession, d: String) => Relational.qExcept(s, d)),
     "q_outerjoin" -> (Relational.qOuterJoin _),
+    "q_histogram" -> ((s: SparkSession, d: String) => Relational.qHistogram(s, d)),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "events_props" -> (Telemetry.propsExtract _),
     "events_paths" -> (Telemetry.paths _),
     "ts_ewma" -> ((s: SparkSession, d: String) => Telemetry.ewma(s, d)),
+    "events_sliding" -> (Telemetry.sliding _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -110,6 +112,8 @@ object SparkEntry {
     "corpus_shard" -> ((s: SparkSession, d: String) => Curation.corpusShard(s, d)),
     "corpus_windows" -> ((s: SparkSession, d: String) => Curation.corpusWindows(s, d)),
     "corpus_merge" -> ((s: SparkSession, d: String) => Curation.corpusMerge(s, d)),
+    "corpus_compact" -> ((s: SparkSession, d: String) => Curation.compact(s, d)),
+    "corpus_diff" -> (Curation.snapshotDiff _),
     "text_boilerplate" -> ((s: SparkSession, d: String) => Curation.boilerplate(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     "text_ngram_lm" -> (TextAnalysis.ngramLm _),
@@ -983,6 +987,26 @@ object SparkEntry {
         |    AND o_orderdate < TIMESTAMP '1997-01-01'
         |  GROUP BY o_custkey) o
         |ON c_custkey = o.o_custkey""".stripMargin,
+    "q_histogram" ->
+      """SELECT l_returnflag,
+        |  CAST(FLOOR(l_extendedprice / 500) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, bucket""".stripMargin,
+    "events_sliding" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS eus, user_id, value
+        |  FROM events WHERE ts IS NOT NULL),
+        |slotted AS (
+        |  SELECT make_timestamp(((eus // 900000000) - r.k) * 900000000)
+        |      AS window_start,
+        |    user_id, value
+        |  FROM e CROSS JOIN range(0, 4) r(k))
+        |SELECT window_start, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM slotted GROUP BY window_start""".stripMargin,
     "events_paths" ->
       """SELECT from_type, to_type, COUNT(*) AS n_transitions,
         |  COUNT(DISTINCT user_id) AS n_users
@@ -1079,6 +1103,38 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY doc_id) AS n_versions
         |  FROM allv) z
         |WHERE rn = 1""".stripMargin,
+    "corpus_compact" ->
+      """WITH sized AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, n_bytes,
+        |    SUM(n_bytes) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+        |      AS start_off
+        |  FROM sized)
+        |SELECT CAST(FLOOR(start_off / 4096) AS BIGINT) AS file_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS file_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM packed GROUP BY file_id""".stripMargin,
+    "corpus_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |delta AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_bytes + 7 ELSE n_bytes END AS n_bytes
+        |  FROM base WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, n_bytes FROM base WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+        |  b.n_bytes AS base_bytes, d.n_bytes AS delta_bytes,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN d.doc_id IS NULL THEN 'removed'
+        |       WHEN b.n_bytes <> d.n_bytes THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM base b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id""".stripMargin,
     "text_ngram_lm" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
         |big AS (SELECT doc_id,

@@ -395,4 +395,88 @@ object Curation {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
+
+  /** Small-file compaction planning — the table-maintenance op every
+    * long-lived lake table needs (a crawler appends millions of tiny
+    * files; scans then pay per-file open cost and lose row-group
+    * pruning): bin-pack the corpus into ~`targetBytes` output files
+    * in snapshot (doc_id) order and emit the compaction MANIFEST —
+    * per-file doc count, byte total, and id range (the id range is
+    * what lets the planner prune compacted files by min/max stats).
+    *
+    * A document is assigned whole to the file its global start
+    * offset falls in (file_id = start div target), so file sizes
+    * wobble around the target by at most one document — the standard
+    * sequential first-fit every compactor uses, made deterministic by
+    * the snapshot order.
+    *
+    * Scale posture: the global byte offsets come from the SAME
+    * two-phase distributed prefix sum as [[corpusPack]] (block-local
+    * running sums are the only corpus shuffle; per-block totals
+    * partial-aggregate map-side and come back broadcast as ≤ nBlocks
+    * numbers keyed on DATA-derived doc_id blocks, never physical
+    * partition ids) — no single task ever scans the whole snapshot,
+    * which is what a naive global window over 100 TB of file metadata
+    * would do. The manifest aggregation after it is one
+    * partial-aggregated shuffle on file_id. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long = 4096L,
+      blockDocs: Int = 256): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", octet_length($"text").cast(LongType).as("n_bytes"),
+        floor($"doc_id" / blockDocs.toLong).cast(LongType).as("block"))
+    val localW = Window.partitionBy($"block").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs.withColumn("local_cum", sum($"n_bytes").over(localW))
+    val baseW = Window.orderBy($"block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = docs.groupBy($"block").agg(sum($"n_bytes").as("ptotal"))
+      .withColumn("base", coalesce(sum($"ptotal").over(baseW), lit(0L)))
+      .select($"block", $"base")
+    local.join(broadcast(bases), "block")
+      .withColumn("file_id",
+        floor(($"base" + $"local_cum" - $"n_bytes") / targetBytes.toDouble)
+          .cast(LongType))
+      .groupBy($"file_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bytes").as("file_bytes"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+  }
+
+  /** Snapshot diff — the audit half of [[corpusMerge]]'s CDC story
+    * ("what actually changed between the last crawl and this one?"):
+    * the base snapshot FULL-OUTER-joins the delta snapshot on doc_id
+    * and every document classifies as added (new id), removed (id
+    * gone), changed (present in both, content differs), or unchanged.
+    * The delta here is the same deterministic re-crawl simulation as
+    * corpusMerge: every 7th doc revised (+7 bytes), every 11th
+    * dropped, every 13th re-discovered under a new id.
+    *
+    * Scale posture: ONE hash-partitioned full outer join on doc_id —
+    * shuffle ∝ corpus metadata (id + size per side), never document
+    * bodies; with both snapshots bucketed on doc_id
+    * ([[graft.sources.Bucketed]]) even that exchange disappears. The
+    * content comparison rides the join row (no second pass), and the
+    * diff output is the incremental-processing contract: downstream
+    * stages re-run only over `status <> 'unchanged'`. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", octet_length($"text").cast(LongType).as("n_bytes"))
+    val delta = docs.filter($"doc_id" % 11 =!= 0)
+      .select($"doc_id",
+        when($"doc_id" % 7 === 0, $"n_bytes" + 7L).otherwise($"n_bytes")
+          .as("n_bytes"))
+      .unionByName(docs.filter($"doc_id" % 13 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"n_bytes"))
+    docs.select($"doc_id", $"n_bytes".as("base_bytes"))
+      .join(delta.select($"doc_id", $"n_bytes".as("delta_bytes")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when($"base_bytes".isNull, lit("added"))
+          .when($"delta_bytes".isNull, lit("removed"))
+          .when($"base_bytes" =!= $"delta_bytes", lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
 }

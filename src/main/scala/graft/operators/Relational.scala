@@ -536,4 +536,27 @@ object Relational {
       .select($"c_custkey", $"c_mktsegment",
         coalesce($"n", lit(0L)).as("n_orders"), $"spend")
   }
+
+  /** Fixed-width histogram per group — the data-profiling shape
+    * behind every optimizer statistic and data-quality dashboard
+    * ("what does the price distribution per return flag look like?"):
+    * each row buckets scan-local (`floor(value / width)` — IEEE
+    * division + floor, identical on every engine) and the counts
+    * partial-aggregate map-side into ONE shuffle whose size is the
+    * number of OCCUPIED (group, bucket) cells, never the row count.
+    *
+    * At 100 TB this is the cheap first pass that decides everything
+    * downstream (skew detection for [[qSkewJoin]]'s salting, bucket
+    * boundaries for range partitioning): no sort, no window, no
+    * second scan — the same plan shape as [[q1Agg]] with a computed
+    * group key. */
+  def qHistogram(spark: SparkSession, dir: String,
+      width: Double = 500.0d): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag",
+        floor($"l_extendedprice" / lit(width)).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum($"l_quantity").as("sum_qty"))
+  }
 }

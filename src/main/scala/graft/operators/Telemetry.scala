@@ -497,4 +497,31 @@ object Telemetry {
     lagged.select($"event_id", $"user_id", $"eus", nw.as("n_window"),
       (num.cast(DoubleType) / den.cast(DoubleType) / lit(100.0d)).as("ewma"))
   }
+
+  /** Sliding-window engagement counts (the DAU/rolling-rate view:
+    * "events and distinct users per trailing hour, refreshed every
+    * 15 minutes") — the OVERLAPPING-window shape [[beacon5Min]]'s
+    * tumbling buckets can't express: each event belongs to exactly
+    * window/slide = 4 slots.
+    *
+    * Uses Spark's native `window(ts, '1 hour', '15 minutes')` —
+    * the slot fan-out happens scan-local inside Catalyst's `Expand`
+    * (bounded ×4 blowup, no join against a slot table), then counts
+    * partial-aggregate map-side into one shuffle keyed on the slot.
+    * The distinct-user count per slot is the only exact-distinct
+    * cost and it hashes on (slot, user); at 100 TB swap it for the
+    * KMV sketch ([[graft.plans.Sketch.kMinValues]]) when ±1% is
+    * acceptable. Epoch-aligned slots match the oracle's integer
+    * floor arithmetic exactly. */
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
+      .select($"w.start".as("window_start"), $"n_events", $"n_users",
+        $"sum_value")
+  }
 }
