@@ -44,6 +44,7 @@ object SparkEntry {
     "q_except" -> ((s: SparkSession, d: String) => Relational.qExcept(s, d)),
     "q_outerjoin" -> (Relational.qOuterJoin _),
     "q_histogram" -> ((s: SparkSession, d: String) => Relational.qHistogram(s, d)),
+    "q_stringagg" -> (Relational.qStringAgg _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "graph_pagerank" -> ((s: SparkSession, d: String) => Dedup.pagerank(s, d)),
     "graph_triangles" -> ((s: SparkSession, d: String) => Dedup.triangles(s, d)),
+    "graph_degrees" -> ((s: SparkSession, d: String) => Dedup.degreeDist(s, d)),
     // E. similarity search
     "ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -114,6 +116,7 @@ object SparkEntry {
     "corpus_merge" -> ((s: SparkSession, d: String) => Curation.corpusMerge(s, d)),
     "corpus_compact" -> ((s: SparkSession, d: String) => Curation.compact(s, d)),
     "corpus_diff" -> (Curation.snapshotDiff _),
+    "corpus_timetravel" -> ((s: SparkSession, d: String) => Curation.timeTravel(s, d)),
     "text_boilerplate" -> ((s: SparkSession, d: String) => Curation.boilerplate(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     "text_ngram_lm" -> (TextAnalysis.ngramLm _),
@@ -623,6 +626,12 @@ object SparkEntry {
          |SELECT node AS doc_id, COUNT(*) AS n_triangles FROM (
          |  SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) z
          |GROUP BY node""".stripMargin,
+    "graph_degrees" ->
+      s"""WITH $minhashPairsCtes,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM vp),
+         |deg AS (SELECT node, COUNT(*) AS d FROM (
+         |  SELECT u AS node FROM und UNION ALL SELECT v FROM und) z GROUP BY node)
+         |SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d""".stripMargin,
     "mm_phash" ->
       """WITH bytes AS (SELECT doc_id,
         |    list_transform(range(0, LEAST(strlen(text), 62)),
@@ -994,6 +1003,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY l_returnflag, bucket""".stripMargin,
+    "q_stringagg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderdate, o_orderkey)
+        |    AS status_seq
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "events_sliding" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS eus, user_id, value
@@ -1135,6 +1149,19 @@ object SparkEntry {
         |       WHEN b.n_bytes <> d.n_bytes THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM base b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id""".stripMargin,
+    "corpus_timetravel" ->
+      """WITH docs AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+        |vlog AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS rev, n_chars FROM docs
+        |  UNION ALL SELECT doc_id, 2, n_chars + 7 FROM docs WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, 3, n_chars + 14 FROM docs WHERE doc_id % 21 = 0
+        |  UNION ALL SELECT doc_id + 100000, 2, n_chars FROM docs WHERE doc_id % 13 = 0)
+        |SELECT doc_id, rev, n_chars, n_visible FROM (
+        |  SELECT doc_id, rev, n_chars,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY rev DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n_visible
+        |  FROM vlog WHERE rev <= 2) z
+        |WHERE rn = 1""".stripMargin,
     "text_ngram_lm" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
         |big AS (SELECT doc_id,

@@ -444,6 +444,42 @@ object Curation {
         max($"doc_id").as("last_doc"))
   }
 
+  /** Time-travel read — the snapshot-isolation contract of a
+    * versioned lake table ("read the corpus AS OF commit 2"): the
+    * version log filters to commits ≤ the requested revision
+    * SCAN-LOCAL (with the log partitioned by commit this is partition
+    * pruning — later commits are never read), then latest-wins per
+    * doc_id through one window shuffle, exactly [[corpusMerge]]'s
+    * merge-on-read shape pointed at the past. Documents first
+    * discovered after the as-of revision don't exist yet; documents
+    * revised after it read at their old content.
+    *
+    * The simulated history extends corpusMerge's: rev 1 = the crawl,
+    * rev 2 revises every 7th doc (+7 chars) and discovers every 13th
+    * under a new id, rev 3 re-revises every 21st (+14) — so an as-of-2
+    * read must pick rev 2 over rev 1 where both are visible AND
+    * ignore rev 3 (latest-below-cutoff, not latest). Per-key state is
+    * ∝ visible revisions of that key; n_visible audits how much
+    * history the read consulted. */
+  def timeTravel(spark: SparkSession, dir: String, asOfRev: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", length($"text").cast(LongType).as("n_chars"))
+    val log = docs.select($"doc_id", lit(1L).as("rev"), $"n_chars")
+      .unionByName(docs.filter($"doc_id" % 7 === 0)
+        .select($"doc_id", lit(2L).as("rev"), ($"n_chars" + 7L).as("n_chars")))
+      .unionByName(docs.filter($"doc_id" % 21 === 0)
+        .select($"doc_id", lit(3L).as("rev"), ($"n_chars" + 14L).as("n_chars")))
+      .unionByName(docs.filter($"doc_id" % 13 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), lit(2L).as("rev"), $"n_chars"))
+    val w = Window.partitionBy($"doc_id").orderBy($"rev".desc)
+    log.filter($"rev" <= asOfRev)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_visible", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"rev", $"n_chars", $"n_visible")
+  }
+
   /** Snapshot diff — the audit half of [[corpusMerge]]'s CDC story
     * ("what actually changed between the last crawl and this one?"):
     * the base snapshot FULL-OUTER-joins the delta snapshot on doc_id

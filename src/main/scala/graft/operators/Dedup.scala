@@ -423,6 +423,26 @@ object Dedup {
       .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Degree distribution of the duplicate-similarity graph — the
+    * one-number-per-degree profile that decides HOW to process the
+    * graph before paying for it: a heavy tail means hub documents
+    * (boilerplate quoted everywhere → salt [[clusters]]' propagation
+    * or cap the hub), a spike at 1 means isolated pairs the full
+    * component machinery is overkill for. Edges are [[minhash]]'s
+    * verified pairs.
+    *
+    * Two partial-aggregated shuffles, each strictly smaller than the
+    * last: per-node degrees (∝ edges), then nodes-per-degree (∝
+    * distinct degrees — at 100 TB a few hundred rows). The profiling
+    * twin of [[Relational.qHistogram]] on graph data. */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = cachedPairs(spark, dir)
+    pairs.select($"doc_a".as("node")).union(pairs.select($"doc_b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+      .groupBy($"d".as("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** The dedup pipeline's actual OUTPUT: the corpus with every
     * non-keeper cluster member dropped — keepers and never-paired
     * documents survive. A left-anti join against the (tiny relative

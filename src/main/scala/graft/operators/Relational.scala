@@ -559,4 +559,32 @@ object Relational {
       .agg(count(lit(1)).as("n_items"),
         dsum($"l_quantity").as("sum_qty"))
   }
+
+  /** Ordered string aggregation per group (the journey/sequence
+    * export: "each customer's order statuses in chronological
+    * order") — the shape that turns relational history into the
+    * sequence strings downstream ML and funnel tools consume.
+    *
+    * `collect_list` gives NO ordering guarantee under parallel
+    * aggregation, so the elements carry their own sort key: structs
+    * of (date, key, value) sort IN the aggregation buffer
+    * (`array_sort` — field-order comparison, (date, key) is a total
+    * order so ties cannot exist) and only then project down to the
+    * joined string. Per-group state is bounded by per-entity
+    * cardinality (orders per customer), NOT corpus size — the
+    * operator is safe exactly when that bound is (cap with a
+    * [[Curation.corpusCap]]-style top-k first when it isn't); one
+    * partial-aggregated shuffle on the entity key. */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct($"o_orderdate", $"o_orderkey",
+              $"o_orderstatus"))),
+            c => c.getField("o_orderstatus")),
+          ",").as("status_seq"))
+  }
 }

@@ -114,6 +114,64 @@ class Round7Spec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  // --- corpus_timetravel -------------------------------------------------------
+
+  test("time travel reads latest-below-cutoff, not latest") {
+    val ids = sources.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val rows = operators.Curation.timeTravel(spark, sf, asOfRev = 2L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // every doc revised at rev 2 reads rev 2 even when a rev 3 exists
+    ids.filter(_ % 21 == 0).foreach { i =>
+      assert(rows(i) == (2L, 2L), s"doc $i must read rev 2 and see 2 visible versions")
+    }
+    ids.filter(i => i % 7 == 0 && i % 21 != 0).foreach(i => assert(rows(i)._1 == 2L))
+    ids.filter(i => i % 7 != 0).foreach(i => assert(rows(i)._1 == 1L))
+    // rev-2 discoveries exist; nothing else does
+    assert(rows.keySet == ids ++ ids.filter(_ % 13 == 0).map(_ + 100000L))
+  }
+
+  test("time travel at rev 1 excludes later discoveries entirely") {
+    val ids = sources.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val asOf1 = operators.Curation.timeTravel(spark, sf, asOfRev = 1L).collect()
+    assert(asOf1.map(_.getLong(0)).toSet == ids, "rev-2 discoveries must not exist yet")
+    assert(asOf1.forall(_.getLong(1) == 1L))
+  }
+
+  // --- q_stringagg -------------------------------------------------------------
+
+  test("string aggregation is chronologically ordered and deterministic") {
+    val df = operators.Relational.qStringAgg(spark, sf)
+    val rows = df.collect()
+    val nCust = sources.Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    assert(rows.length == nCust)
+    // spot-check the busiest customer against a driver-side sort
+    val busiest = rows.maxBy(_.getLong(1))
+    val expected = sources.Tables.orders(spark, sf)
+      .filter($"o_custkey" === busiest.getLong(0))
+      .select(unix_micros($"o_orderdate".cast("timestamp")), $"o_orderkey",
+        $"o_orderstatus").collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+      .map(_.getString(2)).mkString(",")
+    assert(busiest.getString(2) == expected)
+    // rerun must be bit-identical (collect_list alone would not be)
+    val again = operators.Relational.qStringAgg(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getString(2)))
+  }
+
+  // --- graph_degrees -----------------------------------------------------------
+
+  test("degree distribution accounts for every edge endpoint") {
+    val nEdges = operators.Dedup.minhash(spark, sf).count()
+    val dist = operators.Dedup.degreeDist(spark, sf).collect()
+    // sum(degree * n_nodes) counts each edge at both endpoints
+    assert(dist.map(r => r.getLong(0) * r.getLong(1)).sum == 2L * nEdges)
+    assert(dist.forall(_.getLong(0) >= 1L))
+  }
+
   test("a sliding slot matches the direct count of its hour") {
     val w = operators.Telemetry.sliding(spark, sf).collect()
       .maxBy(_.getLong(1))
