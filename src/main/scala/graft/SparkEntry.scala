@@ -45,6 +45,8 @@ object SparkEntry {
     "q_outerjoin" -> (Relational.qOuterJoin _),
     "q_histogram" -> ((s: SparkSession, d: String) => Relational.qHistogram(s, d)),
     "q_stringagg" -> (Relational.qStringAgg _),
+    "q_corr_subquery" -> (Relational.qCorrSubquery _),
+    "q_argmax" -> (Relational.qArgmax _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -71,6 +73,9 @@ object SparkEntry {
     "events_paths" -> (Telemetry.paths _),
     "ts_ewma" -> ((s: SparkSession, d: String) => Telemetry.ewma(s, d)),
     "events_sliding" -> (Telemetry.sliding _),
+    "events_funnel3" -> (Telemetry.funnel3 _),
+    "ts_interp" -> (Telemetry.interp _),
+    "ts_mad" -> ((s: SparkSession, d: String) => Telemetry.madOutliers(s, d)),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -81,6 +86,7 @@ object SparkEntry {
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),
     "dedup_embed" -> (Dedup.embed _),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
+    "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
     "graph_pagerank" -> ((s: SparkSession, d: String) => Dedup.pagerank(s, d)),
     "graph_triangles" -> ((s: SparkSession, d: String) => Dedup.triangles(s, d)),
     "graph_degrees" -> ((s: SparkSession, d: String) => Dedup.degreeDist(s, d)),
@@ -121,6 +127,9 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     "text_ngram_lm" -> (TextAnalysis.ngramLm _),
     "corpus_interleave" -> ((s: SparkSession, d: String) => Curation.interleave(s, d)),
+    "corpus_zorder" -> ((s: SparkSession, d: String) => Curation.zorder(s, d)),
+    "corpus_mv_refresh" -> (Curation.mvRefresh _),
+    "corpus_profile" -> (Curation.profile _),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
@@ -158,6 +167,13 @@ object SparkEntry {
     * graft.functions.HashFns.polyHash). */
   private def ph(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s,''), c -> CAST(ascii(c) AS BIGINT))), (h,c) -> (h*31+c) % 1000000007)"
+
+  /** DuckDB fragment: 8-bit × 8-bit Morton interleave of columns
+    * x and y (mirrors Curation.zorder's bit arithmetic). */
+  private def zTerms: String =
+    (0 until 8).map(i =>
+      s"(((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)})")
+      .mkString(" + ")
 
   /** DuckDB fragment: fixed-order dot product (mirrors VecFns.dot). */
   private def dot(a: String, b: String): String =
@@ -1422,5 +1438,129 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bytes_total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // 20%-of-average evaluated division-free: qty < 0.2*sum/n ⟺ 5*qty*n < sum
+    "q_corr_subquery" ->
+      """WITH s AS (SELECT l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand, COUNT(*) AS n_small_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        |FROM lineitem JOIN s USING (l_partkey) JOIN part ON p_partkey = l_partkey
+        |WHERE 5 * CAST(l_quantity AS DECIMAL(18,2)) * n < sum_qty
+        |GROUP BY p_brand""".stripMargin,
+    "q_argmax" ->
+      """SELECT n_name, top_custkey, top_acctbal, n_customers FROM (
+        |  SELECT c_nationkey, c_custkey AS top_custkey, c_acctbal AS top_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n_customers
+        |  FROM customer) t JOIN nation ON n_nationkey = c_nationkey
+        |WHERE rn = 1""".stripMargin,
+    "events_funnel3" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS view_ts
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts >= s1.signup_ts GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.view_ts GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.signup_ts, s2.view_ts, s3.purchase_ts,
+        |  CAST(CASE WHEN s3.purchase_ts IS NOT NULL THEN 3
+        |            WHEN s2.view_ts IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS reached_step,
+        |  epoch_us(s3.purchase_ts) - epoch_us(s1.signup_ts) AS total_delay_us
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    // interpolant: fixed tree of correctly-rounded IEEE ops over exact
+    // integer-µs deltas; per-hour export sums floor(v·1e6) integers
+    "ts_interp" ->
+      """WITH e0 AS (SELECT user_id, ts, value, event_id, date_trunc('hour', ts) AS hr,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |ev AS (SELECT user_id, hr, epoch_us(ts) AS tus, 0 AS isg, value FROM e0 WHERE rn = 1),
+        |slots AS (SELECT user_id, hr, epoch_us(hr) + (t.m + 1) * 60000000 - 1 AS tus,
+        |    1 AS isg, CAST(NULL AS DOUBLE) AS value
+        |  FROM (SELECT DISTINCT user_id, hr FROM ev) h, UNNEST(range(0, 60)) AS t(m)),
+        |u AS (SELECT * FROM ev UNION ALL SELECT * FROM slots),
+        |w AS (SELECT *,
+        |    LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id, hr
+        |      ORDER BY tus, isg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    LAST_VALUE(CASE WHEN isg = 0 THEN tus END IGNORE NULLS) OVER (PARTITION BY user_id, hr
+        |      ORDER BY tus, isg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    FIRST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id, hr
+        |      ORDER BY tus, isg ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN isg = 0 THEN tus END IGNORE NULLS) OVER (PARTITION BY user_id, hr
+        |      ORDER BY tus, isg ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM u),
+        |i AS (SELECT user_id, hr, tus,
+        |    CASE WHEN pt = tus THEN pv
+        |         WHEN pt IS NOT NULL AND nt IS NOT NULL
+        |         THEN pv + (nv - pv) * (CAST(tus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END AS interp
+        |  FROM w WHERE isg = 1)
+        |SELECT user_id, hr AS hour_ts, COUNT(*) AS n_slots, COUNT(interp) AS n_interp,
+        |  CAST(SUM(CAST(FLOOR(interp * 1000000.0) AS BIGINT)) AS BIGINT) AS interp_micro_sum
+        |FROM i GROUP BY user_id, hr""".stripMargin,
+    // both medians are discrete rank statistics — element at ceil(n/2)
+    // under a (value, event_id) total order; no middle-pair averaging
+    "ts_mad" ->
+      """WITH ev AS (SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL),
+        |m1 AS (SELECT user_id, value AS med FROM (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM ev) t WHERE rn = CEIL(n * 0.5)),
+        |d AS (SELECT ev.event_id, ev.user_id, ABS(ev.value - m1.med) AS dev
+        |  FROM ev JOIN m1 USING (user_id)),
+        |m2 AS (SELECT user_id, dev AS mad FROM (
+        |  SELECT user_id, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM d) t WHERE rn = CEIL(n * 0.5))
+        |SELECT d.event_id, d.user_id, d.dev > 3.0 * m2.mad AS is_outlier
+        |FROM d JOIN m2 USING (user_id)""".stripMargin,
+    "dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |pos AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+        |    THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS gram FROM toks),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS dup_pos FROM pos JOIN dup USING (gram) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(GREATEST(len(t) - 7, 1) AS BIGINT) AS n_positions FROM toks)
+        |SELECT tot.doc_id, tot.n_positions,
+        |  COALESCE(cnt.dup_pos, 0) AS n_dup_positions,
+        |  CAST(COALESCE(cnt.dup_pos, 0) AS DOUBLE) / CAST(tot.n_positions AS DOUBLE) AS dup_frac
+        |FROM tot LEFT JOIN cnt USING (doc_id)""".stripMargin,
+    "corpus_zorder" ->
+      s"""WITH d AS (SELECT doc_id, LEAST(length(text)//4, 255) AS x, ${ph("text")} % 256 AS y
+         |  FROM documents),
+         |z AS (SELECT doc_id, x, y, CAST($zTerms AS BIGINT) AS zv FROM d),
+         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY zv, doc_id) AS rn FROM z)
+         |SELECT CAST((rn - 1) // 32 AS BIGINT) AS file_id, COUNT(*) AS n_docs,
+         |  CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+         |  CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max,
+         |  MIN(zv) AS z_min, MAX(zv) AS z_max
+         |FROM r GROUP BY 1""".stripMargin,
+    // oracle recomputes the view DIRECTLY over the merged corpus — the
+    // incremental path must equal the full recompute
+    "corpus_mv_refresh" ->
+      """WITH base AS (SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+        |merged AS (
+        |  SELECT lang, CASE WHEN doc_id % 7 = 0 THEN n_bytes + 7 ELSE n_bytes END AS n_bytes
+        |  FROM base WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT lang, n_bytes FROM base WHERE doc_id % 13 = 0)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        |FROM merged GROUP BY lang""".stripMargin,
+    "corpus_profile" ->
+      """SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(doc_id) AS n_nulls, COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_v, CAST(MAX(doc_id) AS VARCHAR) AS max_v FROM documents
+        |UNION ALL SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+        |  COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+        |UNION ALL SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+        |  COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+        |UNION ALL SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+        |  COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+        |UNION ALL SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+        |  COUNT(DISTINCT text), substr(MIN(text), 1, 16), substr(MAX(text), 1, 16) FROM documents""".stripMargin,
   )
 }

@@ -515,4 +515,127 @@ object Curation {
           .when($"base_bytes" =!= $"delta_bytes", lit("changed"))
           .otherwise(lit("unchanged")))
   }
+
+  /** Z-order layout planning — the multi-dimensional clustering step
+    * of lake-table maintenance (OPTIMIZE ... ZORDER BY): documents
+    * sort by the Morton interleave of TWO dimensions (a length bucket
+    * and a content-hash bucket, 8 bits each) and bin into
+    * `docsPerFile`-document files, emitting the layout MANIFEST with
+    * per-file min/max of BOTH dims. A linear sort clusters one
+    * dimension perfectly and leaves the other's per-file ranges as
+    * wide as the table (min/max pruning on it never skips a file);
+    * the Z-curve keeps every file's bounding box tight on both, which
+    * is what makes two-predicate scans prune. Bit interleaving is
+    * pure integer arithmetic — any engine replays it.
+    *
+    * Scale posture: the z-key is scan-local; ranks along the curve
+    * come from the SAME two-phase decomposition as [[corpusShard]]
+    * (local row_numbers within z-range buckets — monotone in the sort
+    * key — plus broadcast per-bucket base offsets), so no single task
+    * sorts the corpus; the manifest is one partial-aggregated shuffle
+    * on file_id. */
+  def zorder(spark: SparkSession, dir: String, docsPerFile: Int = 32): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    val dims = Tables.documents(spark, dir)
+      .select($"doc_id",
+        least(floor(length($"text") / 4).cast(LongType), lit(255L)).as("x"),
+        pmod(HashFns.polyHash($"text"), lit(256L)).as("y"))
+    val z = (0 until 8).map { i =>
+      shiftright($"x", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright($"y", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    val keyed = dims.withColumn("z", z)
+      .withColumn("bucket", floor($"z" / 64L).cast(LongType))
+    val localW = Window.partitionBy($"bucket").orderBy($"z".asc, $"doc_id".asc)
+    val local = keyed.withColumn("lrn", row_number().over(localW).cast(LongType))
+    val baseW = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy($"bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum($"bn").over(baseW), lit(0L)))
+      .select($"bucket", $"boff")
+    local.join(broadcast(bases), "bucket")
+      .withColumn("file_id",
+        floor(($"boff" + $"lrn" - 1L) / docsPerFile.toLong).cast(LongType))
+      .groupBy($"file_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"x").as("x_min"), max($"x").as("x_max"),
+        min($"y").as("y_min"), max($"y").as("y_max"),
+        min($"z").as("z_min"), max($"z").as("z_max"))
+  }
+
+  /** Incremental materialized-view refresh — the delta-maintenance
+    * contract behind every "keep the dashboard aggregate fresh
+    * without re-scanning the corpus" pipeline: the per-language
+    * (n_docs, total_bytes) view updates from the DELTA alone. Each
+    * delta class contributes its algebraic difference — a removal
+    * (-1, -bytes), a revision (0, byte delta), an insert (+1, +bytes)
+    * — the contributions aggregate (shuffle ∝ DELTA, never corpus),
+    * and one full-outer merge against the standing view applies them.
+    * Count/sum views are self-maintainable this way; min/max are not
+    * (a removal can expose a new min only a rescan finds) — which is
+    * exactly why production MV engines restrict the aggregate algebra.
+    *
+    * The delta replays [[snapshotDiff]]'s deterministic re-crawl
+    * (every 7th doc revised +7 bytes, every 11th removed, every 13th
+    * re-discovered under a new id), and the oracle computes the view
+    * DIRECTLY over the merged corpus — the incremental path must be
+    * indistinguishable from the full recompute. */
+  def mvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", octet_length($"text").cast(LongType).as("n_bytes"))
+    val baseMv = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_bytes").as("total_bytes"))
+    val removed = docs.filter($"doc_id" % 11 === 0)
+      .select($"lang", lit(-1L).as("d_docs"), (-$"n_bytes").as("d_bytes"))
+    val revised = docs.filter($"doc_id" % 7 === 0 && $"doc_id" % 11 =!= 0)
+      .select($"lang", lit(0L).as("d_docs"), lit(7L).as("d_bytes"))
+    val added = docs.filter($"doc_id" % 13 === 0)
+      .select($"lang", lit(1L).as("d_docs"), $"n_bytes".as("d_bytes"))
+    val deltaAgg = removed.unionByName(revised).unionByName(added)
+      .groupBy($"lang")
+      .agg(sum($"d_docs").as("d_docs"), sum($"d_bytes").as("d_bytes"))
+    baseMv.join(deltaAgg, Seq("lang"), "full_outer")
+      .select($"lang",
+        (coalesce($"n_docs", lit(0L)) + coalesce($"d_docs", lit(0L))).as("n_docs"),
+        (coalesce($"total_bytes", lit(0L)) + coalesce($"d_bytes", lit(0L)))
+          .as("total_bytes"))
+  }
+
+  /** One-scan column profiler — the ANALYZE-TABLE pass that feeds
+    * optimizer statistics, data-quality dashboards, and schema
+    * drift detection: per column, row/null/distinct counts and
+    * min/max (as strings, so one long-format schema covers every
+    * column type; string min/max prefixes to 16 chars for the text
+    * column). ONE scan computes all five columns' profiles — the
+    * multi-distinct aggregate plans through Catalyst's Expand
+    * (rows × distinct-columns, partial-aggregated map-side) rather
+    * than five separate corpus passes; the wide one-row result then
+    * unpivots scan-locally to (column_name, metric...) rows. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StringType
+    val docs = Tables.documents(spark, dir)
+    val agg1 = docs.agg(
+      count(lit(1)).as("n_rows"),
+      count($"doc_id").as("nn0"), countDistinct($"doc_id").as("nd0"),
+      min($"doc_id").cast(StringType).as("mn0"), max($"doc_id").cast(StringType).as("mx0"),
+      count($"lang").as("nn1"), countDistinct($"lang").as("nd1"),
+      min($"lang").as("mn1"), max($"lang").as("mx1"),
+      count($"source").as("nn2"), countDistinct($"source").as("nd2"),
+      min($"source").as("mn2"), max($"source").as("mx2"),
+      count($"n_chars").as("nn3"), countDistinct($"n_chars").as("nd3"),
+      min($"n_chars").cast(StringType).as("mn3"), max($"n_chars").cast(StringType).as("mx3"),
+      count($"text").as("nn4"), countDistinct($"text").as("nd4"),
+      substring(min($"text"), 1, 16).as("mn4"), substring(max($"text"), 1, 16).as("mx4"))
+    val rows = Seq("doc_id" -> "0", "lang" -> "1", "source" -> "2",
+      "n_chars" -> "3", "text" -> "4").map { case (name, i) =>
+      struct(lit(name).as("column_name"), $"n_rows",
+        ($"n_rows" - col(s"nn$i")).as("n_nulls"),
+        col(s"nd$i").as("n_distinct"),
+        col(s"mn$i").as("min_v"), col(s"mx$i").as("max_v"))
+    }
+    agg1.select(explode(array(rows: _*)).as("p")).select($"p.*")
+  }
 }

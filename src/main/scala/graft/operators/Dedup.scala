@@ -474,4 +474,50 @@ object Dedup {
         (VecFns.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cosine"))
       .filter($"cosine" >= 0.35d)
   }
+
+  /** Exact-substring duplication scoring (the signal behind suffix-
+    * array dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"): a `k`-token window at EVERY position
+    * of every document — the SLIDING variant of [[Curation.dedupLines]]'
+    * fixed chunks, so a duplicated passage is detected at any
+    * alignment, not only on chunk boundaries. A position is
+    * duplicated when its k-gram appears in ≥ 2 distinct documents;
+    * each document reports its duplicated-position count and
+    * fraction (the score a removal pass thresholds on).
+    *
+    * Scale shape: positions explode scan-local (slice over the token
+    * array), the cross-document census is one partial-aggregated
+    * two-level count on the gram, and the duplicated-gram set comes
+    * back as a semi-join on the same key — shuffle ∝ corpus token
+    * positions, never pairs. At 100 TB the join key would be a
+    * 128-bit gram hash (narrow exchange rows); the reference
+    * suffix-array formulation finds the same spans in O(n log n)
+    * single-node — the distributed shape trades that for linear
+    * shuffles that partition. Documents shorter than k tokens
+    * contribute their whole text as one position. */
+  def substringDup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val toks = TextFns.tokens($"text")
+    val pos = Tables.documents(spark, dir)
+      .select($"doc_id",
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => array_join(slice(toks, i + 1, lit(k)), " ")))
+        .otherwise(array(array_join(toks, " "))).as("grams"))
+      .select($"doc_id", explode($"grams").as("gram"))
+    val dup = pos.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 2)
+      .select($"gram")
+    val counts = pos.join(dup, Seq("gram"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("dup_pos"))
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        greatest(size(toks) - (k - 1), lit(1)).cast(LongType).as("n_positions"))
+      .join(counts, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_positions",
+        coalesce($"dup_pos", lit(0L)).as("n_dup_positions"),
+        (coalesce($"dup_pos", lit(0L)).cast(DoubleType) /
+          $"n_positions".cast(DoubleType)).as("dup_frac"))
+  }
 }

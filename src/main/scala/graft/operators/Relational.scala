@@ -587,4 +587,57 @@ object Relational {
             c => c.getField("o_orderstatus")),
           ",").as("status_seq"))
   }
+
+  /** Correlated aggregate subquery (the TPC-H Q17 shape: "lineitems
+    * below 20% of their part's average quantity") — the
+    * compare-each-row-to-its-group-statistic pattern every
+    * per-entity-threshold report uses.
+    *
+    * Decorrelated by hand into the plan Catalyst would also produce:
+    * the per-part statistics aggregate FIRST (partial-aggregated
+    * shuffle on l_partkey), then join back to the fact on the SAME
+    * key — the join reuses the aggregation's hash partitioning, so
+    * the correlated lookup costs one exchange, never a per-row
+    * subquery. The 20%-of-average threshold is evaluated WITHOUT a
+    * division: `qty < 0.2 * sum/n  ⟺  5 * qty * n < sum`, all in
+    * decimal/integer arithmetic — exact in any engine, no IEEE
+    * rounding in the predicate. The part dim broadcasts. */
+  def qCorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", dec($"l_quantity").as("qty"),
+        dec($"l_extendedprice").as("price"))
+    val stats = li.groupBy($"l_partkey")
+      .agg(sum($"qty").as("sum_qty"), count(lit(1)).as("n"))
+    val brands = Tables.part(spark, dir).select($"p_partkey", $"p_brand")
+    li.join(stats, "l_partkey")
+      .filter(lit(5) * $"qty" * $"n" < $"sum_qty")
+      .join(broadcast(brands), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_small_items"),
+        sum($"price").cast(DoubleType).as("small_revenue"))
+  }
+
+  /** Per-group argmax (the "top entity per group" lookup: each
+    * nation's highest-balance customer) as ONE partial-aggregated
+    * pass — `max(struct(value, -key))` compares field-by-field inside
+    * the aggregation buffer, so the winner is elected map-side and
+    * only one struct per group crosses the shuffle. The window
+    * formulation (`row_number() ... rank = 1`) sorts every group's
+    * full membership to keep one row; at 100 TB that is a sort of the
+    * corpus vs an O(groups) aggregate. Ties break to the SMALLER
+    * custkey (the negated key makes struct-max pick it) —
+    * deterministic on both engines. The nation dim broadcasts. */
+  def qArgmax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val top = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey")
+      .agg(max(struct($"c_acctbal".as("v"), (-$"c_custkey").as("nk"))).as("m"),
+        count(lit(1)).as("n_customers"))
+      .select($"c_nationkey", $"m.v".as("top_acctbal"),
+        (-$"m.nk").as("top_custkey"), $"n_customers")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    top.join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"top_custkey", $"top_acctbal", $"n_customers")
+  }
 }

@@ -524,4 +524,131 @@ object Telemetry {
       .select($"w.start".as("window_start"), $"n_events", $"n_users",
         $"sum_value")
   }
+
+  /** Multi-step funnel (the k-step generalization of [[funnel]]):
+    * first signup → first subsequent view → first subsequent
+    * purchase, per user, each step anchored at the previous step's
+    * completion time (a purchase BEFORE the user's first view does
+    * not count — step order is the semantics, not mere presence).
+    *
+    * Scale shape: one filtered min-aggregation per step, each
+    * partial-aggregated and hash-joined on user_id — every shuffle in
+    * the chain uses the SAME key, so the exchanges after the first
+    * reuse partitioning. Step population only shrinks (step k joins
+    * step k-1's survivors), so later stages cost less, never more.
+    * `reached_step` makes the drop-off report a single groupBy away. */
+  def funnel3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val s2 = ev.filter($"event_type" === "view")
+      .join(s1, "user_id")
+      .filter($"ts" >= $"signup_ts")
+      .groupBy($"user_id").agg(min($"ts").as("view_ts"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, "user_id")
+      .filter($"ts" >= $"view_ts")
+      .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select($"user_id", $"signup_ts", $"view_ts", $"purchase_ts",
+        (when($"purchase_ts".isNotNull, 3L)
+          .when($"view_ts".isNotNull, 2L)
+          .otherwise(1L)).as("reached_step"),
+        (unix_micros($"purchase_ts") - unix_micros($"signup_ts")).as("total_delay_us"))
+  }
+
+  /** Linear-interpolation resample (the gap-fill twin of [[gapfill]]
+    * for continuous signals: LOCF repeats the last sample, a sensor
+    * trend wants the value ON the line between neighbors): every
+    * active (user, hour) materializes its 60 minute-slot grid, each
+    * slot interpolating between the latest event at-or-before it and
+    * the earliest event after it WITHIN that hour — slots missing
+    * either neighbor stay null (extrapolation is a lie; [[gapfill]]
+    * is the carry-forward contract).
+    *
+    * Same scale posture as gapfill: the grid is bounded by ACTIVE
+    * hours (never the time axis), and the union+window trick gives
+    * ONE shuffle per (user, hour) — the prev neighbor from a running
+    * `last(ignoreNulls)` ascending, the next neighbor from a
+    * `first(ignoreNulls)` over the following frame on the same sort;
+    * no range join, no per-slot lookup. Determinism: the interpolant
+    * `pv + (nv-pv) * ((t-pt)/(nt-pt))` is a fixed tree of
+    * correctly-rounded IEEE ops over exact integer-µs deltas —
+    * bit-identical on any engine — and per-hour sums export as
+    * `floor(v·1e6)` integers so aggregation order cannot perturb the
+    * compared output. Same-µs collisions resolve to max event_id
+    * (gapfill's rule). */
+  def interp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev0 = Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"value".isNotNull)
+      .select($"user_id", $"ts", $"value", $"event_id",
+        date_trunc("hour", $"ts").as("hr"))
+    val dedupW = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val ev = ev0.withColumn("rn", row_number().over(dedupW)).filter($"rn" === 1)
+      .select($"user_id", $"hr", unix_micros($"ts").as("tus"),
+        lit(0).as("isg"), $"value")
+    val slots = ev.select($"user_id", $"hr").distinct()
+      .select($"user_id", $"hr", explode(sequence(lit(0), lit(59))).as("m"))
+      .select($"user_id", $"hr",
+        (unix_micros($"hr") + ($"m" + 1).cast(LongType) * 60000000L - 1L).as("tus"),
+        lit(1).as("isg"), lit(null).cast(DoubleType).as("value"))
+    val ord = Window.partitionBy($"user_id", $"hr").orderBy($"tus".asc, $"isg".asc)
+    val prevF = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val frac = ($"tus" - $"pt").cast(DoubleType) / ($"nt" - $"pt").cast(DoubleType)
+    // an event exactly ON the slot needs no next neighbor; nt > tus >= pt
+    // otherwise (same-time events sort BEFORE their slot), so nt - pt > 0
+    val iv = when($"pt" === $"tus", $"pv")
+      .when($"pt".isNotNull && $"nt".isNotNull, $"pv" + ($"nv" - $"pv") * frac)
+    ev.unionByName(slots)
+      .withColumn("pv", last($"value", ignoreNulls = true).over(prevF))
+      .withColumn("pt", last(when($"isg" === 0, $"tus"), ignoreNulls = true).over(prevF))
+      .withColumn("nv", first($"value", ignoreNulls = true).over(nextF))
+      .withColumn("nt", first(when($"isg" === 0, $"tus"), ignoreNulls = true).over(nextF))
+      .filter($"isg" === 1)
+      .withColumn("interp", iv)
+      .groupBy($"user_id", $"hr".as("hour_ts"))
+      .agg(count(lit(1)).as("n_slots"),
+        count($"interp").as("n_interp"),
+        sum(floor($"interp" * 1000000.0d).cast(LongType)).as("interp_micro_sum"))
+  }
+
+  /** Robust per-user outlier flags via Median Absolute Deviation —
+    * the rank-based twin of [[anomaly]]'s 2σ gate: mean/σ are
+    * themselves dragged by the outliers they're meant to catch, while
+    * the median and MAD ignore any minority of wild values. An event
+    * is an outlier when |value − median| > 3·MAD.
+    *
+    * Both medians are DISCRETE rank statistics (the element at
+    * ceil(n/2) under a (value, event_id) total order — deterministic
+    * under ties, no averaging of middle pairs, so no arithmetic the
+    * engines could round differently). Plan: two window passes + two
+    * joins, every one of them hash-partitioned on user_id, so the
+    * exchange is paid ONCE and reused; per-task state is one user's
+    * events (sort within partition), never the fleet. The flag's only
+    * float ops are one subtraction, one abs, one multiply — fixed
+    * tree, engine-exact. */
+  def madOutliers(spark: SparkSession, dir: String, k: Double = 3.0d): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_id", $"user_id", $"value")
+    def medianOf(df: DataFrame, col: String, out: String): DataFrame = {
+      val w = Window.partitionBy($"user_id").orderBy(df(col).asc, $"event_id".asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"user_id")))
+        .filter($"rn" === ceil($"n" * 0.5d))
+        .select($"user_id", df(col).as(out))
+    }
+    val med = medianOf(ev, "value", "med")
+    val dev = ev.join(med, "user_id")
+      .withColumn("dev", abs($"value" - $"med"))
+    val mad = medianOf(dev.select($"event_id", $"user_id", $"dev"), "dev", "mad")
+    dev.join(mad, "user_id")
+      .select($"event_id", $"user_id",
+        ($"dev" > lit(k) * $"mad").as("is_outlier"))
+  }
 }
