@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: correlated subquery, per-group argmax, MAD
+  * outliers, linear interpolation, 3-step funnel, substring dedup,
+  * z-order layout, incremental MV refresh, column profiler. */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  // --- q_corr_subquery ---------------------------------------------------
+
+  test("corr subquery: small-item revenue is a strict subset of total revenue") {
+    val li = sources.Tables.lineitem(spark, sf)
+    val total = li.agg(sum(operators.dec($"l_extendedprice")).cast("double")).head.getDouble(0)
+    val rows = operators.Relational.qCorrSubquery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val small = rows.map(_.getDouble(2)).sum
+    assert(small > 0 && small < total,
+      s"below-20%%-of-average items must be a strict revenue subset ($small vs $total)")
+  }
+
+  test("corr subquery: part dim joins as a broadcast") {
+    val plan = operators.Relational.qCorrSubquery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "part dim must broadcast")
+  }
+
+  // --- q_argmax ----------------------------------------------------------
+
+  test("argmax: elected winner matches the windowed formulation, without a Window") {
+    val cust = sources.Tables.customer(spark, sf)
+    val nat = sources.Tables.nation(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    val expect = cust.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey", $"c_acctbal")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = operators.Relational.qArgmax(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, "struct-max election must equal the window rank-1 result")
+    val plan = operators.Relational.qArgmax(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "argmax is a partial-aggregated max(struct), never a per-group sort")
+  }
+
+  // --- events_funnel3 ----------------------------------------------------
+
+  test("funnel3: step order is respected and the population matches funnel") {
+    val f3 = operators.Telemetry.funnel3(spark, sf).collect()
+    assert(f3.nonEmpty)
+    f3.foreach { r =>
+      val step = r.getLong(4)
+      val hasView = !r.isNullAt(2)
+      val hasPurchase = !r.isNullAt(3)
+      assert(hasPurchase == (step == 3L) && (hasView || step == 1L),
+        s"reached_step must encode exactly which stages completed: $r")
+      if (hasView) assert(!r.isNullAt(1) &&
+        r.getTimestamp(2).getTime >= r.getTimestamp(1).getTime,
+        "a counted view cannot precede the first signup")
+      if (hasPurchase) assert(
+        r.getTimestamp(3).getTime >= r.getTimestamp(2).getTime,
+        "a counted purchase cannot precede the first counted view")
+    }
+    val f1Users = operators.Telemetry.funnel(spark, sf)
+      .select($"user_id").collect().map(_.getLong(0)).toSet
+    assert(f3.map(_.getLong(0)).toSet == f1Users,
+      "both funnels anchor on the same signup population")
+  }
+
+  // --- ts_interp ---------------------------------------------------------
+
+  test("interp: interpolants stay within each user's observed value range") {
+    val ev = sources.Tables.events(spark, sf).filter($"value".isNotNull)
+    val bounds = ev.groupBy($"user_id")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    val bad = operators.Telemetry.interp(spark, sf)
+      .filter($"n_interp" > 0)
+      .join(bounds, "user_id")
+      // micro-sum of n interpolants each within [lo, hi] must lie in
+      // [n*floor(lo*1e6) - n, n*ceil(hi*1e6)] (floor slack per term)
+      .filter($"interp_micro_sum" > $"n_interp" * ceil($"hi" * 1000000.0) ||
+        $"interp_micro_sum" < $"n_interp" * (floor($"lo" * 1000000.0) - 1))
+      .count()
+    assert(bad == 0, "linear interpolation cannot exit the neighbor value range")
+  }
+
+  test("interp: grid matches gapfill's active-hour grid exactly") {
+    val g = operators.Telemetry.gapfill(spark, sf)
+      .select($"user_id", $"hour_ts").collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val i = operators.Telemetry.interp(spark, sf)
+      .select($"user_id", $"hour_ts").collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(i == g, "both resamplers materialize the same ACTIVE (user, hour) grid")
+  }
+
+  // --- ts_mad ------------------------------------------------------------
+
+  test("mad: flags are deterministic and never the whole stream") {
+    val out = operators.Telemetry.madOutliers(spark, sf)
+    val n = out.count()
+    val flagged = out.filter($"is_outlier").count()
+    assert(flagged < n / 2, "a majority can never sit 3 MADs from the median")
+    val again = operators.Telemetry.madOutliers(spark, sf).collect().toSet
+    assert(out.collect().toSet == again, "rank medians must be rerun-stable")
+  }
+
+  // --- dedup_substring ---------------------------------------------------
+
+  test("substring dedup: detects shared spans at ANY alignment; exact copies score 1.0") {
+    // engineered corpus: B quotes A's tokens 4..11 (8 tokens) at a
+    // DIFFERENT offset — the alignment fixed chunking misses; C is
+    // unrelated; D and E are exact copies of each other
+    val shared = (4 to 11).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, (0 to 19).map(i => s"w$i").mkString(" "), "en", "s0", 100L),
+      (1L, s"intro tokens here then $shared and a tail", "en", "s1", 100L),
+      (2L, (0 to 19).map(i => s"u$i").mkString(" "), "en", "s2", 100L),
+      (3L, (0 to 9).map(i => s"v$i").mkString(" "), "en", "s3", 100L),
+      (4L, (0 to 9).map(i => s"v$i").mkString(" "), "en", "s4", 100L))
+    val tmp = java.nio.file.Files.createTempDirectory("subdup").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.Dedup.substringDup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L)._2 == 1L && got(1L)._2 == 1L,
+      "one 8-token window in each doc covers the quoted span, regardless of offset")
+    assert(got(2L)._2 == 0L, "the unrelated document shares nothing")
+    assert(got(3L)._3 == 1.0d && got(4L)._3 == 1.0d,
+      "every position of an exactly-duplicated document is duplicated")
+  }
+
+  // --- corpus_zorder -----------------------------------------------------
+
+  test("zorder: manifest covers the corpus in disjoint curve ranges") {
+    val docs = sources.Tables.documents(spark, sf).count()
+    val m = operators.Curation.zorder(spark, sf).orderBy($"file_id").collect()
+    assert(m.map(_.getLong(1)).sum == docs, "every document lands in exactly one file")
+    m.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(6) >= a.getLong(7),
+          s"file z-ranges must not interleave: ${a} vs ${b}")
+      case _ =>
+    }
+    m.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(4) <= r.getLong(5),
+        "per-file dim bounds must be ordered")
+    }
+  }
+
+  // --- corpus_mv_refresh ---------------------------------------------------
+
+  test("mv refresh: incremental result equals the full recompute") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", octet_length($"text").cast("long").as("n_bytes"))
+    val merged = docs.filter($"doc_id" % 11 =!= 0)
+      .select($"lang",
+        when($"doc_id" % 7 === 0, $"n_bytes" + 7L).otherwise($"n_bytes").as("n_bytes"))
+      .unionByName(docs.filter($"doc_id" % 13 === 0).select($"lang", $"n_bytes"))
+    val full = merged.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_bytes").as("total_bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = operators.Curation.mvRefresh(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full, "delta maintenance must be invisible vs recompute")
+  }
+
+  // --- corpus_profile ------------------------------------------------------
+
+  test("profile: one scan, exact counts, no nulls in the synthetic corpus") {
+    val docs = sources.Tables.documents(spark, sf)
+    val n = docs.count()
+    val byCol = operators.Curation.profile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(byCol.keySet == Set("doc_id", "lang", "source", "n_chars", "text"))
+    byCol.values.foreach { r =>
+      assert(r.getLong(1) == n && r.getLong(2) == 0L,
+        s"row count must match and the corpus has no nulls: $r")
+    }
+    assert(byCol("doc_id").getLong(3) == n, "doc_id is unique")
+    val scans = operators.Curation.profile(spark, sf)
+      .queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"the profiler must read the corpus ONCE, saw $scans scans")
+  }
+}
