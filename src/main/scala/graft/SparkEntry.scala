@@ -90,6 +90,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s: SparkSession, d: String) => Dedup.pagerank(s, d)),
     "graph_triangles" -> ((s: SparkSession, d: String) => Dedup.triangles(s, d)),
     "graph_degrees" -> ((s: SparkSession, d: String) => Dedup.degreeDist(s, d)),
+    "graph_cneighbors" -> ((s: SparkSession, d: String) => Dedup.commonNeighbors(s, d)),
     // E. similarity search
     "ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.ivfpqTopK(s, d)),
     "embed_kmeans" -> ((s: SparkSession, d: String) => Similarity.kmeans(s, d)),
     "dedup_semdedup" -> ((s: SparkSession, d: String) => Similarity.semdedup(s, d)),
+    "ann_refine" -> ((s: SparkSession, d: String) => Similarity.refineTopK(s, d)),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -128,6 +130,7 @@ object SparkEntry {
     "text_ngram_lm" -> (TextAnalysis.ngramLm _),
     "corpus_interleave" -> ((s: SparkSession, d: String) => Curation.interleave(s, d)),
     "corpus_zorder" -> ((s: SparkSession, d: String) => Curation.zorder(s, d)),
+    "corpus_prune" -> ((s: SparkSession, d: String) => Curation.pruneDemo(s, d)),
     "corpus_mv_refresh" -> (Curation.mvRefresh _),
     "corpus_profile" -> (Curation.profile _),
     // A. binary frames
@@ -161,6 +164,12 @@ object SparkEntry {
     // only if straddling sessions continue from cross-batch state
     "stream_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamSessions.streamedSessions(s, d)),
+    // B. streaming budget: the events table as two median-time micro-
+    // batches through per-user integer-cents state; aggregates to the
+    // batch data_budget result only if budget state carries across
+    // batches
+    "stream_budget" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamRelay.streamedBudget(s, d)),
   )
 
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
@@ -190,6 +199,53 @@ object SparkEntry {
   private def pqSd(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,16), i -> " +
       s"(CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)))), (x,y) -> x+y)"
+
+  /** DuckDB CTE chain replaying Similarity.ivfpqTopK down to `ipq
+    * (query_id, neighbor_id, approx_dist, rnk)`, ADC top-`k` per
+    * query — shared by the ann_ivfpq oracle (k=5) and the ann_refine
+    * oracle (k=10 candidates re-ranked by exact cosine). */
+  private def ivfpqCtes(k: Int): String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid, ${cos("e.embedding", "c.cvec")} AS ccos
+       |  FROM embeddings e CROSS JOIN c),
+       |assign AS (SELECT cid, vec_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z
+       |  WHERE rn <= 4),
+       |ep AS (SELECT e.vec_id, c.cid,
+       |    ${pqSd(pqSub("e.embedding", 0), pqSub("c.cvec", 0))} AS d0,
+       |    ${pqSd(pqSub("e.embedding", 1), pqSub("c.cvec", 1))} AS d1,
+       |    ${pqSd(pqSub("e.embedding", 2), pqSub("c.cvec", 2))} AS d2,
+       |    ${pqSd(pqSub("e.embedding", 3), pqSub("c.cvec", 3))} AS d3
+       |  FROM embeddings e CROSS JOIN c),
+       |codes AS (SELECT vec_id,
+       |    struct_extract(min({'d': d0, 'c': cid}), 'c') AS c0,
+       |    struct_extract(min({'d': d1, 'c': cid}), 'c') AS c1,
+       |    struct_extract(min({'d': d2, 'c': cid}), 'c') AS c2,
+       |    struct_extract(min({'d': d3, 'c': cid}), 'c') AS c3
+       |  FROM ep GROUP BY vec_id),
+       |lp AS (SELECT e.vec_id AS query_id, c.cid,
+       |    ${pqSd(pqSub("e.embedding", 0), pqSub("c.cvec", 0))} AS q0,
+       |    ${pqSd(pqSub("e.embedding", 1), pqSub("c.cvec", 1))} AS q1,
+       |    ${pqSd(pqSub("e.embedding", 2), pqSub("c.cvec", 2))} AS q2,
+       |    ${pqSd(pqSub("e.embedding", 3), pqSub("c.cvec", 3))} AS q3
+       |  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 10),
+       |luta AS (SELECT query_id,
+       |    list(q0 ORDER BY cid) AS a0, list(q1 ORDER BY cid) AS a1,
+       |    list(q2 ORDER BY cid) AS a2, list(q3 ORDER BY cid) AS a3
+       |  FROM lp GROUP BY query_id),
+       |sc2 AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    a0[CAST(c0+1 AS INT)] + a1[CAST(c1+1 AS INT)] + a2[CAST(c2+1 AS INT)] + a3[CAST(c3+1 AS INT)] AS approx_dist
+       |  FROM probes p JOIN assign a USING (cid)
+       |  JOIN codes x ON x.vec_id = a.vec_id
+       |  JOIN luta l ON l.query_id = p.query_id
+       |  WHERE a.vec_id != p.query_id),
+       |ipq AS (SELECT query_id, neighbor_id, approx_dist, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rnk
+       |  FROM sc2) t
+       |WHERE rnk <= $k)""".stripMargin
 
   /** DuckDB CTE chain producing the verified MinHash candidate pairs
     * (doc_a, doc_b, jaccard >= 0.2) as `vp` — shared by the
@@ -317,6 +373,16 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2) y
        |  WHERE rn = 1)""".stripMargin
 
+  /** Running per-user transmission budget — one oracle, two gated
+    * surfaces (the batch window plan and the stateful streaming twin
+    * with integer-cents state). */
+  private def dataBudgetSql: String =
+    """SELECT event_id, user_id, ts, CAST(cum AS DOUBLE) AS cum_kb FROM (
+      |  SELECT event_id, user_id, ts,
+      |    SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM events) t
+      |WHERE cum <= 5000.00""".stripMargin
+
   /** Inactivity-gap sessionization — one oracle, two gated surfaces
     * (the batch window plan and the stateful streaming twin). */
   private def sessionWindowsSql: String =
@@ -426,12 +492,11 @@ object SparkEntry {
         |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
         |FROM (SELECT *, make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000) AS bucket FROM events) t
         |GROUP BY user_id, bucket""".stripMargin,
-    "data_budget" ->
-      """SELECT event_id, user_id, ts, CAST(cum AS DOUBLE) AS cum_kb FROM (
-        |  SELECT event_id, user_id, ts,
-        |    SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM events) t
-        |WHERE cum <= 5000.00""".stripMargin,
+    "data_budget" -> dataBudgetSql,
+    // streaming twin gated on the SAME oracle: the two-micro-batch
+    // replay through per-user cents state must aggregate to the batch
+    // running-budget result exactly
+    "stream_budget" -> dataBudgetSql,
     "session_windows" -> sessionWindowsSql,
     // the streaming twin is gated against the SAME oracle: the
     // stitched cross-batch sessions must aggregate to the batch
@@ -648,6 +713,24 @@ object SparkEntry {
          |deg AS (SELECT node, COUNT(*) AS d FROM (
          |  SELECT u AS node FROM und UNION ALL SELECT v FROM und) z GROUP BY node)
          |SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d""".stripMargin,
+    "graph_cneighbors" ->
+      s"""WITH $minhashPairsCtes,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM vp UNION ALL SELECT doc_b, doc_a FROM vp),
+         |deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+         |w AS (SELECT e1.v AS doc_a, e2.v AS doc_b
+         |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v),
+         |cn AS (SELECT w.doc_a, w.doc_b, COUNT(*) AS n_common
+         |  FROM w SEMI JOIN vp ON vp.doc_a = w.doc_a AND vp.doc_b = w.doc_b
+         |  GROUP BY w.doc_a, w.doc_b)
+         |SELECT vp.doc_a, vp.doc_b, COALESCE(cn.n_common, 0) AS n_common,
+         |  da.d AS deg_a, db.d AS deg_b,
+         |  CASE WHEN da.d + db.d - 2 - COALESCE(cn.n_common, 0) > 0
+         |    THEN CAST(COALESCE(cn.n_common, 0) AS DOUBLE) /
+         |         CAST(da.d + db.d - 2 - COALESCE(cn.n_common, 0) AS DOUBLE) END AS nbr_jaccard
+         |FROM vp
+         |LEFT JOIN cn ON cn.doc_a = vp.doc_a AND cn.doc_b = vp.doc_b
+         |JOIN deg da ON da.u = vp.doc_a
+         |JOIN deg db ON db.u = vp.doc_b""".stripMargin,
     "mm_phash" ->
       """WITH bytes AS (SELECT doc_id,
         |    list_transform(range(0, LEAST(strlen(text), 62)),
@@ -750,46 +833,17 @@ object SparkEntry {
     // IVF probes (from ann_ivf) restrict which inverted lists each
     // query scores; ADC scoring (from ann_pq) prices each candidate
     "ann_ivfpq" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
-         |scored AS (SELECT e.vec_id, e.embedding, c.cid, ${cos("e.embedding", "c.cvec")} AS ccos
-         |  FROM embeddings e CROSS JOIN c),
-         |assign AS (SELECT cid, vec_id FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
-         |  WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z
-         |  WHERE rn <= 4),
-         |ep AS (SELECT e.vec_id, c.cid,
-         |    ${pqSd(pqSub("e.embedding", 0), pqSub("c.cvec", 0))} AS d0,
-         |    ${pqSd(pqSub("e.embedding", 1), pqSub("c.cvec", 1))} AS d1,
-         |    ${pqSd(pqSub("e.embedding", 2), pqSub("c.cvec", 2))} AS d2,
-         |    ${pqSd(pqSub("e.embedding", 3), pqSub("c.cvec", 3))} AS d3
-         |  FROM embeddings e CROSS JOIN c),
-         |codes AS (SELECT vec_id,
-         |    struct_extract(min({'d': d0, 'c': cid}), 'c') AS c0,
-         |    struct_extract(min({'d': d1, 'c': cid}), 'c') AS c1,
-         |    struct_extract(min({'d': d2, 'c': cid}), 'c') AS c2,
-         |    struct_extract(min({'d': d3, 'c': cid}), 'c') AS c3
-         |  FROM ep GROUP BY vec_id),
-         |lp AS (SELECT e.vec_id AS query_id, c.cid,
-         |    ${pqSd(pqSub("e.embedding", 0), pqSub("c.cvec", 0))} AS q0,
-         |    ${pqSd(pqSub("e.embedding", 1), pqSub("c.cvec", 1))} AS q1,
-         |    ${pqSd(pqSub("e.embedding", 2), pqSub("c.cvec", 2))} AS q2,
-         |    ${pqSd(pqSub("e.embedding", 3), pqSub("c.cvec", 3))} AS q3
-         |  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 10),
-         |luta AS (SELECT query_id,
-         |    list(q0 ORDER BY cid) AS a0, list(q1 ORDER BY cid) AS a1,
-         |    list(q2 ORDER BY cid) AS a2, list(q3 ORDER BY cid) AS a3
-         |  FROM lp GROUP BY query_id),
-         |sc2 AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    a0[CAST(c0+1 AS INT)] + a1[CAST(c1+1 AS INT)] + a2[CAST(c2+1 AS INT)] + a3[CAST(c3+1 AS INT)] AS approx_dist
-         |  FROM probes p JOIN assign a USING (cid)
-         |  JOIN codes x ON x.vec_id = a.vec_id
-         |  JOIN luta l ON l.query_id = p.query_id
-         |  WHERE a.vec_id != p.query_id)
-         |SELECT query_id, neighbor_id, approx_dist, rnk FROM (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rnk
-         |  FROM sc2) t
+      s"""WITH ${ivfpqCtes(5)}
+         |SELECT query_id, neighbor_id, approx_dist, rnk FROM ipq""".stripMargin,
+    // ADC top-10 candidates fetch raw vectors and re-rank by EXACT
+    // cosine — quantization error affects recall, never the scores
+    "ann_refine" ->
+      s"""WITH ${ivfpqCtes(10)}
+         |SELECT query_id, neighbor_id, cosine, rnk FROM (
+         |  SELECT i.query_id, i.neighbor_id, ${cos("q.embedding", "e.embedding")} AS cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY i.query_id ORDER BY ${cos("q.embedding", "e.embedding")} DESC, i.neighbor_id) AS BIGINT) AS rnk
+         |  FROM ipq i JOIN embeddings q ON q.vec_id = i.query_id
+         |  JOIN embeddings e ON e.vec_id = i.neighbor_id) t
          |WHERE rnk <= 5""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (
@@ -1539,6 +1593,26 @@ object SparkEntry {
          |  CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max,
          |  MIN(zv) AS z_min, MAX(zv) AS z_max
          |FROM r GROUP BY 1""".stripMargin,
+    // the same two-predicate scan planned against per-file min/max
+    // stats under both layouts — the pruning payoff of the z-curve
+    "corpus_prune" ->
+      s"""WITH d AS (SELECT doc_id, LEAST(length(text)//4, 255) AS x, ${ph("text")} % 256 AS y
+         |  FROM documents),
+         |z AS (SELECT doc_id, x, y, CAST($zTerms AS BIGINT) AS zv FROM d),
+         |zr AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY zv, doc_id) AS rn FROM z),
+         |lr AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM z),
+         |m AS (
+         |  SELECT 'zorder' AS layout, CAST((rn - 1) // 32 AS BIGINT) AS file_id,
+         |    COUNT(*) AS n_docs,
+         |    MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+         |  FROM zr GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'linear', CAST((rn - 1) // 32 AS BIGINT), COUNT(*),
+         |    MIN(x), MAX(x), MIN(y), MAX(y)
+         |  FROM lr GROUP BY 1, 2)
+         |SELECT layout, file_id, n_docs,
+         |  NOT (x_max >= 32 AND x_min <= 63 AND y_max >= 64 AND y_min <= 127) AS pruned
+         |FROM m""".stripMargin,
     // oracle recomputes the view DIRECTLY over the merged corpus — the
     // incremental path must equal the full recompute
     "corpus_mv_refresh" ->

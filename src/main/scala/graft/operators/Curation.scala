@@ -534,7 +534,9 @@ object Curation {
     * key — plus broadcast per-bucket base offsets), so no single task
     * sorts the corpus; the manifest is one partial-aggregated shuffle
     * on file_id. */
-  def zorder(spark: SparkSession, dir: String, docsPerFile: Int = 32): DataFrame = {
+  /** (doc_id, x, y, z): the two 8-bit layout dimensions (length
+    * bucket, content-hash bucket) and their Morton interleave. */
+  private def zDims(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.HashFns
     val dims = Tables.documents(spark, dir)
@@ -545,9 +547,17 @@ object Curation {
       shiftright($"x", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright($"y", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
-    val keyed = dims.withColumn("z", z)
-      .withColumn("bucket", floor($"z" / 64L).cast(LongType))
-    val localW = Window.partitionBy($"bucket").orderBy($"z".asc, $"doc_id".asc)
+    dims.withColumn("z", z)
+  }
+
+  /** file_id per document along a sort order, without a global sort:
+    * the two-phase rank of [[corpusShard]] over `bucket` (must be
+    * monotone in (sortCol, doc_id)) — local row_numbers + broadcast
+    * per-bucket base offsets. */
+  private def rankedFiles(keyed: DataFrame, sortCol: String,
+      docsPerFile: Int): DataFrame = {
+    import keyed.sparkSession.implicits._
+    val localW = Window.partitionBy($"bucket").orderBy(keyed(sortCol).asc, $"doc_id".asc)
     val local = keyed.withColumn("lrn", row_number().over(localW).cast(LongType))
     val baseW = Window.orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -557,11 +567,57 @@ object Curation {
     local.join(broadcast(bases), "bucket")
       .withColumn("file_id",
         floor(($"boff" + $"lrn" - 1L) / docsPerFile.toLong).cast(LongType))
+  }
+
+  def zorder(spark: SparkSession, dir: String, docsPerFile: Int = 32): DataFrame = {
+    import spark.implicits._
+    val keyed = zDims(spark, dir)
+      .withColumn("bucket", floor($"z" / 64L).cast(LongType))
+    rankedFiles(keyed, "z", docsPerFile)
       .groupBy($"file_id")
       .agg(count(lit(1)).as("n_docs"),
         min($"x").as("x_min"), max($"x").as("x_max"),
         min($"y").as("y_min"), max($"y").as("y_max"),
         min($"z").as("z_min"), max($"z").as("z_max"))
+  }
+
+  /** Min/max pruning payoff — the query-planning half of [[zorder]]
+    * (why a table pays for the curve at all): the SAME two-predicate
+    * scan (x and y each restricted to a quarter of their range) is
+    * planned against per-file min/max stats under BOTH layouts —
+    * z-ordered files vs snapshot-order (doc_id) files — and every
+    * file reports whether the planner would skip it. Linear layout
+    * leaves y's per-file ranges table-wide, so only the x bound ever
+    * prunes; the Z-curve bounds both, and the pruned fraction is the
+    * measured difference (spec-asserted, not assumed).
+    *
+    * Same scale shapes as the layouts themselves: two two-phase
+    * ranks, two partial-aggregated manifests, a scan-local flag —
+    * the demo never touches document bodies. */
+  def pruneDemo(spark: SparkSession, dir: String, docsPerFile: Int = 32,
+      xLo: Long = 32L, xHi: Long = 63L, yLo: Long = 64L, yHi: Long = 127L): DataFrame = {
+    import spark.implicits._
+    val dims = zDims(spark, dir)
+    def manifest(keyed: DataFrame, sortCol: String, layout: String): DataFrame = {
+      import keyed.sparkSession.implicits._
+      rankedFiles(keyed, sortCol, docsPerFile)
+        .groupBy($"file_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"x").as("x_min"), max($"x").as("x_max"),
+          min($"y").as("y_min"), max($"y").as("y_max"))
+        .select(lit(layout).as("layout"), $"file_id", $"n_docs",
+          $"x_min", $"x_max", $"y_min", $"y_max")
+    }
+    val zm = manifest(dims.withColumn("bucket", floor($"z" / 64L).cast(LongType)),
+      "z", "zorder")
+    // doc_id blocks are monotone in doc_id — the same DATA-derived
+    // bucketing corpus_pack uses
+    val lm = manifest(dims.withColumn("bucket",
+      floor($"doc_id" / 256L).cast(LongType)), "doc_id", "linear")
+    zm.unionByName(lm)
+      .select($"layout", $"file_id", $"n_docs",
+        (!($"x_max" >= xLo && $"x_min" <= xHi &&
+          $"y_max" >= yLo && $"y_min" <= yHi)).as("pruned"))
   }
 
   /** Incremental materialized-view refresh — the delta-maintenance

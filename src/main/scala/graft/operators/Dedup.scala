@@ -443,6 +443,43 @@ object Dedup {
       .groupBy($"d".as("degree")).agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Per-EDGE link corroboration over the duplicate graph: each
+    * candidate pair's common-neighbor count and neighborhood Jaccard
+    * — the link-prediction scores that separate corroborated near-dup
+    * families (a third document duplicates both sides) from isolated
+    * LSH coincidences, at edge granularity where [[triangles]] scores
+    * nodes. nbr_jaccard = |N(a)∩N(b)| / |N(a)∪N(b) − {a,b}|, pure
+    * integer counts with one final guarded division.
+    *
+    * Shape: wedges form at their CENTER via one self-equi-join of the
+    * symmetric edge list (shuffle keys = nodes), collapse to per-pair
+    * counts, and land back on the verified edges with a left join —
+    * everything partial-aggregated, nothing ∝ pairs². Wedge volume is
+    * Σ deg(c)², bounded here because the LSH band caps bound degrees;
+    * an uncapped hub graph would cap or sample hub centers first (the
+    * [[degreeDist]] profile is exactly the pre-flight check). */
+  def commonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vp = cachedPairs(spark, dir).select($"doc_a", $"doc_b")
+    val e = vp.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(vp.select($"doc_b".as("u"), $"doc_a".as("v")))
+    val deg = e.groupBy($"u").agg(count(lit(1)).as("d"))
+    val wedges = e.as("e1").join(e.as("e2"),
+        $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
+      .select($"e1.v".as("doc_a"), $"e2.v".as("doc_b"))
+    val cn = wedges.join(vp, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+    val scored = vp.join(cn, Seq("doc_a", "doc_b"), "left")
+      .join(deg.withColumnRenamed("u", "doc_a").withColumnRenamed("d", "deg_a"), "doc_a")
+      .join(deg.withColumnRenamed("u", "doc_b").withColumnRenamed("d", "deg_b"), "doc_b")
+      .withColumn("n_common", coalesce($"n_common", lit(0L)))
+    scored.select($"doc_a", $"doc_b", $"n_common", $"deg_a", $"deg_b",
+      when($"deg_a" + $"deg_b" - 2L - $"n_common" > 0L,
+        $"n_common".cast(DoubleType) /
+          ($"deg_a" + $"deg_b" - 2L - $"n_common").cast(DoubleType))
+        .as("nbr_jaccard"))
+  }
+
   /** The dedup pipeline's actual OUTPUT: the corpus with every
     * non-keeper cluster member dropped — keepers and never-paired
     * documents survive. A left-anti join against the (tiny relative

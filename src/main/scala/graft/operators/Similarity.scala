@@ -144,6 +144,35 @@ object Similarity {
   /** Exact cosine top-k of a small query batch (vec_id < nQueries)
     * against the whole corpus. Query side broadcasts; scores are
     * fold-exact doubles (SURVEY §5), ranks tie-break on vec_id. */
+  /** Exact re-rank refinement — the last stage of the production
+    * billion-vector pipeline (IVF narrows WHERE to look, PQ prices
+    * candidates from codes, refine RE-SCORES the few survivors from
+    * raw vectors): [[ivfpqTopK]]'s ADC top-`kCand` candidate ids
+    * fetch their full vectors through one equi-join (shuffle ∝
+    * candidates — queries × kCand rows, the only time raw corpus
+    * vectors enter the search path) and exact fold-order cosine
+    * reranks to the final top-`k`. Quantization error cannot reorder
+    * the output ranking — only candidate RECALL is approximate, the
+    * scores are exact. */
+  def refineTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      kCand: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val cand = ivfpqTopK(spark, dir, nQueries = nQueries, k = kCand)
+      .select($"query_id", $"neighbor_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    cand
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select($"query_id", $"neighbor_id",
+        (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= k)
+  }
+
   def bruteTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

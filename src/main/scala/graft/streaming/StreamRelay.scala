@@ -359,4 +359,71 @@ object StreamRelay {
           out.iterator
       }
   }
+
+  case class BudgetEvent(event_id: Long, user_id: Long, ts_us: Long, cents: Long)
+  case class BudgetOut(event_id: Long, user_id: Long, ts_us: Long, cum_cents: Long)
+
+  /** [[statefulBudget]] with ORACLE-exact arithmetic: the running
+    * total accumulates integer CENTS in per-user state (a double
+    * accumulator drifts from the batch operator's decimal sum in the
+    * last ulp), ties at the same µs order by event_id — the same
+    * (ts, event_id) total order the batch window uses. */
+  def incrementalBudget(events: Dataset[BudgetEvent],
+      budgetCents: Long): Dataset[BudgetOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, BudgetOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, evs, state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
+            cum += e.cents
+            if (cum <= budgetCents)
+              Some(BudgetOut(e.event_id, e.user_id, e.ts_us, cum))
+            else None
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
+  /** STREAMING data budget, batch-gated (`stream_budget`): the events
+    * table staged as two median-time micro-batches through
+    * [[incrementalBudget]] — every user's batch-1 events precede
+    * batch-2, so a budget partially consumed in batch 1 must CARRY
+    * into batch 2 for the output to aggregate to the batch
+    * [[graft.operators.Telemetry.dataBudget]] result (the shared
+    * oracle). State lost between batches restarts a user's running
+    * total, which shows up as a non-monotonic cum sequence — checked
+    * loudly in-operator before the gate ever compares. */
+  def streamedBudget(spark: SparkSession, dir: String,
+      budgetKb: String = "5000.00"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val budgetCents = new java.math.BigDecimal(budgetKb)
+      .movePointRight(2).longValueExact()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        round($"value" * 100).cast(LongType).as("cents"))
+    val bounds = ev.agg(min($"ts_us"), max($"ts_us")).head()
+    if (bounds.isNullAt(0)) return spark.emptyDataset[BudgetOut].toDF()
+    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val log = StreamDedup.runStagedStream(spark,
+        Seq(ev.filter($"ts_us" <= cut), ev.filter($"ts_us" > cut))) { stream =>
+      incrementalBudget(stream.as[BudgetEvent], budgetCents).toDF()
+    }.getOrElse(return spark.emptyDataset[BudgetOut].toDF())
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    // values are non-negative, so a DECREASE can only mean the running
+    // total restarted (lost state); equality is legal — zero-value
+    // events leave the total unchanged
+    val broken = log.withColumn("prev", lag($"cum_cents", 1).over(w))
+      .filter($"prev".isNotNull && $"cum_cents" < $"prev").count()
+    if (broken > 0)
+      throw new IllegalStateException(
+        s"streamed budget: $broken non-monotonic running totals " +
+          "(cross-batch budget state lost)")
+    log.select($"event_id", $"user_id", timestamp_micros($"ts_us").as("ts"),
+      ($"cum_cents" / 100.0d).as("cum_kb"))
+  }
 }

@@ -1,0 +1,16 @@
+package graft.tools
+
+/** Ad-hoc single-query runner: runMain graft.tools.RunOne <name> [sfDir]. */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    println(s"[runone] $name rows=${df.count()}")
+    spark.stop()
+  }
+}

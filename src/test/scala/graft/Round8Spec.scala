@@ -166,6 +166,63 @@ class Round8Spec extends SparkSpec {
     assert(inc == full, "delta maintenance must be invisible vs recompute")
   }
 
+  // --- stream_budget -------------------------------------------------------
+
+  test("stream budget: two-batch replay equals the batch running budget exactly") {
+    val batch = operators.Telemetry.dataBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3))).toSet
+    val streamed = streaming.StreamRelay.streamedBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3))).toSet
+    assert(streamed == batch,
+      "per-user cents state must reproduce the decimal window sum bit-for-bit")
+  }
+
+  // --- corpus_prune --------------------------------------------------------
+
+  test("prune demo: the z-order layout prunes strictly more files than linear") {
+    val m = operators.Curation.pruneDemo(spark, sf).collect()
+    val byLayout = m.groupBy(_.getString(0))
+    assert(byLayout.keySet == Set("zorder", "linear"))
+    val docs = sources.Tables.documents(spark, sf).count()
+    byLayout.values.foreach(fs =>
+      assert(fs.map(_.getLong(2)).sum == docs, "each layout covers the corpus"))
+    def prunedFiles(l: String) = byLayout(l).count(_.getBoolean(3))
+    assert(prunedFiles("zorder") > prunedFiles("linear"),
+      s"the curve must beat snapshot order on a two-predicate scan: " +
+        s"z=${prunedFiles("zorder")} linear=${prunedFiles("linear")}")
+  }
+
+  // --- graph_cneighbors ----------------------------------------------------
+
+  test("common neighbors: edge-level counts aggregate to 3x the triangle count") {
+    val edgeSum = operators.Dedup.commonNeighbors(spark, sf)
+      .agg(sum($"n_common")).head.getLong(0)
+    val nodeSum = operators.Dedup.triangles(spark, sf)
+      .agg(sum($"n_triangles")).head.getLong(0)
+    // each triangle contributes one common neighbor to each of its 3
+    // edges AND one participation to each of its 3 nodes
+    assert(edgeSum == nodeSum,
+      s"edge common-neighbor mass ($edgeSum) must equal node triangle mass ($nodeSum)")
+  }
+
+  // --- ann_refine ----------------------------------------------------------
+
+  test("refine: re-ranked scores are EXACT (identical to brute force on the same pairs)") {
+    val brute = operators.Similarity.bruteTopK(spark, sf, k = 1500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val refined = operators.Similarity.refineTopK(spark, sf).collect()
+    assert(refined.nonEmpty && refined.forall(_.getLong(3) <= 5L))
+    refined.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute(key) == r.getDouble(2),
+        s"refined cosine must be bit-identical to the exact score for $key")
+    }
+    val cand = operators.Similarity.ivfpqTopK(spark, sf, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined.forall(r => cand((r.getLong(0), r.getLong(1)))),
+      "refine only re-scores ADC candidates — it never widens the search")
+  }
+
   // --- corpus_profile ------------------------------------------------------
 
   test("profile: one scan, exact counts, no nulls in the synthetic corpus") {
