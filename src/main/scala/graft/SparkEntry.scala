@@ -170,6 +170,12 @@ object SparkEntry {
     // batches
     "stream_budget" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamRelay.streamedBudget(s, d)),
+    // B. stream-stream interval join: control and data streams joined
+    // on key + time bound with watermark-evicted buffers; the staged
+    // split guarantees at least one match must come from cross-batch
+    // state
+    "stream_join" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamJoin.streamedJoin(s, d)),
   )
 
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
@@ -1492,6 +1498,16 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bytes_total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // oracle = the equivalent batch range join; every streamed match
+    // (incl. the forced cross-batch one) must appear exactly once
+    "stream_join" ->
+      """SELECT d.event_id, d.user_id, d.ts, c.event_id AS ctl_event_id,
+        |  c.event_type AS ctl_type,
+        |  epoch_us(d.ts) - epoch_us(c.ts) AS delay_us
+        |FROM events d JOIN events c ON d.user_id = c.user_id
+        |WHERE c.event_type IN ('signup', 'error')
+        |  AND d.event_type NOT IN ('signup', 'error')
+        |  AND c.ts >= d.ts - INTERVAL 10 MINUTE AND c.ts <= d.ts""".stripMargin,
     // 20%-of-average evaluated division-free: qty < 0.2*sum/n ⟺ 5*qty*n < sum
     "q_corr_subquery" ->
       """WITH s AS (SELECT l_partkey,

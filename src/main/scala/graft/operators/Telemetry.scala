@@ -636,19 +636,26 @@ object Telemetry {
     val ev = Tables.events(spark, dir)
       .filter($"value".isNotNull)
       .select($"event_id", $"user_id", $"value")
-    def medianOf(df: DataFrame, col: String, out: String): DataFrame = {
-      val w = Window.partitionBy($"user_id").orderBy(df(col).asc, $"event_id".asc)
-      df.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"user_id")))
-        .filter($"rn" === ceil($"n" * 0.5d))
-        .select($"user_id", df(col).as(out))
-    }
-    val med = medianOf(ev, "value", "med")
-    val dev = ev.join(med, "user_id")
+    // the medians are WINDOW COLUMNS, not join branches: the element
+    // at the median rank broadcasts to its whole partition through a
+    // full-frame max(when(rn = ceil(n/2), v)) over the SAME user
+    // partitioning — so the operator is ONE scan + ONE exchange +
+    // four window passes (two sorts), no joins, no re-scan; a
+    // branch-and-join formulation reads the fact table four times
+    // because column pruning makes the shared subtrees unequal
+    val byUser = Window.partitionBy($"user_id")
+    val w1 = byUser.orderBy($"value".asc, $"event_id".asc)
+    val flagged = ev
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("med",
+        max(when($"rn" === ceil($"n" * 0.5d), $"value")).over(byUser))
       .withColumn("dev", abs($"value" - $"med"))
-    val mad = medianOf(dev.select($"event_id", $"user_id", $"dev"), "dev", "mad")
-    dev.join(mad, "user_id")
-      .select($"event_id", $"user_id",
-        ($"dev" > lit(k) * $"mad").as("is_outlier"))
+      .withColumn("rn2",
+        row_number().over(byUser.orderBy($"dev".asc, $"event_id".asc)))
+      .withColumn("mad",
+        max(when($"rn2" === ceil($"n" * 0.5d), $"dev")).over(byUser))
+    flagged.select($"event_id", $"user_id",
+      ($"dev" > lit(k) * $"mad").as("is_outlier"))
   }
 }

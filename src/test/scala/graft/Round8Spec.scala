@@ -106,6 +106,16 @@ class Round8Spec extends SparkSpec {
     assert(out.collect().toSet == again, "rank medians must be rerun-stable")
   }
 
+  test("mad: one scan, one exchange — medians are window columns, not join branches") {
+    val plan = operators.Telemetry.madOutliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    val exchanges = plan.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") && !l.contains("Reused"))
+    assert(scans == 1, s"expected 1 fact scan, saw $scans")
+    assert(exchanges == 1, s"expected 1 shuffle (hash on user), saw $exchanges")
+  }
+
   // --- dedup_substring ---------------------------------------------------
 
   test("substring dedup: detects shared spans at ANY alignment; exact copies score 1.0") {
@@ -175,6 +185,25 @@ class Round8Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3))).toSet
     assert(streamed == batch,
       "per-user cents state must reproduce the decimal window sum bit-for-bit")
+  }
+
+  // --- stream_join ---------------------------------------------------------
+
+  test("stream join: watermarked interval join equals the batch range join") {
+    val ev = sources.Tables.events(spark, sf).filter($"ts".isNotNull)
+    val ctl = ev.filter($"event_type".isin("signup", "error"))
+      .select($"event_id".as("cid"), $"user_id".as("cu"), $"ts".as("cts"))
+    val expect = ev.filter(!$"event_type".isin("signup", "error"))
+      .join(ctl, $"user_id" === $"cu" &&
+        unix_micros($"cts") >= unix_micros($"ts") - 600000000L &&
+        unix_micros($"cts") <= unix_micros($"ts"))
+      .select($"event_id", $"cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = streaming.StreamJoin.streamedJoin(spark, sf).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(3))).toSet == expect,
+      "the streamed match set must equal the batch interval join")
+    got.foreach(r => assert(r.getLong(5) >= 0L && r.getLong(5) <= 600000000L,
+      "every delay must sit inside the interval bound"))
   }
 
   // --- corpus_prune --------------------------------------------------------
