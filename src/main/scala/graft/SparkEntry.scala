@@ -37,6 +37,8 @@ object SparkEntry {
     "q_sketch_distinct" -> ((s: SparkSession, d: String) => Relational.qSketchDistinct(s, d)),
     "q_quantiles" -> (Relational.qQuantiles _),
     "q_quantiles_approx" -> ((s: SparkSession, d: String) => Relational.qQuantilesApprox(s, d)),
+    "q_quantiles_cont" -> (Relational.qQuantilesCont _),
+    "q_quantiles_hist" -> ((s: SparkSession, d: String) => Relational.qQuantilesHist(s, d)),
     "q_skewjoin" -> (Relational.qSkewJoin _),
     "q_bucket_join" -> ((s: SparkSession, d: String) => Relational.qBucketJoin(s, d)),
     "q_unpivot" -> ((s: SparkSession, d: String) => Relational.qUnpivot(s, d)),
@@ -76,6 +78,7 @@ object SparkEntry {
     "events_funnel3" -> (Telemetry.funnel3 _),
     "ts_interp" -> (Telemetry.interp _),
     "ts_mad" -> ((s: SparkSession, d: String) => Telemetry.madOutliers(s, d)),
+    "events_heatmap" -> (Telemetry.heatmap _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -128,6 +131,7 @@ object SparkEntry {
     "text_boilerplate" -> ((s: SparkSession, d: String) => Curation.boilerplate(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     "text_ngram_lm" -> (TextAnalysis.ngramLm _),
+    "text_lexdiv" -> (TextAnalysis.lexdiv _),
     "corpus_interleave" -> ((s: SparkSession, d: String) => Curation.interleave(s, d)),
     "corpus_zorder" -> ((s: SparkSession, d: String) => Curation.zorder(s, d)),
     "corpus_prune" -> ((s: SparkSession, d: String) => Curation.pruneDemo(s, d)),
@@ -926,6 +930,61 @@ object SparkEntry {
          |  FROM lineitem
          |  WHERE (((l_orderkey * 10 + l_linenumber) % 1000000007) * 2654435761) % 1000000007 % 100 < 10) t
          |GROUP BY l_returnflag""".stripMargin,
+    "q_quantiles_cont" -> {
+      def cq(p: String, out: String): String = {
+        val h = s"(1 + CAST($p AS DOUBLE)*(n-1))"
+        val hA = s"(1 + CAST($p AS DOUBLE)*(MAX(n)-1))"
+        val lo = s"MAX(CASE WHEN rn = FLOOR($h) THEN l_extendedprice END)"
+        val hi = s"MAX(CASE WHEN rn = FLOOR($h) + 1 THEN l_extendedprice END)"
+        s"($lo + ($hA - FLOOR($hA)) * (COALESCE($hi, $lo) - $lo)) AS $out"
+      }
+      s"""SELECT l_returnflag,
+         |  ${cq("0.5", "p50_cont")},
+         |  ${cq("0.95", "p95_cont")},
+         |  MAX(n) AS n_rows
+         |FROM (SELECT l_returnflag, l_extendedprice,
+         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem) t
+         |GROUP BY l_returnflag""".stripMargin
+    },
+    // mergeable histogram-sketch quantiles: first bucket covering
+    // rank ceil(q*n); estimate = bucket upper bound (error <= width)
+    "q_quantiles_hist" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(FLOOR(l_extendedprice / 500) AS BIGINT) AS bucket, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cw AS (SELECT *,
+        |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+        |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM b)
+        |SELECT l_returnflag,
+        |  CAST((MIN(CASE WHEN cumc >= CEIL(0.5 * n) THEN bucket END) + 1) * 500 AS DOUBLE) AS p50_est,
+        |  CAST((MIN(CASE WHEN cumc >= CEIL(0.95 * n) THEN bucket END) + 1) * 500 AS DOUBLE) AS p95_est,
+        |  CAST(MAX(n) AS BIGINT) AS n_rows
+        |FROM cw GROUP BY l_returnflag""".stripMargin,
+    // integer-µs calendar: native dayofweek()/extract(dow) numbering
+    // differs across engines; (days + 4) % 7 (0 = Sunday) does not
+    "events_heatmap" ->
+      """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    "text_lexdiv" ->
+      """SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+        |  CAST(len(list_filter(range(1, len(t) + 1), i ->
+        |    (i = 1 OR s[i] <> s[i-1]) AND (i = len(t) OR s[i] <> s[i+1]))) AS BIGINT) AS n_hapax,
+        |  CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS ttr,
+        |  CAST(len(list_filter(range(1, len(t) + 1), i ->
+        |    (i = 1 OR s[i] <> s[i-1]) AND (i = len(t) OR s[i] <> s[i+1]))) AS DOUBLE)
+        |    / CAST(len(t) AS DOUBLE) AS hapax_frac
+        |FROM (SELECT doc_id, t, list_sort(t) AS s FROM (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents) a) b""".stripMargin,
     "q_skewjoin" ->
       """SELECT s_nationkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

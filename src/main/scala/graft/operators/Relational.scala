@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -616,6 +616,72 @@ object Relational {
       .groupBy($"p_brand")
       .agg(count(lit(1)).as("n_small_items"),
         sum($"price").cast(DoubleType).as("small_revenue"))
+  }
+
+  /** Interpolated (continuous) grouped quantiles — the
+    * PERCENTILE_CONT twin of [[qQuantiles]]' discrete ranks: the
+    * p-quantile sits at fractional rank 1 + p·(n−1), and when that
+    * falls between two elements the estimate interpolates linearly.
+    * Same single sort-within-group window pass; the two straddling
+    * elements are selected BY RANK (deterministic under ties) and the
+    * interpolation is a fixed tree of correctly-rounded IEEE ops —
+    * engine-exact, unlike native percentile_cont implementations
+    * whose internal summation orders differ. */
+  def qQuantilesCont(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+    val n = Window.partitionBy($"l_returnflag")
+    val ranked = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+    def contQ(p: Double, out: String): Column = {
+      // fractional rank h = 1 + p(n-1); lo = floor(h), hi = lo + 1.
+      // hRow (per-row, group-constant) selects the straddling
+      // elements inside the aggregates; hAgg (over max(n)) is the
+      // same value in aggregate scope for the interpolation weight
+      val hRow = lit(1.0d) + lit(p) * ($"n" - 1L).cast(DoubleType)
+      val loRow = floor(hRow)
+      val loV = max(when($"rn" === loRow, $"l_extendedprice"))
+      val hiV = max(when($"rn" === loRow + 1L, $"l_extendedprice"))
+      val hAgg = lit(1.0d) + lit(p) * (max($"n") - 1L).cast(DoubleType)
+      // v = lo_v + (h - lo)(hi_v - lo_v); exact rank ⇒ hi row absent
+      (loV + (hAgg - floor(hAgg)) * (coalesce(hiV, loV) - loV)).as(out)
+    }
+    ranked.groupBy($"l_returnflag")
+      .agg(contQ(0.5d, "p50_cont"), contQ(0.95d, "p95_cont"),
+        max($"n").as("n_rows"))
+  }
+
+  /** Histogram-sketch quantiles — the MERGEABLE approximate-quantile
+    * shape ([[qQuantiles]] sorts every group member; this never sorts
+    * rows at all): values bucket scan-local into fixed `width` bins
+    * (q_histogram's pass), bucket counts partial-aggregate map-side
+    * into ONE shuffle sized by OCCUPIED buckets, the tiny cumulative
+    * walk over ≤ range/width buckets finds the first bucket covering
+    * rank ceil(q·n), and the estimate is that bucket's upper bound —
+    * error ≤ `width` by construction, deterministic on any engine
+    * (integer counts + one fixed multiply). THE shape for 100 TB
+    * dashboards: per-partition histograms merge by vector addition,
+    * which is exactly what partial aggregation does for free. */
+  def qQuantilesHist(spark: SparkSession, dir: String,
+      width: Double = 500.0d): DataFrame = {
+    import spark.implicits._
+    val b = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag",
+        floor($"l_extendedprice" / lit(width)).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val byFlag = Window.partitionBy($"l_returnflag")
+    val cum = b
+      .withColumn("cumc", sum($"c").over(
+        byFlag.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum($"c").over(byFlag))
+    def est(p: Double, out: String): Column =
+      ((min(when($"cumc" >= ceil(lit(p) * $"n"), $"bucket")) + 1L) * lit(width)).as(out)
+    cum.groupBy($"l_returnflag")
+      .agg(est(0.5d, "p50_est"), est(0.95d, "p95_est"),
+        max($"n").as("n_rows"))
   }
 
   /** Per-group argmax (the "top entity per group" lookup: each

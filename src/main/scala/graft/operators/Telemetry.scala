@@ -616,6 +616,26 @@ object Telemetry {
         sum(floor($"interp" * 1000000.0d).cast(LongType)).as("interp_micro_sum"))
   }
 
+  /** Activity heatmap (the hour-of-day × day-of-week usage calendar
+    * every fleet dashboard opens with): one partial-aggregated
+    * shuffle sized by the 168 occupied cells, never row count. The
+    * calendar fields come from INTEGER µs arithmetic — day index and
+    * second-of-day by integer division, weekday as (days + 4) mod 7
+    * since 1970-01-01 was a Thursday (0 = Sunday) — because native
+    * dayofweek()/extract(dow) numbering differs across engines
+    * (Spark counts 1 = Sunday, DuckDB 0 = Sunday); the integer form
+    * is engine-exact by construction. */
+  def heatmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("days"),
+        expr("(unix_micros(ts) % 86400000000) div 3600000000").as("hour"),
+        $"value")
+      .groupBy(pmod($"days" + 4L, lit(7L)).as("dow"), $"hour")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+  }
+
   /** Robust per-user outlier flags via Median Absolute Deviation —
     * the rank-based twin of [[anomaly]]'s 2σ gate: mean/σ are
     * themselves dragged by the outliers they're meant to catch, while

@@ -332,4 +332,32 @@ object TextAnalysis {
       array_min(gramHashes).as("min_kgram_hash"),
       size(grams).cast(LongType).as("n_distinct_kgrams"))
   }
+
+  /** Lexical diversity (the vocabulary-richness quality signal
+    * beside [[quality]]'s surface ratios): type-token ratio and
+    * hapax-legomenon fraction per document — machine-generated and
+    * template text repeats a small vocabulary (low TTR, few
+    * singletons), natural prose keeps minting new words. Scan-local,
+    * zero shuffle: the token array sorts IN the row (O(n log n) per
+    * doc) and singletons are the sorted positions whose neighbors
+    * both differ — no per-token explode, no corpus-wide counting. */
+  def lexdiv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextFns.tokens($"text")
+    val s = array_sort(toks)
+    val n = size(s)
+    // three-valued OR makes the boundary checks safe: at i = 1 / i = n
+    // the out-of-range neighbor read returns null, but the boundary
+    // disjunct is already true
+    val hapax = size(filter(sequence(lit(1), n), i =>
+      (i === 1 || element_at(s, i) =!= element_at(s, i - 1)) &&
+        (i === n || element_at(s, i) =!= element_at(s, i + 1))))
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        n.cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_types"),
+        hapax.cast(LongType).as("n_hapax"))
+      .withColumn("ttr", $"n_types".cast(DoubleType) / $"n_tokens".cast(DoubleType))
+      .withColumn("hapax_frac", $"n_hapax".cast(DoubleType) / $"n_tokens".cast(DoubleType))
+  }
 }

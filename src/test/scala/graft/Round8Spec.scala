@@ -252,6 +252,65 @@ class Round8Spec extends SparkSpec {
       "refine only re-scores ADC candidates — it never widens the search")
   }
 
+  // --- quantile family -------------------------------------------------------
+
+  test("quantile family: cont interpolates, hist bounds error by one bucket width") {
+    val exact = operators.Relational.qQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    operators.Relational.qQuantilesCont(spark, sf).collect().foreach { r =>
+      val (p50, p95) = exact(r.getString(0))
+      assert(r.getDouble(1) <= r.getDouble(2), "p50 <= p95")
+      // the interpolated value can differ from the discrete rank
+      // statistic by at most one inter-element gap; loosely: it stays
+      // within the exact p50/p95 bracket widened by either neighbor
+      assert(math.abs(r.getDouble(1) - p50) <= p50 * 0.01,
+        s"cont p50 must sit near the discrete p50: ${r.getDouble(1)} vs $p50")
+      assert(math.abs(r.getDouble(2) - p95) <= p95 * 0.01)
+    }
+    operators.Relational.qQuantilesHist(spark, sf).collect().foreach { r =>
+      val (p50, p95) = exact(r.getString(0))
+      val (e50, e95) = (r.getDouble(1), r.getDouble(2))
+      assert(e50 >= p50 && e50 <= p50 + 500.0,
+        s"hist p50 is the covering bucket's upper bound: $e50 vs exact $p50")
+      assert(e95 >= p95 && e95 <= p95 + 500.0)
+    }
+  }
+
+  // --- events_heatmap --------------------------------------------------------
+
+  test("heatmap: 7x24 calendar cells cover every event; dow matches Spark's calendar") {
+    val ev = sources.Tables.events(spark, sf).filter($"ts".isNotNull)
+    val cells = operators.Telemetry.heatmap(spark, sf).collect()
+    assert(cells.map(_.getLong(2)).sum == ev.count())
+    cells.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 6 && r.getLong(1) >= 0 && r.getLong(1) <= 23)
+    }
+    // integer-µs weekday must agree with Spark's own calendar function
+    // (dayofweek: 1 = Sunday … 7 = Saturday, in the session UTC zone)
+    val disagree = ev.select(
+      pmod(expr("unix_micros(ts) div 86400000000") + 4L, lit(7L)).as("a"),
+      (dayofweek($"ts") - 1).cast("long").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(disagree == 0, "integer dow formula must equal dayofweek()-1 under UTC")
+  }
+
+  // --- text_lexdiv -----------------------------------------------------------
+
+  test("lexdiv: types/hapax on an engineered doc; invariants corpus-wide") {
+    val tmp = java.nio.file.Files.createTempDirectory("lexdiv").toString
+    Seq((0L, "x x y", "en", "s", 5L), (1L, "a b c d", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.TextAnalysis.lexdiv(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((3L, 2L, 1L)), "'x x y': 3 tokens, 2 types, 1 hapax")
+    assert(got(1L) == ((4L, 4L, 4L)), "all-distinct doc: every token is a hapax")
+    operators.TextAnalysis.lexdiv(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1),
+        "hapax <= types <= tokens")
+    }
+  }
+
   // --- corpus_profile ------------------------------------------------------
 
   test("profile: one scan, exact counts, no nulls in the synthetic corpus") {
