@@ -128,6 +128,7 @@ object SparkEntry {
     "corpus_compact" -> ((s: SparkSession, d: String) => Curation.compact(s, d)),
     "corpus_diff" -> (Curation.snapshotDiff _),
     "corpus_timetravel" -> ((s: SparkSession, d: String) => Curation.timeTravel(s, d)),
+    "corpus_vacuum" -> ((s: SparkSession, d: String) => Curation.vacuum(s, d)),
     "text_boilerplate" -> ((s: SparkSession, d: String) => Curation.boilerplate(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     "text_ngram_lm" -> (TextAnalysis.ngramLm _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "mm_framesample" -> ((s: SparkSession, d: String) => Frames.frameSample(s, d)),
     "mm_audio" -> (Multimodal.audio _),
     "mm_audio_downsample" -> (Multimodal.audioDownsample _),
+    "mm_audio_stats" -> (Multimodal.audioStats _),
     "mm_video" -> (Multimodal.video _),
     "mm_video_trim" -> (Multimodal.videoTrim _),
     "mm_phash" -> ((s: SparkSession, d: String) => Multimodal.phash(s, d)),
@@ -1539,6 +1541,44 @@ object SparkEntry {
         |           WHEN lang = 'es' THEN 8000 ELSE 22050 END AS rate,
         |      strlen(text) - strlen(text) % ((doc_id % 2 + 1) * 2) AS dl
         |    FROM documents) a) t""".stripMargin,
+    // retained snapshots >= 2 read: every rev >= 2, plus the latest
+    // rev <= 2 per doc; anything older is deletable
+    "corpus_vacuum" ->
+      """WITH docs AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+        |log AS (SELECT doc_id, 1 AS rev, n_chars FROM docs
+        |  UNION ALL SELECT doc_id, 2, n_chars + 7 FROM docs WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, 3, n_chars + 14 FROM docs WHERE doc_id % 21 = 0
+        |  UNION ALL SELECT doc_id + 100000, 2, n_chars FROM docs WHERE doc_id % 13 = 0),
+        |r AS (SELECT *,
+        |    MAX(CASE WHEN rev <= 2 THEN rev END) OVER (PARTITION BY doc_id) AS max_below
+        |  FROM log)
+        |SELECT CAST(rev AS BIGINT) AS rev, COUNT(*) AS n_revisions,
+        |  CAST(COUNT(*) FILTER (WHERE NOT (rev >= 2 OR rev = max_below)) AS BIGINT) AS n_deletable,
+        |  CAST(COALESCE(SUM(n_chars) FILTER (WHERE NOT (rev >= 2 OR rev = max_below)), 0) AS BIGINT) AS bytes_deletable
+        |FROM r GROUP BY rev""".stripMargin,
+    // s16le walk over the RIFF-located payload: byte pairs to SIGNED
+    // samples (>= 32768 wraps negative), integer amplitude stats
+    "mm_audio_stats" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    strlen(text) - strlen(text) % ((doc_id % 2 + 1) * 2) AS dl
+        |  FROM documents),
+        |raw AS (SELECT doc_id, dl,
+        |    list_transform(range(0, dl // 2), i ->
+        |      CAST(('0x' || substr(hex(encode(text)), 4*i+1, 2)) AS BIGINT)
+        |      + 256 * CAST(('0x' || substr(hex(encode(text)), 4*i+3, 2)) AS BIGINT)) AS rs
+        |  FROM base),
+        |sgn AS (SELECT doc_id, dl,
+        |    list_transform(rs, x -> ABS(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END)) AS absl
+        |  FROM raw)
+        |SELECT doc_id,
+        |  CAST(dl // 2 AS BIGINT) AS n_samples,
+        |  CAST(COALESCE(list_max(absl), 0) AS BIGINT) AS peak_abs,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), absl), (a, b) -> a + b) AS sum_abs,
+        |  CAST(len(list_filter(absl, a -> a > 32000)) AS BIGINT) AS n_loud,
+        |  CASE WHEN dl // 2 > 0
+        |    THEN (list_reduce(list_prepend(CAST(0 AS BIGINT), absl), (a, b) -> a + b) * 1000) // (dl // 2)
+        |    ELSE 0 END AS mean_abs_milli
+        |FROM sgn""".stripMargin,
     "mm_framesample" ->
       """SELECT device_id, COUNT(*) AS n_sampled,
         |  CAST(SUM(ssum) AS BIGINT) AS sample_sum,

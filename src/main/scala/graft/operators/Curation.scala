@@ -461,23 +461,56 @@ object Curation {
     * ignore rev 3 (latest-below-cutoff, not latest). Per-key state is
     * ∝ visible revisions of that key; n_visible audits how much
     * history the read consulted. */
-  def timeTravel(spark: SparkSession, dir: String, asOfRev: Long = 2L): DataFrame = {
+  /** The simulated three-commit version log shared by [[timeTravel]]
+    * and [[vacuum]]: rev 1 = the crawl, rev 2 revises every 7th doc
+    * (+7 chars) and discovers every 13th under a new id, rev 3
+    * re-revises every 21st (+14). */
+  private def revLog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", length($"text").cast(LongType).as("n_chars"))
-    val log = docs.select($"doc_id", lit(1L).as("rev"), $"n_chars")
+    docs.select($"doc_id", lit(1L).as("rev"), $"n_chars")
       .unionByName(docs.filter($"doc_id" % 7 === 0)
         .select($"doc_id", lit(2L).as("rev"), ($"n_chars" + 7L).as("n_chars")))
       .unionByName(docs.filter($"doc_id" % 21 === 0)
         .select($"doc_id", lit(3L).as("rev"), ($"n_chars" + 14L).as("n_chars")))
       .unionByName(docs.filter($"doc_id" % 13 === 0)
         .select(($"doc_id" + 100000L).as("doc_id"), lit(2L).as("rev"), $"n_chars"))
+  }
+
+  def timeTravel(spark: SparkSession, dir: String, asOfRev: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val log = revLog(spark, dir)
     val w = Window.partitionBy($"doc_id").orderBy($"rev".desc)
     log.filter($"rev" <= asOfRev)
       .withColumn("rn", row_number().over(w))
       .withColumn("n_visible", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .filter($"rn" === 1)
       .select($"doc_id", $"rev", $"n_chars", $"n_visible")
+  }
+
+  /** Expire-snapshots planning ([[timeTravel]]'s maintenance
+    * counterpart — the VACUUM/expire_snapshots every versioned lake
+    * table eventually needs, or the version log grows without
+    * bound): retaining only snapshots ≥ `cutoff`, a revision stays
+    * REACHABLE iff some retained snapshot reads it. Since a
+    * snapshot s reads latest(doc, rev ≤ s), the reachable set per
+    * document collapses to a clean rule — every rev ≥ cutoff, plus
+    * the latest rev ≤ cutoff (the one an as-of-cutoff read resolves
+    * to); everything older is safely deletable. One window shuffle
+    * on doc_id computes that latest-below mark, the per-rev manifest
+    * is one partial-aggregated count — shuffle ∝ log metadata, never
+    * document bodies. */
+  def vacuum(spark: SparkSession, dir: String, cutoff: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id")
+    revLog(spark, dir)
+      .withColumn("max_below", max(when($"rev" <= cutoff, $"rev")).over(w))
+      .withColumn("reachable", $"rev" >= cutoff || $"rev" === $"max_below")
+      .groupBy($"rev")
+      .agg(count(lit(1)).as("n_revisions"),
+        count(when(!$"reachable", 1)).as("n_deletable"),
+        coalesce(sum(when(!$"reachable", $"n_chars")), lit(0L)).as("bytes_deletable"))
   }
 
   /** Snapshot diff — the audit half of [[corpusMerge]]'s CDC story

@@ -136,6 +136,30 @@ object Multimodal {
     * to frame rounding, which the spec asserts. Sample-accurate
     * decimation (every other frame) would sit at the payload step
     * exactly like pixel resampling for images. */
+  /** Amplitude feature extraction over the audio payload — the
+    * loudness/VAD-style pass a speech pipeline runs before deciding
+    * what to keep: the data chunk located by the RIFF parse (never by
+    * formula) is walked as SIGNED s16le samples by the native
+    * [[graft.plans.PcmStats]] expression — peak/mean absolute
+    * amplitude, loud-sample count. Integer outputs, scan-local, zero
+    * shuffle; high payload bytes (≥ 0x80) flip sample signs, which
+    * the non-ASCII corpus exercises. */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packedAudio(spark, dir)
+      .withColumn("m", Audio.decode($"blob"))
+      .withColumn("s", Audio.pcmStats($"blob",
+        $"m.payload_off".cast(LongType), $"m.data_len".cast(LongType)))
+      .select($"doc_id",
+        $"s.n_samples".as("n_samples"),
+        $"s.peak_abs".as("peak_abs"),
+        $"s.sum_abs".as("sum_abs"),
+        $"s.n_loud".as("n_loud"),
+        when($"s.n_samples" > 0L,
+          expr("(s.sum_abs * 1000) div s.n_samples")).otherwise(0L)
+          .as("mean_abs_milli"))
+  }
+
   def audioDownsample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     packedAudio(spark, dir)

@@ -29,6 +29,10 @@ object Audio {
       ColumnBridge.expression(payload)))
   def decode(blob: Column): Column =
     ColumnBridge.column(DecodeWavMeta(ColumnBridge.expression(blob)))
+  def pcmStats(blob: Column, off: Column, len: Column): Column =
+    ColumnBridge.column(PcmStats(
+      ColumnBridge.expression(blob), ColumnBridge.expression(off),
+      ColumnBridge.expression(len)))
 
   val HeaderLen = 44     // canonical PCM: RIFF(12) + fmt(24) + data header(8)
   val Bits = 16          // PCM s16le, the overwhelmingly common layout
@@ -131,6 +135,55 @@ case class PackWav(first: Expression, second: Expression, third: Expression)
   override def nullable: Boolean = true
   override protected def nullSafeEval(c: Any, r: Any, p: Any): Any =
     Audio.packWav(c.asInstanceOf[Long], r.asInstanceOf[Long], p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
+}
+
+/** (blob, payload_off int64, data_len int64) → struct(n_samples,
+  * peak_abs, sum_abs, n_loud): amplitude statistics over the payload
+  * interpreted as s16le PCM — the loudness/VAD feature pass of an
+  * audio pipeline, walking the SIGNED little-endian samples (high
+  * bytes ≥ 0x80 flip the sign, which the non-ASCII corpus
+  * exercises). Integer outputs only, so any engine that walks the
+  * same bytes reproduces them exactly. Null on a window that exceeds
+  * the blob (quarantine, consistent with the codec). */
+case class PcmStats(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](BinaryType, LongType, LongType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("n_loud", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  /** |sample| > LoudAbs counts as loud — above what a lowercase-text
+    * payload can reach (high byte ≤ 'z' = 0x7a ⇒ |s| ≤ 31354), though
+    * not above ALL of ASCII ('~~' = 32382); sign-flipped samples
+    * (high byte ≥ 0x80) land here via the negative range. */
+  val LoudAbs = 32000
+
+  override protected def nullSafeEval(v: Any, o: Any, l: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val off = o.asInstanceOf[Long].toInt
+    val len = l.asInstanceOf[Long].toInt
+    if (off < 0 || len < 0 || off + len > b.length) return null
+    val n = len / 2
+    var i = 0
+    var peak = 0L
+    var sum = 0L
+    var loud = 0L
+    while (i < n) {
+      val s = (((b(off + 2 * i) & 0xff) | ((b(off + 2 * i + 1) & 0xff) << 8)).toShort).toInt
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      sum += a
+      if (a > LoudAbs) loud += 1
+      i += 1
+    }
+    InternalRow(n.toLong, peak, sum, loud)
+  }
+
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
 }

@@ -311,6 +311,41 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  // --- corpus_vacuum ---------------------------------------------------------
+
+  test("vacuum: only pre-cutoff superseded revisions are deletable") {
+    val m = operators.Curation.vacuum(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // retained snapshots (>= 2) read rev 2 and rev 3 directly — never deletable
+    assert(m(2L)._2 == 0L && m(3L)._2 == 0L,
+      "revisions at or above the cutoff stay reachable")
+    // a rev-1 copy is deletable exactly when rev 2 superseded it (%7 docs)
+    val revised = sources.Tables.documents(spark, sf)
+      .filter($"doc_id" % 7 === 0).count()
+    assert(m(1L)._2 == revised,
+      s"rev-1 deletables must equal the rev-2 revision count: ${m(1L)._2} vs $revised")
+  }
+
+  // --- mm_audio_stats --------------------------------------------------------
+
+  test("audio stats: signed s16le walk — engineered samples, sign flip on high bytes") {
+    val tmp = java.nio.file.Files.createTempDirectory("pcm").toString
+    // doc 0 (1 channel): "AB" -> one sample 0x4241 = 16961, quiet;
+    // doc 2 (1 channel): the euro sign (UTF-8 E2 82 AC, truncated to
+    // one frame) -> raw 0x82E2 = 33506 -> signed -32030 -> loud
+    Seq((0L, "AB", "en", "s", 2L), (2L, "€", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.Multimodal.audioStats(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got(0L) == ((1L, 16961L, 0L)), "little-endian pair: 0x41 + 256*0x42")
+    assert(got(2L) == ((1L, 32030L, 1L)), "high byte 0x82 flips the sign: |‑32030| is loud")
+    // the lowercase-text corpus can never reach the loud band
+    // (high byte <= 'z' = 0x7a caps |s| at 31354)
+    val loud = operators.Multimodal.audioStats(spark, sf).agg(sum($"n_loud")).head.getLong(0)
+    assert(loud == 0L, "lowercase-text payloads cap below the loud threshold")
+  }
+
   // --- corpus_profile ------------------------------------------------------
 
   test("profile: one scan, exact counts, no nulls in the synthetic corpus") {
