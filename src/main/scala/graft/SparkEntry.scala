@@ -103,6 +103,7 @@ object SparkEntry {
     "embed_kmeans" -> ((s: SparkSession, d: String) => Similarity.kmeans(s, d)),
     "dedup_semdedup" -> ((s: SparkSession, d: String) => Similarity.semdedup(s, d)),
     "ann_refine" -> ((s: SparkSession, d: String) => Similarity.refineTopK(s, d)),
+    "embed_profile" -> (Similarity.embedProfile _),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -857,6 +858,19 @@ object SparkEntry {
          |  FROM ipq i JOIN embeddings q ON q.vec_id = i.query_id
          |  JOIN embeddings e ON e.vec_id = i.neighbor_id) t
          |WHERE rnk <= 5""".stripMargin,
+    // norm-squared sums export as floor(v*1e6) integers: a raw double
+    // sum would be aggregation-order-dependent
+    "embed_profile" ->
+      s"""WITH p AS (SELECT label, ${dot("embedding", "embedding")} AS n2,
+         |    len(embedding) AS dim,
+         |    len(list_filter(embedding, x -> x = 0)) AS zeros
+         |  FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(MIN(dim) AS BIGINT) AS dim_min, CAST(MAX(dim) AS BIGINT) AS dim_max,
+         |  MIN(n2) AS norm2_min, MAX(n2) AS norm2_max,
+         |  CAST(SUM(CAST(FLOOR(n2 * 1000000.0) AS BIGINT)) AS BIGINT) AS norm2_micro_sum,
+         |  CAST(SUM(zeros) AS BIGINT) AS n_zero_dims
+         |FROM p GROUP BY label""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (
         |  SELECT doc_id, lang,

@@ -173,6 +173,32 @@ object Similarity {
       .filter($"rnk" <= k)
   }
 
+  /** Embedding-corpus validation profile — the pre-flight every ANN
+    * index build runs before paying for it (a handful of zero or
+    * denormal vectors silently poisons cosine scores; a ragged dim
+    * breaks PQ sub-spacing): per label, vector counts, dimension
+    * bounds, exact-zero component counts, and norm² extremes. All
+    * scan-local fold-exact math; the only cross-group traffic is the
+    * tiny per-label aggregate. Norm² SUMS export as floor(v·1e6)
+    * integers — a raw double sum would be aggregation-order-
+    * dependent. */
+  def embedProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label",
+        VecFns.normSq($"embedding").as("n2"),
+        size($"embedding").as("dim"),
+        size(filter($"embedding", x => x === lit(0.0f))).as("zeros"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min($"dim").cast(LongType).as("dim_min"),
+        max($"dim").cast(LongType).as("dim_max"),
+        min($"n2").as("norm2_min"),
+        max($"n2").as("norm2_max"),
+        sum(floor($"n2" * 1000000.0d).cast(LongType)).as("norm2_micro_sum"),
+        sum($"zeros").cast(LongType).as("n_zero_dims"))
+  }
+
   def bruteTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
