@@ -41,6 +41,8 @@ object SparkEntry {
     "q_quantiles_hist" -> ((s: SparkSession, d: String) => Relational.qQuantilesHist(s, d)),
     "q_skewjoin" -> (Relational.qSkewJoin _),
     "q_bucket_join" -> ((s: SparkSession, d: String) => Relational.qBucketJoin(s, d)),
+    "q_partition_prune" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sinks.partitionPrunedRollup(s, d)),
     "q_unpivot" -> ((s: SparkSession, d: String) => Relational.qUnpivot(s, d)),
     "q_intersect" -> ((s: SparkSession, d: String) => Relational.qIntersect(s, d)),
     "q_except" -> ((s: SparkSession, d: String) => Relational.qExcept(s, d)),
@@ -1007,6 +1009,13 @@ object SparkEntry {
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
+    // partitioned layout is a pure layout property: the oracle is the
+    // plain filtered rollup over the source table
+    "q_partition_prune" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id""".stripMargin,
     // bucketing is a pure layout property: the oracle is the plain join
     "q_bucket_join" ->
       """SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,

