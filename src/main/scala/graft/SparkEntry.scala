@@ -51,6 +51,7 @@ object SparkEntry {
     "q_stringagg" -> (Relational.qStringAgg _),
     "q_corr_subquery" -> (Relational.qCorrSubquery _),
     "q_argmax" -> (Relational.qArgmax _),
+    "q_topk_group" -> ((s: SparkSession, d: String) => Relational.qTopKGroup(s, d)),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "dedup_semdedup" -> ((s: SparkSession, d: String) => Similarity.semdedup(s, d)),
     "ann_refine" -> ((s: SparkSession, d: String) => Similarity.refineTopK(s, d)),
     "embed_profile" -> (Similarity.embedProfile _),
+    "embed_quantize" -> (Similarity.quantize _),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -115,6 +117,8 @@ object SparkEntry {
     "q_cms_topterms" -> ((s: SparkSession, d: String) => TextAnalysis.cmsTopTerms(s, d)),
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "sample_strata" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStrata(s, d)),
+    "sample_weighted" -> ((s: SparkSession, d: String) => TextAnalysis.sampleWeighted(s, d)),
+    "text_hashvec" -> ((s: SparkSession, d: String) => TextAnalysis.hashVec(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redact(s, d)),
     "corpus_pipeline" -> ((s: SparkSession, d: String) => TextAnalysis.corpusPipeline(s, d)),
@@ -146,6 +150,7 @@ object SparkEntry {
     "frame_extract" -> (Frames.extract _),
     "frame_stats" -> (Frames.stats _),
     "frame_wire" -> ((s: SparkSession, d: String) => Frames.wire(s, d)),
+    "frame_lookup" -> ((s: SparkSession, d: String) => Frames.lookup(s, d)),
     // G. multimodal
     "mm_meta" -> (Multimodal.meta _),
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
@@ -873,6 +878,22 @@ object SparkEntry {
          |  CAST(SUM(CAST(FLOOR(n2 * 1000000.0) AS BIGINT)) AS BIGINT) AS norm2_micro_sum,
          |  CAST(SUM(zeros) AS BIGINT) AS n_zero_dims
          |FROM p GROUP BY label""".stripMargin,
+    // floor(v + 0.5) spelled out on both sides — round() is
+    // half-to-even vs half-away across engines; scale and the q_*
+    // checksums replay the identical IEEE expression order
+    "embed_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, ma,
+        |    list_transform(embedding, x -> CASE WHEN ma > 0
+        |      THEN CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END) AS qs
+        |  FROM m)
+        |SELECT vec_id, ma / 127.0 AS scale,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qs), (a,b) -> a+b) AS BIGINT) AS q_sum,
+        |  list_min(qs) AS q_min, list_max(qs) AS q_max
+        |FROM q""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (
         |  SELECT doc_id, lang,
@@ -1054,6 +1075,18 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source, bucket FROM (
          |  SELECT doc_id, lang, source, ${ph("text")} % 100 AS bucket FROM documents) t
          |WHERE bucket < 20""".stripMargin,
+    "sample_weighted" ->
+      s"""SELECT doc_id, source, n_chars,
+         |  CAST(LEAST(1000, n_chars * 1000 // 600) AS BIGINT) AS w_millis
+         |FROM documents
+         |WHERE ${ph("text")} % 1000 < LEAST(1000, n_chars * 1000 // 600)""".stripMargin,
+    "text_hashvec" ->
+      s"""SELECT source, bucket, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT doc_id, source, ${ph("term")} % 64 AS bucket FROM (
+         |  SELECT doc_id, source,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents) u) t
+         |GROUP BY source, bucket""".stripMargin,
     "q_cms_topterms" ->
       s"""WITH terms AS (SELECT DISTINCT doc_id, term FROM (
          |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
@@ -1471,6 +1504,19 @@ object SparkEntry {
         |    (a,b) -> a+b)) AS BIGINT) AS sample_sum,
         |  TRUE AS sync_ok
         |FROM events GROUP BY user_id""".stripMargin,
+    // the index is a pure access-path property: the oracle is the
+    // plain time-window query over the source events (window =
+    // 2024-01-05 .. 2024-01-08 UTC in epoch seconds, matching the
+    // frame codec's unix_micros div 1000000 truncation)
+    "frame_lookup" ->
+      """SELECT user_id AS device_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768)),
+        |    (a,b) -> a+b)) AS BIGINT) AS sample_sum
+        |FROM events
+        |WHERE epoch_us(ts) // 1000000 >= 1704412800
+        |  AND epoch_us(ts) // 1000000 < 1704672000
+        |GROUP BY user_id""".stripMargin,
     // blob sizes and payload bytes are UTF-8 BYTE quantities:
     // strlen() (bytes), not length() (code points), and the payload
     // head sum walks the hex of the encoded text — exact for any
@@ -1647,6 +1693,16 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n_customers
         |  FROM customer) t JOIN nation ON n_nationkey = c_nationkey
         |WHERE rn = 1""".stripMargin,
+    // the oracle restates top-k as the window formulation the native
+    // bounded-heap aggregate replaces; identical ordering contract
+    // (value desc, key asc) makes the two bit-comparable
+    "q_topk_group" ->
+      """SELECT n_name, rnk, c_custkey, c_acctbal FROM (
+        |  SELECT n_name, c_custkey, c_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rnk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rnk <= 3""".stripMargin,
     "events_funnel3" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id),

@@ -157,6 +157,76 @@ object Frames {
         max($"parsed.ts_secs".cast(LongType)).as("last_ts_secs"))
   }
 
+  /** Secondary MIN/MAX index over the persisted frame-blob sink
+    * (`frame_lookup`): blobs are keyed by (device_id, blob_seq) but
+    * the query attribute is TIME — a tiny index table of per-blob
+    * (min_ts_secs, max_ts_secs) locates the blobs overlapping a time
+    * window, the surviving keys BROADCAST into a join against the
+    * blob table, and only those blobs are split and parsed. At 100 TB
+    * the index is one row per blob (thousands of rows per PB), scans
+    * in milliseconds, and turns "decode every container in the
+    * corpus" into "decode the ~window/retention fraction" — the
+    * metadata-file pattern lakehouse table formats use for data
+    * skipping, applied to an opaque binary column a parquet scan
+    * cannot prune on by itself.
+    *
+    * The index build is a COLUMN-PRUNED scan of the blob table (key
+    * columns only, never the wire bytes) — no second pass over the
+    * data. Blobs roll in event order, which is time order, so each
+    * blob's [min, max] span is narrow and the index is selective; the
+    * operator fails loudly if the lookup did not actually prune, and
+    * the exact window filter re-applies post-parse (blobs straddling
+    * a window edge contain out-of-window frames). */
+  def lookup(spark: SparkSession, dir: String,
+      loSec: Long = 1704412800L, hiSec: Long = 1704672000L,
+      framesPerBlob: Int = 8): DataFrame = {
+    import spark.implicits._
+    val framed = parsedFrames(spark, dir)
+      .select($"user_id".as("device_id"), $"event_id", $"frame",
+        $"parsed.ts_secs".cast(LongType).as("ts_secs"))
+    val byDevice = Window.partitionBy($"device_id").orderBy($"event_id".asc)
+    val rolled = framed
+      .withColumn("blob_seq", floor((row_number().over(byDevice) - 1) / framesPerBlob))
+      .groupBy($"device_id", $"blob_seq")
+      .agg(sort_array(collect_list(struct($"event_id", $"frame"))).as("fs"),
+        min($"ts_secs").as("min_ts_secs"), max($"ts_secs").as("max_ts_secs"))
+      .select($"device_id", $"blob_seq",
+        Frame.binJoin(transform($"fs", f => f.getField("frame")), 0x3a).as("wire"),
+        $"min_ts_secs", $"max_ts_secs")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fidx_")
+    graft.streaming.StreamRelay.deleteOnExit(tmp)
+    rolled.write.mode("overwrite").parquet(s"$tmp/blobs")
+    spark.read.parquet(s"$tmp/blobs")
+      .select($"device_id", $"blob_seq", $"min_ts_secs", $"max_ts_secs")
+      .write.mode("overwrite").parquet(s"$tmp/index")
+
+    val index = spark.read.parquet(s"$tmp/index")
+    val hits = index
+      .filter($"max_ts_secs" >= loSec && $"min_ts_secs" < hiSec)
+      .select($"device_id", $"blob_seq")
+    val total = index.count()
+    val kept = hits.count()
+    if (kept == 0L || kept >= total)
+      throw new IllegalStateException(
+        s"secondary index did not prune: $kept of $total blobs survive " +
+          s"[$loSec, $hiSec) — a lookup that decodes everything is a scan, not an index")
+
+    val unit = Frame.FrameLen + 1
+    val n = (octet_length($"wire") / unit).cast(LongType)
+    spark.read.parquet(s"$tmp/blobs")
+      .join(broadcast(hits), Seq("device_id", "blob_seq"))
+      .select($"device_id",
+        explode(transform(sequence(lit(0L), n - 1),
+          i => $"wire".substr((i * unit + 1).cast("int"), lit(Frame.FrameLen)))).as("frame"))
+      .withColumn("parsed", Frame.unpack($"frame"))
+      .filter($"parsed.ts_secs".cast(LongType) >= loSec &&
+        $"parsed.ts_secs".cast(LongType) < hiSec)
+      .groupBy($"device_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(aggregate(transform($"parsed.samples", s => s.cast(LongType)), lit(0L), _ + _))
+          .as("sample_sum"))
+  }
+
   /** Per-device stats over parsed sample payloads. */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

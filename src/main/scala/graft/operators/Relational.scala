@@ -706,4 +706,24 @@ object Relational {
     top.join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
       .select($"n_name", $"top_custkey", $"top_acctbal", $"n_customers")
   }
+
+  /** Per-group top-K (each nation's k highest-balance customers) via
+    * the bounded-heap aggregate (graft.plans.TopKPairs): at most k
+    * (value, key) structs live in any aggregation buffer and at most
+    * k cross the shuffle per group, where the window formulation
+    * shuffles and sorts EVERY customer row to discard all but k.
+    * Generalizes q_argmax's max(struct) election from k = 1 to any k;
+    * ties are deterministic (value desc, key asc). Rank materializes
+    * from the array position (posexplode), not a second sort. */
+  def qTopKGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    Tables.customer(spark, dir)
+      .groupBy($"c_nationkey")
+      .agg(graft.plans.Sketch.topKPairs($"c_acctbal", $"c_custkey", k).as("top"))
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", posexplode($"top"))
+      .select($"n_name", ($"pos" + 1).cast(LongType).as("rnk"),
+        $"col.key".as("c_custkey"), $"col.value".as("c_acctbal"))
+  }
 }

@@ -359,6 +359,34 @@ object Similarity {
         $"lost".isNull.as("keep"))
   }
 
+  /** Symmetric int8 quantization of the embedding corpus — the 4×
+    * memory cut that lets a 100 TB float32 vector corpus serve ANN
+    * from a quarter of the RAM (and combines with PQ for more): per
+    * vector, scale = max|x|/127 and q_i = floor(x_i·127/max|x| + 0.5)
+    * ∈ [-127, 127]. Entirely scan-local — zero shuffle, no
+    * per-partition state, the whole transform runs inside the scan's
+    * codegen stage over codegen'd higher-order array functions. The
+    * rounding is floor(v + 0.5) written out explicitly, NOT round():
+    * engines disagree on round-half-to-even vs half-away, floor is
+    * IEEE-identical everywhere. Output checksums (q_sum, q_min,
+    * q_max) make the quantized payload oracle-comparable without
+    * shipping 64 columns. All-zero vectors quantize to all-zero
+    * codes (scale 0) rather than dividing by zero. */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xd = transform($"embedding", x => x.cast(DoubleType))
+    val ma = array_max(transform(xd, abs(_)))
+    val q = when(ma > 0d,
+      transform(xd, x => floor(x * lit(127.0d) / ma + lit(0.5d))))
+      .otherwise(transform(xd, _ => lit(0L)))
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", (ma / lit(127.0d)).as("scale"), q.as("q"))
+      .select($"vec_id", $"scale",
+        aggregate($"q", lit(0L), _ + _).as("q_sum"),
+        array_min($"q").as("q_min"),
+        array_max($"q").as("q_max"))
+  }
+
   /** LSH-bucketed ANN: vectors meet only within their 4-plane
     * hyperplane-signature bucket (equi-join, shuffle ∝ data), top-3
     * in-bucket neighbors per vector. */

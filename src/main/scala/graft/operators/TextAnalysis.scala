@@ -252,6 +252,44 @@ object TextAnalysis {
       .select($"doc_id", $"lang", $"source", $"bucket")
   }
 
+  /** Deterministic WEIGHTED sampling: each document keeps with
+    * probability proportional to its length (capped at 1), decided by
+    * content hash against a per-doc threshold — the quality/length-
+    * weighted subsetting step of a training-data mix, made auditable:
+    * the same doc always makes the same keep/drop decision on any
+    * run, engine, or cluster size, unlike rand() < w. All integer
+    * arithmetic (w_millis = least(1000, n_chars·1000 div 600) vs
+    * hash mod 1000), so the oracle replays it exactly. Scan-local:
+    * zero shuffle, the filter runs inside the scan's codegen stage. */
+  def sampleWeighted(spark: SparkSession, dir: String, denomChars: Long = 600L): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("w_millis",
+        least(lit(1000L), expr(s"n_chars * 1000 div $denomChars")))
+      .filter(pmod(HashFns.polyHash($"text"), lit(1000L)) < $"w_millis")
+      .select($"doc_id", $"source", $"n_chars", $"w_millis")
+  }
+
+  /** Feature-hashing vectorizer (the hashing trick): terms map to a
+    * FIXED bucket space (polyHash mod 64) instead of a learned
+    * vocabulary, so the feature dimension — and every downstream
+    * model input — is constant no matter how many distinct terms the
+    * corpus holds. At 100 TB that removes the vocabulary build
+    * entirely: no global term dictionary, no dictionary broadcast, no
+    * OOV handling — the map side needs only the hash function. One
+    * explode + one partial-aggregated shuffle keyed by (source,
+    * bucket): at most sources×64 cells cross the wire regardless of
+    * corpus size; the distinct-doc count rides the same aggregation. */
+  def hashVec(spark: SparkSession, dir: String, buckets: Long = 64L): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", explode(TextFns.tokens($"text")).as("term"))
+      .groupBy($"source",
+        pmod(HashFns.polyHash($"term"), lit(buckets)).as("bucket"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct($"doc_id").as("n_docs"))
+  }
+
   /** Benchmark decontamination: find training docs (doc_id ≥ holdout)
     * sharing any 5-token shingle with the holdout/eval set
     * (doc_id < holdout) — the standard n-gram overlap detector.

@@ -31,6 +31,11 @@ object Sketch {
   def kMinValues(e: Column, k: Int): Column =
     ColumnBridge.column(KMinValues(ColumnBridge.expression(e), k)
       .toAggregateExpression())
+  /** Per-group top-k (value desc, key asc) with a bounded buffer —
+    * see [[TopKPairs]]. */
+  def topKPairs(value: Column, key: Column, k: Int): Column =
+    ColumnBridge.column(TopKPairs(ColumnBridge.expression(value),
+      ColumnBridge.expression(key), k).toAggregateExpression())
   def countMin(e: Column, w: Int = CountMin.DefaultW): Column =
     ColumnBridge.column(CountMin(ColumnBridge.expression(e), w)
       .toAggregateExpression())
@@ -132,6 +137,104 @@ case class CountMin(child: Expression, w: Int,
   override def withNewMutableAggBufferOffset(offset: Int): CountMin =
     copy(mutableAggBufferOffset = offset)
   override def withNewInputAggBufferOffset(offset: Int): CountMin =
+    copy(inputAggBufferOffset = offset)
+}
+
+/** Per-group top-k as a custom Catalyst aggregate — the ranking twin
+  * of [[KMinValues]]: a bounded heap of at most k (value, key) pairs
+  * per aggregation buffer, so electing "top k per group" partial-
+  * aggregates map-side and the shuffle carries AT MOST k structs per
+  * group — where the window-function formulation
+  * (`row_number() OVER (PARTITION BY g ORDER BY v DESC)` then
+  * `rn <= k`) must shuffle EVERY row and sort every group just to
+  * throw all but k rows away. At 100 TB that is the difference
+  * between a shuffle sized by groups·k and one sized by the fact
+  * table. Extends q_argmax's max(struct) trick (k = 1) to any k.
+  *
+  * Ordering is total and deterministic: value DESC, key ASC on ties.
+  * CONTRACT: (value, key) pairs are distinct within a group (true
+  * whenever key is unique, e.g. a primary key) — the buffer is a
+  * sorted set, so a duplicated pair would collapse to one entry.
+  * Result is the rank-ordered array of (key, value) structs, so
+  * posexplode yields rank = pos + 1 and the whole output is
+  * bit-comparable with the oracle's ROW_NUMBER formulation. */
+case class TopKPairs(value: Expression, key: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]]
+    with ExpectsInputTypes {
+
+  require(k >= 1, s"TopKPairs requires k >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(value, key)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression = copy(value = cs(0), key = cs(1))
+  override def inputTypes: Seq[DataType] = Seq[DataType](DoubleType, LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  /** Best-first total order: larger value first, smaller key first. */
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
+    new java.util.TreeSet[(Double, Long)](ord)
+
+  override def update(buf: java.util.TreeSet[(Double, Long)],
+      input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+    val v = value.eval(input)
+    val ky = key.eval(input)
+    if (v != null && ky != null) {
+      buf.add((v.asInstanceOf[Double], ky.asInstanceOf[Long]))
+      if (buf.size > k) buf.pollLast()      // evict the current worst
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[(Double, Long)],
+      b2: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+    b1.addAll(b2)
+    while (b1.size > k) b1.pollLast()
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (v, ky) = it.next()
+      out(i) = InternalRow(ky, v)           // rank order (best first)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val (v, ky) = it.next(); bb.putDouble(v); bb.putLong(ky) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val set = new java.util.TreeSet[(Double, Long)](ord)
+    var i = 0
+    while (i < n) { set.add((bb.getDouble(), bb.getLong())); i += 1 }
+    set
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKPairs =
     copy(inputAggBufferOffset = offset)
 }
 

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: bounded-heap per-group top-k, frame-blob
+  * secondary index, weighted sampling, feature hashing, int8
+  * embedding quantization. */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  // --- q_topk_group --------------------------------------------------------
+
+  test("topk group: bounded-heap result equals the window formulation, Window-free") {
+    val cust = sources.Tables.customer(spark, sf)
+    val nat = sources.Tables.nation(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    val expect = cust.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"rn".cast("long"), $"c_custkey", $"c_acctbal")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val df = operators.Relational.qTopKGroup(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect, "heap election must equal the window rank<=k result")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "top-k is a partial-aggregated bounded heap, never a per-group sort")
+    assert(plan.contains("ObjectHashAggregate"),
+      "the typed aggregate must run in partial/final mode (map-side combine)")
+  }
+
+  test("topk buffer: eviction and merge keep at most k pairs, best first") {
+    // drive the aggregate through real grouped data: one group, many
+    // rows, k=2 — exercises update-evict and partial merge across
+    // the 4 shuffle partitions
+    val rows = (1L to 100L).map(i => ("g", i.toDouble % 17, i))
+    val out = rows.toDF("g", "v", "id")
+      .groupBy($"g").agg(plans.Sketch.topKPairs($"v", $"id", 2).as("top"))
+      .select(explode($"top")).select($"col.key", $"col.value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // v = i mod 17: max value 16.0 first at id 16, then id 33
+    assert(out.toSeq == Seq((16L, 16.0), (33L, 16.0)),
+      s"exactly k pairs, value desc then key asc: ${out.toSeq}")
+  }
+
+  // --- frame_lookup --------------------------------------------------------
+
+  test("frame lookup: indexed window result equals the direct events query") {
+    val loSec = 1704412800L; val hiSec = 1704672000L
+    val expect = sources.Tables.events(spark, sf)
+      .filter(expr("unix_micros(ts) div 1000000") >= loSec &&
+        expr("unix_micros(ts) div 1000000") < hiSec)
+      .select($"user_id".as("device_id"),
+        aggregate(transform(sequence(lit(0L), lit(6L)),
+            i => ($"event_id" * 7 + i * 13 + floor($"value").cast("long")) % 32768),
+          lit(0L), _ + _).as("fs"))
+      .groupBy($"device_id")
+      .agg(count(lit(1)).as("n_frames"), sum($"fs").as("sample_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = operators.Frames.lookup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, "blob-index lookup must not change the answer")
+  }
+
+  test("frame lookup: a window spanning everything fails loudly (no pruning)") {
+    val e = intercept[IllegalStateException] {
+      operators.Frames.lookup(spark, sf, loSec = 0L, hiSec = Long.MaxValue).collect()
+    }
+    assert(e.getMessage.contains("did not prune"))
+  }
+
+  // --- sample_weighted -----------------------------------------------------
+
+  test("weighted sampling: threshold formula holds and the subset is deterministic") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars",
+        pmod(functions.HashFns.polyHash($"text"), lit(1000L)).as("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val kept = operators.TextAnalysis.sampleWeighted(spark, sf).collect()
+    assert(kept.nonEmpty && kept.length < docs.size,
+      "length-weighted sampling keeps a strict, non-empty subset")
+    kept.foreach { r =>
+      val (nChars, h) = docs(r.getLong(0))
+      val w = math.min(1000L, nChars * 1000L / 600L)
+      assert(r.getLong(3) == w && h < w,
+        s"kept doc must satisfy hash < least(1000, n_chars*1000 div 600): $r")
+    }
+    // every doc the formula admits is present — determinism, no rand()
+    val expectIds = docs.collect {
+      case (id, (n, h)) if h < math.min(1000L, n * 1000L / 600L) => id
+    }.toSet
+    assert(kept.map(_.getLong(0)).toSet == expectIds)
+  }
+
+  // --- text_hashvec --------------------------------------------------------
+
+  test("hashvec: fixed feature space, mass conservation, df bounded by tf") {
+    val rows = operators.TextAnalysis.hashVec(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64),
+      "buckets live in the fixed 64-wide feature space")
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length == rs.length,
+        "one row per (source, bucket)")
+      rs.foreach(r => assert(r.getLong(3) <= r.getLong(2),
+        "distinct docs containing a bucket can never exceed its term count"))
+    }
+    val totalTf = rows.map(_.getLong(2)).sum
+    val totalTokens = sources.Tables.documents(spark, sf)
+      .select(size(functions.TextFns.tokens($"text")).cast("long").as("n"))
+      .agg(sum($"n")).head.getLong(0)
+    assert(totalTf == totalTokens,
+      s"hashing reassigns tokens, never drops them: $totalTf vs $totalTokens")
+  }
+
+  // --- embed_quantize ------------------------------------------------------
+
+  test("quantize: codes bounded, reconstruction within half a step, zero-safe") {
+    val raw = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val out = operators.Similarity.quantize(spark, sf).collect()
+    assert(out.length == raw.size)
+    out.foreach { r =>
+      val (id, scale) = (r.getLong(0), r.getDouble(1))
+      assert(r.getLong(3) >= -127L && r.getLong(4) <= 127L,
+        "codes stay in the symmetric int8 range")
+      val xs = raw(id).map(_.toDouble)
+      val ma = xs.map(math.abs).max
+      assert(scale == ma / 127.0, "scale is max|x|/127 exactly")
+      if (ma > 0) {
+        // recompute the codes and check q_sum + max reconstruction error
+        val qs = xs.map(x => math.floor(x * 127.0 / ma + 0.5).toLong)
+        assert(r.getLong(2) == qs.sum, s"q_sum mismatch for vec $id")
+        val maxErr = xs.zip(qs).map { case (x, q) => math.abs(x - q * scale) }.max
+        assert(maxErr <= scale / 2 + 1e-12,
+          s"round-to-nearest keeps error within half a quantization step: $maxErr")
+      } else {
+        assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+      }
+    }
+  }
+}
