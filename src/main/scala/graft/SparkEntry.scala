@@ -40,6 +40,7 @@ object SparkEntry {
     "q_quantiles_cont" -> (Relational.qQuantilesCont _),
     "q_quantiles_hist" -> ((s: SparkSession, d: String) => Relational.qQuantilesHist(s, d)),
     "q_skewjoin" -> (Relational.qSkewJoin _),
+    "q_nullskew_join" -> (Relational.qNullSkewJoin _),
     "q_bucket_join" -> ((s: SparkSession, d: String) => Relational.qBucketJoin(s, d)),
     "q_partition_prune" -> ((s: SparkSession, d: String) =>
       graft.sources.Sinks.partitionPrunedRollup(s, d)),
@@ -78,6 +79,7 @@ object SparkEntry {
     "events_paths" -> (Telemetry.paths _),
     "ts_ewma" -> ((s: SparkSession, d: String) => Telemetry.ewma(s, d)),
     "events_sliding" -> (Telemetry.sliding _),
+    "events_ratecap" -> ((s: SparkSession, d: String) => Telemetry.rateCap(s, d)),
     "events_funnel3" -> (Telemetry.funnel3 _),
     "ts_interp" -> (Telemetry.interp _),
     "ts_mad" -> ((s: SparkSession, d: String) => Telemetry.madOutliers(s, d)),
@@ -190,6 +192,10 @@ object SparkEntry {
     // state
     "stream_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamJoin.streamedJoin(s, d)),
+    // stream-static broadcast enrichment: live purchases joined per
+    // micro-batch against the per-user batch profile, stateless
+    "stream_enrich" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamEnrich.streamedEnrich(s, d)),
   )
 
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
@@ -1030,6 +1036,16 @@ object SparkEntry {
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
+    // the null-split is a pure execution property: the oracle is the
+    // plain left join with the same 10%-nulled key
+    "q_nullskew_join" ->
+      """SELECT CAST(COALESCE(s_nationkey, -1) AS BIGINT) AS nationkey,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM (SELECT CASE WHEN l_suppkey % 10 = 0 THEN NULL
+        |        ELSE l_suppkey END AS k, l_quantity FROM lineitem) f
+        |LEFT JOIN supplier ON f.k = s_suppkey
+        |GROUP BY nationkey""".stripMargin,
     // partitioned layout is a pure layout property: the oracle is the
     // plain filtered rollup over the source table
     "q_partition_prune" ->
@@ -1676,6 +1692,24 @@ object SparkEntry {
         |WHERE c.event_type IN ('signup', 'error')
         |  AND d.event_type NOT IN ('signup', 'error')
         |  AND c.ts >= d.ts - INTERVAL 10 MINUTE AND c.ts <= d.ts""".stripMargin,
+    "stream_enrich" ->
+      """WITH prof AS (SELECT user_id, COUNT(*) AS hist_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hist_value
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, COUNT(*) AS n_purchases,
+        |  MAX(p.hist_events) AS hist_events, MAX(p.hist_value) AS hist_value
+        |FROM events e JOIN prof p ON e.user_id = p.user_id
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY e.user_id""".stripMargin,
+    // the heap election replays as the window formulation it replaces
+    "events_ratecap" ->
+      """SELECT user_id, day, rnk, event_id, n_total FROM (
+        |  SELECT user_id, date_trunc('day', ts) AS day, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS BIGINT) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY user_id, date_trunc('day', ts)) AS n_total
+        |  FROM events) t
+        |WHERE rnk <= 5""".stripMargin,
     // 20%-of-average evaluated division-free: qty < 0.2*sum/n ⟺ 5*qty*n < sum
     "q_corr_subquery" ->
       """WITH s AS (SELECT l_partkey,

@@ -707,6 +707,29 @@ object Relational {
       .select($"n_name", $"top_custkey", $"top_acctbal", $"n_customers")
   }
 
+  /** Null-key skew join (`q_nullskew_join`): a 10%-null join key
+    * (suppkey nulled where divisible by 10 — the "unattributed
+    * rows" shape of real fact tables) left-joined to supplier
+    * WITHOUT shipping the null rows through the exchange. In a plain
+    * shuffled left join every null key hashes to the same reducer —
+    * one task absorbs 10% of the fact table at 100 TB while its
+    * peers idle. [[Skew.nullSplitLeftJoin]] routes nulls around the
+    * join (they can never match) and unions them back with NULL dim
+    * columns, so the exchange carries only matchable rows and stays
+    * balanced. The rollup buckets unmatched rows under nationkey -1. */
+  def qNullSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select(when($"l_suppkey" % 10 === 0, lit(null).cast(LongType))
+          .otherwise($"l_suppkey").as("k"),
+        $"l_quantity")
+    val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    Skew.nullSplitLeftJoin(li, sup, "k", "s_suppkey")
+      .groupBy(coalesce($"s_nationkey".cast(LongType), lit(-1L)).as("nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec($"l_quantity")).cast(DoubleType).as("sum_qty"))
+  }
+
   /** Per-group top-K (each nation's k highest-balance customers) via
     * the bounded-heap aggregate (graft.plans.TopKPairs): at most k
     * (value, key) structs live in any aggregation buffer and at most

@@ -30,4 +30,25 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Left join that routes NULL-key fact rows AROUND the join.
+    *
+    * NULL join keys never match, but a plain shuffled left join still
+    * ships them — and they all hash to the SAME reducer, so a fact
+    * table that is 10% null-keyed sends 10% of 100 TB to one
+    * straggler task (the null-skew pathology AQE's splitter can't
+    * always fix, because the "key" is one value). The split sends
+    * only matchable rows through the exchange; null rows take a
+    * shuffle-free union branch with the dim columns filled in as the
+    * NULLs the outer join would have produced. Bit-identical to the
+    * plain left join by construction. */
+  def nullSplitLeftJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String): DataFrame = {
+    val matched = fact.filter(col(factKey).isNotNull)
+      .join(dim, col(factKey) === col(dimKey), "left")
+    val bypass = dim.columns.foldLeft(fact.filter(col(factKey).isNull)) {
+      (df, c) => df.withColumn(c, lit(null).cast(dim.schema(c).dataType))
+    }
+    matched.unionByName(bypass)
+  }
 }

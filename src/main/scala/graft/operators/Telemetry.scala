@@ -678,4 +678,28 @@ object Telemetry {
     flagged.select($"event_id", $"user_id",
       ($"dev" > lit(k) * $"mad").as("is_outlier"))
   }
+
+  /** Deterministic rate capping (`events_ratecap`): keep the first k
+    * events per (user, day) — the ingestion throttle every telemetry
+    * pipeline applies to a chatty device. Reuses the bounded-heap
+    * aggregate (graft.plans.TopKPairs) with value = −unix_micros, so
+    * "earliest k" is elected map-side with at most k (ts, id) pairs
+    * per aggregation buffer — the ROW_NUMBER formulation shuffles and
+    * sorts EVERY event of the hot device it exists to throttle, which
+    * is the skew it should be removing. Micros fit a double exactly
+    * (< 2^53) and event_id breaks equal-timestamp ties ascending,
+    * matching the oracle's ORDER BY ts, event_id. n_total rides the
+    * same aggregation to show how much the cap discarded. */
+  def rateCap(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", $"ts"))
+      .groupBy($"user_id", $"day")
+      .agg(graft.plans.Sketch.topKPairs(
+          (-unix_micros($"ts")).cast(DoubleType), $"event_id", k).as("top"),
+        count(lit(1)).as("n_total"))
+      .select($"user_id", $"day", $"n_total", posexplode($"top"))
+      .select($"user_id", $"day", ($"pos" + 1).cast(LongType).as("rnk"),
+        $"col.key".as("event_id"), $"n_total")
+  }
 }

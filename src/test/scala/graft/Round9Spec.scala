@@ -70,6 +70,69 @@ class Round9Spec extends SparkSpec {
     assert(e.getMessage.contains("did not prune"))
   }
 
+  // --- q_nullskew_join -----------------------------------------------------
+
+  test("nullskew join: split result equals the plain left join, nulls bypass the exchange") {
+    val li = sources.Tables.lineitem(spark, sf)
+      .select(when($"l_suppkey" % 10 === 0, lit(null).cast("long"))
+          .otherwise($"l_suppkey").as("k"), $"l_quantity")
+    val sup = sources.Tables.supplier(spark, sf).select($"s_suppkey", $"s_nationkey")
+    val expect = li.join(sup, $"k" === $"s_suppkey", "left")
+      .groupBy(coalesce($"s_nationkey".cast("long"), lit(-1L)).as("nationkey"))
+      .agg(count(lit(1)).as("n"), sum(operators.dec($"l_quantity")).cast("double").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val df = operators.Relational.qNullSkewJoin(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, "routing nulls around the join must not change the answer")
+    // the join input must be null-free: the null-key branch (Catalyst
+    // rewrites k IS NULL into a CASE over l_suppkey) rejoins by Union
+    // AROUND the join, never through it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Join") && plan.contains("Union") &&
+      plan.contains("isnull(l_suppkey"),
+      s"null keys must route around the join by union, not through it:\n$plan")
+  }
+
+  // --- events_ratecap ------------------------------------------------------
+
+  test("ratecap: heap-elected first-k equals the window formulation, Window-free") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = sources.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", $"ts"))
+    val w = Window.partitionBy($"user_id", $"day").orderBy($"ts".asc, $"event_id".asc)
+    val expect = ev
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy($"user_id", $"day")))
+      .filter($"rnk" <= 5)
+      .select($"user_id", $"day", $"rnk", $"event_id", $"n_total")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val df = operators.Telemetry.rateCap(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "the cap elects map-side; it must not sort the hot device it throttles")
+  }
+
+  // --- stream_enrich -------------------------------------------------------
+
+  test("stream enrich: streamed rollup equals the batch join, profile broadcast") {
+    val ev = sources.Tables.events(spark, sf)
+    val prof = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("hist_events"),
+        sum(operators.dec($"value")).cast("double").as("hist_value"))
+    val expect = ev.filter($"event_type" === "purchase")
+      .join(prof, Seq("user_id"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        max($"hist_events").as("hist_events"), max($"hist_value").as("hist_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = streaming.StreamEnrich.streamedEnrich(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect, "per-micro-batch static join must equal the batch join")
+  }
+
   // --- sample_weighted -----------------------------------------------------
 
   test("weighted sampling: threshold formula holds and the subset is deterministic") {
