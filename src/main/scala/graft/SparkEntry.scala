@@ -44,6 +44,8 @@ object SparkEntry {
     "q_bucket_join" -> ((s: SparkSession, d: String) => Relational.qBucketJoin(s, d)),
     "q_partition_prune" -> ((s: SparkSession, d: String) =>
       graft.sources.Sinks.partitionPrunedRollup(s, d)),
+    "q_dpp_join" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sinks.dppJoinRollup(s, d)),
     "q_unpivot" -> ((s: SparkSession, d: String) => Relational.qUnpivot(s, d)),
     "q_intersect" -> ((s: SparkSession, d: String) => Relational.qIntersect(s, d)),
     "q_except" -> ((s: SparkSession, d: String) => Relational.qExcept(s, d)),
@@ -147,6 +149,7 @@ object SparkEntry {
     "corpus_prune" -> ((s: SparkSession, d: String) => Curation.pruneDemo(s, d)),
     "corpus_mv_refresh" -> (Curation.mvRefresh _),
     "corpus_profile" -> (Curation.profile _),
+    "corpus_upsert" -> (Curation.upsert _),
     // A. binary frames
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
@@ -1053,6 +1056,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id""".stripMargin,
+    // runtime pruning is a pure execution property: the oracle is the
+    // dim-filtered join rolled up over the source table
+    "q_dpp_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type FROM events
+        |  WHERE event_type IN ('purchase', 'signup'))
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
     // bucketing is a pure layout property: the oracle is the plain join
     "q_bucket_join" ->
       """SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
@@ -1864,5 +1876,18 @@ object SparkEntry {
         |  COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
         |UNION ALL SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
         |  COUNT(DISTINCT text), substr(MIN(text), 1, 16), substr(MAX(text), 1, 16) FROM documents""".stripMargin,
+    // the merge restated as set algebra: survivors ∪ revised ∪ copies
+    "corpus_upsert" ->
+      s"""WITH up AS (SELECT doc_id, text || ' v2' AS text, lang, source,
+         |    n_chars + 3 AS n_chars FROM documents WHERE doc_id % 10 = 0),
+         |ins AS (SELECT doc_id + 1000000 AS doc_id, 'copy: ' || text AS text,
+         |    lang, source, n_chars + 6 AS n_chars FROM documents WHERE doc_id % 10 = 2),
+         |keep AS (SELECT * FROM documents WHERE doc_id % 10 NOT IN (0, 1)),
+         |merged AS (SELECT * FROM keep UNION ALL SELECT * FROM up
+         |  UNION ALL SELECT * FROM ins)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(${ph("text")}) AS BIGINT) AS text_hash_sum
+         |FROM merged GROUP BY source""".stripMargin,
   )
 }

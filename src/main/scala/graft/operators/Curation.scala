@@ -727,4 +727,44 @@ object Curation {
     }
     agg1.select(explode(array(rows: _*)).as("p")).select($"p.*")
   }
+
+  /** MERGE / upsert (`corpus_upsert`): apply a change set — updates,
+    * deletes, inserts — to the corpus snapshot in one pass, the
+    * lakehouse write primitive behind every incremental corpus
+    * refresh. The change set here derives deterministically from the
+    * snapshot itself (doc_id mod 10: 0 → update with a ' v2' text
+    * revision, 1 → delete, 2 → insert a 'copy: ' twin under a shifted
+    * id) so the DuckDB oracle can restate the merge as plain set
+    * algebra; in production the changes arrive from an ingest feed.
+    *
+    * Scale shape: the merge is `snapshot LEFT ANTI (changed keys)
+    * ∪ updates ∪ inserts`. Changed KEYS broadcast (a change set is
+    * tiny next to the snapshot), so the anti-join that retires old
+    * row versions is map-side — the snapshot never shuffles; at
+    * 100 TB that is the difference between rewriting the table
+    * through an exchange and streaming it partition-local past a
+    * broadcast hash set. Output is the per-source post-merge profile
+    * (count, char mass, content-hash checksum) so the gate verifies
+    * CONTENT, not just cardinality. */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    val snap = Tables.documents(spark, dir)
+    val m = pmod($"doc_id", lit(10L))
+    val updates = snap.filter(m === 0)
+      .select($"doc_id", concat($"text", lit(" v2")).as("text"),
+        $"lang", $"source", ($"n_chars" + 3L).as("n_chars"))
+    val deletes = snap.filter(m === 1).select($"doc_id")
+    val inserts = snap.filter(m === 2)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat(lit("copy: "), $"text").as("text"),
+        $"lang", $"source", ($"n_chars" + 6L).as("n_chars"))
+    val changedKeys = updates.select($"doc_id").unionByName(deletes)
+    val merged = snap.join(broadcast(changedKeys), Seq("doc_id"), "left_anti")
+      .unionByName(updates).unionByName(inserts)
+    merged.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum(HashFns.polyHash($"text")).as("text_hash_sum"))
+  }
 }

@@ -66,6 +66,45 @@ object Sinks {
     pruned
   }
 
+  /** DYNAMIC partition pruning end-to-end (`q_dpp_join`): the fact
+    * side is hive-partitioned by event_type, but unlike
+    * [[partitionPrunedRollup]] the query never names the partitions —
+    * the pruning values arrive AT RUNTIME from the broadcast of a
+    * filtered dimension (the star-schema shape: `fact JOIN dim ON
+    * part_col WHERE dim.pred`). Catalyst injects a dynamicpruning
+    * subquery into the scan's PartitionFilters, so the fact scan
+    * lists only the directories the dim's surviving rows name. At
+    * 100 TB this is the difference between scanning every partition
+    * of a date/type-partitioned fact table and scanning the handful a
+    * dimension predicate selects — without the query author knowing
+    * the values. Fails loudly if DPP did not reach the scan. */
+  def dppJoinRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_")
+    graft.streaming.StreamRelay.deleteOnExit(tmp)
+    writePartitioned(
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"value", $"event_type"),
+      tmp.toString, partitionCols = Seq("event_type"), sortCols = Seq("user_id"))
+    // the dim derives from the source table (distinct types + a
+    // conversion flag), so the pruning values are a QUERY RESULT the
+    // optimizer cannot constant-fold into a static filter
+    val dim = Tables.events(spark, dir)
+      .select($"event_type").distinct()
+      .withColumn("is_conversion", $"event_type".isin("purchase", "signup"))
+    val fact = spark.read.parquet(tmp.toString)
+    val out = fact
+      .join(broadcast(dim.filter($"is_conversion")), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+    if (!out.queryExecution.executedPlan.toString.contains("dynamicpruning"))
+      throw new IllegalStateException(
+        "dynamic partition pruning did not reach the fact scan — " +
+          "the join would list every partition directory")
+    out
+  }
+
   /** The content of the executed scan's `PartitionFilters: [...]`
     * bracket — None if no FileScan line carries one. The FULL scan
     * line is useless for this check: it also lists the read columns,

@@ -177,6 +177,51 @@ class Round9Spec extends SparkSpec {
       s"hashing reassigns tokens, never drops them: $totalTf vs $totalTokens")
   }
 
+  // --- q_dpp_join ----------------------------------------------------------
+
+  test("dpp join: runtime pruning reaches the fact scan and preserves the answer") {
+    val df = sources.Sinks.dppJoinRollup(spark, sf)
+    val expect = sources.Tables.events(spark, sf)
+      .filter($"event_type".isin("purchase", "signup"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, "dynamic pruning must not change the answer")
+    assert(df.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "the dim filter must prune fact partitions at runtime")
+  }
+
+  // --- corpus_upsert -------------------------------------------------------
+
+  test("upsert: merge semantics hold row-by-row against a driver-side replay") {
+    val snap = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // replay the merge in plain Scala: mod-10 update/delete/insert
+    val merged = snap.flatMap { case (id, text, src, n) =>
+      id % 10 match {
+        case 0 => Seq((src, text + " v2", n + 3))
+        case 1 => Seq.empty
+        case 2 => Seq((src, text, n), (src, "copy: " + text, n + 6))
+        case _ => Seq((src, text, n))
+      }
+    }
+    val expect = merged.groupBy(_._1).map { case (srcKey, rs) =>
+      (srcKey, rs.size.toLong, rs.map(_._3).sum)
+    }.toSet
+    val got = operators.Curation.upsert(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, "distributed merge must equal the sequential replay")
+    // the anti-join must run against a broadcast of the changed keys —
+    // the snapshot side never shuffles
+    val plan = operators.Curation.upsert(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "retiring old versions must be a map-side broadcast anti-join")
+  }
+
   // --- embed_quantize ------------------------------------------------------
 
   test("quantize: codes bounded, reconstruction within half a step, zero-safe") {
