@@ -82,6 +82,8 @@ object SparkEntry {
     "ts_ewma" -> ((s: SparkSession, d: String) => Telemetry.ewma(s, d)),
     "events_sliding" -> (Telemetry.sliding _),
     "events_ratecap" -> ((s: SparkSession, d: String) => Telemetry.rateCap(s, d)),
+    "events_quarantine" -> (Quality.quarantine _),
+    "dq_orphans" -> (Quality.orphans _),
     "events_funnel3" -> (Telemetry.funnel3 _),
     "ts_interp" -> (Telemetry.interp _),
     "ts_mad" -> ((s: SparkSession, d: String) => Telemetry.madOutliers(s, d)),
@@ -1713,6 +1715,40 @@ object SparkEntry {
         |FROM events e JOIN prof p ON e.user_id = p.user_id
         |WHERE e.event_type = 'purchase'
         |GROUP BY e.user_id""".stripMargin,
+    // identical CASE/OR forms on both engines (no GREATEST: it
+    // propagates NULL in ANSI SQL where Spark's skips it)
+    "events_quarantine" ->
+      """WITH a AS (SELECT
+        |    SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS v1,
+        |    SUM(CASE WHEN event_type NOT IN ('signup','click','view','purchase','error')
+        |      THEN 1 ELSE 0 END) AS v2,
+        |    SUM(CASE WHEN user_id < 0 THEN 1 ELSE 0 END) AS v3,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+        |      OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS v4,
+        |    SUM(CASE WHEN value < 1.0
+        |      OR event_type NOT IN ('signup','click','view','purchase','error')
+        |      OR user_id < 0
+        |      OR ts < TIMESTAMP '2024-01-01'
+        |      OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS va,
+        |    COUNT(*) AS n
+        |  FROM events)
+        |SELECT 'low_value' AS constraint_name, CAST(v1 AS BIGINT) AS n_violations, n AS n_rows FROM a
+        |UNION ALL SELECT 'unknown_type', CAST(v2 AS BIGINT), n FROM a
+        |UNION ALL SELECT 'invalid_user', CAST(v3 AS BIGINT), n FROM a
+        |UNION ALL SELECT 'out_of_window', CAST(v4 AS BIGINT), n FROM a
+        |UNION ALL SELECT 'any', CAST(va AS BIGINT), n FROM a""".stripMargin,
+    "dq_orphans" ->
+      """SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_child,
+        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'orders->customer', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'events->customer', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     // the heap election replays as the window formulation it replaces
     "events_ratecap" ->
       """SELECT user_id, day, rnk, event_id, n_total FROM (

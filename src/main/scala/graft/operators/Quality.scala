@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** Data-quality operators — the admission control in front of every
+  * 100 TB ingest: constraint profiling (which expectations fail, how
+  * often) and referential-integrity auditing (orphaned children).
+  * Both are reporting shapes: they tell the pipeline WHAT to
+  * quarantine; the quarantine itself is a filter on the same flags.
+  */
+object Quality {
+
+  /** Constraint profile over events (`events_quarantine`): every row
+    * is checked against the expectation set in ONE scan — each
+    * constraint is a scan-local 0/1 flag, the flags SUM in a single
+    * partial-aggregated pass (one row crosses the shuffle), and the
+    * "any" row is the quarantine volume (a row failing any
+    * expectation goes to the dead-letter path). No per-constraint
+    * re-scan: at 100 TB, k expectations still cost one read. The
+    * constraint set mixes expectations that fail on real data
+    * (value ≥ 1 catches the near-zero readings present at every SF)
+    * with ones that hold (known type, valid user, January window) —
+    * both directions are informative and both are oracle-gated. */
+  def quarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val c1 = $"value" < 1.0d
+    val c2 = !$"event_type".isin("signup", "click", "view", "purchase", "error")
+    val c3 = $"user_id" < 0L
+    val c4 = $"ts" < to_timestamp(lit("2024-01-01")) ||
+      $"ts" >= to_timestamp(lit("2024-02-01"))
+    // the "any" flag is the OR of the conditions, not greatest(flags):
+    // GREATEST propagates NULL in ANSI SQL while Spark's skips it — OR
+    // three-valued logic behaves identically on both engines
+    val agg1 = ev.agg(
+      sum(c1.cast(LongType)).as("v1"), sum(c2.cast(LongType)).as("v2"),
+      sum(c3.cast(LongType)).as("v3"), sum(c4.cast(LongType)).as("v4"),
+      sum((c1 || c2 || c3 || c4).cast(LongType)).as("va"), count(lit(1)).as("n"))
+    val rows = Seq("low_value" -> "v1", "unknown_type" -> "v2",
+      "invalid_user" -> "v3", "out_of_window" -> "v4", "any" -> "va")
+      .map { case (name, c) =>
+        struct(lit(name).as("constraint_name"),
+          col(c).as("n_violations"), $"n".as("n_rows"))
+      }
+    agg1.select(explode(array(rows: _*)).as("p")).select($"p.*")
+  }
+
+  /** Referential-integrity audit (`dq_orphans`): per foreign key,
+    * child volume and orphan count (children whose parent key is
+    * missing). Each relation is ONE pass: the child aggregates to
+    * distinct keys + counts FIRST (partial-aggregated, so the join
+    * sees keys, not rows), then a left join against the parent key
+    * set marks misses — at 100 TB the join input is the key
+    * cardinality, never the fact-table row count, and dimension-sized
+    * parents broadcast. Zero orphans is the EXPECTED healthy result;
+    * the per-relation child counts keep the output
+    * oracle-distinguishable so a short-circuited audit cannot pass. */
+  def orphans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def audit(name: String, childKeys: DataFrame, parentKeys: DataFrame): DataFrame = {
+      // childKeys: (k, cnt) per distinct key; parentKeys: (pk)
+      childKeys.join(parentKeys, $"k" === $"pk", "left")
+        .agg(lit(name).as("fk"),
+          sum($"cnt").as("n_child"),
+          coalesce(sum(when($"pk".isNull, $"cnt")), lit(0L)).as("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir).groupBy($"l_orderkey".as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Tables.orders(spark, dir)
+    val ordKeys = ord.select($"o_orderkey".as("pk"))
+    val ordByCust = ord.groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("cnt"))
+    val cust = broadcast(Tables.customer(spark, dir).select($"c_custkey".as("pk")))
+    val evByUser = Tables.events(spark, dir).groupBy($"user_id".as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    audit("lineitem->orders", li, ordKeys)
+      .unionByName(audit("orders->customer", ordByCust, cust))
+      .unionByName(audit("events->customer", evByUser, cust))
+  }
+}

@@ -177,6 +177,45 @@ class Round9Spec extends SparkSpec {
       s"hashing reassigns tokens, never drops them: $totalTf vs $totalTokens")
   }
 
+  // --- events_quarantine / dq_orphans --------------------------------------
+
+  test("quarantine: one scan, flags sum correctly, any >= each constraint") {
+    val rows = operators.Quality.quarantine(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n = sources.Tables.events(spark, sf).count()
+    assert(rows.values.forall(_._2 == n), "n_rows is the full scan count")
+    val lowValue = sources.Tables.events(spark, sf).filter($"value" < 1.0).count()
+    assert(rows("low_value")._1 == lowValue && lowValue > 0,
+      "the low-value expectation must fire on real data")
+    assert(rows("unknown_type")._1 == 0 && rows("invalid_user")._1 == 0 &&
+      rows("out_of_window")._1 == 0, "the holding expectations must report clean")
+    assert(rows("any")._1 >= rows.filterKeys(_ != "any").values.map(_._1).max,
+      "the dead-letter volume dominates every single constraint")
+    val scans = operators.Quality.quarantine(spark, sf)
+      .queryExecution.executedPlan.toString.split("\n")
+      .count(_.contains("Scan parquet"))
+    assert(scans == 1, s"k expectations must cost ONE read, saw $scans scans")
+  }
+
+  test("orphans: healthy FKs report zero orphans with exact child volumes") {
+    val got = operators.Quality.orphans(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set("lineitem->orders", "orders->customer", "events->customer"))
+    assert(got.values.forall(_._2 == 0L), "synthetic FKs are clean")
+    assert(got("lineitem->orders")._1 == sources.Tables.lineitem(spark, sf).count())
+    assert(got("events->customer")._1 == sources.Tables.events(spark, sf).count())
+    // a corrupted child set must surface: shift half the keys out of range
+    val ord = sources.Tables.orders(spark, sf)
+    val bad = ord.select(when($"o_orderkey" % 2 === 0, $"o_custkey" + 1000000L)
+        .otherwise($"o_custkey").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("cnt"))
+    val cust = sources.Tables.customer(spark, sf).select($"c_custkey".as("pk"))
+    val orphaned = bad.join(cust, $"k" === $"pk", "left")
+      .agg(sum(when($"pk".isNull, $"cnt"))).head.getLong(0)
+    assert(orphaned == ord.filter($"o_orderkey" % 2 === 0).count(),
+      "the audit shape detects exactly the corrupted rows")
+  }
+
   // --- q_dpp_join ----------------------------------------------------------
 
   test("dpp join: runtime pruning reaches the fact scan and preserves the answer") {
