@@ -55,6 +55,7 @@ object SparkEntry {
     "q_corr_subquery" -> (Relational.qCorrSubquery _),
     "q_argmax" -> (Relational.qArgmax _),
     "q_topk_group" -> ((s: SparkSession, d: String) => Relational.qTopKGroup(s, d)),
+    "q_hll_distinct" -> (Relational.qHllDistinct _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "sample_strata" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStrata(s, d)),
     "sample_weighted" -> ((s: SparkSession, d: String) => TextAnalysis.sampleWeighted(s, d)),
+    "sample_pergroup" -> ((s: SparkSession, d: String) => TextAnalysis.samplePerGroup(s, d)),
     "text_hashvec" -> ((s: SparkSession, d: String) => TextAnalysis.hashVec(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redact(s, d)),
@@ -1110,6 +1112,14 @@ object SparkEntry {
          |  CAST(LEAST(1000, n_chars * 1000 // 600) AS BIGINT) AS w_millis
          |FROM documents
          |WHERE ${ph("text")} % 1000 < LEAST(1000, n_chars * 1000 // 600)""".stripMargin,
+    "sample_pergroup" ->
+      s"""SELECT source, rnk, doc_id, h, n_group FROM (
+         |  SELECT source, doc_id, ${ph("text")} AS h,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ${ph("text")} ASC, doc_id ASC) AS BIGINT) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY source) AS n_group
+         |  FROM documents) t
+         |WHERE rnk <= 10""".stripMargin,
     "text_hashvec" ->
       s"""SELECT source, bucket, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, source, ${ph("term")} % 64 AS bucket FROM (
@@ -1775,6 +1785,29 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n_customers
         |  FROM customer) t JOIN nation ON n_nationkey = c_nationkey
         |WHERE rn = 1""".stripMargin,
+    // rho replays as the length(bin(w)) string trick (identical on
+    // both engines where float log2 is not); the only double is the
+    // final estimate from one exact integer
+    "q_hll_distinct" ->
+      """WITH pairs AS (SELECT DISTINCT event_type, event_id FROM events),
+        |b AS (SELECT event_type,
+        |    ((event_id * 1013904223 + 12345) % 2147483647) % 32 AS bucket,
+        |    ((event_id * 1013904223 + 12345) % 2147483647) // 32 AS w
+        |  FROM pairs),
+        |r AS (SELECT event_type, bucket,
+        |    MAX(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS r,
+        |    COUNT(*) AS nu
+        |  FROM b GROUP BY event_type, bucket),
+        |g AS (SELECT event_type,
+        |    SUM(CAST(POW(2, 30 - r) AS BIGINT)) AS denom_present,
+        |    COUNT(*) AS n_buckets, SUM(nu) AS n_exact
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(denom_present + (32 - n_buckets) * 1073741824 AS BIGINT) AS denom_scaled,
+        |  CAST(n_buckets AS BIGINT) AS n_filled_buckets,
+        |  CAST(0.697 AS DOUBLE) * CAST(1024 AS DOUBLE) * CAST(1073741824 AS DOUBLE)
+        |    / CAST(denom_present + (32 - n_buckets) * 1073741824 AS DOUBLE) AS hll_est
+        |FROM g""".stripMargin,
     // the oracle restates top-k as the window formulation the native
     // bounded-heap aggregate replaces; identical ordering contract
     // (value desc, key asc) makes the two bit-comparable

@@ -730,6 +730,60 @@ object Relational {
         sum(dec($"l_quantity")).cast(DoubleType).as("sum_qty"))
   }
 
+  /** HyperLogLog distinct count (`q_hll_distinct`) — the industry-
+    * standard cardinality sketch alongside the KMV variant
+    * (q_sketch_distinct), built ENTIRELY from composed codegen'd
+    * functions and therefore bit-replayable by the oracle: the rho
+    * (leading-zero rank) of each hashed value computes as
+    * `26 − length(bin(w))` — an integer STRING-length trick both
+    * engines evaluate identically, where a float log2 would go
+    * nondeterministic at powers of two. m = 32 registers (raw-regime
+    * bias at the smallest SF's per-group cardinality stays within
+    * ~1.5σ, where m = 64 would sit at n ≈ 3m inside HLL++'s
+    * bias-correction zone); the harmonic-mean denominator
+    * accumulates as the EXACT integer Σ 2^(30−r) (≤ 32·2^30, no
+    * overflow), so the only double — the final estimate — derives
+    * from one integer in one fixed expression. Pipeline: distinct
+    * (type, id) pairs → per-bucket max-rho (the register file: ≤ 32
+    * rows per group cross the final
+    * shuffle regardless of cardinality) → per-group fold. The exact
+    * count rides the same pipeline (Σ per-bucket pair counts) purely
+    * as the gate's accuracy reference — a production 100 TB run
+    * keeps only the register path, whose state is 64 bytes per
+    * group.
+    *
+    * The emitted estimate is the RAW harmonic mean, valid for
+    * n ≳ 2.5·m (the sketched key is the high-cardinality event_id,
+    * which is in that regime at every SF). Below it HLL prescribes
+    * linear counting, m·ln(m/V) — deliberately NOT folded in here:
+    * ln() is libm, whose last-ulp varies across engines, and the
+    * n_filled_buckets column (V = 64 − filled) gives a consumer
+    * everything the correction needs. */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.events(spark, dir)
+      .select($"event_type", $"event_id").distinct()
+    val withH = pairs
+      .withColumn("h", ($"event_id" * 1013904223L + 12345L) % 2147483647L)
+      .withColumn("bucket", $"h" % 32L)
+      .withColumn("w", expr("h div 32"))
+      .withColumn("rho", when($"w" === 0L, lit(27L))
+        .otherwise((lit(27) - length(bin($"w"))).cast(LongType)))
+    val regs = withH.groupBy($"event_type", $"bucket")
+      .agg(max($"rho").as("r"), count(lit(1)).as("nu"))
+    regs.groupBy($"event_type")
+      .agg(sum(pow(lit(2.0d), (lit(30L) - $"r").cast(DoubleType)).cast(LongType))
+          .as("denom_present"),
+        count(lit(1)).as("n_buckets"), sum($"nu").as("n_exact"))
+      .select($"event_type", $"n_exact",
+        ($"denom_present" + (lit(32L) - $"n_buckets") * lit(1073741824L))
+          .as("denom_scaled"),
+        $"n_buckets".as("n_filled_buckets"))
+      .withColumn("hll_est",
+        lit(0.697d) * lit(1024.0d) * lit(1073741824.0d) /
+          $"denom_scaled".cast(DoubleType))
+  }
+
   /** Per-group top-K (each nation's k highest-balance customers) via
     * the bounded-heap aggregate (graft.plans.TopKPairs): at most k
     * (value, key) structs live in any aggregation buffer and at most

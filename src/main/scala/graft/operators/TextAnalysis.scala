@@ -270,6 +270,30 @@ object TextAnalysis {
       .select($"doc_id", $"source", $"n_chars", $"w_millis")
   }
 
+  /** Exactly-k-per-group sampling (`sample_pergroup`): the
+    * "N examples per class" cap of training-mix assembly. Where
+    * [[sampleWeighted]] keeps a RATE, this keeps a COUNT: the k
+    * documents with the smallest content hashes per source — a
+    * deterministic uniform sample (hash order is unrelated to any
+    * document property) that is stable under corpus growth except at
+    * the hash boundary. Elected by the bounded-heap aggregate
+    * (TopKPairs on the negated hash), so at most k (hash, id) pairs
+    * per group cross the shuffle — the ROW_NUMBER formulation sorts
+    * every group in full, and a hot source at 100 TB is billions of
+    * rows; n_group rides the same aggregation. */
+  def samplePerGroup(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(graft.plans.Sketch.topKPairs(
+          (-HashFns.polyHash($"text")).cast(DoubleType), $"doc_id", k).as("top"),
+        count(lit(1)).as("n_group"))
+      .select($"source", $"n_group", posexplode($"top"))
+      .select($"source", ($"pos" + 1).cast(LongType).as("rnk"),
+        $"col.key".as("doc_id"), (-$"col.value").cast(LongType).as("h"),
+        $"n_group")
+  }
+
   /** Feature-hashing vectorizer (the hashing trick): terms map to a
     * FIXED bucket space (polyHash mod 64) instead of a learned
     * vocabulary, so the feature dimension — and every downstream

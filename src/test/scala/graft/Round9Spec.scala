@@ -177,6 +177,59 @@ class Round9Spec extends SparkSpec {
       s"hashing reassigns tokens, never drops them: $totalTf vs $totalTokens")
   }
 
+  // --- q_hll_distinct ------------------------------------------------------
+
+  test("hll: estimate within standard error of exact, registers bounded") {
+    val rows = operators.Relational.qHllDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est, buckets) = (r.getLong(1), r.getDouble(4), r.getLong(3))
+      assert(buckets >= 1L && buckets <= 32L, "at most m = 32 registers")
+      // 1.04/sqrt(32) = 18.4% standard error; allow 3 sigma
+      val rel = math.abs(est - exact) / exact
+      assert(rel < 0.55, s"HLL estimate off by ${rel * 100}%: est=$est exact=$exact")
+    }
+    // the exact reference must agree with a direct distinct count
+    val direct = sources.Tables.events(spark, sf)
+      .groupBy($"event_type").agg(countDistinct($"event_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == direct(r.getString(0))))
+  }
+
+  test("hll: rho via bin-length equals the bit-twiddling definition") {
+    // 27 - length(bin(w)) == (leading zeros of w in its 26-bit
+    // window) + 1 — the HLL rank definition
+    for (w <- Seq(1L, 2L, 3L, 7L, 8L, 1L << 24, (1L << 26) - 1)) {
+      val viaBin = 27 - java.lang.Long.toBinaryString(w).length
+      val viaClz = (java.lang.Long.numberOfLeadingZeros(w) - (64 - 26)) + 1
+      assert(viaBin == viaClz, s"w=$w: bin-length rho must equal clz rho")
+    }
+  }
+
+  // --- sample_pergroup -----------------------------------------------------
+
+  test("sample pergroup: exactly k per source, smallest hashes, Window-free") {
+    val df = operators.TextAnalysis.samplePerGroup(spark, sf)
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val nGroups = sources.Tables.documents(spark, sf)
+      .select($"source").distinct().count()
+    assert(bySource.size == nGroups)
+    bySource.foreach { case (src, rs) =>
+      val nGroup = rs.head.getLong(4)
+      assert(rs.length == math.min(10L, nGroup),
+        s"$src: exactly min(k, group size) sampled")
+      val hs = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(hs.sameElements(hs.sorted), "rank order is ascending hash order")
+    }
+    // the sample is the k smallest hashes — verify one source directly
+    val (src0, rs0) = bySource.head
+    val all0 = sources.Tables.documents(spark, sf).filter($"source" === src0)
+      .select(functions.HashFns.polyHash($"text").as("h")).collect().map(_.getLong(0)).sorted
+    assert(rs0.map(_.getLong(3)).toSet == all0.take(rs0.length).toSet)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   // --- events_quarantine / dq_orphans --------------------------------------
 
   test("quarantine: one scan, flags sum correctly, any >= each constraint") {
