@@ -56,6 +56,7 @@ object SparkEntry {
     "q_argmax" -> (Relational.qArgmax _),
     "q_topk_group" -> ((s: SparkSession, d: String) => Relational.qTopKGroup(s, d)),
     "q_hll_distinct" -> (Relational.qHllDistinct _),
+    "q_pareto" -> (Relational.qPareto _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -89,6 +90,10 @@ object SparkEntry {
     "ts_interp" -> (Telemetry.interp _),
     "ts_mad" -> ((s: SparkSession, d: String) => Telemetry.madOutliers(s, d)),
     "events_heatmap" -> (Telemetry.heatmap _),
+    "ts_ohlc" -> (Telemetry.ohlc _),
+    "dq_freshness" -> ((s: SparkSession, d: String) => Quality.freshness(s, d)),
+    "q_cdc_apply" -> (Changelog.cdcApply _),
+    "q_scd2" -> (Changelog.scd2 _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -115,6 +120,7 @@ object SparkEntry {
     "ann_refine" -> ((s: SparkSession, d: String) => Similarity.refineTopK(s, d)),
     "embed_profile" -> (Similarity.embedProfile _),
     "embed_quantize" -> (Similarity.quantize _),
+    "embed_gram" -> (Similarity.gram _),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -126,6 +132,7 @@ object SparkEntry {
     "sample_strata" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStrata(s, d)),
     "sample_weighted" -> ((s: SparkSession, d: String) => TextAnalysis.sampleWeighted(s, d)),
     "sample_pergroup" -> ((s: SparkSession, d: String) => TextAnalysis.samplePerGroup(s, d)),
+    "sample_split" -> (TextAnalysis.sampleSplit _),
     "text_hashvec" -> ((s: SparkSession, d: String) => TextAnalysis.hashVec(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redact(s, d)),
@@ -1958,5 +1965,83 @@ object SparkEntry {
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
          |  CAST(SUM(${ph("text")}) AS BIGINT) AS text_hash_sum
          |FROM merged GROUP BY source""".stripMargin,
+    "q_cdc_apply" ->
+      """SELECT user_id, value, updated_at, n_ops, n_deletes FROM (
+        |  SELECT user_id,
+        |    arg_max(value, epoch_us(ts)) AS value,
+        |    arg_max(ts, epoch_us(ts)) AS updated_at,
+        |    COUNT(*) AS n_ops,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+        |    arg_max(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, epoch_us(ts)) AS last_op
+        |  FROM events GROUP BY user_id) t
+        |WHERE last_op <> 'D'""".stripMargin,
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, ts AS valid_from FROM (
+        |    SELECT user_id, event_type, ts,
+        |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |    FROM events) t
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from) AS BIGINT) AS version,
+        |  (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL) AS is_current
+        |FROM ch""".stripMargin,
+    "ts_ohlc" ->
+      """WITH candles AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    arg_min(value, epoch_us(ts)) AS open,
+        |    MAX(value) AS high, MIN(value) AS low,
+        |    arg_max(value, epoch_us(ts)) AS close,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, open, high, low, close, n_events,
+        |  close - LAG(close) OVER (PARTITION BY event_type ORDER BY day) AS close_chg
+        |FROM candles""".stripMargin,
+    "dq_freshness" ->
+      """WITH hwm AS (SELECT MAX(ts) AS corpus_max FROM events)
+        |SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN ts >= corpus_max - INTERVAL 1 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day,
+        |  (epoch_us(MAX(corpus_max)) - epoch_us(MAX(ts))) // 1000000 AS lag_seconds,
+        |  ((epoch_us(MAX(corpus_max)) - epoch_us(MAX(ts))) // 1000000) > 86400 AS is_stale
+        |FROM events CROSS JOIN hwm
+        |GROUP BY event_type""".stripMargin,
+    "q_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(rev_d AS DOUBLE) AS revenue,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rev_d DESC, l_partkey ASC) AS BIGINT) AS rnk,
+        |  CAST(SUM(rev_d) OVER (ORDER BY rev_d DESC, l_partkey ASC) AS DOUBLE) /
+        |    CAST(SUM(rev_d) OVER () AS DOUBLE) AS cum_share,
+        |  CASE
+        |    WHEN CAST(SUM(rev_d) OVER (ORDER BY rev_d DESC, l_partkey ASC) AS DOUBLE) /
+        |      CAST(SUM(rev_d) OVER () AS DOUBLE) <= CAST(0.80 AS DOUBLE) THEN 'A'
+        |    WHEN CAST(SUM(rev_d) OVER (ORDER BY rev_d DESC, l_partkey ASC) AS DOUBLE) /
+        |      CAST(SUM(rev_d) OVER () AS DOUBLE) <= CAST(0.95 AS DOUBLE) THEN 'B'
+        |    ELSE 'C' END AS abc_class
+        |FROM rev""".stripMargin,
+    "embed_gram" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, CASE WHEN ma > 0
+        |    THEN list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qs
+        |  FROM m)
+        |SELECT i, j, COUNT(*) AS n_vecs,
+        |  CAST(SUM(qs[i + 1] * qs[j + 1]) AS BIGINT) AS gram_q
+        |FROM q, range(0, 64) t1(i), range(0, 64) t2(j)
+        |WHERE j >= i
+        |GROUP BY i, j""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id, source, n_chars, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source, n_chars,
+        |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+        |  FROM documents) t""".stripMargin,
   )
 }

@@ -80,4 +80,35 @@ object Quality {
       .unionByName(audit("orders->customer", ordByCust, cust))
       .unionByName(audit("events->customer", evByUser, cust))
   }
+
+  /** Freshness audit (`dq_freshness`): per event stream (event_type),
+    * how far behind the corpus high-water mark its newest event is,
+    * and how much of its volume arrived in the trailing day — the
+    * staleness monitor in front of incremental consumers ("did
+    * stream X stop flowing?").
+    *
+    * The high-water mark is a 1-row global `max` cross-joined back in
+    * (a broadcast at any scale, never a window over the raw stream);
+    * the trailing-day count rides the SAME single-scan partial
+    * aggregation as a conditional sum, so the audit costs one read of
+    * the log however many streams it covers. Lag is exact integer µs
+    * arithmetic — `div`, not float division. */
+  def freshness(spark: SparkSession, dir: String, staleSecs: Long = 86400L): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"ts")
+    val hwm = ev.agg(max($"ts").as("corpus_max"))
+    ev.crossJoin(broadcast(hwm))
+      .groupBy($"event_type")
+      .agg(
+        max($"ts").as("last_ts"),
+        count(lit(1)).as("n_events"),
+        sum(when($"ts" >= $"corpus_max" - expr("INTERVAL 1 DAY"), 1L)
+          .otherwise(0L)).as("n_last_day"),
+        first($"corpus_max").as("corpus_max"))
+      .withColumn("lag_seconds",
+        expr("(unix_micros(corpus_max) - unix_micros(last_ts)) div 1000000"))
+      .withColumn("is_stale", $"lag_seconds" > staleSecs)
+      .select($"event_type", $"last_ts", $"n_events", $"n_last_day",
+        $"lag_seconds", $"is_stale")
+  }
 }

@@ -803,4 +803,40 @@ object Relational {
       .select($"n_name", ($"pos" + 1).cast(LongType).as("rnk"),
         $"col.key".as("c_custkey"), $"col.value".as("c_acctbal"))
   }
+
+  /** Pareto / ABC analysis (`q_pareto`): parts ranked by revenue,
+    * cumulative revenue share, and the classic A/B/C class cut
+    * (≤80% / ≤95% / tail) — the "which 20% of SKUs carry 80% of
+    * revenue" rollup.
+    *
+    * Scale shape: the fact table is REDUCED FIRST — a partial-
+    * aggregated groupBy collapses 100 TB of lineitem to one decimal
+    * row per part — and only then does the single-partition
+    * cumulative window run, over dimension-cardinality rows (#parts,
+    * millions at most). That global sort over the aggregate is the
+    * honest cost of a cumulative distribution, and it is the CHEAP
+    * side of the plan; the thing to never do is window the facts.
+    * Revenue stays DECIMAL through both window sums (cumulative and
+    * grand total ride the same sort, exact), so the one float
+    * division per part is deterministic and oracle-replayable. */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .as("rev_d"))
+    val order = Window.orderBy($"rev_d".desc, $"l_partkey".asc)
+    val all = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rev
+      .withColumn("rnk", row_number().over(order).cast(LongType))
+      .withColumn("cum_share",
+        (sum($"rev_d").over(order).cast(DoubleType) /
+          sum($"rev_d").over(all).cast(DoubleType)))
+      .withColumn("abc_class",
+        when($"cum_share" <= 0.80d, "A")
+          .when($"cum_share" <= 0.95d, "B")
+          .otherwise("C"))
+      .select($"l_partkey", $"rev_d".cast(DoubleType).as("revenue"),
+        $"rnk", $"cum_share", $"abc_class")
+  }
 }

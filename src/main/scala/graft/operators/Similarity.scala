@@ -403,4 +403,42 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter($"rnk" <= k)
   }
+
+  /** Corpus Gram (second-moment) matrix over int8-QUANTIZED
+    * embeddings (`embed_gram`): G[i][j] = Σ_vec q_i·q_j for the
+    * upper triangle — the input to PCA/whitening/covariance
+    * condition checks over an embedding corpus.
+    *
+    * Quantization first ([[quantize]]'s exact floor(x·127/ma + ½)
+    * recipe, per-vector scale) is what makes the corpus-wide
+    * accumulation EXACT: integer products sum associatively, so the
+    * result is independent of partitioning and row order — a raw
+    * float32 Gram would differ between engines (and between RUNS)
+    * by summation order. It is also the realistic 100 TB recipe:
+    * int8 accumulators are how large-scale Gram/covariance passes
+    * actually run.
+    *
+    * Shape: the d×(d+1)/2 cell products of one vector are emitted by
+    * a scan-local nested `transform` + one `explode` (no self-join
+    * of the exploded coordinates — that join would shuffle rows ∝
+    * corpus×d), then a partial-aggregated groupBy(i,j) reduces them
+    * map-side: exactly d×(d+1)/2 cells cross the wire PER INPUT
+    * SPLIT regardless of corpus size. */
+  def gram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xd = transform($"embedding", x => x.cast(DoubleType))
+    val ma = array_max(transform(xd, abs(_)))
+    val q = when(ma > 0d,
+      transform(xd, x => floor(x * lit(127.0d) / ma + lit(0.5d))))
+      .otherwise(transform(xd, _ => lit(0L)))
+    Tables.embeddings(spark, dir)
+      .select(q.as("q"))
+      .select(explode(expr(
+        """flatten(transform(q, (xi, i) ->
+          |  transform(slice(q, i + 1, size(q) - i), (xj, k) ->
+          |    named_struct('i', i, 'j', i + k, 'p', xi * xj))))""".stripMargin))
+        .as("c"))
+      .groupBy($"c.i".cast(LongType).as("i"), $"c.j".cast(LongType).as("j"))
+      .agg(count(lit(1)).as("n_vecs"), sum($"c.p").cast(LongType).as("gram_q"))
+  }
 }

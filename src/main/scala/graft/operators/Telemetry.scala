@@ -702,4 +702,34 @@ object Telemetry {
       .select($"user_id", $"day", ($"pos" + 1).cast(LongType).as("rnk"),
         $"col.key".as("event_id"), $"n_total")
   }
+
+  /** OHLC resampling (`ts_ohlc`): per (event_type, day) candle —
+    * open/high/low/close of `value` plus the day-over-day close
+    * delta. The financial downsample, but equally the shape of any
+    * "first/last/extremes per bucket" telemetry rollup.
+    *
+    * Scale shape: open and close are `min_by`/`max_by` over exact
+    * integer µs — ordinary aggregates that partial-aggregate
+    * map-side, so the raw stream is reduced to one candidate row per
+    * (type, day, split) before the shuffle; no per-bucket sort ever
+    * happens. (event_type, ts) is unique in this corpus, so the
+    * first/last election is tie-free. The day-over-day delta is a
+    * `lag` window over the RESAMPLED series — #types × #days rows,
+    * dimension-sized however large the raw stream was. Close deltas
+    * subtract two exact stored doubles: deterministic, no cross-row
+    * float summation. */
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val candles = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(
+        min_by($"value", unix_micros($"ts")).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", unix_micros($"ts")).as("close"),
+        count(lit(1)).as("n_events"))
+    val bySeries = Window.partitionBy($"event_type").orderBy($"day")
+    candles.withColumn("close_chg",
+      $"close" - lag($"close", 1).over(bySeries))
+  }
 }

@@ -422,4 +422,27 @@ object TextAnalysis {
       .withColumn("ttr", $"n_types".cast(DoubleType) / $"n_tokens".cast(DoubleType))
       .withColumn("hapax_frac", $"n_hapax".cast(DoubleType) / $"n_tokens".cast(DoubleType))
   }
+
+  /** Deterministic train/validation/test split (`sample_split`):
+    * every document lands in exactly one split by a pure function of
+    * its id — Fibonacci (Knuth multiplicative) hashing into 100
+    * buckets, 80/10/10. The assignment every training pipeline needs
+    * to be STABLE: re-runs, late-arriving shards, and incremental
+    * appends all route a given document to the same split with no
+    * coordination, no stored assignment table, no sampling state.
+    * Scan-local and shuffle-free — the split column costs two integer
+    * ops per row at any corpus size. The multiplier is the classic
+    * 2654435761 = ⌊2³²/φ⌋, which decorrelates the split from
+    * sequential-id locality (consecutive ids scatter across buckets
+    * instead of landing in the same one). */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = ($"doc_id" * lit(2654435761L)) % lit(4294967296L) % lit(100L)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars", bucket.as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 80L, "train")
+          .when($"bucket" < 90L, "validation")
+          .otherwise("test"))
+  }
 }
