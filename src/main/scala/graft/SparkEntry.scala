@@ -57,6 +57,7 @@ object SparkEntry {
     "q_topk_group" -> ((s: SparkSession, d: String) => Relational.qTopKGroup(s, d)),
     "q_hll_distinct" -> (Relational.qHllDistinct _),
     "q_pareto" -> (Relational.qPareto _),
+    "q_ntile" -> (Relational.qNtile _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -94,6 +95,12 @@ object SparkEntry {
     "dq_freshness" -> ((s: SparkSession, d: String) => Quality.freshness(s, d)),
     "q_cdc_apply" -> (Changelog.cdcApply _),
     "q_scd2" -> (Changelog.scd2 _),
+    "ts_autocorr" -> (Telemetry.autocorr _),
+    "events_streak" -> (Telemetry.streaks _),
+    "q_running_distinct" -> (Telemetry.runningDistinct _),
+    "events_markov" -> (Telemetry.markov _),
+    "ts_changepoint" -> ((s: SparkSession, d: String) => Telemetry.changepoints(s, d)),
+    "dq_benford" -> (Quality.benford _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -105,6 +112,7 @@ object SparkEntry {
     "dedup_embed" -> (Dedup.embed _),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
+    "dedup_fuzzy" -> ((s: SparkSession, d: String) => Dedup.fuzzy(s, d)),
     "graph_pagerank" -> ((s: SparkSession, d: String) => Dedup.pagerank(s, d)),
     "graph_triangles" -> ((s: SparkSession, d: String) => Dedup.triangles(s, d)),
     "graph_degrees" -> ((s: SparkSession, d: String) => Dedup.degreeDist(s, d)),
@@ -2043,5 +2051,127 @@ object SparkEntry {
         |FROM (SELECT doc_id, source, n_chars,
         |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
         |  FROM documents) t""".stripMargin,
+    "ts_autocorr" ->
+      """WITH p AS (SELECT event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS y,
+        |    LAG(CAST(value AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
+        |  FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM p WHERE x IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_pairs,
+        |  (n_pairs * sxy - sx * sy) /
+        |    (sqrt(n_pairs * sxx - sx * sx) * sqrt(n_pairs * syy - sy * sy)) AS autocorr
+        |FROM s""".stripMargin,
+    "events_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
+        |isl AS (SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |st AS (SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+        |  FROM isl GROUP BY user_id, grp),
+        |ranked AS (SELECT user_id,
+        |    CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+        |    len, start_day,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, start_day ASC) AS rk
+        |  FROM st)
+        |SELECT user_id, n_active_days, n_streaks, len AS best_len,
+        |  DATE '1970-01-01' + CAST(start_day AS INTEGER) AS best_start
+        |FROM ranked WHERE rk = 1""".stripMargin,
+    "q_running_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |act AS (SELECT day, COUNT(*) AS n_active_users FROM ud GROUP BY day),
+        |fs AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id),
+        |nu AS (SELECT day, COUNT(*) AS n_new_users FROM fs GROUP BY day)
+        |SELECT act.day, act.n_active_users,
+        |  COALESCE(nu.n_new_users, 0) AS n_new_users,
+        |  CAST(SUM(COALESCE(nu.n_new_users, 0)) OVER (ORDER BY act.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users
+        |FROM act LEFT JOIN nu ON act.day = nu.day""".stripMargin,
+    "events_markov" ->
+      """WITH bg AS (SELECT user_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+        |    event_type AS to_state
+        |  FROM events),
+        |m AS (SELECT from_state, to_state, COUNT(*) AS n_transitions
+        |  FROM bg WHERE from_state IS NOT NULL GROUP BY from_state, to_state)
+        |SELECT from_state, to_state, n_transitions,
+        |  CAST(SUM(n_transitions) OVER (PARTITION BY from_state) AS BIGINT) AS row_total,
+        |  CAST(n_transitions AS DOUBLE) /
+        |    CAST(SUM(n_transitions) OVER (PARTITION BY from_state) AS DOUBLE) AS p,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY from_state
+        |    ORDER BY n_transitions DESC, to_state ASC) AS BIGINT) AS rnk
+        |FROM m""".stripMargin,
+    "ts_changepoint" ->
+      """WITH ev AS (SELECT event_type, event_id, ts,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |d AS (SELECT event_type, event_id, ts,
+        |    COUNT(*) OVER pre AS n_pre,
+        |    COUNT(*) OVER post AS n_post,
+        |    CAST(SUM(v) OVER pre AS DOUBLE) / (COUNT(*) OVER pre) AS pre_mean,
+        |    CAST(SUM(v) OVER post AS DOUBLE) / (COUNT(*) OVER post) AS post_mean
+        |  FROM ev
+        |  WINDOW pre AS (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+        |    post AS (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+        |j AS (SELECT event_type, event_id, ts, pre_mean, post_mean,
+        |    post_mean - pre_mean AS jump
+        |  FROM d WHERE n_pre = 8 AND n_post = 8),
+        |k AS (SELECT event_type, event_id, ts, pre_mean, post_mean, jump,
+        |    CAST(SUM(CAST(abs(jump) AS DECIMAL(18,6)))
+        |        OVER (PARTITION BY event_type) AS DOUBLE) /
+        |      (COUNT(*) OVER (PARTITION BY event_type)) AS mean_abs_jump
+        |  FROM j)
+        |SELECT event_type, event_id, ts, pre_mean, post_mean, jump, mean_abs_jump
+        |FROM k WHERE abs(jump) > CAST(3.0 AS DOUBLE) * mean_abs_jump""".stripMargin,
+    "q_ntile" ->
+      """WITH t AS (SELECT c_custkey, c_acctbal,
+        |    NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS tile
+        |  FROM customer)
+        |SELECT CAST(tile AS BIGINT) AS tile, COUNT(*) AS n_customers,
+        |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |FROM t GROUP BY tile""".stripMargin,
+    "dq_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+        |    AS INTEGER) AS digit FROM lineitem),
+        |g AS (SELECT digit, COUNT(*) AS n_rows FROM d GROUP BY digit)
+        |SELECT digit, n_rows,
+        |  CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) AS share,
+        |  CASE digit
+        |    WHEN 1 THEN CAST(0.301030 AS DOUBLE) WHEN 2 THEN CAST(0.176091 AS DOUBLE)
+        |    WHEN 3 THEN CAST(0.124939 AS DOUBLE) WHEN 4 THEN CAST(0.096910 AS DOUBLE)
+        |    WHEN 5 THEN CAST(0.079181 AS DOUBLE) WHEN 6 THEN CAST(0.066947 AS DOUBLE)
+        |    WHEN 7 THEN CAST(0.057992 AS DOUBLE) WHEN 8 THEN CAST(0.051153 AS DOUBLE)
+        |    WHEN 9 THEN CAST(0.045757 AS DOUBLE) END AS benford_expected,
+        |  abs(CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) -
+        |    CASE digit
+        |      WHEN 1 THEN CAST(0.301030 AS DOUBLE) WHEN 2 THEN CAST(0.176091 AS DOUBLE)
+        |      WHEN 3 THEN CAST(0.124939 AS DOUBLE) WHEN 4 THEN CAST(0.096910 AS DOUBLE)
+        |      WHEN 5 THEN CAST(0.079181 AS DOUBLE) WHEN 6 THEN CAST(0.066947 AS DOUBLE)
+        |      WHEN 7 THEN CAST(0.057992 AS DOUBLE) WHEN 8 THEN CAST(0.051153 AS DOUBLE)
+        |      WHEN 9 THEN CAST(0.045757 AS DOUBLE) END) AS abs_dev
+        |FROM g""".stripMargin,
+    "dedup_fuzzy" ->
+      s"""WITH $minhashPairsCtes,
+         |docs AS (SELECT doc_id, substr(text, 1, 512) AS head,
+         |    LEAST(n_chars, 512) AS hlen
+         |  FROM documents)
+         |SELECT p.doc_a AS doc_id1, p.doc_b AS doc_id2,
+         |  CAST(levenshtein(da.head, db.head) AS BIGINT) AS edit_distance,
+         |  da.hlen AS len1, db.hlen AS len2,
+         |  CAST(1.0 AS DOUBLE) - CAST(levenshtein(da.head, db.head) AS DOUBLE) /
+         |    CAST(GREATEST(da.hlen, db.hlen) AS DOUBLE) AS similarity
+         |FROM pairs p JOIN docs da ON da.doc_id = p.doc_a
+         |  JOIN docs db ON db.doc_id = p.doc_b
+         |WHERE levenshtein(da.head, db.head) <=
+         |  CAST(0.25 AS DOUBLE) * CAST(GREATEST(da.hlen, db.hlen) AS DOUBLE)""".stripMargin,
   )
 }

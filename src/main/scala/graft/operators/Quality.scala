@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
 import graft.sources.Tables
@@ -110,5 +111,40 @@ object Quality {
       .withColumn("is_stale", $"lag_seconds" > staleSecs)
       .select($"event_type", $"last_ts", $"n_events", $"n_last_day",
         $"lag_seconds", $"is_stale")
+  }
+
+  /** Benford first-digit audit over lineitem prices (`dq_benford`):
+    * the classic fabricated-data screen — real transactional
+    * magnitudes follow log-uniform leading digits; a synthetic or
+    * tampered feed shows up as a flat (or spiked) digit histogram.
+    *
+    * Scale shape: the leading digit is extracted scan-local from the
+    * DECIMAL STRING rendering (never `floor(log10(x))` — a last-ulp
+    * log of a value near a power of ten can flip the digit, and the
+    * two engines' log10 are not bit-identical; decimal-to-string is
+    * exact on both). One 9-row aggregate; shares divide exact longs;
+    * the Benford expectations are 6-dp literals, so the deviation
+    * subtraction is deterministic. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = Map(
+      1 -> 0.301030d, 2 -> 0.176091d, 3 -> 0.124939d,
+      4 -> 0.096910d, 5 -> 0.079181d, 6 -> 0.066947d,
+      7 -> 0.057992d, 8 -> 0.051153d, 9 -> 0.045757d)
+    val expectedCol = expected.foldLeft(lit(Double.NaN)) {
+      case (acc, (d, p)) => when($"digit" === d, lit(p)).otherwise(acc)
+    }
+    val digits = Tables.lineitem(spark, dir)
+      .select(substring(dec($"l_extendedprice").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy($"digit")
+      .agg(count(lit(1)).as("n_rows"))
+    val total = Window.partitionBy(lit(1))
+    digits
+      .withColumn("share",
+        $"n_rows".cast("double") / sum($"n_rows").over(total).cast("double"))
+      .withColumn("benford_expected", expectedCol)
+      .withColumn("abs_dev", abs($"share" - $"benford_expected"))
+      .select($"digit", $"n_rows", $"share", $"benford_expected", $"abs_dev")
   }
 }

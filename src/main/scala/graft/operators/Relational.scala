@@ -839,4 +839,31 @@ object Relational {
       .select($"l_partkey", $"rev_d".cast(DoubleType).as("revenue"),
         $"rnk", $"cum_share", $"abc_class")
   }
+
+  /** Equal-frequency quartile profile of customer balances
+    * (`q_ntile`): `ntile(4)` over (balance, key) — the
+    * bucket-boundary summary a pricing/segmentation pipeline wants
+    * (each tile's population, range, and exact mean).
+    *
+    * Scale shape: ntile needs a global order — at 100 TB swap the
+    * exact global sort for `approx_percentile`-derived boundaries
+    * plus a scan-local bucket assignment (the q_quantiles_approx
+    * pattern); the exact form here is the correctness oracle for
+    * that swap. The tie-break on c_custkey makes the assignment a
+    * total order, so both engines bucket identically. Per-tile means
+    * divide an exact decimal sum by an exact count — one
+    * deterministic double each. */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val order = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_acctbal")
+      .withColumn("tile", ntile(4).over(order).cast(LongType))
+      .groupBy($"tile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min($"c_acctbal").as("min_bal"),
+        max($"c_acctbal").as("max_bal"),
+        (sum(dec($"c_acctbal")).cast(DoubleType) / count(lit(1))).as("avg_bal"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 import graft.sources.Tables
 
@@ -731,5 +731,168 @@ object Telemetry {
     val bySeries = Window.partitionBy($"event_type").orderBy($"day")
     candles.withColumn("close_chg",
       $"close" - lag($"close", 1).over(bySeries))
+  }
+
+  /** Lag-1 autocorrelation per series (`ts_autocorr`): how much does
+    * each event-type's value stream remember its previous sample —
+    * the first diagnostic a telemetry pipeline runs before choosing
+    * a smoothing filter (white noise → EWMA pointless; high ρ₁ →
+    * downsampling is nearly free).
+    *
+    * Scale shape: one window shuffle per series builds the (prev,
+    * cur) pairs, then everything reduces through ordinary aggregates
+    * of DECIMAL power sums — exact under any partition order, so the
+    * distributed sums are bit-identical to the sequential oracle.
+    * The ρ₁ assembly runs in double on six already-deterministic
+    * scalars (one expression, same literal shape both engines);
+    * `sqrt` is IEEE-correctly-rounded everywhere. Per-series state
+    * after the window is O(1): six sums, however long the stream. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts".asc, $"event_id".asc)
+    val pairs = Tables.events(spark, dir)
+      .select($"event_type", $"ts", $"event_id", dec($"value").as("y"))
+      .withColumn("x", lag($"y", 1).over(w))
+      .filter($"x".isNotNull)
+    pairs.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum($"x").cast(DoubleType).as("sx"),
+        sum($"y").cast(DoubleType).as("sy"),
+        sum($"x" * $"y").cast(DoubleType).as("sxy"),
+        sum($"x" * $"x").cast(DoubleType).as("sxx"),
+        sum($"y" * $"y").cast(DoubleType).as("syy"))
+      .withColumn("autocorr",
+        ($"n_pairs" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n_pairs" * $"sxx" - $"sx" * $"sx") *
+           sqrt($"n_pairs" * $"syy" - $"sy" * $"sy")))
+      .select($"event_type", $"n_pairs", $"autocorr")
+  }
+
+  /** Longest consecutive-day activity streak per user
+    * (`events_streak`): the classic gaps-and-islands resample —
+    * engagement pipelines gate retention cohorts on it.
+    *
+    * Scale shape: the raw stream collapses to distinct (user, day)
+    * FIRST (partial-aggregate dedup map-side — the shuffle carries
+    * at most #users × #days rows, not the event stream), then the
+    * island id is `day − row_number()` over a window on the already
+    * day-sized series. Streak stats are ordinary aggregates; the
+    * best-streak election is a deterministic (len DESC, start ASC)
+    * rank. All integer arithmetic — nothing for an oracle to
+    * disagree about. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).cast(LongType).as("day"))
+      .distinct()
+    val byUser = Window.partitionBy($"user_id").orderBy($"day".asc)
+    val islands = days
+      .withColumn("grp", $"day" - row_number().over(byUser))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"day").as("start_day"), max($"day").as("end_day"))
+    val best = Window.partitionBy($"user_id").orderBy($"len".desc, $"start_day".asc)
+    islands
+      .withColumn("n_active_days", sum($"len").over(Window.partitionBy($"user_id")))
+      .withColumn("n_streaks", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .withColumn("rk", row_number().over(best))
+      .filter($"rk" === 1)
+      .select($"user_id", $"n_active_days", $"n_streaks",
+        $"len".as("best_len"),
+        date_add(to_date(lit("1970-01-01")), $"start_day".cast(IntegerType)).as("best_start"))
+  }
+
+  /** Cumulative-distinct growth curve (`q_running_distinct`): per
+    * day, how many users were EVER seen up to that day vs active
+    * that day — the corpus-growth / MAU-vs-reach view. A windowed
+    * COUNT(DISTINCT) is unevaluable in Spark and quadratic anywhere;
+    * the first-seen formulation is the scale answer.
+    *
+    * Scale shape: distinct (user, day) map-side first; each user's
+    * first day is one `min` aggregate; the growth curve is a running
+    * sum over the DAY-sized series (a few hundred rows at any data
+    * scale — the single-partition window is on dimension-sized data,
+    * not the stream). Integers only. */
+  def runningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val userDays = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val active = userDays.groupBy($"day").agg(count(lit(1)).as("n_active_users"))
+    val firstSeen = userDays.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_new_users"))
+    val byDay = Window.orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstSeen, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new_users"))
+      .withColumn("cum_distinct_users", sum($"n_new_users").over(byDay))
+      .select($"day", $"n_active_users", $"n_new_users", $"cum_distinct_users")
+  }
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences (`events_markov`): P(next = j | current = i), the
+    * behavioral-model summary `events_paths` trigrams feed — and the
+    * generator for synthetic session traffic.
+    *
+    * Scale shape: one window shuffle per user builds the bigrams
+    * (same partitioning every sequence op here reuses), then the
+    * matrix is a #states² aggregate — tiny however big the stream.
+    * Probabilities divide two exact longs per row (row-total via a
+    * window over the state-sized matrix, not the stream). */
+  def markov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = byUserTime(spark)
+    val bigrams = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("to_state"))
+      .withColumn("from_state", lag($"to_state", 1).over(w))
+      .filter($"from_state".isNotNull)
+    val byFrom = Window.partitionBy($"from_state")
+    bigrams.groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("row_total", sum($"n_transitions").over(byFrom))
+      .withColumn("p", $"n_transitions".cast(DoubleType) / $"row_total".cast(DoubleType))
+      .withColumn("rnk",
+        row_number().over(byFrom.orderBy($"n_transitions".desc, $"to_state".asc))
+          .cast(LongType))
+  }
+
+  /** Mean-shift changepoint candidates per series (`ts_changepoint`):
+    * at each event, compare the trailing-k window mean against the
+    * leading-k window mean; flag jumps larger than `mult` × the
+    * series' own average absolute jump — the level-shift detector a
+    * telemetry fleet runs before alerting on sensor recalibration.
+    *
+    * Scale shape: both ROWS frames (trailing [-k,-1], leading
+    * [0,k-1]) share one window sort per series — Catalyst evaluates
+    * them in a single Window stage with O(k) frame state. The
+    * adaptive threshold is a SECOND window over the same
+    * (partition, order) spec — Catalyst sees the sort is already
+    * satisfied and stacks it on the same exchange, so the stream is
+    * shuffled and sorted exactly once (an aggregate-and-join-back
+    * would re-execute the whole window subtree on the second
+    * branch). The threshold sums the diffs cast to decimal —
+    * cross-row double summation would be partition-order-dependent;
+    * decimal is exact — and every surviving double op is a per-row
+    * expression with one evaluation shape. */
+  def changepoints(spark: SparkSession, dir: String, k: Int = 8, mult: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    val ord = Window.partitionBy($"event_type").orderBy($"ts".asc, $"event_id".asc)
+    val pre = ord.rowsBetween(-k, -1)
+    val post = ord.rowsBetween(Window.currentRow, k - 1)
+    val whole = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"ts", dec($"value").as("v"))
+      .withColumn("n_pre", count(lit(1)).over(pre))
+      .withColumn("n_post", count(lit(1)).over(post))
+      .withColumn("pre_mean", sum($"v").over(pre).cast(DoubleType) / $"n_pre")
+      .withColumn("post_mean", sum($"v").over(post).cast(DoubleType) / $"n_post")
+      .filter($"n_pre" === k && $"n_post" === k)
+      .withColumn("jump", $"post_mean" - $"pre_mean")
+      .withColumn("mean_abs_jump",
+        sum(abs($"jump").cast(DecimalType(18, 6))).over(whole).cast(DoubleType) /
+          count(lit(1)).over(whole))
+      .filter(abs($"jump") > lit(mult) * $"mean_abs_jump")
+      .select($"event_type", $"event_id", $"ts", $"pre_mean", $"post_mean",
+        $"jump", $"mean_abs_jump")
   }
 }
