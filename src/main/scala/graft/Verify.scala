@@ -2,7 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure contract (VERDICT r6 item 2): a query that throws must NEVER
+  * silently vanish from the output set — that made 27 broken operators
+  * look like a shorter-but-green round. Instead we:
+  *   - write a 1-row marker frame with a `__VERIFY_FAILED__` column at
+  *     the query's output path, so any downstream compare sees a loud
+  *     schema/row mismatch (red row) rather than a missing key;
+  *   - dump verify_failures.json (name → error) and query_keys.json
+  *     (the FULL SparkEntry.queries key set) so tools/check.py can
+  *     assert nothing was dropped.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -16,11 +27,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try {
+          import spark.implicits._
+          Seq((name, msg.take(500))).toDF("__VERIFY_FAILED__", "error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -35,9 +54,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def obj(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), obj(SparkEntry.oracleSql))
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), obj(failures))
+    Files.writeString(Paths.get(s"$outDir/query_keys.json"),
+      SparkEntry.queries.keys.map(q).mkString("[", ",", "]"))
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: ${failures.keys.mkString(", ")}")
+    else
+      System.err.println(s"[verify] all ${SparkEntry.queries.size} queries dumped OK")
     spark.stop()
   }
 }

@@ -316,6 +316,87 @@ object Telemetry {
         max(when(lost, $"ts")).as("last_lost"))
   }
 
+  /** Queue data-lifetime (TTL) accounting — serial_streaming.lua's
+    * v2.0.0 "To/From-Mobile data lifetime management"
+    * (serial_streaming.lua:16): a queued message that is not sent
+    * within `ttlSecs` of its enqueue time is EVICTED BY AGE, a
+    * different failure class from transport loss. Model: each event
+    * is a message enqueued at `ts` on stream `event_type`; the
+    * `k <= 50` marker (same as [[queueStats]]) means the send
+    * attempt succeeded. A message's service instant is the earliest
+    * successful send at-or-after its enqueue (the queue drains in
+    * order, so a lost message would have ridden the next good slot).
+    * Classification:
+    *   - sent      → delivered (serviced at its own instant);
+    *   - lost, and the next good slot is within TTL → transport loss;
+    *   - lost, and no good slot within TTL (or ever) → EXPIRED.
+    * One window pass per stream (min-over-following on a pre-shuffled
+    * sort — per-key state is O(1) running-min computed from the
+    * stream tail) then one partial-aggregated rollup; shuffle ∝
+    * stream, never pairs, so the shape holds at 100 TB. */
+  def queueTtl(spark: SparkSession, dir: String, ttlSecs: Long = 86400L): DataFrame = {
+    import spark.implicits._
+    val ttlUs = ttlSecs * 1000000L
+    val msgs = Tables.events(spark, dir)
+      .withColumn("k", regexp_extract($"props", "([0-9]+)", 1).cast(IntegerType))
+      .select($"event_type", $"event_id", unix_micros($"ts").as("t_us"), $"value",
+        ($"k" <= 50).as("sent"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"t_us".asc, $"event_id".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    msgs
+      .withColumn("svc_us", min(when($"sent", $"t_us")).over(w))
+      .withColumn("outcome",
+        when($"sent", "delivered")
+          .when($"svc_us".isNull || $"svc_us" - $"t_us" > ttlUs, "expired")
+          .otherwise("lost"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"outcome" === "delivered", 1L).otherwise(0L)).as("n_delivered"),
+        sum(when($"outcome" === "expired", 1L).otherwise(0L)).as("n_expired"),
+        sum(when($"outcome" === "lost", 1L).otherwise(0L)).as("n_lost"),
+        coalesce(sum(when($"outcome" === "delivered", dec($"value"))), lit(0))
+          .cast(DoubleType).as("bytes_delivered"),
+        coalesce(sum(when($"outcome" === "expired", dec($"value"))), lit(0))
+          .cast(DoubleType).as("bytes_expired"),
+        coalesce(sum(when($"outcome" === "lost", dec($"value"))), lit(0))
+          .cast(DoubleType).as("bytes_lost"),
+        max(when($"outcome" === "lost", $"svc_us" - $"t_us")).as("max_lost_wait_us"))
+  }
+
+  /** Per-EventType status-report filtering — serial_streaming.lua's
+    * "enabling/disabling StatusReports based on EventType"
+    * (serial_streaming.lua:18, 306-309: the RxDataLost/TxDataLost
+    * notifications): a loss event only emits a notification if
+    * reports are ENABLED for its event type in the notification
+    * config. The config here is a tiny per-EventType dimension
+    * (derived deterministically: types with an even code-point sum
+    * notify — standing in for the reference's runtime shellCmd
+    * toggles) broadcast-joined onto the loss stream, so the gate
+    * costs zero shuffles on the fact side beyond the final rollup.
+    * Loss marker `k > 50` matches [[queueStats]]. */
+  def statusNotify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("k", regexp_extract($"props", "([0-9]+)", 1).cast(IntegerType))
+      .select($"event_type", $"event_id", $"ts", $"value", ($"k" > 50).as("is_loss"))
+    // code-point sum via the ASCII corpus's byte view: aggregate over
+    // the type string once per DISTINCT type, not per event
+    val config = ev.select($"event_type").distinct()
+      .withColumn("cp_sum", aggregate(
+        transform(split($"event_type", ""), c => ascii(c).cast(LongType)),
+        lit(0L), (acc, x) => acc + x))
+      .select($"event_type", ($"cp_sum" % 2 === 0).as("notify_on"))
+    ev.filter($"is_loss")
+      .join(broadcast(config), Seq("event_type"))
+      .groupBy($"event_type", $"notify_on")
+      .agg(
+        count(lit(1)).as("n_loss_events"),
+        sum(when($"notify_on", 1L).otherwise(0L)).as("n_notified"),
+        min(when($"notify_on", $"ts")).as("first_notified"),
+        max(when($"notify_on", $"ts")).as("last_notified"))
+  }
+
   /** Delayed status transitions (serial_streaming.lua SetStatus
     * 120-180): a command `SetStatus(enabled, timeout)` with timeout
     * τ > 0 moves the service into the intermediate Paused state and

@@ -31,14 +31,26 @@ object Tables {
   }
 
   /** Shared ts normalization for batch AND streaming reads of the
-    * events table: nanos-as-long becomes µs TimestampType; a real
-    * timestamp column passes through untouched. */
+    * events table. The driver's generator has emitted three parquet
+    * encodings across rounds, all µs-aligned UTC instants:
+    *   - TIMESTAMP(NANOS) read as raw Long (legacy nanosAsLong conf)
+    *     → integer-exact div to µs TimestampType;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) read as
+    *     TIMESTAMP_NTZ → cast to TimestampType (exact under the UTC
+    *     session TZ every entrypoint sets);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=true) read as TimestampType
+    *     → passes through untouched.
+    * Downstream consumers can then rely on unix_micros/unix_millis. */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -132,13 +132,17 @@ object StreamRelay {
   val BarrierType = "__barrier"
 
   /** One sentinel event at 2100-01-01 (past any generated data) in the
-    * RAW events schema — nanos-long or timestamp ts both supported. */
+    * RAW events schema — all three driver ts encodings supported
+    * (nanos-long, µs NTZ, µs UTC timestamp); an unhandled ts type
+    * would silently null the sentinel and stall the watermark. */
   def barrierRow(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    import org.apache.spark.sql.types.{LongType => SLong, TimestampType => STs}
+    import org.apache.spark.sql.types.{LongType => SLong, TimestampNTZType => SNtz, TimestampType => STs}
     val cols = schema.fields.map { f =>
       (f.name, f.dataType) match {
         case ("ts", SLong) => lit(4102444800L * 1000000000L).as("ts")
         case ("ts", STs) => lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")).as("ts")
+        case ("ts", SNtz) =>
+          lit(java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0)).as("ts")
         case ("event_type", _) => lit(BarrierType).as("event_type")
         case (n, dt) => lit(null).cast(dt).as(n)
       }

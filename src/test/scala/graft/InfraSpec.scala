@@ -208,9 +208,8 @@ class InfraSpec extends SparkSpec {
 
   test("watermarked append-mode windowed aggregation emits closed windows") {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf))
     val agg = stream
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour"), $"event_type")

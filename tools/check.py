@@ -29,6 +29,24 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # Un-foolable gate: assert the FULL SparkEntry.queries key set is
+    # present — a thrown query must show as a red row, never a missing key.
+    keys_path = f"{out_dir}/query_keys.json"
+    if os.path.exists(keys_path):
+        all_keys = set(json.load(open(keys_path)))
+        for name in sorted(all_keys):
+            if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+                print(f"FAIL {name}: query key has NO spark output (dropped from dump)")
+                n_bad += 1
+        extra = set(oracle) - all_keys
+        if extra:
+            print(f"FAIL: oracle keys with no queries entry: {sorted(extra)}")
+            n_bad += 1
+    fails_path = f"{out_dir}/verify_failures.json"
+    if os.path.exists(fails_path):
+        for name, err in sorted(json.load(open(fails_path)).items()):
+            print(f"FAIL {name}: threw during verify: {err[:300]}")
+            n_bad += 1
     for name, sql in sorted(oracle.items()):
         spark_path = f"{out_dir}/{name}"
         if not glob.glob(f"{spark_path}/*.parquet"):
