@@ -66,7 +66,9 @@ object SparkEntry {
     "chunk_messages" -> ((s: SparkSession, d: String) => Telemetry.chunkMessages(s, d)),
     "chunk_reassemble" -> ((s: SparkSession, d: String) => Telemetry.chunkReassemble(s, d)),
     "queue_stats" -> (Telemetry.queueStats _),
+    "queue_ttl" -> ((s: SparkSession, d: String) => Telemetry.queueTtl(s, d)),
     "status_transitions" -> (Telemetry.statusTransitions _),
+    "status_notify" -> (Telemetry.statusNotify _),
     // day-scale timers / half-day restarts: sized to the synthetic
     // corpus's ~4-day inter-event gaps so the Paused and restart
     // windows actually catch data events (see operator docs)
@@ -579,6 +581,47 @@ object SparkEntry {
         |  MAX(ts) FILTER (WHERE k > 50) AS last_lost
         |FROM (SELECT *, CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k FROM events) t
         |GROUP BY event_type""".stripMargin,
+    "queue_ttl" ->
+      """WITH m AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS t_us, value,
+        |    CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) <= 50 AS sent
+        |  FROM events),
+        |s AS (
+        |  SELECT *, MIN(CASE WHEN sent THEN t_us END) OVER (
+        |      PARTITION BY event_type ORDER BY t_us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS svc_us
+        |  FROM m),
+        |c AS (
+        |  SELECT *, CASE WHEN sent THEN 'delivered'
+        |    WHEN svc_us IS NULL OR svc_us - t_us > 86400000000 THEN 'expired'
+        |    ELSE 'lost' END AS outcome
+        |  FROM s)
+        |SELECT event_type,
+        |  CAST(COUNT(*) FILTER (WHERE outcome = 'delivered') AS BIGINT) AS n_delivered,
+        |  CAST(COUNT(*) FILTER (WHERE outcome = 'expired') AS BIGINT) AS n_expired,
+        |  CAST(COUNT(*) FILTER (WHERE outcome = 'lost') AS BIGINT) AS n_lost,
+        |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE outcome = 'delivered'), 0) AS DOUBLE) AS bytes_delivered,
+        |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE outcome = 'expired'), 0) AS DOUBLE) AS bytes_expired,
+        |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE outcome = 'lost'), 0) AS DOUBLE) AS bytes_lost,
+        |  MAX(svc_us - t_us) FILTER (WHERE outcome = 'lost') AS max_lost_wait_us
+        |FROM c GROUP BY event_type""".stripMargin,
+    "status_notify" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts,
+        |    CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) > 50 AS is_loss
+        |  FROM events),
+        |cfg AS (
+        |  SELECT event_type,
+        |    list_sum(list_transform(string_split(event_type, ''), c -> unicode(c))) % 2 = 0 AS notify_on
+        |  FROM (SELECT DISTINCT event_type FROM events))
+        |SELECT ev.event_type, cfg.notify_on,
+        |  COUNT(*) AS n_loss_events,
+        |  CAST(COUNT(*) FILTER (WHERE cfg.notify_on) AS BIGINT) AS n_notified,
+        |  MIN(ts) FILTER (WHERE cfg.notify_on) AS first_notified,
+        |  MAX(ts) FILTER (WHERE cfg.notify_on) AS last_notified
+        |FROM ev JOIN cfg USING (event_type)
+        |WHERE ev.is_loss
+        |GROUP BY ev.event_type, cfg.notify_on""".stripMargin,
     "status_transitions" ->
       """SELECT prev_type, event_type AS cur_type, COUNT(*) AS n_transitions,
         |  CAST(SUM(COALESCE(next_us - epoch_us(ts), 0)) AS BIGINT) AS total_dwell_us

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Telemetry
+import graft.sources.Tables
+
+/** Round-7 additions: queue TTL lifetime accounting and per-EventType
+  * status-report filtering (the last two reference gaps from
+  * serial_streaming.lua's v2.0.0 changelog). */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("queue_ttl: outcomes partition the stream; sent is always delivered") {
+    val ttl = Telemetry.queueTtl(spark, sf).collect()
+    val byType = Tables.events(spark, sf).groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ttl.nonEmpty && ttl.length == byType.size)
+    ttl.foreach { r =>
+      val total = r.getAs[Long]("n_delivered") + r.getAs[Long]("n_expired") +
+        r.getAs[Long]("n_lost")
+      assert(total == byType(r.getAs[String]("event_type")),
+        "delivered+expired+lost must cover every message")
+    }
+    // the loss marker k>50 is ~half the corpus: both failure classes
+    // and the delivered class must all be populated somewhere
+    assert(ttl.map(_.getAs[Long]("n_delivered")).sum > 0)
+    assert(ttl.map(_.getAs[Long]("n_expired")).sum +
+      ttl.map(_.getAs[Long]("n_lost")).sum > 0)
+  }
+
+  test("queue_ttl: a tight TTL expires every lost message, a loose one expires only tail orphans") {
+    // TTL = 0: any lost message with a strictly-later service slot is
+    // expired; 'lost' requires svc at the SAME instant (impossible
+    // for distinct µs timestamps) so n_lost must be 0
+    val tight = Telemetry.queueTtl(spark, sf, ttlSecs = 0L).collect()
+    assert(tight.map(_.getAs[Long]("n_lost")).sum == 0)
+    // TTL = 10 years: nothing can exceed it, so expired only counts
+    // the stream-tail messages with NO later good slot at all
+    val loose = Telemetry.queueTtl(spark, sf, ttlSecs = 315360000L)
+    val tail = loose.collect()
+    assert(tail.map(_.getAs[Long]("n_lost")).sum > 0)
+    // per stream, the no-later-slot orphans are a (possibly empty)
+    // suffix — strictly fewer than the lost class overall
+    assert(tail.map(_.getAs[Long]("n_expired")).sum <
+      tight.map(_.getAs[Long]("n_expired")).sum)
+  }
+
+  test("status_notify: notification gate follows the per-type config exactly") {
+    val rows = Telemetry.statusNotify(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val expectOn = t.map(_.toInt).sum % 2 == 0
+      assert(r.getAs[Boolean]("notify_on") == expectOn, s"config parity for $t")
+      if (expectOn) {
+        assert(r.getAs[Long]("n_notified") == r.getAs[Long]("n_loss_events"))
+        assert(r.getAs[java.sql.Timestamp]("first_notified") != null)
+      } else {
+        assert(r.getAs[Long]("n_notified") == 0L)
+        assert(r.isNullAt(r.fieldIndex("first_notified")))
+      }
+    }
+    // the 5-type corpus splits 3 notify-on / 2 notify-off
+    assert(rows.count(_.getAs[Boolean]("notify_on")) == 3)
+    assert(rows.count(!_.getAs[Boolean]("notify_on")) == 2)
+  }
+
+  test("status_notify: config side is broadcast, no shuffle on the fact side beyond the rollup") {
+    val plan = Telemetry.statusNotify(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"config dimension must broadcast:\n$plan")
+  }
+}
