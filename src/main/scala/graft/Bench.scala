@@ -49,12 +49,24 @@ object Bench {
       // a query only counts as measured if EVERY rep succeeded
       name -> (if (runs.length == reps) Some(median(runs)) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
+    // timings print at 4 decimals (0.1 ms): full-precision doubles made
+    // the one-line payload ~6 KB and the driver's captured stdout tail
+    // truncated it mid-JSON (BENCH_r06 "parsed": null) — sub-ms digits
+    // carry no information at these run times anyway
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.map(fmt).getOrElse("-1.0") }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}"""
+    println(line)
+    // belt-and-braces: persist the same payload to a file so the full
+    // per-query timings survive even if a log capture truncates stdout
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

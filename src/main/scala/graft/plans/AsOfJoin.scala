@@ -96,19 +96,29 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val rightWidth = right.output.size
-    val outputSchema = output.map(_.dataType).toArray
+    val leftSchema = org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(left.output)
+    val rightSchema = org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(right.output)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // key/time extraction through code-generated unsafe projections
       // (getLong on a flat row) instead of boxed Expression.eval per
       // row — the merge loop's per-row cost is two primitive reads
       val lKeyTime = UnsafeProjection.create(Seq(leftKey, leftTime), left.output)
       val rKeyTime = UnsafeProjection.create(Seq(rightKey, rightTime), right.output)
-      val project = UnsafeProjection.create(outputSchema)
-      val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(rightWidth)
-      // one-row lookahead over the sorted right side
-      var rHead: InternalRow = null
+      // output assembly is a code-generated BYTE concatenation of the
+      // two UnsafeRows (the same joiner Spark's own join execs use) —
+      // the previous JoinedRow + per-field UnsafeProjection rebuilt
+      // every output row with one virtual field-read per column and
+      // was ~3x the composed union+window plan's cost
+      val joiner = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateUnsafeRowJoiner.create(leftSchema, rightSchema)
+      // an all-null right half for unmatched lefts, as UnsafeRow bytes
+      val nullRight = UnsafeProjection.create(
+        right.output.map(a => Literal.create(null, a.dataType)), Nil)(InternalRow.empty).copy()
+      // one-row lookahead over the sorted right side. Both inputs are
+      // UnsafeRow: EnsureRequirements inserts SortExec for the
+      // (key, time) required ordering on each side, and SortExec
+      // always emits UnsafeRow.
+      var rHead: UnsafeRow = null
       var rHeadKey = 0L
       var rHeadTime = 0L
       def advanceRight(): Unit = {
@@ -117,7 +127,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val r = rIter.next()
           val kt = rKeyTime(r)
           if (!kt.isNullAt(0) && !kt.isNullAt(1)) {  // null key/time never matches
-            rHead = r
+            rHead = r.asInstanceOf[UnsafeRow]
             rHeadKey = kt.getLong(0)
             rHeadTime = kt.getLong(1)
           }
@@ -125,16 +135,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       }
       advanceRight()
       val tol = tolerance.getOrElse(Long.MaxValue)
-      var lastMatch: InternalRow = null
+      var lastMatch: UnsafeRow = null
       var lastMatchKey = 0L
       var lastMatchTime = 0L
       new Iterator[InternalRow] {
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
-          val l = lIter.next()
+          val l = lIter.next().asInstanceOf[UnsafeRow]
           val kt = lKeyTime(l)
           if (kt.isNullAt(0) || kt.isNullAt(1)) {
-            project(joined(l, nullRight))
+            joiner.join(l, nullRight)
           } else {
             val lk = kt.getLong(0)
             val lt = kt.getLong(1)
@@ -157,7 +167,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             // check on it decides the whole match — the state stays
             // O(1) with or without the bound
             val matched = lastMatch != null && lt - lastMatchTime <= tol
-            project(joined(l, if (matched) lastMatch else nullRight))
+            joiner.join(l, if (matched) lastMatch else nullRight)
           }
         }
       }
