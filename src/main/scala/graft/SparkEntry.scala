@@ -144,6 +144,8 @@ object SparkEntry {
     "sample_pergroup" -> ((s: SparkSession, d: String) => TextAnalysis.samplePerGroup(s, d)),
     "sample_split" -> (TextAnalysis.sampleSplit _),
     "text_hashvec" -> ((s: SparkSession, d: String) => TextAnalysis.hashVec(s, d)),
+    "text_gopher" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
+    "text_dsir" -> ((s: SparkSession, d: String) => TextAnalysis.dsir(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redact(s, d)),
     "corpus_pipeline" -> ((s: SparkSession, d: String) => TextAnalysis.corpusPipeline(s, d)),
@@ -1185,6 +1187,50 @@ object SparkEntry {
          |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
          |  FROM documents) u) t
          |GROUP BY source, bucket""".stripMargin,
+    "text_gopher" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS words
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_word_chars,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+        |      ['a','the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits
+        |  FROM w)
+        |SELECT doc_id, lang, n_words, sum_word_chars, n_alpha_words, n_stop_hits,
+        |  n_words >= 5 AND n_words <= 100000 AS ok_words,
+        |  sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10 AS ok_mean_len,
+        |  n_alpha_words * 10 >= n_words * 8 AS ok_alpha,
+        |  n_stop_hits >= 2 AS ok_stop,
+        |  (n_words >= 5 AND n_words <= 100000)
+        |    AND (sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10)
+        |    AND (n_alpha_words * 10 >= n_words * 8) AND (n_stop_hits >= 2) AS pass
+        |FROM c""".stripMargin,
+    "text_dsir" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> length(x) > 0)) AS term
+         |  FROM documents),
+         |tb AS (SELECT doc_id, lang, ${ph("term")} % 64 AS bucket FROM terms),
+         |freqs AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tf_all,
+         |    CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tf_target
+         |  FROM tb GROUP BY bucket),
+         |totals AS (
+         |  SELECT CAST(SUM(tf_all) AS BIGINT) AS n_all,
+         |    CAST(SUM(tf_target) AS BIGINT) AS n_target FROM freqs),
+         |scored AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms,
+         |    CAST(SUM(tf_target) AS BIGINT) AS target_evidence,
+         |    CAST(SUM(tf_all) AS BIGINT) AS corpus_evidence
+         |  FROM tb JOIN freqs USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, n_terms, target_evidence, corpus_evidence,
+         |  CAST(target_evidence AS DECIMAL(38,0)) * n_all
+         |    > CAST(corpus_evidence AS DECIMAL(38,0)) * n_target AS selected
+         |FROM scored, totals""".stripMargin,
     "q_cms_topterms" ->
       s"""WITH terms AS (SELECT DISTINCT doc_id, term FROM (
          |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term

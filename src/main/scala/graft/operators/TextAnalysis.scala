@@ -445,4 +445,83 @@ object TextAnalysis {
           .when($"bucket" < 90L, "validation")
           .otherwise("test"))
   }
+
+  /** Gopher-style heuristic quality rules (`text_gopher`) — the
+    * published repetition-free document filters of Rae et al. 2021
+    * (Gopher, §A.1.1), reused by MassiveText/Dolma/DCLM pipelines:
+    * word-count bounds, mean-word-length bounds, minimum alphabetic
+    * fraction, minimum stop-word hits. Every rule evaluates in
+    * INTEGER cross-multiplied arithmetic (no float thresholds), so
+    * the verdicts are bit-identical on any engine and any row order.
+    * Scan-local (zero shuffles): one pass over the corpus emits the
+    * per-rule counters and verdicts — the shape that filters 100 TB
+    * at IO speed. Word-count bounds are scaled to the synthetic
+    * corpus (docs are sentence-scale, not page-scale). */
+  def gopherRules(spark: SparkSession, dir: String,
+      minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val words = filter(split($"text", "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast(LongType)
+    val sumChars = aggregate(transform(words, w => length(w).cast(LongType)), lit(0L), _ + _)
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast(LongType)
+    val stopList = array(Seq("a", "the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
+    val nStop = size(array_intersect(transform(words, lower(_)), stopList)).cast(LongType)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        nWords.as("n_words"), sumChars.as("sum_word_chars"),
+        nAlpha.as("n_alpha_words"), nStop.as("n_stop_hits"))
+      // mean word length in [3, 10] and alpha fraction >= 80%, both
+      // as exact integer cross-products
+      .withColumn("ok_words", $"n_words" >= minWords && $"n_words" <= maxWords)
+      .withColumn("ok_mean_len",
+        $"sum_word_chars" >= $"n_words" * 3L && $"sum_word_chars" <= $"n_words" * 10L)
+      .withColumn("ok_alpha", $"n_alpha_words" * 10L >= $"n_words" * 8L)
+      .withColumn("ok_stop", $"n_stop_hits" >= 2L)
+      .withColumn("pass", $"ok_words" && $"ok_mean_len" && $"ok_alpha" && $"ok_stop")
+  }
+
+  /** DSIR-style importance scoring (`text_dsir`) — Xie et al. 2023
+    * ("Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much its hashed-feature profile
+    * looks like a TARGET domain (here lang='en', the largest slice)
+    * relative to the whole corpus. Features are [[HashFns.polyHash]]
+    * word buckets (mod `buckets`); the target and corpus bucket
+    * frequency tables are two tiny aggregates (`buckets` rows each)
+    * BROADCAST into the per-token scoring join, so the only
+    * corpus-scale shuffle is the per-doc rollup — token-proportional,
+    * exactly the DSIR paper's one-pass-over-raw-data contract.
+    * The resampling verdict avoids log-likelihood floats: a doc is
+    * selected when its summed target evidence exceeds its summed
+    * corpus evidence under exact integer cross-multiplication
+    * (equivalent to mean feature log-ratio > 0 for the ratio-of-sums
+    * surrogate, deterministic on any engine). */
+  def dsir(spark: SparkSession, dir: String, buckets: Long = 64L,
+      targetLang: String = "en"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select($"doc_id", $"lang",
+        explode(filter(split(lower($"text"), "\\s+"), w => length(w) > 0)).as("term"))
+      .withColumn("bucket", pmod(HashFns.polyHash($"term"), lit(buckets)))
+    val freqs = terms.groupBy($"bucket").agg(
+      count(lit(1)).as("tf_all"),
+      sum(when($"lang" === targetLang, 1L).otherwise(0L)).as("tf_target"))
+    // scalar corpus totals ride along in the same tiny broadcast (no
+    // driver collect): every row carries the grand totals via a
+    // window-free sum over the 64-row table
+    val totals = freqs.agg(sum($"tf_all").as("n_all"), sum($"tf_target").as("n_target"))
+    terms
+      .join(broadcast(freqs), Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"tf_target").as("target_evidence"),
+        sum($"tf_all").as("corpus_evidence"))
+      .crossJoin(broadcast(totals))
+      // selected ⇔ (target_evidence / n_target) > (corpus_evidence / n_all);
+      // the cross-products are token-count × token-count and would
+      // overflow Long near 1e19 — decimal(38) keeps them exact at any SF
+      .withColumn("selected",
+        $"target_evidence".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"n_all" >
+          $"corpus_evidence".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"n_target")
+      .select($"doc_id", $"n_terms", $"target_evidence", $"corpus_evidence", $"selected")
+  }
 }

@@ -71,4 +71,47 @@ class Round12Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"config dimension must broadcast:\n$plan")
   }
+
+  test("text_gopher: integer rules agree with a recomputed reference on every doc") {
+    val rows = operators.TextAnalysis.gopherRules(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    val stops = Set("a", "the", "be", "to", "of", "and", "that", "have", "with")
+    rows.foreach { r =>
+      val words = texts(r.getAs[Long]("doc_id")).split("\\s+").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_words") == words.length)
+      assert(r.getAs[Long]("sum_word_chars") == words.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("n_alpha_words") ==
+        words.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))))
+      assert(r.getAs[Long]("n_stop_hits") == words.map(_.toLowerCase).toSet.count(stops))
+      val expectPass = words.length >= 5 && words.length <= 100000 &&
+        words.map(_.length.toLong).sum >= words.length * 3L &&
+        words.map(_.length.toLong).sum <= words.length * 10L &&
+        words.count(w => w.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) * 10L >= words.length * 8L &&
+        words.map(_.toLowerCase).toSet.count(stops) >= 2
+      assert(r.getAs[Boolean]("pass") == expectPass, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // the synthetic corpus must exercise both verdicts
+    assert(rows.exists(_.getAs[Boolean]("pass")) && rows.exists(!_.getAs[Boolean]("pass")))
+  }
+
+  test("text_dsir: English docs score above non-English on target affinity") {
+    val scored = operators.TextAnalysis.dsir(spark, sf)
+      .join(Tables.documents(spark, sf).select($"doc_id", $"lang"), "doc_id")
+      .collect()
+    assert(scored.length == Tables.documents(spark, sf).count())
+    val (en, rest) = scored.partition(_.getAs[String]("lang") == "en")
+    def selRate(rs: Array[org.apache.spark.sql.Row]) =
+      rs.count(_.getAs[Boolean]("selected")).toDouble / rs.length
+    // the importance sampler must prefer the target domain
+    assert(selRate(en) > selRate(rest),
+      s"en rate ${selRate(en)} must beat non-en ${selRate(rest)}")
+    assert(scored.forall(r => r.getAs[Long]("corpus_evidence") >= r.getAs[Long]("target_evidence")))
+  }
+
+  test("text_dsir: freq tables broadcast; only corpus-scale shuffle is the per-doc rollup") {
+    val plan = operators.TextAnalysis.dsir(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bucket freq table must broadcast:\n$plan")
+  }
 }
