@@ -396,7 +396,16 @@ object Relational {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
     val ev = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts")
+    // pre-partition the aggregate's input on the JOIN key only: hash
+    // clustering on o_custkey satisfies both the groupBy's
+    // (o_custkey, o_orderdate) clustering AND the merge exec's
+    // o_custkey requirement, so the right side shuffles ONCE — without
+    // this, the agg shuffles on the pair key and EnsureRequirements
+    // inserts a second custkey exchange just for the join (the
+    // share-a-partitioning-across-stages pattern; at 100 TB the saved
+    // exchange is a full pass over the orders aggregate)
     val daily = Tables.orders(spark, dir)
+      .repartition($"o_custkey")
       .groupBy($"o_custkey", $"o_orderdate")
       .agg(dsum($"o_totalprice").as("day_total"))
     val lPlan = ColumnBridge.analyzed(ev)
