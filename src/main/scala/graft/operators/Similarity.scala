@@ -374,13 +374,18 @@ object Similarity {
     * codes (scale 0) rather than dividing by zero. */
   def quantize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val xd = transform($"embedding", x => x.cast(DoubleType))
-    val ma = array_max(transform(xd, abs(_)))
-    val q = when(ma > 0d,
-      transform(xd, x => floor(x * lit(127.0d) / ma + lit(0.5d))))
-      .otherwise(transform(xd, _ => lit(0L)))
+    // ma as a materialized column, NOT referenced inside the lambda —
+    // codegen CSE does not descend into higher-order-function lambdas,
+    // so an inline reference re-evaluates the array_max per ELEMENT
+    // (d² ops and d array allocs per vector instead of d)
+    val ma = array_max(transform($"embedding", x => abs(x.cast(DoubleType))))
+    val q = when($"ma" > 0d,
+      transform($"embedding",
+        x => floor(x.cast(DoubleType) * lit(127.0d) / $"ma" + lit(0.5d))))
+      .otherwise(transform($"embedding", _ => lit(0L)))
     Tables.embeddings(spark, dir)
-      .select($"vec_id", (ma / lit(127.0d)).as("scale"), q.as("q"))
+      .select($"vec_id", $"embedding", ma.as("ma"))
+      .select($"vec_id", ($"ma" / lit(127.0d)).as("scale"), q.as("q"))
       .select($"vec_id", $"scale",
         aggregate($"q", lit(0L), _ + _).as("q_sum"),
         array_min($"q").as("q_min"),
@@ -426,19 +431,27 @@ object Similarity {
     * SPLIT regardless of corpus size. */
   def gram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val xd = transform($"embedding", x => x.cast(DoubleType))
-    val ma = array_max(transform(xd, abs(_)))
-    val q = when(ma > 0d,
-      transform(xd, x => floor(x * lit(127.0d) / ma + lit(0.5d))))
-      .otherwise(transform(xd, _ => lit(0L)))
+    // ma materializes as a COLUMN before the quantize transform:
+    // referencing the array_max expression inside the lambda would
+    // re-evaluate it per ELEMENT (codegen CSE does not descend into
+    // higher-order-function lambdas), turning a d-op scale pass into
+    // d² with an array alloc per element
+    val ma = array_max(transform($"embedding", x => abs(x.cast(DoubleType))))
+    val q = when($"ma" > 0d,
+      transform($"embedding",
+        x => floor(x.cast(DoubleType) * lit(127.0d) / $"ma" + lit(0.5d)).cast(LongType)))
+      .otherwise(transform($"embedding", _ => lit(0L)))
+    // one custom-aggregate pass (plans/SketchExprs.VecOuterSum): the
+    // d·(d+1)/2 cell sums accumulate in a primitive buffer per map
+    // split and merge elementwise — the previous explode+groupBy
+    // formulation materialized one struct per cell per vector
+    // (corpus×2080 rows) before the hash aggregate, ~25x this cost
     Tables.embeddings(spark, dir)
+      .select($"embedding", ma.as("ma"))
       .select(q.as("q"))
-      .select(explode(expr(
-        """flatten(transform(q, (xi, i) ->
-          |  transform(slice(q, i + 1, size(q) - i), (xj, k) ->
-          |    named_struct('i', i, 'j', i + k, 'p', xi * xj))))""".stripMargin))
-        .as("c"))
-      .groupBy($"c.i".cast(LongType).as("i"), $"c.j".cast(LongType).as("j"))
-      .agg(count(lit(1)).as("n_vecs"), sum($"c.p").cast(LongType).as("gram_q"))
+      .agg(graft.plans.Sketch.vecOuterSum($"q").as("cells"))
+      .select(explode($"cells").as("c"))
+      .select($"c.i".as("i"), $"c.j".as("j"),
+        $"c.n".as("n_vecs"), $"c.p".as("gram_q"))
   }
 }

@@ -46,6 +46,11 @@ object Sketch {
   def countMinWeighted(e: Column, weight: Column, w: Int = CountMin.DefaultW): Column =
     ColumnBridge.column(CountMin(ColumnBridge.expression(e), w,
       weight = ColumnBridge.expression(weight)).toAggregateExpression())
+  /** Upper-triangle Gram accumulation over quantized integer vectors —
+    * see [[VecOuterSum]]. */
+  def vecOuterSum(vec: Column): Column =
+    ColumnBridge.column(VecOuterSum(ColumnBridge.expression(vec))
+      .toAggregateExpression())
 }
 
 object CountMin {
@@ -236,6 +241,109 @@ case class TopKPairs(value: Expression, key: Expression, k: Int,
     copy(mutableAggBufferOffset = offset)
   override def withNewInputAggBufferOffset(offset: Int): TopKPairs =
     copy(inputAggBufferOffset = offset)
+}
+
+/** Upper-triangle Gram-matrix accumulator as a custom Catalyst
+  * aggregate: input is a d-length quantized integer vector; the
+  * buffer is the d·(d+1)/2 running cell sums plus the vector count,
+  * updated IN PLACE with d·(d+1)/2 multiply-adds per row. The
+  * explode-then-groupBy formulation materializes one struct per cell
+  * per vector (corpus×2080 rows for d=64) before the hash aggregate —
+  * this buffer does the same arithmetic with ZERO per-cell
+  * materialization and partials that merge by elementwise addition,
+  * so the shuffle carries one O(d²) buffer per map split at any
+  * corpus size. Dimension is learned from the first vector; a
+  * mismatched dimension fails loudly (a silent resize would corrupt
+  * cell indices). Result: the (i, j, n, p) cell structs in row-major
+  * upper-triangle order, bit-identical to the exploded formulation. */
+case class VecOuterSum(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq[DataType](ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", LongType, nullable = false),
+    StructField("j", LongType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("p", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  // slot 0 = vector count; slots 1.. = upper-triangle cell sums.
+  // Empty until the first vector fixes the dimension.
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val d = arr.numElements()
+    val cells = d * (d + 1) / 2
+    val b = if (buf.length == 0) new Array[Long](1 + cells) else buf
+    require(b.length == 1 + cells,
+      s"VecOuterSum dimension mismatch: buffer has ${b.length - 1} cells, vector dim $d needs $cells")
+    b(0) += 1L
+    var idx = 1
+    var i = 0
+    while (i < d) {
+      val xi = arr.getLong(i)
+      var j = i
+      while (j < d) { b(idx) += xi * arr.getLong(j); idx += 1; j += 1 }
+      i += 1
+    }
+    b
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    if (b2.length == 0) return b1
+    if (b1.length == 0) return b2
+    require(b1.length == b2.length,
+      s"VecOuterSum dimension mismatch in merge: ${b1.length} vs ${b2.length}")
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    if (buf.length == 0) return new GenericArrayData(Array.empty[Any])
+    val cells = buf.length - 1
+    // d(d+1)/2 = cells ⇒ d = (√(8·cells+1) − 1) / 2, exact for valid buffers
+    val d = ((Math.sqrt(8.0 * cells + 1) - 1) / 2).round.toInt
+    val n = buf(0)
+    val out = new Array[Any](cells)
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        out(idx) = InternalRow(i.toLong, j.toLong, n, buf(1 + idx))
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): VecOuterSum =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): VecOuterSum =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class KMinValues(child: Expression, k: Int,
