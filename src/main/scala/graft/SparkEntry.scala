@@ -212,6 +212,12 @@ object SparkEntry {
     // batches
     "stream_budget" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamRelay.streamedBudget(s, d)),
+    // B. streaming queue-TTL lifetime accounting: pending unsent
+    // messages held in per-stream state until the next good send
+    // slot classifies them; shares queue_ttl's oracle, so cross-batch
+    // pending state is gate-checked, not just spec-checked
+    "stream_ttl" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamTtl.streamedTtl(s, d)),
     // B. stream-stream interval join: control and data streams joined
     // on key + time bound with watermark-evicted buffers; the staged
     // split guarantees at least one match must come from cross-batch
@@ -428,6 +434,33 @@ object SparkEntry {
   /** Running per-user transmission budget — one oracle, two gated
     * surfaces (the batch window plan and the stateful streaming twin
     * with integer-cents state). */
+  /** Shared by queue_ttl (batch window pass) and stream_ttl (stateful
+    * streaming twin) — same classification, same rollup. */
+  private def queueTtlSql: String =
+    """WITH m AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS t_us, value,
+      |    CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) <= 50 AS sent
+      |  FROM events),
+      |s AS (
+      |  SELECT *, MIN(CASE WHEN sent THEN t_us END) OVER (
+      |      PARTITION BY event_type ORDER BY t_us, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS svc_us
+      |  FROM m),
+      |c AS (
+      |  SELECT *, CASE WHEN sent THEN 'delivered'
+      |    WHEN svc_us IS NULL OR svc_us - t_us > 86400000000 THEN 'expired'
+      |    ELSE 'lost' END AS outcome
+      |  FROM s)
+      |SELECT event_type,
+      |  CAST(COUNT(*) FILTER (WHERE outcome = 'delivered') AS BIGINT) AS n_delivered,
+      |  CAST(COUNT(*) FILTER (WHERE outcome = 'expired') AS BIGINT) AS n_expired,
+      |  CAST(COUNT(*) FILTER (WHERE outcome = 'lost') AS BIGINT) AS n_lost,
+      |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE outcome = 'delivered'), 0) AS DOUBLE) AS bytes_delivered,
+      |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE outcome = 'expired'), 0) AS DOUBLE) AS bytes_expired,
+      |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE outcome = 'lost'), 0) AS DOUBLE) AS bytes_lost,
+      |  MAX(svc_us - t_us) FILTER (WHERE outcome = 'lost') AS max_lost_wait_us
+      |FROM c GROUP BY event_type""".stripMargin
+
   private def dataBudgetSql: String =
     """SELECT event_id, user_id, ts, CAST(cum AS DOUBLE) AS cum_kb FROM (
       |  SELECT event_id, user_id, ts,
@@ -583,30 +616,8 @@ object SparkEntry {
         |  MAX(ts) FILTER (WHERE k > 50) AS last_lost
         |FROM (SELECT *, CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k FROM events) t
         |GROUP BY event_type""".stripMargin,
-    "queue_ttl" ->
-      """WITH m AS (
-        |  SELECT event_type, event_id, epoch_us(ts) AS t_us, value,
-        |    CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) <= 50 AS sent
-        |  FROM events),
-        |s AS (
-        |  SELECT *, MIN(CASE WHEN sent THEN t_us END) OVER (
-        |      PARTITION BY event_type ORDER BY t_us, event_id
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS svc_us
-        |  FROM m),
-        |c AS (
-        |  SELECT *, CASE WHEN sent THEN 'delivered'
-        |    WHEN svc_us IS NULL OR svc_us - t_us > 86400000000 THEN 'expired'
-        |    ELSE 'lost' END AS outcome
-        |  FROM s)
-        |SELECT event_type,
-        |  CAST(COUNT(*) FILTER (WHERE outcome = 'delivered') AS BIGINT) AS n_delivered,
-        |  CAST(COUNT(*) FILTER (WHERE outcome = 'expired') AS BIGINT) AS n_expired,
-        |  CAST(COUNT(*) FILTER (WHERE outcome = 'lost') AS BIGINT) AS n_lost,
-        |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE outcome = 'delivered'), 0) AS DOUBLE) AS bytes_delivered,
-        |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE outcome = 'expired'), 0) AS DOUBLE) AS bytes_expired,
-        |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE outcome = 'lost'), 0) AS DOUBLE) AS bytes_lost,
-        |  MAX(svc_us - t_us) FILTER (WHERE outcome = 'lost') AS max_lost_wait_us
-        |FROM c GROUP BY event_type""".stripMargin,
+    "queue_ttl" -> queueTtlSql,
+    "stream_ttl" -> queueTtlSql,
     "status_notify" ->
       """WITH ev AS (
         |  SELECT event_type, ts,

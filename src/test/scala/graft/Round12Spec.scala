@@ -114,4 +114,24 @@ class Round12Spec extends SparkSpec {
     val plan = operators.TextAnalysis.dsir(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"bucket freq table must broadcast:\n$plan")
   }
+
+  test("stream_ttl: stateful streaming twin matches the batch queue_ttl exactly") {
+    def key(r: org.apache.spark.sql.Row) = r.getAs[String]("event_type")
+    def canon(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("n_delivered"), r.getAs[Long]("n_expired"), r.getAs[Long]("n_lost"),
+      r.getAs[Double]("bytes_delivered"), r.getAs[Double]("bytes_expired"),
+      r.getAs[Double]("bytes_lost"),
+      if (r.isNullAt(r.fieldIndex("max_lost_wait_us"))) -1L
+      else r.getAs[Long]("max_lost_wait_us"))
+    val batch = Telemetry.queueTtl(spark, sf).collect().map(r => key(r) -> canon(r)).toMap
+    val streamed = graft.streaming.StreamTtl.streamedTtl(spark, sf)
+      .collect().map(r => key(r) -> canon(r)).toMap
+    assert(streamed.keySet == batch.keySet)
+    // bit-exact per stream: counts, byte sums, and the worst lost-wait
+    // must survive the micro-batch cut (pending state carried across)
+    assert(streamed == batch)
+    // the cut guarantees SOME pending state straddles batches only if
+    // both failure classes exist — assert the corpus exercises them
+    assert(batch.values.map(_._2).sum > 0 && batch.values.map(_._3).sum > 0)
+  }
 }
