@@ -32,6 +32,11 @@ object Bench {
     // broken query is visibly broken, not quietly fast/slow
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       graft.operators.Dedup.clearLabelCache()
+      // measurement hygiene, outside the timed region: the streaming
+      // twins leave memory-sink rows behind until GC, and that heap
+      // pressure was billed to whichever queries ran next (r7:
+      // text_boilerplate timed 5.2s in-bench vs 1.0s isolated)
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch {
