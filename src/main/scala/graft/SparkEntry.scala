@@ -67,6 +67,7 @@ object SparkEntry {
     "chunk_reassemble" -> ((s: SparkSession, d: String) => Telemetry.chunkReassemble(s, d)),
     "queue_stats" -> (Telemetry.queueStats _),
     "queue_ttl" -> ((s: SparkSession, d: String) => Telemetry.queueTtl(s, d)),
+    "port_config" -> (Telemetry.portConfig _),
     "status_transitions" -> (Telemetry.statusTransitions _),
     "status_notify" -> (Telemetry.statusNotify _),
     // day-scale timers / half-day restarts: sized to the synthetic
@@ -618,6 +619,26 @@ object SparkEntry {
         |GROUP BY event_type""".stripMargin,
     "queue_ttl" -> queueTtlSql,
     "stream_ttl" -> queueTtlSql,
+    "port_config" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |cfg AS (
+        |  SELECT user_id AS device_id,
+        |    ([9600,19200,38400,57600,115200])[CAST(user_id % 5 AS INT) + 1] AS baud,
+        |    5 + CAST(user_id % 4 AS INT) AS data_bits,
+        |    (['NONE','ODD','EVEN','BAD'])[CAST(user_id % 4 AS INT) + 1] AS parity,
+        |    1 + CAST(user_id % 2 AS INT) AS stop_bits
+        |  FROM d),
+        |v AS (
+        |  SELECT *, parity IN ('NONE','ODD','EVEN') AS is_valid,
+        |    1 + data_bits + CASE WHEN parity IN ('ODD','EVEN') THEN 1 ELSE 0 END
+        |      + stop_bits AS bits_per_frame
+        |  FROM cfg)
+        |SELECT baud, parity, COUNT(*) AS n_devices,
+        |  CAST(COUNT(*) FILTER (WHERE is_valid) AS BIGINT) AS n_valid,
+        |  MIN(CASE WHEN is_valid THEN CAST(FLOOR(baud / bits_per_frame) AS BIGINT) END) AS min_eff_bps,
+        |  MAX(CASE WHEN is_valid THEN CAST(FLOOR(baud / bits_per_frame) AS BIGINT) END) AS max_eff_bps
+        |FROM v GROUP BY baud, parity""".stripMargin,
     "status_notify" ->
       """WITH ev AS (
         |  SELECT event_type, ts,

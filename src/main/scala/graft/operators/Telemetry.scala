@@ -316,6 +316,44 @@ object Telemetry {
         max(when(lost, $"ts")).as("last_lost"))
   }
 
+  /** rs232 port-config surface (`port_config`) — main.lua:13-20 opens
+    * the port with {baud _115200, data_bits _8, parity NONE,
+    * stop_bits _1, flow_control OFF}; re-expressed as the fleet-wide
+    * config audit a columnar engine runs over a device registry: each
+    * device's settings (derived deterministically from its id — the
+    * synthetic registry), validated against the rs232 enum sets, with
+    * the serial FRAME EFFICIENCY every real deployment sizes links
+    * by: bits/frame = 1 start + data_bits + (1 if parity) +
+    * stop_bits, effective Bps = baud div bits/frame (integer-exact).
+    * One distinct pass over the events table (the device universe)
+    * then a tiny rollup — scan-proportional, shuffle ∝ devices. */
+  def portConfig(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bauds = array(Seq(9600, 19200, 38400, 57600, 115200).map(lit(_)): _*)
+    val parities = array(Seq("NONE", "ODD", "EVEN", "BAD").map(lit): _*)
+    val devices = Tables.events(spark, dir).select($"user_id").distinct()
+      .select($"user_id".as("device_id"),
+        element_at(bauds, (pmod($"user_id", lit(5)) + 1).cast(IntegerType)).as("baud"),
+        (lit(5) + pmod($"user_id", lit(4))).as("data_bits"),
+        element_at(parities, (pmod($"user_id", lit(4)) + 1).cast(IntegerType)).as("parity"),
+        (lit(1) + pmod($"user_id", lit(2))).as("stop_bits"),
+        when(pmod($"user_id", lit(2)) === 0, "OFF").otherwise("ON").as("flow_control"))
+    devices
+      .withColumn("is_valid", $"parity".isin("NONE", "ODD", "EVEN"))
+      .withColumn("bits_per_frame",
+        lit(1) + $"data_bits" + when($"parity".isin("ODD", "EVEN"), 1).otherwise(0) + $"stop_bits")
+      // explicit floor: Spark's double→long cast truncates but
+      // DuckDB's rounds, so the bare division cast would diverge on
+      // .5+ fractions; floor() is identical in both engines
+      .withColumn("eff_bps",
+        when($"is_valid", floor($"baud" / $"bits_per_frame").cast(LongType)))
+      .groupBy($"baud", $"parity")
+      .agg(count(lit(1)).as("n_devices"),
+        sum(when($"is_valid", 1L).otherwise(0L)).as("n_valid"),
+        min($"eff_bps").as("min_eff_bps"),
+        max($"eff_bps").as("max_eff_bps"))
+  }
+
   /** Queue data-lifetime (TTL) accounting — serial_streaming.lua's
     * v2.0.0 "To/From-Mobile data lifetime management"
     * (serial_streaming.lua:16): a queued message that is not sent

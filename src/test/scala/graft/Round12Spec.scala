@@ -115,6 +115,34 @@ class Round12Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"bucket freq table must broadcast:\n$plan")
   }
 
+  test("port_config: rs232 frame math and validity gating") {
+    val rows = Telemetry.portConfig(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parity = r.getAs[String]("parity")
+      if (parity == "BAD") {
+        assert(r.getAs[Long]("n_valid") == 0L)
+        assert(r.isNullAt(r.fieldIndex("min_eff_bps")))
+      } else {
+        assert(r.getAs[Long]("n_valid") == r.getAs[Long]("n_devices"))
+        assert(r.getAs[Long]("min_eff_bps") <= r.getAs[Long]("max_eff_bps"))
+        // effective Bps can never exceed baud/10 for 8-data-bit frames
+        // nor baud/7 for the shortest legal frame (5N1)
+        assert(r.getAs[Long]("max_eff_bps") * 7L <= r.getAs[Int]("baud").toLong)
+      }
+    }
+    // the reference's own config class must be present: 115200 baud
+    // devices exist and an 8N1 frame yields exactly 11520 B/s
+    val ref = rows.filter(r => r.getAs[Int]("baud") == 115200 && r.getAs[String]("parity") == "NONE")
+    assert(ref.nonEmpty)
+    // device_id ≡ 0 mod 5 (baud 115200) ∩ ≡ 0 mod 4 (NONE): data_bits
+    // = 5 + id%4 = 5, stop = 1 + id%2; frame = 1+5+0+stop
+    assert(ref.forall { r =>
+      val mx = r.getAs[Long]("max_eff_bps")
+      mx == 115200L / 7L || mx == 115200L / 8L
+    })
+  }
+
   test("stream_ttl: stateful streaming twin matches the batch queue_ttl exactly") {
     def key(r: org.apache.spark.sql.Row) = r.getAs[String]("event_type")
     def canon(r: org.apache.spark.sql.Row) = (
