@@ -68,6 +68,7 @@ object SparkEntry {
     "queue_stats" -> (Telemetry.queueStats _),
     "queue_ttl" -> ((s: SparkSession, d: String) => Telemetry.queueTtl(s, d)),
     "port_config" -> (Telemetry.portConfig _),
+    "events_attribution" -> ((s: SparkSession, d: String) => Telemetry.attribution(s, d)),
     "status_transitions" -> (Telemetry.statusTransitions _),
     "status_notify" -> (Telemetry.statusNotify _),
     // day-scale timers / half-day restarts: sized to the synthetic
@@ -619,6 +620,23 @@ object SparkEntry {
         |GROUP BY event_type""".stripMargin,
     "queue_ttl" -> queueTtlSql,
     "stream_ttl" -> queueTtlSql,
+    "events_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_t_type,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_t_us
+        |  FROM events)
+        |SELECT CASE WHEN last_t_us IS NOT NULL
+        |         AND epoch_us(ts) - last_t_us <= 604800000000
+        |       THEN last_t_type ELSE 'direct' END AS attributed,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "port_config" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id FROM events),

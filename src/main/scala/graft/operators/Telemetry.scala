@@ -316,6 +316,37 @@ object Telemetry {
         max(when(lost, $"ts")).as("last_lost"))
   }
 
+  /** Last-touch attribution (`events_attribution`): every purchase
+    * attributes its value to the user's most recent prior touchpoint
+    * (click/view) within a lookback window, else counts as 'direct' —
+    * the standard marketing-analytics rollup, and the as-of-join
+    * semantics applied within ONE stream. Same single-shuffle
+    * union+window shape as [[relayGate]]: one running
+    * last-non-null (type, time) pair per user, the window constraint
+    * evaluated at each purchase row, then a partial-aggregated
+    * rollup by attributed channel. Revenue sums are decimal-exact. */
+  def attribution(spark: SparkSession, dir: String,
+      lookbackSecs: Long = 7L * 86400L): DataFrame = {
+    import spark.implicits._
+    val lookUs = lookbackSecs * 1000000L
+    val touch = $"event_type".isin("click", "view")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("t_type", when(touch, $"event_type"))
+      .withColumn("t_us", when(touch, unix_micros($"ts")))
+      .withColumn("last_t_type", last($"t_type", ignoreNulls = true).over(w))
+      .withColumn("last_t_us", last($"t_us", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("attributed",
+        when($"last_t_us".isNotNull && unix_micros($"ts") - $"last_t_us" <= lookUs,
+          $"last_t_type").otherwise("direct"))
+      .groupBy($"attributed")
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum($"value").as("attributed_value"))
+  }
+
   /** rs232 port-config surface (`port_config`) — main.lua:13-20 opens
     * the port with {baud _115200, data_bits _8, parity NONE,
     * stop_bits _1, flow_control OFF}; re-expressed as the fleet-wide

@@ -115,6 +115,20 @@ class Round12Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"bucket freq table must broadcast:\n$plan")
   }
 
+  test("events_attribution: channels partition the purchase stream") {
+    val rows = Telemetry.attribution(spark, sf).collect()
+    val channels = rows.map(_.getAs[String]("attributed")).toSet
+    assert(channels.subsetOf(Set("click", "view", "direct")))
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases.count())
+    val total = purchases.agg(sum($"value".cast("decimal(18,2)"))).head().getDecimal(0)
+    val attributed = rows.map(r => BigDecimal(r.getAs[Double]("attributed_value"))).sum
+    assert((BigDecimal(total) - attributed).abs < BigDecimal("0.01"))
+    // both a real channel and the no-prior-touch fallback must occur
+    assert(channels.contains("direct") && (channels - "direct").nonEmpty)
+  }
+
   test("port_config: rs232 frame math and validity gating") {
     val rows = Telemetry.portConfig(spark, sf).collect()
     assert(rows.nonEmpty)
