@@ -123,6 +123,7 @@ object SparkEntry {
     "graph_cneighbors" -> ((s: SparkSession, d: String) => Dedup.commonNeighbors(s, d)),
     // E. similarity search
     "ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
+    "embed_knn_eval" -> ((s: SparkSession, d: String) => Similarity.knnEval(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
@@ -912,6 +913,20 @@ object SparkEntry {
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cos("a.embedding", "b.embedding")} AS cosine
          |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id) t
          |WHERE cosine >= 0.35""".stripMargin,
+    "embed_knn_eval" ->
+      s"""WITH nn AS (
+         |  SELECT query_id, true_label, n_label FROM (
+         |    SELECT q.vec_id AS query_id, q.label AS true_label, e.label AS n_label,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.embedding", "e.embedding")} DESC, e.vec_id) AS rnk
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |    WHERE q.vec_id < 50) t WHERE rnk <= 5),
+         |v AS (SELECT query_id, true_label, n_label, COUNT(*) AS n_votes
+         |  FROM nn GROUP BY 1, 2, 3)
+         |SELECT query_id, true_label, n_label AS pred_label,
+         |  CAST(n_votes AS BIGINT) AS n_votes, n_label = true_label AS correct
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY n_votes DESC, n_label) AS rn FROM v) z
+         |WHERE rn = 1""".stripMargin,
     "ann_brute" ->
       s"""SELECT query_id, neighbor_id, cosine, rnk FROM (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, ${cos("q.embedding", "e.embedding")} AS cosine,

@@ -199,6 +199,41 @@ object Similarity {
         sum($"zeros").cast(LongType).as("n_zero_dims"))
   }
 
+  /** k-NN label-probe evaluation (`embed_knn_eval`) — the standard
+    * embedding-quality check a training pipeline runs after any
+    * projection/quantization change: leave-one-out k-NN over a query
+    * subset, majority-vote the neighbors' labels, report the
+    * prediction per query. Same broadcast-query brute scoring shape
+    * as [[bruteTopK]] (deliberately exact — the eval must not inherit
+    * the index's recall) plus one tiny vote rollup; ties break
+    * deterministically (most votes, then smallest label). At 100 TB
+    * the query subset stays probe-sized, so the broadcast join is the
+    * whole story: shuffle ∝ corpus × 0. */
+  def knnEval(spark: SparkSession, dir: String, nQueries: Int = 50, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", $"label",
+        sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        $"nrm".as("qnrm"), $"label".as("true_label"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    val nn = emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"true_label", $"vec_id".as("neighbor_id"),
+        $"label".as("n_label"),
+        (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+    val wVote = Window.partitionBy($"query_id")
+      .orderBy($"n_votes".desc, $"n_label".asc)
+    nn.groupBy($"query_id", $"true_label", $"n_label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rn", row_number().over(wVote))
+      .filter($"rn" === 1)
+      .select($"query_id", $"true_label", $"n_label".as("pred_label"),
+        $"n_votes", ($"n_label" === $"true_label").as("correct"))
+  }
+
   def bruteTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

@@ -115,6 +115,25 @@ class Round12Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"bucket freq table must broadcast:\n$plan")
   }
 
+  test("embed_knn_eval: one prediction per query, votes bounded by k, majority honored") {
+    val rows = operators.Similarity.knnEval(spark, sf).collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.length == 50)
+    rows.foreach { r =>
+      val votes = r.getAs[Long]("n_votes")
+      assert(votes >= 1L && votes <= 5L, "winner's votes within k")
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")))
+    }
+    // the synthetic labels are RANDOM (no geometric signal), so the
+    // probe's value here is mechanical: predictions come from the
+    // label domain and the reported accuracy is the chance floor —
+    // which is itself the correct reading for this corpus
+    val labels = Tables.embeddings(spark, sf).select($"label").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(rows.forall(r => labels.contains(r.getAs[Int]("pred_label"))))
+  }
+
   test("events_attribution: channels partition the purchase stream") {
     val rows = Telemetry.attribution(spark, sf).collect()
     val channels = rows.map(_.getAs[String]("attributed")).toSet
