@@ -148,6 +148,7 @@ object SparkEntry {
     "sample_split" -> (TextAnalysis.sampleSplit _),
     "text_hashvec" -> ((s: SparkSession, d: String) => TextAnalysis.hashVec(s, d)),
     "text_gopher" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
+    "corpus_select" -> ((s: SparkSession, d: String) => TextAnalysis.corpusSelect(s, d)),
     "text_dsir" -> ((s: SparkSession, d: String) => TextAnalysis.dsir(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redact(s, d)),
@@ -1252,6 +1253,22 @@ object SparkEntry {
          |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
          |  FROM documents) u) t
          |GROUP BY source, bucket""".stripMargin,
+    "corpus_select" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(list_intersect(list_transform(w, x -> lower(x)),
+        |      ['a','the','be','to','of','and','that','have','with']))) AS BIGINT) * 1000
+        |      + CAST(len(w) AS BIGINT) AS score
+        |  FROM (SELECT doc_id,
+        |      list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w
+        |    FROM documents) t),
+        |c AS (
+        |  SELECT *, SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM s)
+        |SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 8000""".stripMargin,
     "text_gopher" ->
       """WITH w AS (
         |  SELECT doc_id, lang,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -444,6 +445,46 @@ object TextAnalysis {
         when($"bucket" < 80L, "train")
           .when($"bucket" < 90L, "validation")
           .otherwise("test"))
+  }
+
+  /** Token-budget quality selection (`corpus_select`) — the
+    * "keep the best N tokens" corpus assembly step (the DCLM/FineWeb
+    * shape): documents ranked by an integer quality score (distinct
+    * stop-word hits dominating, length as tiebreak — all exact), the
+    * running token total accumulated IN SCORE ORDER, and the corpus
+    * cut where the budget runs out. The oracle states it as one
+    * global window; the engine runs the distributed equivalent:
+    * score-range blocks (coarse value buckets) carry block-local
+    * running sums (one balanced shuffle), block totals partial-
+    * aggregate map-side, and each block's exclusive base broadcasts
+    * back — [[Curation.corpusPack]]'s two-phase prefix sum keyed by
+    * score rank instead of doc id. Value-range blocks can skew if
+    * scores concentrate; a production run sizes buckets from a score
+    * histogram (one cheap extra aggregate) — the plan shape is
+    * unchanged. */
+  def corpusSelect(spark: SparkSession, dir: String,
+      budgetTokens: Long = 8000L, bucketWidth: Long = 2000L): DataFrame = {
+    import spark.implicits._
+    val words = filter(split($"text", "\\s+"), w => length(w) > 0)
+    val stopList = array(Seq("a", "the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
+    val nStop = size(array_intersect(transform(words, lower(_)), stopList)).cast(LongType)
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", size(words).cast(LongType).as("n_tokens"),
+        (nStop * 1000L + size(words).cast(LongType)).as("score"))
+      .withColumn("bucket", -floor($"score" / lit(bucketWidth)))
+    val localW = Window.partitionBy($"bucket")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = scored.withColumn("local_cum", sum($"n_tokens").over(localW))
+    val baseW = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = scored.groupBy($"bucket").agg(sum($"n_tokens").as("ptotal"))
+      .withColumn("base", coalesce(sum($"ptotal").over(baseW), lit(0L)))
+      .select($"bucket", $"base")
+    local.join(broadcast(bases), "bucket")
+      .withColumn("cum_tokens", $"base" + $"local_cum")
+      .filter($"cum_tokens" <= budgetTokens)
+      .select($"doc_id", $"score", $"n_tokens", $"cum_tokens")
   }
 
   /** Gopher-style heuristic quality rules (`text_gopher`) — the

@@ -115,6 +115,25 @@ class Round12Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"bucket freq table must broadcast:\n$plan")
   }
 
+  test("corpus_select: distributed budget cut equals the single-window reference") {
+    val rows = operators.TextAnalysis.corpusSelect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum <= 8000L)
+    // the selected set is a PREFIX of the global score ordering: every
+    // selected doc outranks every rejected one
+    val selected = rows.map(r => (r.getAs[Long]("score"), r.getAs[Long]("doc_id"))).toSet
+    val all = operators.TextAnalysis.corpusSelect(spark, sf, budgetTokens = Long.MaxValue)
+      .collect().map(r => (r.getAs[Long]("score"), r.getAs[Long]("doc_id")))
+    val ordered = all.sortBy { case (s, id) => (-s, id) }
+    val prefix = ordered.takeWhile(selected.contains).length
+    assert(prefix == selected.size,
+      s"selection must be the top-$prefix prefix, got ${selected.size} docs")
+    // cum_tokens is the true running total in score order
+    val cums = rows.sortBy(r => (-r.getAs[Long]("score"), r.getAs[Long]("doc_id")))
+    assert(cums.map(_.getAs[Long]("n_tokens")).scanLeft(0L)(_ + _).drop(1)
+      .sameElements(cums.map(_.getAs[Long]("cum_tokens"))))
+  }
+
   test("embed_knn_eval: one prediction per query, votes bounded by k, majority honored") {
     val rows = operators.Similarity.knnEval(spark, sf).collect()
     assert(rows.length == 50)
