@@ -105,6 +105,8 @@ object SparkEntry {
     "events_markov" -> (Telemetry.markov _),
     "ts_changepoint" -> ((s: SparkSession, d: String) => Telemetry.changepoints(s, d)),
     "dq_benford" -> (Quality.benford _),
+    "dq_uniqueness" -> (Quality.uniqueness _),
+    "events_rfm" -> (Telemetry.rfm _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -151,6 +153,7 @@ object SparkEntry {
     "corpus_select" -> ((s: SparkSession, d: String) => TextAnalysis.corpusSelect(s, d)),
     "text_dsir" -> ((s: SparkSession, d: String) => TextAnalysis.dsir(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
+    "decontaminate_frac" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminateFrac(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redact(s, d)),
     "corpus_pipeline" -> ((s: SparkSession, d: String) => TextAnalysis.corpusPipeline(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -232,6 +235,12 @@ object SparkEntry {
     // micro-batch against the per-user batch profile, stateless
     "stream_enrich" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamEnrich.streamedEnrich(s, d)),
+    // B. watermarked tumbling-window aggregation in append mode:
+    // shares beacon_5min's oracle — the once-per-closed-window
+    // emission must equal the batch groupBy exactly, including
+    // windows whose rows straddle the micro-batch cut
+    "stream_beacon" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamBeacon.streamedBeacon(s, d)),
   )
 
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
@@ -383,6 +392,14 @@ object SparkEntry {
   /** Shared by `decontaminate` (exact semi-join) and
     * `decontaminate_bloom` (bloom-prefiltered scale path) — the bloom
     * prefilter must be invisible in the result. */
+  /** Shared by `beacon_5min` and its streaming twin `stream_beacon`. */
+  private val beaconSql: String =
+    """SELECT user_id, bucket, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      |FROM (SELECT *, make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000) AS bucket FROM events) t
+      |GROUP BY user_id, bucket""".stripMargin
+
   private val decontaminateSql: String =
     """WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 5
@@ -575,12 +592,10 @@ object SparkEntry {
         |  SELECT event_id, user_id, date_trunc('second', ts) AS sec, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('second', ts) ORDER BY ts, event_id) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
-    "beacon_5min" ->
-      """SELECT user_id, bucket, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
-        |FROM (SELECT *, make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000) AS bucket FROM events) t
-        |GROUP BY user_id, bucket""".stripMargin,
+    "beacon_5min" -> beaconSql,
+    // streaming twin on the SAME oracle: append-mode window emission
+    // across the micro-batch cut must equal the batch groupBy exactly
+    "stream_beacon" -> beaconSql,
     "data_budget" -> dataBudgetSql,
     // streaming twin gated on the SAME oracle: the two-micro-batch
     // replay through per-user cents state must aggregate to the batch
@@ -1330,6 +1345,19 @@ object SparkEntry {
          |GROUP BY t.term, t.doc_freq""".stripMargin,
     "decontaminate" -> decontaminateSql,
     "decontaminate_bloom" -> decontaminateSql,
+    "decontaminate_frac" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 5
+        |    THEN list_transform(range(1, len(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+        |    ELSE [array_to_string(t, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents) a),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 50),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+        |hit AS (SELECT t.doc_id, COUNT(*) AS n_hit FROM tr t JOIN ev USING (shingle) GROUP BY t.doc_id)
+        |SELECT tot.doc_id, n_shingles, COALESCE(n_hit, 0) AS n_hit,
+        |  COALESCE(n_hit, 0) * 100 >= n_shingles * 20 AS contaminated
+        |FROM tot LEFT JOIN hit USING (doc_id)""".stripMargin,
     "corpus_cap" ->
       """SELECT source, doc_id, score, rnk FROM (
         |  SELECT source, doc_id, score,
@@ -2330,6 +2358,36 @@ object SparkEntry {
         |      WHEN 7 THEN CAST(0.057992 AS DOUBLE) WHEN 8 THEN CAST(0.051153 AS DOUBLE)
         |      WHEN 9 THEN CAST(0.045757 AS DOUBLE) END) AS abs_dev
         |FROM g""".stripMargin,
+    "dq_uniqueness" ->
+      """WITH a AS (SELECT COUNT(*) AS n FROM events GROUP BY event_id),
+        |b AS (SELECT COUNT(*) AS n FROM events GROUP BY user_id, ts),
+        |c AS (SELECT COUNT(*) AS n FROM events GROUP BY user_id, event_type, ts)
+        |SELECT 'event_id' AS key_cols, SUM(n) AS n_rows, COUNT(*) AS n_keys,
+        |  COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS n_dup_keys,
+        |  SUM(n) - COUNT(*) AS n_surplus_rows, MAX(n) AS max_multiplicity FROM a
+        |UNION ALL
+        |SELECT 'user_id,ts', SUM(n), COUNT(*),
+        |  COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0),
+        |  SUM(n) - COUNT(*), MAX(n) FROM b
+        |UNION ALL
+        |SELECT 'user_id,event_type,ts', SUM(n), COUNT(*),
+        |  COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0),
+        |  SUM(n) - COUNT(*), MAX(n) FROM c""".stripMargin,
+    "events_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS frequency,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS monetary_dec
+        |  FROM events GROUP BY user_id),
+        |hw AS (SELECT MAX(epoch_us(ts)) AS hi_us FROM events),
+        |s AS (SELECT user_id, (hi_us - last_us) // 86400000000 AS recency_days,
+        |    frequency, monetary_dec FROM u, hw)
+        |SELECT user_id, recency_days, frequency,
+        |  CAST(monetary_dec AS DOUBLE) AS monetary,
+        |  CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_score,
+        |  CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_score,
+        |  CAST(NTILE(4) OVER (ORDER BY monetary_dec DESC, user_id ASC) AS BIGINT) AS m_score
+        |FROM s""".stripMargin,
     "dedup_fuzzy" ->
       s"""WITH $minhashPairsCtes,
          |docs AS (SELECT doc_id, substr(text, 1, 512) AS head,

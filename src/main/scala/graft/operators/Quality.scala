@@ -147,4 +147,36 @@ object Quality {
       .withColumn("abs_dev", abs($"share" - $"benford_expected"))
       .select($"digit", $"n_rows", $"share", $"benford_expected", $"abs_dev")
   }
+
+  /** Key-uniqueness audit (`dq_uniqueness`): for each CANDIDATE key of
+    * the event log — the declared primary key `event_id`, the natural
+    * key `(user_id, ts)`, and the wider `(user_id, event_type, ts)` —
+    * report how far the data is from satisfying it: distinct key
+    * count, violated keys, surplus rows (what a dedup on that key
+    * would delete), and the worst multiplicity. This is the
+    * constraint-discovery pass in front of MERGE/upsert pipelines
+    * (corpus_merge, q_cdc_apply assume a key; this op measures
+    * whether the assumption holds before they run).
+    *
+    * Scale shape: each candidate is a two-level aggregate — groupBy
+    * key (partial-aggregated, one row per key per input split crosses
+    * the shuffle) then a 1-row rollup; k candidate keys cost k scans
+    * of key COLUMNS only (column-pruned to the key itself), never a
+    * sort, never a window. The three 1-row results union into the
+    * audit report. */
+  def uniqueness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    def audit(name: String, keyCols: Seq[String]): DataFrame =
+      ev.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(lit(name).as("key_cols"),
+          sum($"n").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          coalesce(sum(when($"n" > 1L, 1L)), lit(0L)).as("n_dup_keys"),
+          (sum($"n") - count(lit(1))).as("n_surplus_rows"),
+          max($"n").as("max_multiplicity"))
+    audit("event_id", Seq("event_id"))
+      .unionByName(audit("user_id,ts", Seq("user_id", "ts")))
+      .unionByName(audit("user_id,event_type,ts", Seq("user_id", "event_type", "ts")))
+  }
 }

@@ -1045,4 +1045,44 @@ object Telemetry {
       .select($"event_type", $"event_id", $"ts", $"pre_mean", $"post_mean",
         $"jump", $"mean_abs_jump")
   }
+
+  /** RFM segmentation (`events_rfm`): the classic customer-value
+    * rollup — per user, Recency (days since last activity vs the
+    * corpus high-water mark), Frequency (event count), Monetary
+    * (decimal-exact purchase revenue) — each then quartile-scored
+    * 1..4 (1 = best) so downstream audiences select on e.g.
+    * "r_score=1 AND m_score<=2".
+    *
+    * Scale shape: the event log REDUCES FIRST — one partial-aggregated
+    * groupBy collapses the stream to a single row per user (recency /
+    * frequency / monetary all ride that one scan; the conditional
+    * purchase sum costs nothing extra), and the high-water mark is a
+    * 1-row global max broadcast back (never a window over raw
+    * events, the [[freshness]] argument). Only then do the three
+    * `ntile` windows run — over USER-cardinality rows, the same
+    * pay-on-the-dimension-never-the-facts stance as q_pareto/q_ntile.
+    * All three quartile sorts are total orders (user_id tiebreak) so
+    * scores are deterministic on any engine; recency is exact integer
+    * µs→day arithmetic. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).as("last_us"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when($"event_type" === "purchase", dec($"value"))), lit(0))
+          .cast(DecimalType(18, 2)).as("monetary_dec"))
+    val hi = Tables.events(spark, dir).agg(max(unix_micros($"ts")).as("hi_us"))
+    val rW = Window.orderBy($"recency_days".asc, $"user_id".asc)
+    val fW = Window.orderBy($"frequency".desc, $"user_id".asc)
+    val mW = Window.orderBy($"monetary_dec".desc, $"user_id".asc)
+    perUser.join(broadcast(hi))
+      .withColumn("recency_days", expr("(hi_us - last_us) div 86400000000"))
+      .withColumn("r_score", ntile(4).over(rW).cast(LongType))
+      .withColumn("f_score", ntile(4).over(fW).cast(LongType))
+      .withColumn("m_score", ntile(4).over(mW).cast(LongType))
+      .select($"user_id", $"recency_days", $"frequency",
+        $"monetary_dec".cast(DoubleType).as("monetary"),
+        $"r_score", $"f_score", $"m_score")
+  }
 }

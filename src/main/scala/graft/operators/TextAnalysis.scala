@@ -334,6 +334,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Fraction-threshold decontamination (`decontaminate_frac`): the
+    * published-pipeline refinement of [[decontaminate]] — a training
+    * document is contaminated only when ≥ `pctThreshold`% of ITS OWN
+    * 5-token shingles appear in the holdout set (the PaLM / GPT-4
+    * style "high n-gram overlap" rule), not when it shares a single
+    * incidental shingle. The any-hit rule over-rejects: one quoted
+    * sentence kills a long document; the fraction rule scores overlap
+    * relative to document length.
+    *
+    * Scale shape: identical join graph to [[decontaminate]] (inverted
+    *-index semi-ish equi-join on the shingle — shuffle ∝ corpus
+    * shingles, never pairs); the per-doc shingle total comes from a
+    * SECOND partial-aggregated pass over the already-built shingle
+    * frame, and the verdict is an exact integer cross-multiplication
+    * (hit·100 ≥ total·pct) — no float division decides membership.
+    * EVERY training doc reports (LEFT join of totals onto hits), so
+    * the clean majority is visible in the output, not implied by
+    * absence. */
+  def decontaminateFrac(spark: SparkSession, dir: String, holdout: Long = 50L,
+      pctThreshold: Long = 20L): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextFns.shingleSet($"text", 5)).as("shingle"))
+    val eval_ = sh.filter($"doc_id" < holdout)
+      .select($"shingle").distinct()
+    val train = sh.filter($"doc_id" >= holdout)
+    // (doc, shingle) pairs unique (ShingleSet is per-doc distinct,
+    // eval side distinct) → plain counts are distinct counts
+    val hits = train.join(eval_, "shingle")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        (coalesce($"n_hit", lit(0L)) * 100L >= $"n_shingles" * pctThreshold)
+          .as("contaminated"))
+  }
+
   /** PII-style redaction: mask a sensitive-term pattern
     * case-insensitively, count the redactions (scan-local, no
     * shuffle). */
