@@ -123,6 +123,7 @@ object SparkEntry {
     "graph_triangles" -> ((s: SparkSession, d: String) => Dedup.triangles(s, d)),
     "graph_degrees" -> ((s: SparkSession, d: String) => Dedup.degreeDist(s, d)),
     "graph_cneighbors" -> ((s: SparkSession, d: String) => Dedup.commonNeighbors(s, d)),
+    "graph_reach" -> ((s: SparkSession, d: String) => Dedup.reach(s, d)),
     // E. similarity search
     "ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "embed_knn_eval" -> ((s: SparkSession, d: String) => Similarity.knnEval(s, d)),
@@ -148,6 +149,7 @@ object SparkEntry {
     "sample_weighted" -> ((s: SparkSession, d: String) => TextAnalysis.sampleWeighted(s, d)),
     "sample_pergroup" -> ((s: SparkSession, d: String) => TextAnalysis.samplePerGroup(s, d)),
     "sample_split" -> (TextAnalysis.sampleSplit _),
+    "sample_negative" -> ((s: SparkSession, d: String) => Curation.sampleNegative(s, d)),
     "text_hashvec" -> ((s: SparkSession, d: String) => TextAnalysis.hashVec(s, d)),
     "text_gopher" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "corpus_select" -> ((s: SparkSession, d: String) => TextAnalysis.corpusSelect(s, d)),
@@ -873,6 +875,19 @@ object SparkEntry {
          |deg AS (SELECT node, COUNT(*) AS d FROM (
          |  SELECT u AS node FROM und UNION ALL SELECT v FROM und) z GROUP BY node)
          |SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d""".stripMargin,
+    "graph_reach" ->
+      s"""WITH $minhashPairsCtes,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM vp UNION ALL SELECT doc_b, doc_a FROM vp),
+         |s0 AS (SELECT DISTINCT u AS node FROM e WHERE u % 10 = 0),
+         |f1 AS (SELECT DISTINCT e.v AS node FROM e JOIN s0 ON e.u = s0.node),
+         |f2 AS (SELECT DISTINCT e.v AS node FROM e JOIN f1 ON e.u = f1.node),
+         |f3 AS (SELECT DISTINCT e.v AS node FROM e JOIN f2 ON e.u = f2.node)
+         |SELECT node AS doc_id, MIN(hops) AS hops FROM (
+         |  SELECT node, CAST(0 AS BIGINT) AS hops FROM s0
+         |  UNION ALL SELECT node, 1 FROM f1
+         |  UNION ALL SELECT node, 2 FROM f2
+         |  UNION ALL SELECT node, 3 FROM f3) lv
+         |GROUP BY node""".stripMargin,
     "graph_cneighbors" ->
       s"""WITH $minhashPairsCtes,
          |e AS (SELECT doc_a AS u, doc_b AS v FROM vp UNION ALL SELECT doc_b, doc_a FROM vp),
@@ -2250,6 +2265,24 @@ object SparkEntry {
         |FROM (SELECT doc_id, source, n_chars,
         |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
         |  FROM documents) t""".stripMargin,
+    "sample_negative" ->
+      s"""WITH d AS (SELECT doc_id, source, ${ph("text")} AS h FROM documents),
+         |s AS (SELECT source, COUNT(*) AS n,
+         |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx FROM d GROUP BY source),
+         |r AS (SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 AS rnk FROM d),
+         |a AS (SELECT d.doc_id AS anchor_id, d.source AS anchor_source, s.sidx AS asidx
+         |  FROM d JOIN s ON s.source = d.source WHERE d.doc_id < 32),
+         |e AS (SELECT anchor_id, anchor_source, asidx, j AS slot
+         |  FROM a, (SELECT unnest(range(4)) AS j) js),
+         |x AS (SELECT e.*, ${ph("concat(CAST(anchor_id AS VARCHAR), ':', CAST(slot AS VARCHAR))")} % (ns.cnt - 1) AS t
+         |  FROM e, (SELECT COUNT(*) AS cnt FROM s) ns),
+         |y AS (SELECT *, CASE WHEN t >= asidx THEN t + 1 ELSE t END AS nsidx FROM x),
+         |z AS (SELECT y.anchor_id, y.slot, y.anchor_source, s.source AS neg_source,
+         |    ${ph("concat(CAST(anchor_id AS VARCHAR), ':', CAST(slot AS VARCHAR), ':neg')")} % s.n AS rnk
+         |  FROM y JOIN s ON s.sidx = y.nsidx)
+         |SELECT z.anchor_id, z.slot, z.anchor_source, r.doc_id AS neg_id, z.neg_source
+         |FROM z JOIN r ON r.source = z.neg_source AND r.rnk = z.rnk""".stripMargin,
     "ts_autocorr" ->
       """WITH p AS (SELECT event_type,
         |    CAST(value AS DECIMAL(18,2)) AS y,

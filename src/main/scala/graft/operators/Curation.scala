@@ -329,6 +329,73 @@ object Curation {
         (($"base" + $"lrn" - 1L) * $"ns" + $"sidx").as("global_pos"))
   }
 
+  /** Contrastive negative sampling (`sample_negative`) — the
+    * training-pair construction step of embedding/contrastive
+    * objectives (InfoNCE, triplet loss): each anchor document draws k
+    * negatives from OTHER sources, deterministically — negative j of
+    * anchor a is fixed by content-independent integer hashing of
+    * (a, j), so the pairing replays bit-identically across engines,
+    * cluster sizes, and epochs (resampling = change the salt), where
+    * rand()-based draws are none of those.
+    *
+    * Construction: draw j picks a foreign SOURCE by hash-mod-(S−1)
+    * over the source index (own source skipped by shifting), then a
+    * RANK within that source by a second independent hash mod its
+    * size; ranks resolve to documents through [[corpusShard]]-style
+    * two-phase content-hash ranks (local row_numbers within
+    * (source, hash-bucket) + broadcast per-bucket bases — no single
+    * task sorts a whole source). Scale shape: the source dimension
+    * (S rows) broadcasts everywhere; the only corpus-sized shuffles
+    * are the rank phase and the final (source, rank) equi-join of
+    * anchors×k draws against the ranked corpus — shuffle ∝ corpus +
+    * anchors·k, never pairs. A single-source corpus yields no
+    * negatives (mod S−1 = mod 0 → null → inner joins drop). */
+  def sampleNegative(spark: SparkSession, dir: String, k: Int = 4,
+      nAnchors: Long = 32L, bucketWidth: Long = 16000000L): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", HashFns.polyHash($"text").as("h"))
+      .withColumn("bucket", floor($"h" / bucketWidth).cast(LongType))
+    val srcs = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      .withColumn("sidx",
+        (row_number().over(Window.orderBy($"source")) - 1).cast(LongType))
+    val nS = srcs.agg(count(lit(1)).as("cnt"))
+    // two-phase 0-based rank within source (corpus_shard's shape)
+    val localW = Window.partitionBy($"source", $"bucket").orderBy($"h".asc, $"doc_id".asc)
+    val bases = docs.groupBy($"source", $"bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("base", coalesce(sum($"bn").over(
+        Window.partitionBy($"source").orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"source", $"bucket", $"base")
+    val ranked = docs.withColumn("lrn", row_number().over(localW).cast(LongType))
+      .join(broadcast(bases), Seq("source", "bucket"))
+      .select($"doc_id", $"source", ($"base" + $"lrn" - 1L).as("rnk"))
+    val draws = docs.filter($"doc_id" < nAnchors)
+      .select($"doc_id".as("anchor_id"), $"source".as("anchor_source"))
+      .join(broadcast(srcs.select($"source".as("anchor_source"), $"sidx".as("asidx"))),
+        "anchor_source")
+      .withColumn("slot", explode(array((0 until k).map(j => lit(j.toLong)): _*)))
+      .crossJoin(broadcast(nS))
+      .withColumn("t", pmod(HashFns.polyHash(
+        concat($"anchor_id".cast("string"), lit(":"), $"slot".cast("string"))),
+        $"cnt" - 1L))
+      .withColumn("nsidx", when($"t" >= $"asidx", $"t" + 1L).otherwise($"t"))
+      .join(broadcast(srcs.select($"sidx".as("nsidx"), $"source".as("neg_source"), $"n")),
+        "nsidx")
+      .withColumn("rnk", pmod(HashFns.polyHash(
+        concat($"anchor_id".cast("string"), lit(":"), $"slot".cast("string"), lit(":neg"))),
+        $"n"))
+    // distinct names on the ranked side: draws and ranked share the
+    // docs lineage, so attribute-reference joins would be ambiguous
+    val negs = ranked.select($"doc_id".as("neg_id"), $"source".as("neg_source"),
+      $"rnk".as("neg_rnk"))
+    draws.join(negs, draws("neg_source") === negs("neg_source")
+        && draws("rnk") === negs("neg_rnk"))
+      .select($"anchor_id", $"slot", $"anchor_source", $"neg_id",
+        draws("neg_source"))
+  }
+
   /** Incremental corpus merge — the CDC/upsert step of a continuously
     * re-crawled corpus: a DELTA batch (re-crawled revisions of
     * existing documents + newly discovered ones) merges into the BASE

@@ -487,6 +487,40 @@ object Dedup {
         .as("nbr_jaccard"))
   }
 
+  /** k-hop reachability over the duplicate-similarity graph
+    * (`graph_reach`): from a seed set (node id ≡ 0 mod 10 here; in a
+    * real pipeline, the flagged/poisoned/contaminated documents),
+    * every node within `maxHops` edges gets its MINIMUM hop distance —
+    * the "blast radius" query that turns pairwise near-dup evidence
+    * into a transitive quarantine list, and the bounded-depth BFS
+    * complement of [[componentLabels]]' run-to-convergence labeling.
+    *
+    * Shape: classic frontier expansion — `maxHops` rounds of
+    * (edges ⋈ frontier) with a per-round DISTINCT, then one min-hop
+    * aggregate over the level union. Each round's shuffle is
+    * ∝ edges incident to the CURRENT frontier, never the whole graph,
+    * and hop counts are exact integers. Depth is fixed (not
+    * run-to-convergence) because a quarantine policy wants a bounded
+    * radius — and at 100 TB a bounded-depth sweep is the difference
+    * between k passes and an unbounded iteration. */
+  def reach(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vp = cachedPairs(spark, dir).select($"doc_a", $"doc_b")
+    val e = vp.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(vp.select($"doc_b".as("u"), $"doc_a".as("v")))
+    val seeds = e.select($"u".as("node")).distinct()
+      .filter(pmod($"node", lit(10L)) === 0L)
+    var levels = Seq(seeds.withColumn("hops", lit(0L)))
+    var frontier = seeds
+    for (i <- 1 to maxHops) {
+      frontier = e.join(frontier, $"u" === $"node")
+        .select($"v".as("node")).distinct()
+      levels = levels :+ frontier.withColumn("hops", lit(i.toLong))
+    }
+    levels.reduce(_.unionByName(_))
+      .groupBy($"node".as("doc_id")).agg(min($"hops").as("hops"))
+  }
+
   /** The dedup pipeline's actual OUTPUT: the corpus with every
     * non-keeper cluster member dropped — keepers and never-paired
     * documents survive. A left-anti join against the (tiny relative
