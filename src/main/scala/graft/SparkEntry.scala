@@ -106,6 +106,7 @@ object SparkEntry {
     "ts_changepoint" -> ((s: SparkSession, d: String) => Telemetry.changepoints(s, d)),
     "dq_benford" -> (Quality.benford _),
     "dq_uniqueness" -> (Quality.uniqueness _),
+    "dq_drift" -> (Quality.drift _),
     "events_rfm" -> (Telemetry.rfm _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "embed_profile" -> (Similarity.embedProfile _),
     "embed_quantize" -> (Similarity.quantize _),
     "embed_gram" -> (Similarity.gram _),
+    "embed_pca" -> ((s: SparkSession, d: String) => Similarity.pca(s, d)),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -243,6 +245,17 @@ object SparkEntry {
     // windows whose rows straddle the micro-batch cut
     "stream_beacon" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamBeacon.streamedBeacon(s, d)),
+    // B/G. streaming OHLC candles: day windows keyed by event_type in
+    // append mode + a sink-side lag view for the close delta; shares
+    // ts_ohlc's oracle — candles straddling the micro-batch cut must
+    // carry window state across it
+    "stream_ohlc" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOhlc.streamedOhlc(s, d)),
+    // B. streaming last-touch attribution: O(1)-per-user touch state
+    // in flatMapGroupsWithState; shares events_attribution's oracle —
+    // batch-2 purchases must credit batch-1 touches from state
+    "stream_attribution" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamAttribution.streamedAttribution(s, d)),
   )
 
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
@@ -394,6 +407,42 @@ object SparkEntry {
   /** Shared by `decontaminate` (exact semi-join) and
     * `decontaminate_bloom` (bloom-prefiltered scale path) — the bloom
     * prefilter must be invisible in the result. */
+  /** Shared by `events_attribution` and its streaming twin
+    * `stream_attribution` — per-purchase last-touch credit from
+    * O(1)-per-user state must equal the batch running-last window. */
+  private val attributionSql: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_t_type,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_t_us
+      |  FROM events)
+      |SELECT CASE WHEN last_t_us IS NOT NULL
+      |         AND epoch_us(ts) - last_t_us <= 604800000000
+      |       THEN last_t_type ELSE 'direct' END AS attributed,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
+  /** Shared by `ts_ohlc` and its streaming twin `stream_ohlc` — the
+    * append-mode candle emission plus sink-side lag view must equal
+    * the batch groupBy + window bit-for-bit. */
+  private val ohlcSql: String =
+    """WITH candles AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    arg_min(value, epoch_us(ts)) AS open,
+      |    MAX(value) AS high, MIN(value) AS low,
+      |    arg_max(value, epoch_us(ts)) AS close,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, open, high, low, close, n_events,
+      |  close - LAG(close) OVER (PARTITION BY event_type ORDER BY day) AS close_chg
+      |FROM candles""".stripMargin
+
   /** Shared by `beacon_5min` and its streaming twin `stream_beacon`. */
   private val beaconSql: String =
     """SELECT user_id, bucket, COUNT(*) AS n_events,
@@ -639,23 +688,8 @@ object SparkEntry {
         |GROUP BY event_type""".stripMargin,
     "queue_ttl" -> queueTtlSql,
     "stream_ttl" -> queueTtlSql,
-    "events_attribution" ->
-      """WITH t AS (
-        |  SELECT user_id, ts, event_id, event_type, value,
-        |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_t_type,
-        |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN epoch_us(ts) END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_t_us
-        |  FROM events)
-        |SELECT CASE WHEN last_t_us IS NOT NULL
-        |         AND epoch_us(ts) - last_t_us <= 604800000000
-        |       THEN last_t_type ELSE 'direct' END AS attributed,
-        |  COUNT(*) AS n_purchases,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
-        |FROM t WHERE event_type = 'purchase'
-        |GROUP BY 1""".stripMargin,
+    "events_attribution" -> attributionSql,
+    "stream_attribution" -> attributionSql,
     "port_config" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id FROM events),
@@ -2209,17 +2243,8 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from) AS BIGINT) AS version,
         |  (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL) AS is_current
         |FROM ch""".stripMargin,
-    "ts_ohlc" ->
-      """WITH candles AS (
-        |  SELECT event_type, date_trunc('day', ts) AS day,
-        |    arg_min(value, epoch_us(ts)) AS open,
-        |    MAX(value) AS high, MIN(value) AS low,
-        |    arg_max(value, epoch_us(ts)) AS close,
-        |    COUNT(*) AS n_events
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, day, open, high, low, close, n_events,
-        |  close - LAG(close) OVER (PARTITION BY event_type ORDER BY day) AS close_chg
-        |FROM candles""".stripMargin,
+    "ts_ohlc" -> ohlcSql,
+    "stream_ohlc" -> ohlcSql,
     "dq_freshness" ->
       """WITH hwm AS (SELECT MAX(ts) AS corpus_max FROM events)
         |SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events,
@@ -2257,6 +2282,22 @@ object SparkEntry {
         |FROM q, range(0, 64) t1(i), range(0, 64) t2(j)
         |WHERE j >= i
         |GROUP BY i, j""".stripMargin,
+    "embed_pca" ->
+      """WITH m AS (SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label, CASE WHEN ma > 0
+        |    THEN list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qs
+        |  FROM m),
+        |g AS (SELECT i, j, CAST(SUM(qs[i + 1] * qs[j + 1]) AS BIGINT) AS g
+        |  FROM q, range(0, 64) t1(i), range(0, 64) t2(j) GROUP BY i, j),
+        |v1 AS (SELECT i, CAST(SUM(g) AS BIGINT) AS v FROM g GROUP BY i),
+        |v2 AS (SELECT g.i AS i, SUM(CAST(g.g AS HUGEINT) * v1.v) AS v
+        |  FROM g JOIN v1 ON v1.i = g.j GROUP BY g.i)
+        |SELECT q.vec_id, q.label,
+        |  CAST(SUM(CAST(qs[v2.i + 1] AS HUGEINT) * v2.v) AS DOUBLE) AS pc1
+        |FROM q, v2 GROUP BY q.vec_id, q.label""".stripMargin,
     "sample_split" ->
       """SELECT doc_id, source, n_chars, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'
@@ -2406,6 +2447,19 @@ object SparkEntry {
         |SELECT 'user_id,event_type,ts', SUM(n), COUNT(*),
         |  COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0),
         |  SUM(n) - COUNT(*), MAX(n) FROM c""".stripMargin,
+    "dq_drift" ->
+      """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cut FROM events),
+        |c AS (SELECT event_type,
+        |    SUM(CASE WHEN epoch_us(ts) <= cut THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN epoch_us(ts) > cut THEN 1 ELSE 0 END) AS n_b
+        |  FROM events, b GROUP BY event_type),
+        |t AS (SELECT SUM(n_b) AS tb, SUM(n_a) AS ta FROM c)
+        |SELECT event_type, n_a, n_b,
+        |  CAST(n_a * tb AS DOUBLE) / ta AS expected_b,
+        |  (CAST(n_b AS DOUBLE) - CAST(n_a * tb AS DOUBLE) / ta)
+        |    * (CAST(n_b AS DOUBLE) - CAST(n_a * tb AS DOUBLE) / ta)
+        |    / (CAST(n_a * tb AS DOUBLE) / ta) AS chi2_term
+        |FROM c, t""".stripMargin,
     "events_rfm" ->
       """WITH u AS (
         |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS frequency,

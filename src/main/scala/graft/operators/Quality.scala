@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.sources.Tables
 
@@ -178,5 +178,49 @@ object Quality {
     audit("event_id", Seq("event_id"))
       .unionByName(audit("user_id,ts", Seq("user_id", "ts")))
       .unionByName(audit("user_id,event_type,ts", Seq("user_id", "event_type", "ts")))
+  }
+
+  /** Distribution-drift audit (`dq_drift`): does the event-type mix
+    * of the corpus' second half match its first half — the χ²
+    * goodness-of-fit check a pipeline runs before concluding "the
+    * fleet changed" vs "the mix is stable". Each type reports its
+    * observed second-half count against the count the first-half mix
+    * predicts, plus its χ² contribution; the deliberately avoided
+    * alternative is PSI, whose ln() is not correctly-rounded in
+    * either engine's libm — χ² is division and multiplication only,
+    * so the statistic is engine-exact from integer counts.
+    *
+    * Determinism: counts are exact integers; expected_b is ONE
+    * double division of two exact integers (n_a·total_b, an integer
+    * product computed before any cast, over total_a); the χ² term is
+    * a fixed expression tree over already-deterministic doubles.
+    * No cross-row float summation anywhere.
+    *
+    * Scale shape: one scan — the split instant is a 1-row aggregate
+    * broadcast into the pass, both half-counts are conditional sums
+    * in the SAME partial-aggregated groupBy (≤ #types rows cross the
+    * shuffle), and the totals ride a dimension-sized window over the
+    * aggregated frame. At 100 TB this is one read + one tiny
+    * shuffle, however skewed the stream. */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    // integer `div`, not `/`: Column./ on longs is DOUBLE division,
+    // and the sum of two µs instants brushes the 2^52 mantissa edge
+    val bounds = ev.select(unix_micros($"ts").as("us"))
+      .agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val halves = ev.crossJoin(broadcast(bounds))
+      .groupBy($"event_type")
+      .agg(
+        sum(when(unix_micros($"ts") <= $"cut", 1L).otherwise(0L)).as("n_a"),
+        sum(when(unix_micros($"ts") > $"cut", 1L).otherwise(0L)).as("n_b"))
+    val all = Window.partitionBy()
+    val eB = ($"n_a" * sum($"n_b").over(all)).cast(DoubleType) /
+      sum($"n_a").over(all)
+    halves
+      .withColumn("expected_b", eB)
+      .withColumn("chi2_term",
+        ($"n_b".cast(DoubleType) - $"expected_b") *
+          ($"n_b".cast(DoubleType) - $"expected_b") / $"expected_b")
   }
 }

@@ -489,4 +489,72 @@ object Similarity {
       .select($"c.i".as("i"), $"c.j".as("j"),
         $"c.n".as("n_vecs"), $"c.p".as("gram_q"))
   }
+
+  /** Principal-component projection over the embedding corpus
+    * (`embed_pca`): every vector scored against the corpus' dominant
+    * second-moment direction — the 1-D view a curation pipeline uses
+    * for embedding-drift dashboards, coarse diversity binning, and
+    * "is this corpus collapsing to one direction" checks.
+    *
+    * Engine-exact by construction, which is the interesting part —
+    * float PCA is order-dependent three times over (Gram summation,
+    * eigensolver, projection). Here every stage is integer:
+    *   1. int8-quantize each vector ([[quantize]]'s exact recipe);
+    *   2. the d×d Gram matrix accumulates in int64 via the same
+    *      [[gram]] custom aggregate — one distributed pass, exactly
+    *      d(d+1)/2 cells per input split cross the wire;
+    *   3. TWO unnormalized power-iteration steps on the DRIVER over
+    *      the collected d×d matrix (2080 longs — a reduction result,
+    *      the codebook pattern): v₁ = G·1, v₂ = G·v₁ in BigInt, no
+    *      normalization, so no division-rounding to disagree on;
+    *   4. scores = q·v₂ distributed, in decimal(38,0) (v₂ grows to
+    *      ~N·d²·127⁴ — past int64 at real corpus sizes), then ONE
+    *      correctly-rounded cast to double — deterministic in any
+    *      evaluation order on both engines.
+    * Two unnormalized steps are a deliberate truncation (like
+    * [[graft.operators.Telemetry]]'s dyadic EWMA): enough to
+    * dominate toward PC1 for ranking/binning use, fully replayable
+    * in ANSI SQL. The d×d collect is dimension-, not corpus-, sized.
+    *
+    * Scale shape: one Gram pass (partial-aggregated custom agg), one
+    * scan-local projection pass with the d-vector broadcast as a
+    * literal — shuffle cost is the Gram cells only, independent of
+    * corpus row count. */
+  def pca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val d = 64
+    val ma = array_max(transform($"embedding", x => abs(x.cast(DoubleType))))
+    val qCol = when($"ma" > 0d,
+      transform($"embedding",
+        x => floor(x.cast(DoubleType) * lit(127.0d) / $"ma" + lit(0.5d)).cast(LongType)))
+      .otherwise(transform($"embedding", _ => lit(0L)))
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding", ma.as("ma"))
+      .select($"vec_id", $"label", qCol.as("q"))
+    // dimension-sized reduction: d(d+1)/2 upper-triangle cells
+    val cells = base
+      .agg(graft.plans.Sketch.vecOuterSum($"q").as("cells"))
+      .select(explode($"cells").as("c"))
+      .select($"c.i", $"c.j", $"c.p").collect()
+    val g = Array.ofDim[Long](d, d)
+    cells.foreach { r =>
+      val (i, j, p) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+      g(i)(j) = p; g(j)(i) = p
+    }
+    // two power steps in BigInt: v1 = G·1, v2 = G·v1 — unnormalized,
+    // so there is no division for the two engines to round apart
+    val v1 = Array.tabulate(d)(i => g(i).foldLeft(BigInt(0))(_ + _))
+    val v2 = Array.tabulate(d)(i =>
+      (0 until d).foldLeft(BigInt(0))((acc, j) => acc + BigInt(g(i)(j)) * v1(j)))
+    val v2Lit = array(v2.map(x =>
+      lit(new java.math.BigDecimal(x.bigInteger)).cast(DecimalType(38, 0))): _*)
+    // scan-local projection: q·v2 in decimal(38,0), one final cast
+    base
+      .select($"vec_id", $"label",
+        aggregate(
+          zip_with($"q", v2Lit, (a, b) => a * b),
+          lit(0).cast(DecimalType(38, 0)),
+          (acc, x) => acc + x).cast(DoubleType).as("pc1"))
+  }
 }
