@@ -67,6 +67,7 @@ object SparkEntry {
     "chunk_reassemble" -> ((s: SparkSession, d: String) => Telemetry.chunkReassemble(s, d)),
     "queue_stats" -> (Telemetry.queueStats _),
     "queue_ttl" -> ((s: SparkSession, d: String) => Telemetry.queueTtl(s, d)),
+    "queue_latency" -> (Telemetry.queueLatency _),
     "port_config" -> (Telemetry.portConfig _),
     "events_attribution" -> ((s: SparkSession, d: String) => Telemetry.attribution(s, d)),
     "status_transitions" -> (Telemetry.statusTransitions _),
@@ -96,6 +97,9 @@ object SparkEntry {
     "ts_mad" -> ((s: SparkSession, d: String) => Telemetry.madOutliers(s, d)),
     "events_heatmap" -> (Telemetry.heatmap _),
     "ts_ohlc" -> (Telemetry.ohlc _),
+    "ts_forecast" -> (Telemetry.forecast _),
+    "events_basket" -> (Telemetry.basket _),
+    "q_asof_forward" -> (Relational.qAsOfForward _),
     "dq_freshness" -> ((s: SparkSession, d: String) => Quality.freshness(s, d)),
     "q_cdc_apply" -> (Changelog.cdcApply _),
     "q_scd2" -> (Changelog.scd2 _),
@@ -139,6 +143,7 @@ object SparkEntry {
     "embed_quantize" -> (Similarity.quantize _),
     "embed_gram" -> (Similarity.gram _),
     "embed_pca" -> ((s: SparkSession, d: String) => Similarity.pca(s, d)),
+    "ann_pq_trained" -> ((s: SparkSession, d: String) => Similarity.pqTrain(s, d)),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -471,8 +476,13 @@ object SparkEntry {
 
   /** DuckDB fragment: fold-exact squared L2 between two DOUBLE lists
     * (mirrors Similarity.kmeans' sqDist — same sequential order). */
-  private def kmDist(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,64), i -> ($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1]))), (x,y) -> x+y)"
+  private def kmDist(a: String, b: String): String = kmDistN(a, b, 64)
+
+  /** Fixed-order squared L2 over the first `n` coordinates — the
+    * DuckDB replay of the native SqDistLD fold (index order 0..n−1,
+    * one running double sum). */
+  private def kmDistN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,$n), i -> ($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1]))), (x,y) -> x+y)"
 
   /** DuckDB CTE chain replaying Similarity.kmeans (k=8, 2 rounds)
     * down to the final per-vector assignment `ka(vec_id, c1,
@@ -628,6 +638,31 @@ object SparkEntry {
         |GROUP BY a.event_id""".stripMargin,
     "q_asof" -> asOfSql,
     "q_asof_native" -> asOfSql,
+    // forward variant: the same merge exec on negated integer time;
+    // DuckDB's ASOF with a flipped inequality is the exact oracle
+    "q_asof_forward" ->
+      """SELECT e.event_id, e.user_id, e.ts, p.pts AS next_purchase_ts,
+        |  CASE WHEN p.pts IS NOT NULL
+        |    THEN epoch_us(p.pts) - epoch_us(e.ts) END AS wait_us,
+        |  p.purchase_value
+        |FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts AS pts,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        |ON e.user_id = p.user_id AND e.ts <= p.pts""".stripMargin,
+    "events_basket" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |m AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+        |u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, ma.n AS n_a, mb.n AS n_b, p.n_ab,
+        |  CAST(p.n_ab * u.n_users AS DOUBLE) / (ma.n * mb.n) AS lift
+        |FROM p JOIN m ma ON ma.event_type = p.type_a
+        |JOIN m mb ON mb.event_type = p.type_b CROSS JOIN u""".stripMargin,
     // the tolerance variant nulls matches older than 8500 days; the
     // newest right row <= ts is the only candidate, so wrapping the
     // plain as-of in a recency CASE is exactly equivalent
@@ -688,6 +723,31 @@ object SparkEntry {
         |GROUP BY event_type""".stripMargin,
     "queue_ttl" -> queueTtlSql,
     "stream_ttl" -> queueTtlSql,
+    "queue_latency" ->
+      """WITH m AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS t_us,
+        |    CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) <= 50 AS sent
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, event_id, t_us,
+        |    MIN(CASE WHEN sent THEN t_us END) OVER (
+        |      PARTITION BY event_type ORDER BY t_us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt_us
+        |  FROM m),
+        |l AS (
+        |  SELECT event_type, event_id, nxt_us - t_us AS wait_us
+        |  FROM w WHERE nxt_us IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, wait_us,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY wait_us, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM l)
+        |SELECT event_type, MAX(n) AS n_waits,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN wait_us END) AS p50_us,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN wait_us END) AS p90_us,
+        |  MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN wait_us END) AS p99_us,
+        |  MAX(wait_us) AS max_us
+        |FROM r GROUP BY event_type""".stripMargin,
     "events_attribution" -> attributionSql,
     "stream_attribution" -> attributionSql,
     "port_config" ->
@@ -2245,6 +2305,18 @@ object SparkEntry {
         |FROM ch""".stripMargin,
     "ts_ohlc" -> ohlcSql,
     "stream_ohlc" -> ohlcSql,
+    "ts_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, make_timestamp(a.day_us) AS day, a.n_events,
+        |  b.n_events AS forecast,
+        |  CASE WHEN b.n_events IS NOT NULL
+        |    THEN abs(a.n_events - b.n_events) END AS abs_err
+        |FROM daily a LEFT JOIN daily b
+        |  ON b.event_type = a.event_type
+        |  AND b.day_us = a.day_us - 604800000000""".stripMargin,
     "dq_freshness" ->
       """WITH hwm AS (SELECT MAX(ts) AS corpus_max FROM events)
         |SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events,
@@ -2282,6 +2354,38 @@ object SparkEntry {
         |FROM q, range(0, 64) t1(i), range(0, 64) t2(j)
         |WHERE j >= i
         |GROUP BY i, j""".stripMargin,
+    "ann_pq_trained" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, sub,
+         |    list_transform(range(1 + 16*sub, 17 + 16*sub),
+         |      i -> CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)) AS qv
+         |  FROM embeddings, (SELECT unnest(range(4)) AS sub) ss),
+         |qd AS (SELECT vec_id, sub, qv,
+         |    list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv FROM q),
+         |seeds AS (SELECT sub, vec_id AS cid,
+         |    list_transform(qv, v -> CAST(v AS DOUBLE)) AS cvec
+         |  FROM q WHERE vec_id < 16),
+         |d1 AS (SELECT a.vec_id, a.sub, a.qv, s.cid, ${kmDistN("a.dv", "s.cvec", 16)} AS d
+         |  FROM qd a JOIN seeds s ON s.sub = a.sub),
+         |a1 AS (SELECT vec_id, sub, qv, cid AS c1 FROM (
+         |  SELECT vec_id, sub, qv, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM d1) x
+         |  WHERE rn = 1),
+         |m2 AS (SELECT sub, c1 AS cid, pos,
+         |    CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean
+         |  FROM (SELECT sub, c1, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1) e
+         |  GROUP BY sub, cid, pos),
+         |c2 AS (SELECT sub, cid, list(mean ORDER BY pos) AS cvec FROM m2 GROUP BY sub, cid),
+         |d2 AS (SELECT a.vec_id, a.sub, a.c1, c.cid, ${kmDistN("a.dv2", "c.cvec", 16)} AS d
+         |  FROM (SELECT vec_id, sub, c1,
+         |      list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv2 FROM a1) a
+         |  JOIN c2 c ON c.sub = a.sub),
+         |ka AS (SELECT vec_id, sub, c1, cid AS code FROM (
+         |  SELECT vec_id, sub, c1, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM d2) y
+         |  WHERE rn = 1)
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, c1, code, (c1 <> code) AS moved
+         |FROM ka""".stripMargin,
     "embed_pca" ->
       """WITH m AS (SELECT vec_id, label, embedding,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma

@@ -422,6 +422,50 @@ object Relational {
       $"day_total".as("last_day_total"))
   }
 
+  /** Forward as-of join (`q_asof_forward`): each non-purchase event
+    * matched to its user's NEXT purchase at-or-after it — the
+    * time-to-conversion view, the forward twin of [[qAsOf]]'s "most
+    * recent before". No second physical operator: the SAME merge exec
+    * runs on NEGATED integer µs, because most-recent(−t ≤ −l) elects
+    * exactly next(t ≥ l) — direction is a property of the time ORDER,
+    * not the algorithm, and the exec's analysis-time validation
+    * admits LongType time columns for precisely this composition.
+    * Equal instants match in both directions (≤ survives negation as
+    * ≥). The purchase side pre-aggregates to unique (user, instant)
+    * rows (decimal-exact value) with the [[qAsOfNative]]
+    * single-shuffle right-side trick: hash on user_id satisfies both
+    * the groupBy and the exec's distribution. */
+  def qAsOfForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.{AsOfJoinPlan, AsOfStrategy}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+    val ev = Tables.events(spark, dir)
+      .filter($"event_type" =!= "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        (-unix_micros($"ts")).as("neg_us"))
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .repartition($"user_id")
+      .groupBy($"user_id".as("p_user"), $"ts".as("pts"))
+      .agg(dsum($"value").as("purchase_value"))
+      .withColumn("neg_us", -unix_micros($"pts"))
+    val lPlan = ColumnBridge.analyzed(ev)
+    val rPlan = ColumnBridge.analyzed(purchases)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      p.output.find(_.name == name).get
+    val joined = ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, "user_id"), attr(rPlan, "p_user"),
+      attr(lPlan, "neg_us"), attr(rPlan, "neg_us"), None))
+    joined.select($"event_id", $"user_id", $"ts",
+      $"pts".as("next_purchase_ts"),
+      when($"pts".isNotNull,
+        unix_micros($"pts") - unix_micros($"ts")).as("wait_us"),
+      $"purchase_value")
+  }
+
   /** Exact grouped quantiles without interpolation: discrete p50/p95
     * picked by rank from one sort-within-group window pass — a single
     * shuffle on the group key, the honest cost of EXACT quantiles

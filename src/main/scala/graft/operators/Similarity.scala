@@ -351,6 +351,63 @@ object Similarity {
       .select($"vec_id", $"c1", $"cluster", ($"c1" =!= $"cluster").as("moved"))
   }
 
+  /** Trained product quantization (`ann_pq_trained`): real PQ
+    * codebook TRAINING — per-subspace Lloyd's over the corpus — where
+    * [[pqTopK]] deliberately uses seed-subset codebooks (the offline-
+    * job stand-in). This closes that loop: the engine trains the
+    * codebooks it searches with. Each 64-dim vector splits into m=4
+    * 16-dim subvectors and every subspace runs the SAME engine-exact
+    * k-means as [[kmeans]] (quantized-long coordinates, fold-exact
+    * squared-L2 via the native SqDistLD expression, deterministic
+    * (d, cid) argmin, exact long-sum centroid updates with one
+    * division per mean) — just keyed by (subspace, cluster) instead
+    * of cluster. Output per (vector, subspace): first-round and
+    * final code plus whether it moved — the encoded corpus AND the
+    * training diagnostic in one frame.
+    *
+    * Scale shape: the subspace explode is bounded ×m scan-local
+    * fan-out; codebooks (m×k centroids) BROADCAST to both assignment
+    * passes, the update is one partial-aggregated groupBy(sub, cid,
+    * pos) — shuffle ∝ corpus×m subvector rows, never pairs; nothing
+    * corpus-sized ever reaches the driver. */
+  def pqTrain(spark: SparkSession, dir: String, m: Int = 4, subDim: Int = 16,
+      k: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    require(iters >= 1, "pq training needs at least one assignment round")
+    val subs = (0 until m).map(s =>
+      struct(lit(s.toLong).as("sub"), slice($"qv64", s * subDim + 1, subDim).as("qv")))
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => round(x.cast(DoubleType) * 1e6d).cast(LongType)).as("qv64"))
+      .select($"vec_id", explode(array(subs: _*)).as("e"))
+      .select($"vec_id", $"e.sub".as("sub"), $"e.qv".as("qv"))
+    def sqDist(a: Column, b: Column): Column =
+      graft.plans.VecExprs.sqDistLDCol(a, b)
+    def assign(cents: DataFrame): DataFrame =
+      q.join(broadcast(cents), Seq("sub"))
+        .select($"vec_id", $"sub", $"qv",
+          struct(sqDist($"qv", $"cvec").as("d"), $"cid".as("c")).as("s"))
+        .groupBy($"vec_id", $"sub", $"qv").agg(min($"s").getField("c").as("code"))
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned.select($"sub", $"code".as("cid"), posexplode($"qv").as(Seq("pos", "v")))
+        .groupBy($"sub", $"cid", $"pos")
+        .agg(sum($"v").as("vsum"), count(lit(1)).as("n"))
+        .withColumn("mean", $"vsum".cast(DoubleType) / $"n".cast(DoubleType))
+        .groupBy($"sub", $"cid")
+        .agg(transform(sort_array(collect_list(struct($"pos", $"mean"))),
+          _.getField("mean")).as("cvec"))
+    // deterministic seeding per subspace: the k smallest vec_ids'
+    // subvectors (each seed is its own nearest centroid in round 1)
+    val seeds = q.filter($"vec_id" < k)
+      .select($"sub", $"vec_id".as("cid"), transform($"qv", _.cast(DoubleType)).as("cvec"))
+    val first = assign(seeds)
+    val last = (1 until iters).foldLeft(first)((a, _) => assign(recenter(a)))
+    first.select($"vec_id", $"sub", $"code".as("c1"))
+      .join(last.select($"vec_id", $"sub", $"code"), Seq("vec_id", "sub"))
+      .select($"vec_id", $"sub", $"c1", $"code", ($"c1" =!= $"code").as("moved"))
+  }
+
   /** Semantic deduplication (the SemDeDup shape — Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus embeddings with k-means,
     * then mark near-duplicate pairs ONLY within each cluster and keep

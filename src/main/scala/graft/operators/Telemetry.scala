@@ -433,6 +433,55 @@ object Telemetry {
         max(when($"outcome" === "lost", $"svc_us" - $"t_us")).as("max_lost_wait_us"))
   }
 
+  /** Queue service-latency percentiles (`queue_latency`) — the
+    * resilience view of the [[queueTtl]] queue model: for every
+    * enqueued message, how long until the NEXT successful send slot
+    * strictly after it — the wait a message would pay if its own
+    * attempt failed and it rode the retry path. Per stream the
+    * operator reports exact discrete p50/p90/p99/max of that wait —
+    * the numbers a deployment uses to size TTLs (queue_ttl's
+    * threshold) from observed drain behavior rather than guesswork.
+    *
+    * Exactness: percentiles are DISCRETE rank statistics — the wait
+    * value at row ceil(p·n) under a (wait, event_id) total order.
+    * The VALUE at a rank in a multiset is unique no matter how ties
+    * order, and the rank thresholds are integer ceil-division
+    * ((p·n + q−1) div q), so both engines elect identical elements;
+    * no interpolation, no percentile_approx sketch error.
+    *
+    * Scale shape: two window passes per stream — min-over-following
+    * on the time sort (O(1) running state from the tail), then
+    * row_number on the wait sort — BOTH hash-partitioned on the same
+    * stream key, so the exchange is paid once and only re-sorted.
+    * The rollup is one partial-aggregated groupBy; messages after a
+    * stream's last good slot have no next slot and are excluded
+    * (their wait is unbounded — TTL accounting, queueTtl's job). */
+  def queueLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val msgs = Tables.events(spark, dir)
+      .withColumn("k", regexp_extract($"props", "([0-9]+)", 1).cast(IntegerType))
+      .select($"event_type", $"event_id", unix_micros($"ts").as("t_us"),
+        ($"k" <= 50).as("sent"))
+    val wNext = Window.partitionBy($"event_type")
+      .orderBy($"t_us".asc, $"event_id".asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wRank = Window.partitionBy($"event_type")
+      .orderBy($"wait_us".asc, $"event_id".asc)
+    val waits = msgs
+      .withColumn("nxt_us", min(when($"sent", $"t_us")).over(wNext))
+      .filter($"nxt_us".isNotNull)
+      .withColumn("wait_us", $"nxt_us" - $"t_us")
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    waits.groupBy($"event_type")
+      .agg(
+        max($"n").as("n_waits"),
+        max(when($"rn" === expr("(n + 1) div 2"), $"wait_us")).as("p50_us"),
+        max(when($"rn" === expr("(9 * n + 9) div 10"), $"wait_us")).as("p90_us"),
+        max(when($"rn" === expr("(99 * n + 99) div 100"), $"wait_us")).as("p99_us"),
+        max($"wait_us").as("max_us"))
+  }
+
   /** Per-EventType status-report filtering — serial_streaming.lua's
     * "enabling/disabling StatusReports based on EventType"
     * (serial_streaming.lua:18, 306-309: the RxDataLost/TxDataLost
@@ -881,6 +930,74 @@ object Telemetry {
     val bySeries = Window.partitionBy($"event_type").orderBy($"day")
     candles.withColumn("close_chg",
       $"close" - lag($"close", 1).over(bySeries))
+  }
+
+  /** Event-type co-occurrence lift (`events_basket`): market-basket
+    * association over the event stream — for every unordered pair of
+    * event types, how many users exhibit BOTH, and the lift
+    * n_ab·N / (n_a·n_b) that says whether the pair co-occurs more
+    * than independence predicts (the cross-sell / feature-bundling
+    * signal, and on telemetry the "do these two alarms fire on the
+    * same fleet" diagnostic).
+    *
+    * Scale shape: the raw stream collapses to DISTINCT (user, type)
+    * map-side first — the self-join runs on at most #users × #types
+    * rows, and each user contributes ≤ C(#types, 2) pairs, a
+    * constant, so the pair shuffle is ∝ users, never events². Type
+    * marginals and the user total are dimension-sized aggregates
+    * broadcast back in. Lift is ONE double division of two exact
+    * integer products; counts stay integers throughout.
+    */
+  def basket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ut = Tables.events(spark, dir)
+      .select($"user_id", $"event_type").distinct()
+    val marginals = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val nUsers = ut.groupBy().agg(countDistinct($"user_id").as("n_users"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marginals.select($"event_type".as("type_a"), $"n".as("n_a"))), Seq("type_a"))
+      .join(broadcast(marginals.select($"event_type".as("type_b"), $"n".as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_ab",
+        (($"n_ab" * $"n_users").cast(DoubleType) / ($"n_a" * $"n_b")).as("lift"))
+  }
+
+  /** Seasonal-naive forecast backtest (`ts_forecast`): the capacity-
+    * planning baseline every telemetry deployment runs first — predict
+    * each (event_type, day)'s event volume as the SAME WEEKDAY one
+    * week earlier, and report the absolute error where both sides
+    * exist. A model that can't beat seasonal-naive isn't worth its
+    * serving cost; this operator computes the bar.
+    *
+    * Exactness: the series is daily COUNTS (integers), the forecast
+    * aligns by CALENDAR — a self-join on (type, day − 7 days) in
+    * integer µs, not a 7-row lag, which silently misaligns the
+    * moment one day has no events — and the error is integer
+    * |actual − forecast|. Calendar bucketing is date_trunc under the
+    * UTC session zone, identical in both engines.
+    *
+    * Scale shape: the raw stream partial-aggregates to (type, day)
+    * map-side — the shuffle carries #types × #days rows, never
+    * events — and the forecast join runs dimension-frame against
+    * dimension-frame. At 100 TB the join input is still just the
+    * calendar. */
+  def forecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", unix_micros(date_trunc("day", $"ts")).as("day_us"))
+      .agg(count(lit(1)).as("n_events"))
+    val prior = daily.select($"event_type",
+      ($"day_us" + lit(7L * dayUs)).as("day_us"), $"n_events".as("forecast"))
+    daily.join(prior, Seq("event_type", "day_us"), "left")
+      .select($"event_type", timestamp_micros($"day_us").as("day"),
+        $"n_events", $"forecast",
+        when($"forecast".isNotNull, abs($"n_events" - $"forecast")).as("abs_err"))
   }
 
   /** Lag-1 autocorrelation per series (`ts_autocorr`): how much does

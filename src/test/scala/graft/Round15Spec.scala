@@ -82,4 +82,97 @@ class Round15Spec extends SparkSpec {
     val again = graft.operators.Quality.drift(spark, sf).collect().map(_.toSeq).toSet
     assert(again == out.map(_.toSeq).toSet)
   }
+
+  test("queue_latency: percentile ladder is monotone, exact ranks, deterministic replay") {
+    val out = Telemetry.queueLatency(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p50, p90, p99, mx) = (r.getAs[Long]("p50_us"), r.getAs[Long]("p90_us"),
+        r.getAs[Long]("p99_us"), r.getAs[Long]("max_us"))
+      assert(p50 >= 0L && p50 <= p90 && p90 <= p99 && p99 <= mx,
+        s"non-monotone ladder: $p50 / $p90 / $p99 / $mx")
+      assert(r.getAs[Long]("n_waits") > 0L)
+    }
+    val again = Telemetry.queueLatency(spark, sf).collect().map(_.toSeq).toSet
+    assert(again == out.map(_.toSeq).toSet)
+  }
+
+  test("ts_forecast: calendar-aligned seasonal naive - week-1 days have no forecast, later days do") {
+    val out = Telemetry.forecast(spark, sf).collect()
+    assert(out.nonEmpty)
+    val minDay = out.map(_.getAs[java.sql.Timestamp]("day").getTime).min
+    out.foreach { r =>
+      val dayMs = r.getAs[java.sql.Timestamp]("day").getTime
+      if (dayMs - minDay < 7L * 86400000L)
+        assert(r.isNullAt(r.fieldIndex("forecast")),
+          s"day within the first week cannot have a prior-week forecast")
+      if (!r.isNullAt(r.fieldIndex("forecast")))
+        assert(r.getAs[Long]("abs_err") ==
+          math.abs(r.getAs[Long]("n_events") - r.getAs[Long]("forecast")))
+    }
+    // the corpus spans >1 week, so some forecasts must exist
+    assert(out.exists(!_.isNullAt(3)))
+  }
+
+  test("ann_pq_trained: every (vector, subspace) gets a code, seeds self-assign round 1, training moves codes") {
+    val out = graft.operators.Similarity.pqTrain(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length == n * 4, "m=4 codes per vector")
+    out.foreach { r =>
+      assert(r.getAs[Long]("c1") >= 0L && r.getAs[Long]("c1") < 16L)
+      assert(r.getAs[Long]("code") >= 0L && r.getAs[Long]("code") < 16L)
+      // seed vectors are their own nearest centroid in round 1
+      if (r.getAs[Long]("vec_id") < 16L)
+        assert(r.getAs[Long]("c1") == r.getAs[Long]("vec_id"))
+    }
+    // Lloyd's must actually refine something somewhere
+    assert(out.exists(_.getAs[Boolean]("moved")))
+    val again = graft.operators.Similarity.pqTrain(spark, sf).collect().map(_.toSeq).toSet
+    assert(again == out.map(_.toSeq).toSet)
+  }
+
+  test("q_asof_forward: next-at-or-after semantics via the negated-time merge exec") {
+    import graft.operators.Relational
+    val out = Relational.qAsOfForward(spark, sf)
+    val rows = out.collect()
+    val nLeft = Tables.events(spark, sf).filter($"event_type" =!= "purchase").count()
+    assert(rows.length == nLeft, "left join preserves every non-purchase event")
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("next_purchase_ts"))) {
+        assert(!r.getAs[java.sql.Timestamp]("next_purchase_ts")
+          .before(r.getAs[java.sql.Timestamp]("ts")), "match is never before the event")
+        assert(r.getAs[Long]("wait_us") >= 0L)
+      }
+    }
+    assert(rows.exists(!_.isNullAt(3)), "some events have a following purchase")
+    assert(rows.exists(_.isNullAt(3)), "events after the user's last purchase have none")
+    // independent composed parity: the min following purchase instant
+    // per event, computed by the banded union+window-free formulation
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), unix_micros($"ts").as("pus"))
+    val expect = ev.filter($"event_type" =!= "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("eus"))
+      .join(p, $"user_id" === $"pu" && $"pus" >= $"eus", "left")
+      .groupBy($"event_id").agg(min($"pus").as("want_us"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(1)) null else r.getAs[Long]("want_us"))).toMap
+    rows.foreach { r =>
+      val got = if (r.isNullAt(3)) null
+        else Long.box(r.getAs[java.sql.Timestamp]("next_purchase_ts").getTime * 1000L +
+          r.getAs[java.sql.Timestamp]("next_purchase_ts").getNanos / 1000 % 1000)
+      assert(expect(r.getAs[Long]("event_id")) == got,
+        s"event ${r.getAs[Long]("event_id")} elected the wrong next purchase")
+    }
+  }
+
+  test("events_basket: pair counts bounded by marginals, lift consistent with counts") {
+    val out = graft.operators.Telemetry.basket(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (na, nb, nab) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_ab"))
+      assert(nab <= math.min(na, nb), "co-occurrence cannot exceed either marginal")
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"), "unordered pairs emitted once")
+    }
+  }
 }
