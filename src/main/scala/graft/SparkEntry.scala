@@ -68,6 +68,7 @@ object SparkEntry {
     "queue_stats" -> (Telemetry.queueStats _),
     "queue_ttl" -> ((s: SparkSession, d: String) => Telemetry.queueTtl(s, d)),
     "queue_latency" -> (Telemetry.queueLatency _),
+    "queue_drain" -> (Telemetry.queueDrain _),
     "port_config" -> (Telemetry.portConfig _),
     "events_attribution" -> ((s: SparkSession, d: String) => Telemetry.attribution(s, d)),
     "status_transitions" -> (Telemetry.statusTransitions _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "frame_extract" -> (Frames.extract _),
     "frame_stats" -> (Frames.stats _),
     "frame_wire" -> ((s: SparkSession, d: String) => Frames.wire(s, d)),
+    "frame_resync" -> ((s: SparkSession, d: String) => Frames.resync(s, d)),
     "frame_lookup" -> ((s: SparkSession, d: String) => Frames.lookup(s, d)),
     // G. multimodal
     "mm_meta" -> (Multimodal.meta _),
@@ -723,6 +725,31 @@ object SparkEntry {
         |GROUP BY event_type""".stripMargin,
     "queue_ttl" -> queueTtlSql,
     "stream_ttl" -> queueTtlSql,
+    "queue_drain" ->
+      """WITH m AS (
+        |  SELECT event_type, event_id, ts, epoch_us(ts) AS t_us,
+        |    CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) <= 50 AS sent
+        |  FROM events),
+        |d0 AS (
+        |  SELECT event_type, ts, sent, t_us, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t_us, event_id) AS BIGINT) AS rn
+        |  FROM m),
+        |d AS (
+        |  SELECT event_type, ts, rn,
+        |    COALESCE(MAX(CASE WHEN sent THEN rn END) OVER (
+        |      PARTITION BY event_type ORDER BY t_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS last_slot
+        |  FROM d0),
+        |e AS (
+        |  SELECT event_type, ts, rn, rn - last_slot AS depth,
+        |    MAX(rn - last_slot) OVER (PARTITION BY event_type) AS md,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM d)
+        |SELECT event_type, COUNT(*) AS n_msgs,
+        |  MAX(depth) AS max_backlog,
+        |  MIN(CASE WHEN depth = md THEN ts END) AS first_peak_ts,
+        |  MAX(CASE WHEN rn = cnt THEN depth END) AS final_backlog
+        |FROM e GROUP BY event_type""".stripMargin,
     "queue_latency" ->
       """WITH m AS (
         |  SELECT event_type, event_id, epoch_us(ts) AS t_us,
@@ -1866,6 +1893,16 @@ object SparkEntry {
         |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768)),
         |    (a,b) -> a+b)) AS BIGINT) AS sample_sum,
         |  TRUE AS sync_ok
+        |FROM events GROUP BY user_id""".stripMargin,
+    // the payload checksum replays only over frames that SURVIVE the
+    // deterministic corruption (event_id % 97 == 0 flips the magic)
+    "frame_resync" ->
+      """SELECT user_id AS device_id, COUNT(*) AS n_frames,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_recovered,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT) AS n_corrupted,
+        |  CAST(COALESCE(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768)),
+        |    (a,b) -> a+b)) FILTER (WHERE event_id % 97 <> 0), 0) AS BIGINT) AS sample_sum
         |FROM events GROUP BY user_id""".stripMargin,
     // the index is a pure access-path property: the oracle is the
     // plain time-window query over the source events (window =

@@ -127,6 +127,50 @@ object Frames {
         min($"sync_ok").as("sync_ok"))
   }
 
+  /** Corrupted-wire recovery (`frame_resync`): the failure path the
+    * reference's search-split framing cannot survive (main.py:33-57
+    * splits on the delimiter and silently mis-parses on corruption) —
+    * here a deterministic subset of frames (event_id % 97 == 0) has
+    * its leading magic byte flipped before the wire rolls, the reader
+    * re-splits by FIXED frame length (so one bad frame can never
+    * shift the stream — alignment is positional, not content-based),
+    * and the native UnpackFrame's validation null-quarantines exactly
+    * the corrupted frames. Per device: total frames seen, recovered,
+    * corrupted-and-skipped, and the payload checksum over RECOVERED
+    * frames only — the "how much telemetry survived the bad link"
+    * report.
+    *
+    * Scale shape: identical to [[wire]] — corruption and re-parse are
+    * scan-local expressions, the only shuffles are the blob roll and
+    * the final per-device partial-aggregated rollup. */
+  def resync(spark: SparkSession, dir: String, framesPerBlob: Int = 64): DataFrame = {
+    import spark.implicits._
+    val samples = transform(sequence(lit(0L), lit(6L)),
+      i => ($"event_id" * 7 + i * 13 + floor($"value").cast(LongType)) % 32768)
+    val framed = Tables.events(spark, dir)
+      .select($"user_id".as("device_id"), $"event_id",
+        Frame.pack($"user_id", expr("unix_micros(ts) div 1000000"), samples).as("clean"))
+      .withColumn("frame",
+        when($"event_id" % 97 === 0,
+          concat(lit(Array[Byte](0x00)), substring($"clean", 2, Frame.FrameLen - 1)))
+          .otherwise($"clean"))
+      .select($"device_id", $"event_id", $"frame")
+    val unit = Frame.FrameLen + 1
+    val n = (octet_length($"wire") / unit).cast(LongType)
+    wireBlobs(framed, framesPerBlob)
+      .select($"device_id",
+        explode(transform(sequence(lit(0L), n - 1),
+          i => $"wire".substr((i * unit + 1).cast("int"), lit(Frame.FrameLen)))).as("frame"))
+      .withColumn("parsed", Frame.unpack($"frame"))
+      .groupBy($"device_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when($"parsed".isNotNull, 1L).otherwise(0L)).as("n_recovered"),
+        sum(when($"parsed".isNull, 1L).otherwise(0L)).as("n_corrupted"),
+        coalesce(sum(when($"parsed".isNotNull,
+          aggregate(transform($"parsed.samples", s => s.cast(LongType)), lit(0L), _ + _))),
+          lit(0L)).as("sample_sum"))
+  }
+
   /** Container-level FRAME SAMPLING (the video frame-sample pattern
     * over the engine's real container format): keep every k-th frame
     * per device from the rolled wire blobs — a media pipeline

@@ -433,6 +433,49 @@ object Telemetry {
         max(when($"outcome" === "lost", $"svc_us" - $"t_us")).as("max_lost_wait_us"))
   }
 
+  /** Queue-depth / backlog profile (`queue_drain`) — the sizing view
+    * the reference's queue limits (serial_streaming.lua's Rx/Tx size
+    * caps) should be derived FROM: under the [[queueTtl]] service
+    * model (every pending message rides the next good slot), the
+    * backlog at any instant is the number of arrivals since the last
+    * good slot — it saws up between slots and resets at each one.
+    * Per stream: peak backlog, the first instant the peak was hit
+    * (deterministic min-ts election), the backlog left at stream end,
+    * and message volume — exactly what sizes a queue cap so the TTL
+    * never fires under normal drain.
+    *
+    * Exactness & shape: depth_i = rn_i − running-max(rn over good
+    * slots) is all-integer from ONE window sort on (t, event_id)
+    * (running max is O(1) frame state; the per-stream max/count ride
+    * the same partitioning), then a partial-aggregated rollup; the
+    * peak instant is min(ts) over peak rows — a unique value however
+    * ties order. Shuffle ∝ stream, exchange paid once. */
+  def queueDrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val msgs = Tables.events(spark, dir)
+      .withColumn("k", regexp_extract($"props", "([0-9]+)", 1).cast(IntegerType))
+      .select($"event_type", $"event_id", $"ts", unix_micros($"ts").as("t_us"),
+        ($"k" <= 50).as("sent"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"t_us".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byStream = Window.partitionBy($"event_type")
+    val depths = msgs
+      .withColumn("rn", row_number().over(
+        byStream.orderBy($"t_us".asc, $"event_id".asc)).cast(LongType))
+      // a good slot services everything pending INCLUDING itself, so
+      // its own depth is 0; between slots depth counts arrivals since
+      .withColumn("depth", $"rn" - coalesce(max(when($"sent", $"rn")).over(w), lit(0L)))
+      .withColumn("md", max($"depth").over(byStream))
+      .withColumn("cnt", count(lit(1)).over(byStream))
+    depths.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_msgs"),
+        max($"depth").as("max_backlog"),
+        min(when($"depth" === $"md", $"ts")).as("first_peak_ts"),
+        max(when($"rn" === $"cnt", $"depth")).as("final_backlog"))
+  }
+
   /** Queue service-latency percentiles (`queue_latency`) — the
     * resilience view of the [[queueTtl]] queue model: for every
     * enqueued message, how long until the NEXT successful send slot

@@ -175,4 +175,37 @@ class Round15Spec extends SparkSpec {
       assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"), "unordered pairs emitted once")
     }
   }
+
+  test("frame_resync: fixed-length split quarantines exactly the corrupted frames") {
+    val out = graft.operators.Frames.resync(spark, sf).collect()
+    assert(out.nonEmpty)
+    val perDevice = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_id" % 97 === 0, 1L).otherwise(0L)).as("bad"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("bad"))).toMap
+    out.foreach { r =>
+      val (n, bad) = perDevice(r.getAs[Long]("device_id"))
+      assert(r.getAs[Long]("n_frames") == n, "positional split sees every slot")
+      assert(r.getAs[Long]("n_corrupted") == bad, "exactly the flipped frames quarantine")
+      assert(r.getAs[Long]("n_recovered") == n - bad)
+    }
+    // corruption must actually occur somewhere or the gate is vacuous
+    assert(out.map(_.getAs[Long]("n_corrupted")).sum > 0)
+  }
+
+  test("queue_drain: depth saws up between good slots and resets at them") {
+    val out = graft.operators.Telemetry.queueDrain(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_backlog") >= 0L)
+      assert(r.getAs[Long]("final_backlog") >= 0L)
+      assert(r.getAs[Long]("final_backlog") <= r.getAs[Long]("max_backlog"))
+      assert(!r.isNullAt(r.fieldIndex("first_peak_ts")))
+      assert(r.getAs[Long]("max_backlog") < r.getAs[Long]("n_msgs"))
+    }
+    // some stream must actually have backlog > 0 (lost sends exist)
+    assert(out.exists(_.getAs[Long]("max_backlog") > 0L))
+  }
 }
