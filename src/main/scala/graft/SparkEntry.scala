@@ -58,6 +58,7 @@ object SparkEntry {
     "q_hll_distinct" -> (Relational.qHllDistinct _),
     "q_pareto" -> (Relational.qPareto _),
     "q_ntile" -> (Relational.qNtile _),
+    "q_bloom_join" -> (Relational.qBloomJoin _),
     // B. telemetry / event-time
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
@@ -84,6 +85,13 @@ object SparkEntry {
     "relay_gate" -> (Telemetry.relayGate _),
     "events_retention" -> (Telemetry.retention _),
     "events_anomaly" -> (Telemetry.anomaly _),
+    // B. streaming twin of the outlier gate: per-user (n, Σx, Σx²)
+    // moments in O(1) integer-cents state across micro-batches,
+    // flushed at a sentinel barrier, then the batch scoring join —
+    // shares events_anomaly's oracle, so the flags match only if
+    // batch-2 arrivals folded into batch-1 moment state
+    "stream_anomaly" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamAnomaly.streamedAnomaly(s, d)),
     "ts_gapfill" -> ((s: SparkSession, d: String) => Telemetry.gapfill(s, d)),
     "ts_moving_avg" -> ((s: SparkSession, d: String) => Telemetry.movingAvg(s, d)),
     "events_props" -> (Telemetry.propsExtract _),
@@ -183,6 +191,7 @@ object SparkEntry {
     "text_boilerplate" -> ((s: SparkSession, d: String) => Curation.boilerplate(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     "text_ngram_lm" -> (TextAnalysis.ngramLm _),
+    "text_ppl_bucket" -> ((s: SparkSession, d: String) => TextAnalysis.pplBucket(s, d)),
     "text_lexdiv" -> (TextAnalysis.lexdiv _),
     "corpus_interleave" -> ((s: SparkSession, d: String) => Curation.interleave(s, d)),
     "corpus_zorder" -> ((s: SparkSession, d: String) => Curation.zorder(s, d)),
@@ -204,6 +213,7 @@ object SparkEntry {
     "mm_audio" -> (Multimodal.audio _),
     "mm_audio_downsample" -> (Multimodal.audioDownsample _),
     "mm_audio_stats" -> (Multimodal.audioStats _),
+    "mm_audio_vad" -> (Multimodal.audioVad _),
     "mm_video" -> (Multimodal.video _),
     "mm_video_trim" -> (Multimodal.videoTrim _),
     "mm_phash" -> ((s: SparkSession, d: String) => Multimodal.phash(s, d)),
@@ -469,6 +479,19 @@ object SparkEntry {
       |FROM sh s JOIN ev USING (shingle)
       |WHERE s.doc_id >= 50
       |GROUP BY s.doc_id""".stripMargin
+
+  /** Shared by `events_anomaly` and its streaming twin
+    * `stream_anomaly` (O(1) per-user moment state + scoring join). */
+  private lazy val anomalySql: String =
+    """WITH ev AS (SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS x FROM events),
+      |s AS (SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+      |    CAST(SUM(x * x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m2
+      |  FROM ev GROUP BY user_id)
+      |SELECT ev.event_id, ev.user_id, s.n,
+      |  ((CAST(ev.x AS DOUBLE) - s.mu) * (CAST(ev.x AS DOUBLE) - s.mu)
+      |     > 4.0 * (s.m2 - s.mu * s.mu)) AS is_anomaly
+      |FROM ev JOIN s USING (user_id)""".stripMargin
 
   /** Shared by `dedup_exact` and its streaming twin
     * `dedup_exact_stream` (keeper state per content hash). */
@@ -898,16 +921,11 @@ object SparkEntry {
         |  COUNT(DISTINCT a.user_id) AS n_active
         |FROM s JOIN a ON s.user_id = a.user_id AND act_week >= cohort_week
         |GROUP BY 1, 2""".stripMargin,
-    "events_anomaly" ->
-      """WITH ev AS (SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS x FROM events),
-        |s AS (SELECT user_id, COUNT(*) AS n,
-        |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
-        |    CAST(SUM(x * x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m2
-        |  FROM ev GROUP BY user_id)
-        |SELECT ev.event_id, ev.user_id, s.n,
-        |  ((CAST(ev.x AS DOUBLE) - s.mu) * (CAST(ev.x AS DOUBLE) - s.mu)
-        |     > 4.0 * (s.m2 - s.mu * s.mu)) AS is_anomaly
-        |FROM ev JOIN s USING (user_id)""".stripMargin,
+    "events_anomaly" -> anomalySql,
+    // streaming twin: per-user moments accumulated in O(1) state
+    // across micro-batches, then the scoring join — identical result
+    // by construction when cross-batch moment state works
+    "stream_anomaly" -> anomalySql,
     "dedup_exact" -> exactDedupSql,
     // streaming twin: the arrival log aggregated — identical result
     // by construction when cross-batch keeper state works
@@ -1745,6 +1763,20 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY doc_id) AS n_visible
         |  FROM vlog WHERE rev <= 2) z
         |WHERE rn = 1""".stripMargin,
+    // NTILE(3) is the oracle spelling; the engine computes the same
+    // tercile arithmetically from the two-phase distributed rank
+    "text_ppl_bucket" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |big AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2),
+        |occ AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM big GROUP BY doc_id, bigram),
+        |dfc AS (SELECT bigram, COUNT(*) AS df FROM occ GROUP BY bigram),
+        |lm AS (SELECT doc_id, CAST(SUM(cnt*df) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS lm_score
+        |  FROM occ JOIN dfc USING (bigram) GROUP BY doc_id)
+        |SELECT l.doc_id, d.lang, l.lm_score,
+        |  CAST(NTILE(3) OVER (PARTITION BY d.lang ORDER BY l.lm_score, l.doc_id) AS BIGINT) AS bucket
+        |FROM lm l JOIN documents d ON l.doc_id = d.doc_id""".stripMargin,
     "text_ngram_lm" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
         |big AS (SELECT doc_id,
@@ -2048,6 +2080,31 @@ object SparkEntry {
         |    THEN (list_reduce(list_prepend(CAST(0 AS BIGINT), absl), (a, b) -> a + b) * 1000) // (dl // 2)
         |    ELSE 0 END AS mean_abs_milli
         |FROM sgn""".stripMargin,
+    // 32-sample windows, active when sum |s16le| > 20000·32 = 640000
+    "mm_audio_vad" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    strlen(text) - strlen(text) % ((doc_id % 2 + 1) * 2) AS dl
+        |  FROM documents),
+        |raw AS (SELECT doc_id, dl,
+        |    list_transform(range(0, dl // 2), i ->
+        |      CAST(('0x' || substr(hex(encode(text)), 4*i+1, 2)) AS BIGINT)
+        |      + 256 * CAST(('0x' || substr(hex(encode(text)), 4*i+3, 2)) AS BIGINT)) AS rs
+        |  FROM base),
+        |sgn AS (SELECT doc_id, dl,
+        |    list_transform(rs, x -> ABS(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END)) AS absl
+        |  FROM raw),
+        |w AS (SELECT doc_id, (dl // 2) // 32 AS nw,
+        |    list_transform(range(0, (dl // 2) // 32), k ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_slice(absl, k*32 + 1, k*32 + 32)), (a, b) -> a + b)) AS ws
+        |  FROM sgn)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+        |  CAST(len(list_filter(ws, s -> s > 640000)) AS BIGINT) AS n_active,
+        |  CAST(COALESCE(list_max(ws), 0) AS BIGINT) AS max_win_sum,
+        |  CAST(COALESCE(list_min(list_filter(list_transform(range(0, nw), k ->
+        |      CASE WHEN ws[k+1] > 640000 THEN k ELSE NULL END), x -> x IS NOT NULL)), -1)
+        |    AS BIGINT) AS first_active
+        |FROM w""".stripMargin,
     "mm_framesample" ->
       """SELECT device_id, COUNT(*) AS n_sampled,
         |  CAST(SUM(ssum) AS BIGINT) AS sample_sum,
@@ -2553,6 +2610,15 @@ object SparkEntry {
         |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
         |FROM t GROUP BY tile""".stripMargin,
+    // oracle = the PLAIN join: the engine's Bloom prefilter must be
+    // invisible in the result (no false negatives, exact final join)
+    "q_bloom_join" ->
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
     "dq_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
         |    AS INTEGER) AS digit FROM lineitem),

@@ -16,7 +16,13 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated key subset for targeted
+    // re-verification while iterating (the driver always runs all)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def selected[A](m: Map[String, A]): Map[String, A] =
+      only.fold(m)(ks => m.filter { case (k, _) => ks(k) })
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,7 +34,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected(SparkEntry.queries).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -56,14 +62,14 @@ object Verify {
     } + "\""
     def obj(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), obj(SparkEntry.oracleSql))
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), obj(selected(SparkEntry.oracleSql)))
     Files.writeString(Paths.get(s"$outDir/verify_failures.json"), obj(failures))
     Files.writeString(Paths.get(s"$outDir/query_keys.json"),
-      SparkEntry.queries.keys.map(q).mkString("[", ",", "]"))
+      selected(SparkEntry.queries).keys.map(q).mkString("[", ",", "]"))
     if (failures.nonEmpty)
-      System.err.println(s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: ${failures.keys.mkString(", ")}")
+      System.err.println(s"[verify] ${failures.size}/${selected(SparkEntry.queries).size} queries FAILED: ${failures.keys.mkString(", ")}")
     else
-      System.err.println(s"[verify] all ${SparkEntry.queries.size} queries dumped OK")
+      System.err.println(s"[verify] all ${selected(SparkEntry.queries).size} queries dumped OK")
     spark.stop()
   }
 }

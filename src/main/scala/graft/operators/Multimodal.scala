@@ -160,6 +160,28 @@ object Multimodal {
           .as("mean_abs_milli"))
   }
 
+  /** Energy-gated segmentation (`mm_audio_vad`): the
+    * voice-activity-detection shape over the WAV payload — fixed
+    * 32-sample windows, a window is active when its mean absolute
+    * s16le amplitude clears the threshold, and the per-clip report is
+    * (windows, active windows, peak window energy, first active
+    * window). The real VAD model swaps in at the [[graft.plans.PcmVad]]
+    * column boundary; the windowing, RIFF-located payload walk, and
+    * integer outputs are the production plumbing. Scan-local, zero
+    * shuffle — streams at 100 TB limited only by IO. */
+  def audioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packedAudio(spark, dir)
+      .withColumn("m", Audio.decode($"blob"))
+      .withColumn("v", Audio.pcmVad($"blob",
+        $"m.payload_off".cast(LongType), $"m.data_len".cast(LongType)))
+      .select($"doc_id",
+        $"v.n_windows".as("n_windows"),
+        $"v.n_active".as("n_active"),
+        $"v.max_win_sum".as("max_win_sum"),
+        $"v.first_active".as("first_active"))
+  }
+
   def audioDownsample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     packedAudio(spark, dir)

@@ -919,4 +919,59 @@ object Relational {
         max($"c_acctbal").as("max_bal"),
         (sum(dec($"c_acctbal")).cast(DoubleType) / count(lit(1))).as("avg_bal"))
   }
+
+  /** Bloom-prefiltered fact⋈dim join (`q_bloom_join`) — the runtime
+    * row-level filtering pattern for the join every warehouse has:
+    * a selective dim predicate (urgent orders) would normally still
+    * shuffle the ENTIRE fact side, because the fact scan cannot see
+    * the dim filter. Here the qualifying dim keys aggregate into a
+    * Bloom filter INSIDE the plan (scalar subquery — Spark's own
+    * codegen'd BloomFilterAggregate, no driver collect), the fact
+    * scan probes it per row, and only might-contain survivors (true
+    * matches + the FP rate) reach the shuffle. The final equi-join
+    * stays exact — Bloom has no false negatives, so the oracle is
+    * the PLAIN SQL join, and the result is bit-identical to the
+    * unfiltered plan.
+    *
+    * At 100 TB this is the difference between shuffling the whole
+    * fact table and shuffling ~the selectivity fraction of it; the
+    * same shape Spark's InjectRuntimeFilter rule applies when it
+    * fires, written explicitly so the pruning is guaranteed, not
+    * heuristic. The operator fails loudly if the probe did NOT prune
+    * (a Bloom that passes everything is a scan, not a filter). */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderdate")
+    val bloom = dim
+      .agg(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(xxhash64($"o_orderkey")))
+          .toAggregateExpression()).as("bf"))
+      .scalar()
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(bloom),
+      ColumnBridge.expression(xxhash64($"l_orderkey"))))
+    val fact = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+    // loud pruning contract, one scan: the probe must reject a
+    // meaningful fraction of the fact side (urgent ≈ 1/5 of orders)
+    val gate = fact.agg(
+      sum(when(mightContain, 1L).otherwise(0L)).as("kept"),
+      count(lit(1)).as("total")).head()
+    val (kept, total) = (gate.getLong(0), gate.getLong(1))
+    if (total > 0 && kept * 10 >= total * 9)
+      throw new IllegalStateException(
+        s"bloom probe did not prune: $kept of $total fact rows survive — " +
+          "a filter that passes (almost) everything is a scan, not a filter")
+    fact.filter(mightContain)
+      .join(dim, $"l_orderkey" === $"o_orderkey")
+      .groupBy(year($"o_orderdate").cast(LongType).as("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("revenue"))
+  }
 }

@@ -165,6 +165,50 @@ object TextAnalysis {
         ($"sum_df".cast(DoubleType) / $"n_bigrams".cast(DoubleType)).as("lm_score"))
   }
 
+  /** CCNet-style perplexity bucketing (`text_ppl_bucket`): rank every
+    * document within its LANGUAGE by the [[ngramLm]] commonness score
+    * and split into head/middle/tail terciles — the standard
+    * LM-filtering step that keeps the head, samples the middle, and
+    * drops the tail of a crawl per language.
+    *
+    * The tercile is NTILE(3) semantics, but computed WITHOUT a
+    * per-language window: partitioning a window by language puts an
+    * entire language — half the corpus, for English — into one task.
+    * Instead the per-language rank comes from the same two-phase
+    * distributed shape as [[Curation.corpusShard]]: score-range
+    * buckets give local row_numbers (phase 1, the only corpus-wide
+    * window, partitioned by (lang, bucket)), per-bucket counts
+    * prefix-sum into base offsets over the tiny (lang, bucket) table
+    * (phase 2, broadcast back), and the tercile falls out of the rank
+    * arithmetically: floor((rank-1)·3 / n) + 1 equals NTILE(3) for
+    * every n (the off-by-one products that break the identity for
+    * large tile counts are bounded by 2 < n when k = 3).
+    *
+    * `bucketWidth` trades phase-2 table size against phase-1 task
+    * size: scores live in [1, corpus docs], so at 100 TB pick a width
+    * that yields thousands of buckets (the broadcast stays KB-sized)
+    * while each (lang, bucket) window holds a bounded score slice. */
+  def pplBucket(spark: SparkSession, dir: String,
+      bucketWidth: Double = 16.0): DataFrame = {
+    import spark.implicits._
+    val scored = ngramLm(spark, dir).select($"doc_id", $"lm_score")
+      .join(Tables.documents(spark, dir).select($"doc_id", $"lang"), "doc_id")
+      .withColumn("b", floor($"lm_score" / bucketWidth).cast(LongType))
+    val localW = Window.partitionBy($"lang", $"b")
+      .orderBy($"lm_score".asc, $"doc_id".asc)
+    val local = scored.withColumn("lrn", row_number().over(localW).cast(LongType))
+    val baseW = Window.partitionBy($"lang").orderBy($"b".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = scored.groupBy($"lang", $"b").agg(count(lit(1)).as("bn"))
+      .withColumn("base", coalesce(sum($"bn").over(baseW), lit(0L)))
+      .select($"lang", $"b", $"base")
+    val counts = scored.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    local.join(broadcast(bases), Seq("lang", "b"))
+      .join(broadcast(counts), Seq("lang"))
+      .select($"doc_id", $"lang", $"lm_score",
+        (expr("((base + lrn - 1) * 3) div n_lang") + 1L).cast(LongType).as("bucket"))
+  }
+
   def bpePairs(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
     import spark.implicits._
     val toks = TextFns.tokens($"text")

@@ -33,6 +33,11 @@ object Audio {
     ColumnBridge.column(PcmStats(
       ColumnBridge.expression(blob), ColumnBridge.expression(off),
       ColumnBridge.expression(len)))
+  def pcmVad(blob: Column, off: Column, len: Column,
+      win: Int = 32, thresh: Long = 20000L): Column =
+    ColumnBridge.column(PcmVad(
+      ColumnBridge.expression(blob), ColumnBridge.expression(off),
+      ColumnBridge.expression(len), win, thresh))
 
   val HeaderLen = 44     // canonical PCM: RIFF(12) + fmt(24) + data header(8)
   val Bits = 16          // PCM s16le, the overwhelmingly common layout
@@ -182,6 +187,63 @@ case class PcmStats(first: Expression, second: Expression, third: Expression)
       i += 1
     }
     InternalRow(n.toLong, peak, sum, loud)
+  }
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
+}
+
+/** (blob, payload_off, data_len, win, thresh) → struct(n_windows,
+  * n_active, max_win_sum, first_active): fixed-window energy
+  * segmentation over the s16le payload — the voice-activity-style
+  * gating pass a speech pipeline runs to find which regions of a
+  * clip carry signal. Complete windows of `win` samples each; a
+  * window is ACTIVE when its summed absolute amplitude exceeds
+  * `thresh·win` (i.e. mean |sample| > thresh). Integer outputs only
+  * (window sums, counts, the first active window index or -1), so
+  * any engine walking the same bytes reproduces them exactly; one
+  * pass, O(1) memory, scan-local. Null when the window exceeds the
+  * blob (quarantine, consistent with the codec). */
+case class PcmVad(first: Expression, second: Expression, third: Expression,
+    win: Int, thresh: Long)
+    extends TernaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](BinaryType, LongType, LongType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_windows", LongType, nullable = false),
+    StructField("n_active", LongType, nullable = false),
+    StructField("max_win_sum", LongType, nullable = false),
+    StructField("first_active", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any, o: Any, l: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val off = o.asInstanceOf[Long].toInt
+    val len = l.asInstanceOf[Long].toInt
+    if (off < 0 || len < 0 || off + len > b.length || win <= 0) return null
+    val nSamples = len / 2
+    val nw = nSamples / win
+    var w = 0
+    var active = 0L
+    var maxSum = 0L
+    var firstActive = -1L
+    val bar = thresh * win
+    while (w < nw) {
+      var i = 0
+      var s = 0L
+      val base = off + 2 * w * win
+      while (i < win) {
+        val x = (((b(base + 2 * i) & 0xff) | ((b(base + 2 * i + 1) & 0xff) << 8)).toShort).toInt
+        s += math.abs(x.toLong)
+        i += 1
+      }
+      if (s > maxSum) maxSum = s
+      if (s > bar) {
+        active += 1
+        if (firstActive < 0) firstActive = w.toLong
+      }
+      w += 1
+    }
+    InternalRow(nw.toLong, active, maxSum, firstActive)
   }
 
   override protected def withNewChildrenInternal(

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Relational, Telemetry, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-7 additions, fifth batch: streaming moment accumulation,
+  * perplexity terciles, Bloom-prefiltered join, audio VAD windows. */
+class Round16Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream_anomaly: streamed moments + scoring join equal the batch outlier gate") {
+    val streamed = graft.streaming.StreamAnomaly.streamedAnomaly(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = Telemetry.anomaly(spark, sf).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("stream_anomaly: the median cut splits at least one user's events across batches") {
+    val b = Tables.events(spark, sf)
+      .agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    val straddling = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"))
+      .filter($"lo" <= cut && $"hi" > cut)
+      .count()
+    assert(straddling > 0, "no user straddles the staged cut - the gate is vacuous")
+  }
+
+  test("text_ppl_bucket: two-phase rank tercile equals the direct NTILE(3) window") {
+    val got = TextAnalysis.pplBucket(spark, sf)
+      .select($"doc_id", $"bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference shape: the single-window NTILE the operator avoids
+    val w = Window.partitionBy($"lang").orderBy($"lm_score".asc, $"doc_id".asc)
+    val want = TextAnalysis.ngramLm(spark, sf).select($"doc_id", $"lm_score")
+      .join(Tables.documents(spark, sf).select($"doc_id", $"lang"), "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .select($"doc_id", $"bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("text_ppl_bucket: terciles are balanced and score-ordered within each language") {
+    val rows = TextAnalysis.pplBucket(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getLong(3)).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)), s"$lang: bucket out of range")
+      if (rs.length >= 3)
+        assert(sizes.values.max - sizes.values.min <= 1, s"$lang: unbalanced terciles $sizes")
+      // every head score <= every middle score <= every tail score
+      for (b <- 1L to 2L if sizes.contains(b) && sizes.contains(b + 1)) {
+        val hi = rs.filter(_.getLong(3) == b).map(_.getDouble(2)).max
+        val lo = rs.filter(_.getLong(3) == b + 1).map(_.getDouble(2)).min
+        assert(hi <= lo, s"$lang: bucket $b max $hi > bucket ${b + 1} min $lo")
+      }
+    }
+  }
+
+  test("q_bloom_join: bloom-prefiltered result equals the plain join exactly") {
+    val got = Relational.qBloomJoin(spark, sf).collect().map(_.toSeq).toSet
+    val want = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter($"o_orderpriority" === "1-URGENT"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("mm_audio_vad: engineered payload - loud and quiet windows land where constructed") {
+    import graft.plans.Audio
+    // 64 samples = 2 windows of 32: window 0 all 0x7a7a (abs 31354,
+    // sum 1003328 > 640000 -> active), window 1 all 0x2020 (abs 8224,
+    // sum 263168 -> inactive)
+    val payload = Array.fill(64)(0x7a.toByte) ++ Array.fill(64)(0x20.toByte)
+    val blob = Audio.packWav(1, 8000, payload)
+    val r = Seq(blob).toDF("blob")
+      .withColumn("m", Audio.decode($"blob"))
+      .withColumn("v", Audio.pcmVad($"blob",
+        $"m.payload_off".cast("long"), $"m.data_len".cast("long")))
+      .select($"v.n_windows", $"v.n_active", $"v.max_win_sum", $"v.first_active")
+      .head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(2) == 31354L * 32)
+    assert(r.getLong(3) == 0L)
+  }
+
+  test("mm_audio_vad: corpus invariants - counts bound each other, first_active consistent") {
+    val rows = Multimodal.audioVad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, na, fa) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(na >= 0 && na <= nw)
+      if (na == 0) assert(fa == -1L) else assert(fa >= 0 && fa < nw)
+    }
+  }
+}
