@@ -106,6 +106,7 @@ object SparkEntry {
     "ts_mad" -> ((s: SparkSession, d: String) => Telemetry.madOutliers(s, d)),
     "events_heatmap" -> (Telemetry.heatmap _),
     "ts_ohlc" -> (Telemetry.ohlc _),
+    "ts_m4" -> ((s: SparkSession, d: String) => Telemetry.m4(s, d)),
     "ts_forecast" -> (Telemetry.forecast _),
     "events_basket" -> (Telemetry.basket _),
     "q_asof_forward" -> (Relational.qAsOfForward _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "dq_benford" -> (Quality.benford _),
     "dq_uniqueness" -> (Quality.uniqueness _),
     "dq_drift" -> (Quality.drift _),
+    "dq_volume" -> (Quality.volume _),
     "events_rfm" -> (Telemetry.rfm _),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
@@ -2398,6 +2400,16 @@ object SparkEntry {
         |  (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL) AS is_current
         |FROM ch""".stripMargin,
     "ts_ohlc" -> ohlcSql,
+    // arg_min/arg_max keys are unique per (user, ts) — the ohlc
+    // determinism contract; bucket ids by integer µs division
+    "ts_m4" ->
+      """SELECT user_id,
+        |  make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
+        |  COUNT(*) AS n_points,
+        |  arg_min(value, epoch_us(ts)) AS v_first,
+        |  arg_max(value, epoch_us(ts)) AS v_last,
+        |  MIN(value) AS v_min, MAX(value) AS v_max
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_ohlc" -> ohlcSql,
     "ts_forecast" ->
       """WITH daily AS (
@@ -2667,6 +2679,18 @@ object SparkEntry {
         |    * (CAST(n_b AS DOUBLE) - CAST(n_a * tb AS DOUBLE) / ta)
         |    / (CAST(n_a * tb AS DOUBLE) / ta) AS chi2_term
         |FROM c, t""".stripMargin,
+    "dq_volume" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+        |    CAST(SUM(n_events * n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m2
+        |  FROM daily GROUP BY event_type)
+        |SELECT d.event_type, d.day, d.n_events, s.n_days,
+        |  ((CAST(d.n_events AS DOUBLE) - s.mu) * (CAST(d.n_events AS DOUBLE) - s.mu)
+        |     > 4.0 * (s.m2 - s.mu * s.mu)) AS is_spike
+        |FROM daily d JOIN s USING (event_type)""".stripMargin,
     "events_rfm" ->
       """WITH u AS (
         |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS frequency,

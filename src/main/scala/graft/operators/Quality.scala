@@ -223,4 +223,38 @@ object Quality {
         ($"n_b".cast(DoubleType) - $"expected_b") *
           ($"n_b".cast(DoubleType) - $"expected_b") / $"expected_b")
   }
+
+  /** Ingest-volume anomaly gate (`dq_volume`): the events_anomaly 2σ
+    * rule applied to AGGREGATES — per (event_type, day) row counts
+    * flagged against the type's own daily mean/variance. This is the
+    * volume monitor every ingestion pipeline runs ("did Tuesday's
+    * partition arrive half-empty? did a producer double-send?"):
+    * point-level outlier gates can't see a missing day, because a
+    * missing day has no rows to flag.
+    *
+    * Exactness: counts are integers, so the per-type moment sums
+    * (Σn, Σn²) are exact longs and mu/variance reduce to the same
+    * two double divisions on both engines — no decimal machinery
+    * needed. Scale shape: the corpus collapses to (type, day) counts
+    * in one partial-aggregated shuffle (≤ types·days rows); the
+    * moment pass and the flag join run on that dimension-sized frame,
+    * never the raw stream. */
+  def volume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"n_events").as("s1"),
+        sum($"n_events" * $"n_events").as("s2"))
+      .select($"event_type", $"n_days",
+        ($"s1".cast(DoubleType) / $"n_days".cast(DoubleType)).as("mu"),
+        ($"s2".cast(DoubleType) / $"n_days".cast(DoubleType)).as("m2"))
+      .withColumn("variance", $"m2" - $"mu" * $"mu")
+    val d = daily("n_events").cast(DoubleType) - stats("mu")
+    daily.join(stats, "event_type")
+      .select($"event_type", $"day", $"n_events", stats("n_days"),
+        ((d * d) > (lit(4.0d) * stats("variance"))).as("is_spike"))
+  }
 }

@@ -492,22 +492,30 @@ object Telemetry {
     * ((p·n + q−1) div q), so both engines elect identical elements;
     * no interpolation, no percentile_approx sketch error.
     *
-    * Scale shape: two window passes per stream — min-over-following
-    * on the time sort (O(1) running state from the tail), then
-    * row_number on the wait sort — BOTH hash-partitioned on the same
-    * stream key, so the exchange is paid once and only re-sorted.
-    * The rollup is one partial-aggregated groupBy; messages after a
-    * stream's last good slot have no next slot and are excluded
-    * (their wait is unbounded — TTL accounting, queueTtl's job). */
+    * Scale shape: two window passes per stream — a running min on
+    * the REVERSED time sort (next-send-after = min-over-preceding
+    * when time descends, which Spark evaluates incrementally in
+    * O(rows); the (1, unboundedFollowing) frame spells the same
+    * value but Spark's UnboundedFollowing frame recomputes the
+    * aggregate from scratch per row — O(rows²) per stream, measured
+    * 50 s vs 0.4 s at sf0.1), then row_number on the wait sort —
+    * BOTH hash-partitioned on the same stream key, so the exchange
+    * is paid once and only re-sorted. The rollup is one
+    * partial-aggregated groupBy; messages after a stream's last good
+    * slot have no next slot and are excluded (their wait is
+    * unbounded — TTL accounting, queueTtl's job). */
   def queueLatency(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val msgs = Tables.events(spark, dir)
       .withColumn("k", regexp_extract($"props", "([0-9]+)", 1).cast(IntegerType))
       .select($"event_type", $"event_id", unix_micros($"ts").as("t_us"),
         ($"k" <= 50).as("sent"))
+    // time DESCENDING: "strictly after me in time" becomes "strictly
+    // before me in this order" — an unbounded-PRECEDING frame Spark
+    // maintains as running state instead of rescanning the tail
     val wNext = Window.partitionBy($"event_type")
-      .orderBy($"t_us".asc, $"event_id".asc)
-      .rowsBetween(1, Window.unboundedFollowing)
+      .orderBy($"t_us".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val wRank = Window.partitionBy($"event_type")
       .orderBy($"wait_us".asc, $"event_id".asc)
     val waits = msgs
@@ -973,6 +981,34 @@ object Telemetry {
     val bySeries = Window.partitionBy($"event_type").orderBy($"day")
     candles.withColumn("close_chg",
       $"close" - lag($"close", 1).over(bySeries))
+  }
+
+  /** M4 time-series downsampling (`ts_m4`): per (series, time bucket)
+    * keep exactly the four points a pixel column of a line chart can
+    * show — first, last, min, max (Jugel et al., VLDB 2014) — the
+    * standard dashboard/preview reduction that preserves the visual
+    * envelope of the series at any zoom level while shrinking a 100 TB
+    * stream to (#series × #buckets × 4) values.
+    *
+    * One partial-aggregated shuffle on (user, bucket): min/max
+    * combine trivially and first/last elect via min_by/max_by on the
+    * event µs timestamp, so the map side already reduces each input
+    * split to four candidates per open bucket. Bucket ids come from
+    * integer `div` on µs (double division drifts at the 2^52 mantissa
+    * edge); (user, ts) is unique in the corpus, making the arg-min
+    * elections deterministic on both engines (the ohlc contract). */
+  def m4(spark: SparkSession, dir: String, bucketSecs: Long = 21600L): DataFrame = {
+    import spark.implicits._
+    val bucketUs = bucketSecs * 1000000L
+    Tables.events(spark, dir)
+      .withColumn("tus", unix_micros($"ts"))
+      .groupBy($"user_id",
+        timestamp_micros(expr(s"(tus div $bucketUs) * $bucketUs")).as("bucket"))
+      .agg(count(lit(1)).as("n_points"),
+        min_by($"value", $"tus").as("v_first"),
+        max_by($"value", $"tus").as("v_last"),
+        min($"value").as("v_min"),
+        max($"value").as("v_max"))
   }
 
   /** Event-type co-occurrence lift (`events_basket`): market-basket

@@ -191,9 +191,15 @@ object TextAnalysis {
   def pplBucket(spark: SparkSession, dir: String,
       bucketWidth: Double = 16.0): DataFrame = {
     import spark.implicits._
+    // localCheckpoint: three consumers below (local ranks, bucket
+    // bases, language counts) would each replay the two-shuffle
+    // ngram-LM pipeline from the scan; the checkpointed frame is the
+    // narrow (doc_id, score, lang, bucket) projection — corpus rows
+    // but metadata-sized columns
     val scored = ngramLm(spark, dir).select($"doc_id", $"lm_score")
       .join(Tables.documents(spark, dir).select($"doc_id", $"lang"), "doc_id")
       .withColumn("b", floor($"lm_score" / bucketWidth).cast(LongType))
+      .localCheckpoint()
     val localW = Window.partitionBy($"lang", $"b")
       .orderBy($"lm_score".asc, $"doc_id".asc)
     val local = scored.withColumn("lrn", row_number().over(localW).cast(LongType))

@@ -59,6 +59,29 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("text_ppl_bucket: plan has no window partitioned by lang alone (the skew shape)") {
+    val plan = TextAnalysis.pplBucket(spark, sf).queryExecution.executedPlan.toString
+    // the only corpus-wide window keys on (lang, b); a [lang#..]-only
+    // partition spec would put a whole language in one task
+    assert(!plan.matches("(?s).*Window .*partitionBy.*\\[lang#\\d+\\]\\s*,\\s*\\[lm_score.*"),
+      "per-language window crept back in")
+    assert(plan.contains("Window"), "expected the two-phase local window")
+  }
+
+  test("q_bloom_join: the might_contain probe sits in the fact scan stage, below the join") {
+    val plan = Relational.qBloomJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"),
+      "bloom probe missing from the physical plan")
+    // the probe must filter BEFORE the exchange: a Filter above the
+    // join would shuffle the whole fact side first
+    val filterIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("SortMergeJoin") max plan.indexOf("BroadcastHashJoin") max
+      plan.indexOf("ShuffledHashJoin")
+    assert(joinIdx >= 0, "no join in plan")
+    assert(filterIdx > joinIdx,
+      "probe should appear below (after, in toString order) the join operator")
+  }
+
   test("q_bloom_join: bloom-prefiltered result equals the plain join exactly") {
     val got = Relational.qBloomJoin(spark, sf).collect().map(_.toSeq).toSet
     val want = Tables.lineitem(spark, sf)
@@ -89,6 +112,39 @@ class Round16Spec extends SparkSpec {
     assert(r.getLong(1) == 1L)
     assert(r.getLong(2) == 31354L * 32)
     assert(r.getLong(3) == 0L)
+  }
+
+  test("ts_m4: the four elected points bound every raw point in the bucket") {
+    val raw = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"value").collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1) / 21600000000L))
+    val m4 = Telemetry.m4(spark, sf).collect()
+    assert(m4.nonEmpty)
+    m4.foreach { r =>
+      val key = (r.getLong(0), r.getTimestamp(1).toInstant.toEpochMilli * 1000 / 21600000000L)
+      val pts = raw(key).sortBy(_.getLong(1))
+      assert(r.getLong(2) == pts.length)
+      assert(r.getDouble(3) == pts.head.getDouble(2), "v_first is the earliest point")
+      assert(r.getDouble(4) == pts.last.getDouble(2), "v_last is the latest point")
+      assert(r.getDouble(5) == pts.map(_.getDouble(2)).min)
+      assert(r.getDouble(6) == pts.map(_.getDouble(2)).max)
+    }
+  }
+
+  test("dq_volume: flags are the 2-sigma rule over exact integer daily counts") {
+    val rows = graft.operators.Quality.volume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val counts = rs.map(_.getLong(2).toDouble)
+      val n = counts.length.toDouble
+      val mu = counts.sum / n
+      val m2 = counts.map(c => c * c).sum / n
+      rs.foreach { r =>
+        val d = r.getLong(2) - mu
+        assert(r.getBoolean(4) == (d * d > 4.0 * (m2 - mu * mu)))
+        assert(r.getLong(3) == counts.length)
+      }
+    }
   }
 
   test("mm_audio_vad: corpus invariants - counts bound each other, first_active consistent") {
