@@ -112,6 +112,13 @@ object SparkEntry {
     "q_asof_forward" -> (Relational.qAsOfForward _),
     "dq_freshness" -> ((s: SparkSession, d: String) => Quality.freshness(s, d)),
     "q_cdc_apply" -> (Changelog.cdcApply _),
+    // G. streaming changelog materialization: the CDC topic as two
+    // micro-batches through per-key latest-op election state —
+    // shares q_cdc_apply's oracle, so batch-2 ops must fold into
+    // batch-1 state (tombstones stay IN state: a late earlier upsert
+    // must still lose to them)
+    "stream_cdc" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamCdc.streamedCdc(s, d)),
     "q_scd2" -> (Changelog.scd2 _),
     "ts_autocorr" -> (Telemetry.autocorr _),
     "events_streak" -> (Telemetry.streaks _),
@@ -481,6 +488,19 @@ object SparkEntry {
       |FROM sh s JOIN ev USING (shingle)
       |WHERE s.doc_id >= 50
       |GROUP BY s.doc_id""".stripMargin
+
+  /** Shared by `q_cdc_apply` and its streaming twin `stream_cdc`
+    * (per-key latest-op election state). */
+  private lazy val cdcSql: String =
+    """SELECT user_id, value, updated_at, n_ops, n_deletes FROM (
+      |  SELECT user_id,
+      |    arg_max(value, epoch_us(ts)) AS value,
+      |    arg_max(ts, epoch_us(ts)) AS updated_at,
+      |    COUNT(*) AS n_ops,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+      |    arg_max(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, epoch_us(ts)) AS last_op
+      |  FROM events GROUP BY user_id) t
+      |WHERE last_op <> 'D'""".stripMargin
 
   /** Shared by `events_anomaly` and its streaming twin
     * `stream_anomaly` (O(1) per-user moment state + scoring join). */
@@ -2377,16 +2397,11 @@ object SparkEntry {
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
          |  CAST(SUM(${ph("text")}) AS BIGINT) AS text_hash_sum
          |FROM merged GROUP BY source""".stripMargin,
-    "q_cdc_apply" ->
-      """SELECT user_id, value, updated_at, n_ops, n_deletes FROM (
-        |  SELECT user_id,
-        |    arg_max(value, epoch_us(ts)) AS value,
-        |    arg_max(ts, epoch_us(ts)) AS updated_at,
-        |    COUNT(*) AS n_ops,
-        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
-        |    arg_max(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, epoch_us(ts)) AS last_op
-        |  FROM events GROUP BY user_id) t
-        |WHERE last_op <> 'D'""".stripMargin,
+    "q_cdc_apply" -> cdcSql,
+    // streaming twin: per-key latest-op election state across
+    // micro-batches — identical compacted table by construction when
+    // cross-batch election state works
+    "stream_cdc" -> cdcSql,
     "q_scd2" ->
       """WITH ch AS (
         |  SELECT user_id, event_type, ts AS valid_from FROM (

@@ -114,6 +114,29 @@ class Round16Spec extends SparkSpec {
     assert(r.getLong(3) == 0L)
   }
 
+  test("stream_cdc: incremental compaction equals the batch changelog apply") {
+    val streamed = graft.streaming.StreamCdc.streamedCdc(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Changelog.cdcApply(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("stream_cdc: some key's winning op arrives in batch 2 (election crosses the cut)") {
+    val b = Tables.events(spark, sf)
+      .agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    // keys active on both sides whose LATEST op is after the cut must
+    // exist, otherwise batch-2 never has to beat batch-1 state
+    val contested = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"))
+      .filter($"lo" <= cut && $"hi" > cut)
+      .count()
+    assert(contested > 0, "no key's election crosses the staged cut - the gate is vacuous")
+  }
+
   test("ts_m4: the four elected points bound every raw point in the bucket") {
     val raw = Tables.events(spark, sf)
       .select($"user_id", unix_micros($"ts").as("tus"), $"value").collect()
