@@ -35,6 +35,7 @@ object SparkEntry {
     "q_partjoin" -> (Relational.qPartJoin _),
     "q_moments" -> (Relational.qMoments _),
     "q_sketch_distinct" -> ((s: SparkSession, d: String) => Relational.qSketchDistinct(s, d)),
+    "q_sketch_setops" -> ((s: SparkSession, d: String) => Relational.qSketchSetops(s, d)),
     "q_quantiles" -> (Relational.qQuantiles _),
     "q_quantiles_approx" -> ((s: SparkSession, d: String) => Relational.qQuantilesApprox(s, d)),
     "q_quantiles_cont" -> (Relational.qQuantilesCont _),
@@ -1413,6 +1414,27 @@ object SparkEntry {
          |    list_slice(list_sort(list_distinct(list(h))), 1, 256) AS hs
          |  FROM (SELECT l_returnflag, l_partkey, ${ph("CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem) t
          |  GROUP BY l_returnflag) z""".stripMargin,
+    // deterministic KMV merges: the k-th order statistic of a hash
+    // SET has one value, so union/intersection estimates replay
+    "q_sketch_setops" ->
+      s"""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+         |pt AS (SELECT event_type, COUNT(*) AS n_exact,
+         |    list_slice(list_sort(list_distinct(list(h))), 1, 256) AS hs
+         |  FROM (SELECT event_type, user_id, ${ph("CAST(user_id AS VARCHAR)")} AS h FROM ut) t
+         |  GROUP BY event_type),
+         |ix AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter_exact
+         |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+         |    x.n_exact AS n_a, y.n_exact AS n_b,
+         |    list_slice(list_sort(list_distinct(list_concat(x.hs, y.hs))), 1, 256) AS hsu,
+         |    x.hs AS hsa, y.hs AS hsb
+         |  FROM pt x JOIN pt y ON x.event_type < y.event_type)
+         |SELECT type_a, type_b, n_a, n_b, n_inter_exact,
+         |  n_a + n_b - n_inter_exact AS n_union_exact,
+         |  CASE WHEN len(hsu) < 256 THEN CAST(len(hsu) AS DOUBLE) ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE) / CAST(hsu[256] AS DOUBLE) END AS est_union,
+         |  CASE WHEN len(hsa) < 256 THEN CAST(len(hsa) AS DOUBLE) ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE) / CAST(hsa[256] AS DOUBLE) END + CASE WHEN len(hsb) < 256 THEN CAST(len(hsb) AS DOUBLE) ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE) / CAST(hsb[256] AS DOUBLE) END - CASE WHEN len(hsu) < 256 THEN CAST(len(hsu) AS DOUBLE) ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE) / CAST(hsu[256] AS DOUBLE) END AS est_inter
+         |FROM pr JOIN ix USING (type_a, type_b)""".stripMargin,
     "q_partjoin" ->
       """SELECT p_brand,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -564,6 +564,59 @@ object Relational {
           .as("est_distinct"))
   }
 
+  /** KMV sketch SET ALGEBRA (`q_sketch_setops`) — the mergeability
+    * story that makes distinct-count sketches a 100 TB primitive: per
+    * event type the audience compresses to a k-min-values sketch
+    * (one partial-aggregated pass, ≤ k longs per type on the wire),
+    * and then ANY pair's union estimates from the MERGED sketches
+    * alone — k smallest of the two hash sets' union — with the
+    * intersection by inclusion–exclusion. No second corpus pass per
+    * pair: T types cost one scan + T(T−1)/2 dimension-sized merges,
+    * where the exact answer joins the corpus per pair. The exact
+    * per-pair overlap (computed here as ground truth, the ann_brute
+    * pattern) collapses the stream to distinct (type, user) rows
+    * first, so even the baseline shuffles ∝ users·types, never raw
+    * events.
+    *
+    * Estimates are DETERMINISTIC (the polynomial hash is fixed, the
+    * k-th order statistic of a set has one value), so the DuckDB
+    * oracle replays them exactly — no tolerance band hiding a broken
+    * merge. */
+  def qSketchSetops(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    val ut = Tables.events(spark, dir)
+      .select($"event_type", $"user_id").distinct()
+    val perType = ut
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_exact"),
+        graft.plans.Sketch.kMinValues(HashFns.polyHash($"user_id".cast("string")), k)
+          .as("kmv"))
+    def est(kmvCol: Column): Column =
+      when(size(kmvCol) < k, size(kmvCol).cast(DoubleType))
+        .otherwise(lit((k - 1).toDouble) * lit(HashFns.P.toDouble) /
+          element_at(kmvCol, k).cast(DoubleType))
+    // exact pair overlap: the ground-truth baseline (corpus-joining
+    // per pair is exactly what the sketches avoid)
+    val inter = ut.as("a")
+      .join(ut.as("b"), $"a.user_id" === $"b.user_id" &&
+        $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    val pairs = perType.as("x")
+      .join(perType.as("y"), $"x.event_type" < $"y.event_type")
+      .select($"x.event_type".as("type_a"), $"y.event_type".as("type_b"),
+        $"x.n_exact".as("n_a"), $"y.n_exact".as("n_b"),
+        slice(array_sort(array_distinct(concat($"x.kmv", $"y.kmv"))), 1, k)
+          .as("kmv_u"),
+        est($"x.kmv").as("est_a"), est($"y.kmv").as("est_b"))
+    pairs.join(inter, Seq("type_a", "type_b"))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_inter_exact",
+        ($"n_a" + $"n_b" - $"n_inter_exact").as("n_union_exact"),
+        est($"kmv_u").as("est_union"),
+        ($"est_a" + $"est_b" - est($"kmv_u")).as("est_inter"))
+  }
+
   /** Left-outer join with the dimension on the PRESERVED side:
     * per-customer 1996 order activity where customers with no
     * qualifying orders survive with n_orders = 0 (the "all entities,

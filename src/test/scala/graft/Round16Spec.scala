@@ -82,6 +82,32 @@ class Round16Spec extends SparkSpec {
       "probe should appear below (after, in toString order) the join operator")
   }
 
+  test("q_sketch_setops: merged pair sketch equals the sketch of the union, estimates track exact") {
+    import graft.functions.HashFns
+    val rows = Relational.qSketchSetops(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ut = Tables.events(spark, sf).select($"event_type", $"user_id").distinct()
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      // mergeability: the k-min of the merged per-type sketches must
+      // equal the k-min computed over the union audience directly
+      val direct = ut.filter($"event_type" === a || $"event_type" === b)
+        .select($"user_id").distinct()
+        .agg(graft.plans.Sketch.kMinValues(
+          HashFns.polyHash($"user_id".cast("string")), 256).as("kmv"))
+        .head().getSeq[Long](0)
+      val estDirect =
+        if (direct.length < 256) direct.length.toDouble
+        else 255.0 * HashFns.P.toDouble / direct(255).toDouble
+      assert(math.abs(estDirect - r.getDouble(6)) < 1e-9,
+        s"($a,$b): merged-sketch estimate ${r.getDouble(6)} != direct $estDirect")
+      // estimation quality: within 20% of the exact union at k=256
+      val exact = r.getLong(5).toDouble
+      assert(math.abs(r.getDouble(6) - exact) <= 0.2 * exact,
+        s"($a,$b): est_union ${r.getDouble(6)} vs exact $exact")
+    }
+  }
+
   test("q_bloom_join: bloom-prefiltered result equals the plain join exactly") {
     val got = Relational.qBloomJoin(spark, sf).collect().map(_.toSeq).toSet
     val want = Tables.lineitem(spark, sf)
