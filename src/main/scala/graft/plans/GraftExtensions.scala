@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectPlannerStrategy(_ => AsOfStrategy)
+    // rewrite O(rows²) tail window frames (k FOLLOWING → UNBOUNDED
+    // FOLLOWING) into the incremental reversed-sort mirror — see
+    // ReverseTailFrames' safety gates
+    e.injectOptimizerRule(_ => ReverseTailFrames)
   }
 }
 

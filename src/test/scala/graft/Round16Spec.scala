@@ -121,6 +121,49 @@ class Round16Spec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("ReverseTailFrames: tail min frame rewrites to the incremental mirror, same results") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"value")
+    val tail = W.partitionBy($"user_id").orderBy($"tus".asc)
+      .rowsBetween(1, W.unboundedFollowing)
+    val q = df.withColumn("next_min", min($"value").over(tail))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("AND UNBOUNDED FOLLOWING"),
+      s"tail frame survived the rewrite:\n${plan.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")}")
+    // ground truth: per user, min of values strictly after by tus
+    val rows = df.collect().groupBy(_.getLong(0))
+    q.collect().foreach { r =>
+      val later = rows(r.getLong(0)).filter(_.getLong(1) > r.getLong(1)).map(_.getDouble(2))
+      val expect = if (later.isEmpty) null else Double.box(later.min)
+      val got = if (r.isNullAt(3)) null else Double.box(r.getDouble(3))
+      assert(got == expect, s"user ${r.getLong(0)} tus ${r.getLong(1)}: $got != $expect")
+    }
+  }
+
+  test("ReverseTailFrames: an order-sensitive sibling vetoes the node") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"value")
+    val spec = W.partitionBy($"user_id").orderBy($"tus".asc)
+    val q = df
+      .withColumn("rn", row_number().over(spec))
+      .withColumn("next_min",
+        min($"value").over(spec.rowsBetween(1, W.unboundedFollowing)))
+    // row_number shares the (partition, order) spec; if Catalyst fuses
+    // both into one Window node the rule must veto it — either way the
+    // VALUES must be the untouched semantics
+    val rows = df.collect().groupBy(_.getLong(0))
+    q.collect().foreach { r =>
+      val later = rows(r.getLong(0)).filter(_.getLong(1) > r.getLong(1)).map(_.getDouble(2))
+      val expect = if (later.isEmpty) null else Double.box(later.min)
+      val got = if (r.isNullAt(4)) null else Double.box(r.getDouble(4))
+      assert(got == expect)
+      val rank = rows(r.getLong(0)).count(_.getLong(1) <= r.getLong(1))
+      assert(r.getInt(3) == rank, "row_number must keep the ASC order")
+    }
+  }
+
   test("mm_audio_vad: engineered payload - loud and quiet windows land where constructed") {
     import graft.plans.Audio
     // 64 samples = 2 windows of 32: window 0 all 0x7a7a (abs 31354,
