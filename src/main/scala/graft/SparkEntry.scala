@@ -36,6 +36,7 @@ object SparkEntry {
     "q_moments" -> (Relational.qMoments _),
     "q_sketch_distinct" -> ((s: SparkSession, d: String) => Relational.qSketchDistinct(s, d)),
     "q_sketch_setops" -> ((s: SparkSession, d: String) => Relational.qSketchSetops(s, d)),
+    "q_bitmap_audience" -> ((s: SparkSession, d: String) => Relational.qBitmapAudience(s, d)),
     "q_quantiles" -> (Relational.qQuantiles _),
     "q_quantiles_approx" -> ((s: SparkSession, d: String) => Relational.qQuantilesApprox(s, d)),
     "q_quantiles_cont" -> (Relational.qQuantilesCont _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "queue_drain" -> (Telemetry.queueDrain _),
     "port_config" -> (Telemetry.portConfig _),
     "events_attribution" -> ((s: SparkSession, d: String) => Telemetry.attribution(s, d)),
+    "events_attribution_linear" -> ((s: SparkSession, d: String) => Telemetry.attributionLinear(s, d)),
     "status_transitions" -> (Telemetry.statusTransitions _),
     "status_notify" -> (Telemetry.statusNotify _),
     // day-scale timers / half-day restarts: sized to the synthetic
@@ -162,6 +164,7 @@ object SparkEntry {
     "embed_quantize" -> (Similarity.quantize _),
     "embed_gram" -> (Similarity.gram _),
     "embed_pca" -> ((s: SparkSession, d: String) => Similarity.pca(s, d)),
+    "embed_drift" -> ((s: SparkSession, d: String) => Similarity.drift(s, d)),
     "ann_pq_trained" -> ((s: SparkSession, d: String) => Similarity.pqTrain(s, d)),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
@@ -822,6 +825,29 @@ object SparkEntry {
         |  MAX(wait_us) AS max_us
         |FROM r GROUP BY event_type""".stripMargin,
     "events_attribution" -> attributionSql,
+    // linear multi-touch: floor basis points keep the split integer-
+    // exact; RANGE frame = the same incremental sliding window shape
+    "events_attribution_linear" ->
+      """WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS t_us FROM events),
+        |c AS (SELECT *,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY t_us
+        |       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_click,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY t_us
+        |       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_view
+        |  FROM e),
+        |b AS (SELECT value,
+        |    CASE WHEN n_click + n_view > 0 THEN (10000 * n_click) // (n_click + n_view) ELSE 0 END AS click_bp,
+        |    CASE WHEN n_click + n_view > 0 THEN (10000 * n_view) // (n_click + n_view) ELSE 0 END AS view_bp,
+        |    CASE WHEN n_click + n_view = 0 THEN 10000 ELSE 0 END AS direct_bp
+        |  FROM c WHERE event_type = 'purchase'),
+        |u AS (SELECT 'click' AS channel, value, click_bp AS bp FROM b
+        |  UNION ALL SELECT 'view', value, view_bp FROM b
+        |  UNION ALL SELECT 'direct', value, direct_bp FROM b)
+        |SELECT channel, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * bp) AS DOUBLE) AS value_bp
+        |FROM u WHERE bp > 0 GROUP BY channel""".stripMargin,
     "stream_attribution" -> attributionSql,
     "port_config" ->
       """WITH d AS (
@@ -1435,6 +1461,19 @@ object SparkEntry {
          |  CASE WHEN len(hsu) < 256 THEN CAST(len(hsu) AS DOUBLE) ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE) / CAST(hsu[256] AS DOUBLE) END AS est_union,
          |  CASE WHEN len(hsa) < 256 THEN CAST(len(hsa) AS DOUBLE) ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE) / CAST(hsa[256] AS DOUBLE) END + CASE WHEN len(hsb) < 256 THEN CAST(len(hsb) AS DOUBLE) ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE) / CAST(hsb[256] AS DOUBLE) END - CASE WHEN len(hsu) < 256 THEN CAST(len(hsu) AS DOUBLE) ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE) / CAST(hsu[256] AS DOUBLE) END AS est_inter
          |FROM pr JOIN ix USING (type_a, type_b)""".stripMargin,
+    // exact bitmap set algebra: the oracle recomputes the same set
+    // cardinalities from first principles (DISTINCT users + pair join)
+    "q_bitmap_audience" ->
+      """WITH au AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, COUNT(*) AS n FROM au GROUP BY 1),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter
+        |  FROM au a JOIN au b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b, ca.n AS n_a, cb.n AS n_b, i.n_inter,
+        |  ca.n + cb.n - i.n_inter AS n_union,
+        |  CAST(i.n_inter AS DOUBLE) / CAST(ca.n + cb.n - i.n_inter AS DOUBLE) AS jaccard
+        |FROM i JOIN c ca ON ca.event_type = i.type_a
+        |       JOIN c cb ON cb.event_type = i.type_b""".stripMargin,
     "q_partjoin" ->
       """SELECT p_brand,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -2545,6 +2584,31 @@ object SparkEntry {
         |SELECT q.vec_id, q.label,
         |  CAST(SUM(CAST(qs[v2.i + 1] AS HUGEINT) * v2.v) AS DOUBLE) AS pc1
         |FROM q, v2 GROUP BY q.vec_id, q.label""".stripMargin,
+    // integer-exact centroid drift: same int8 quantize rule as pca,
+    // per-(batch, dim) BIGINT sums, one final double division + sqrt
+    "embed_drift" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        |q AS (SELECT vec_id // 100 AS batch, CASE WHEN ma > 0
+        |    THEN list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qs
+        |  FROM m),
+        |s AS (SELECT batch, i, CAST(SUM(qs[i + 1]) AS BIGINT) AS s
+        |  FROM q, range(0, 64) t(i) GROUP BY 1, 2),
+        |n AS (SELECT batch, COUNT(*) AS n FROM q GROUP BY 1),
+        |p AS (SELECT a.batch AS batch_a, b.batch AS batch_b,
+        |    CAST(SUM(a.s * b.s) AS BIGINT) AS dot,
+        |    CAST(SUM(a.s * a.s) AS BIGINT) AS norm_a,
+        |    CAST(SUM(b.s * b.s) AS BIGINT) AS norm_b
+        |  FROM s a JOIN s b ON b.batch = a.batch + 1 AND b.i = a.i GROUP BY 1, 2)
+        |SELECT p.batch_a, p.batch_b, na.n AS n_a, nb.n AS n_b,
+        |  p.dot, p.norm_a, p.norm_b,
+        |  CASE WHEN p.norm_a > 0 AND p.norm_b > 0
+        |    THEN CAST(p.dot AS DOUBLE) / SQRT(CAST(p.norm_a AS DOUBLE) * CAST(p.norm_b AS DOUBLE))
+        |    ELSE 0.0 END AS cosine
+        |FROM p JOIN n na ON na.batch = p.batch_a
+        |       JOIN n nb ON nb.batch = p.batch_b""".stripMargin,
     "sample_split" ->
       """SELECT doc_id, source, n_chars, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

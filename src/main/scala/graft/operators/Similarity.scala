@@ -614,4 +614,59 @@ object Similarity {
           lit(0).cast(DecimalType(38, 0)),
           (acc, x) => acc + x).cast(DoubleType).as("pc1"))
   }
+
+  /** Embedding-distribution drift monitor (`embed_drift`) — the
+    * pipeline-health check every continuously-ingesting embedding
+    * store needs: vectors arrive in ingest batches (batch = vec_id div
+    * batchSize — the id ranges ARE the arrival order in this corpus),
+    * and a shift in the batch centroid direction flags an upstream
+    * model or corpus change before it poisons ANN indexes trained on
+    * earlier data.
+    *
+    * Integer-exact throughout (the engine's float-determinism
+    * discipline): vectors quantize to int8 with the shared per-vector
+    * scale rule, per-(batch, dim) sums aggregate as longs, and the
+    * consecutive-batch cosine is assembled from exact integer
+    * dot/norms with one final double division + sqrt — the same IEEE
+    * ops in both engines, so the result is bit-identical to the
+    * oracle.
+    *
+    * Scale posture: posexplode feeds a partial-aggregating groupBy, so
+    * the exchange carries batches×64 summed cells, not corpus×64
+    * element rows; the consecutive-pair join and the batch-size join
+    * both run over that batches×64 reduction (broadcast for the
+    * counts). Nothing downstream of the first aggregation ever touches
+    * a raw vector. At 100 TB the per-dim sums overflow long only past
+    * ~7e16 per cell (127 × 5.7e14 rows/batch) — re-declare `s` as
+    * decimal(38,0) at that point; the shape is unchanged. */
+  def drift(spark: SparkSession, dir: String, batchSize: Long = 100L): DataFrame = {
+    import spark.implicits._
+    val ma = array_max(transform($"embedding", x => abs(x.cast(DoubleType))))
+    val qCol = when($"ma" > 0d,
+      transform($"embedding",
+        x => floor(x.cast(DoubleType) * lit(127.0d) / $"ma" + lit(0.5d)).cast(LongType)))
+      .otherwise(transform($"embedding", _ => lit(0L)))
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", ma.as("ma"))
+      .select(expr(s"vec_id DIV $batchSize").as("batch"), qCol.as("q"))
+    val sums = base
+      .select($"batch", posexplode($"q").as(Seq("dim", "qv")))
+      .groupBy($"batch", $"dim").agg(sum($"qv").as("s"))
+    val counts = base.groupBy($"batch").agg(count(lit(1)).as("n"))
+    val pair = sums.as("a")
+      .join(sums.as("b"), $"a.batch" + 1L === $"b.batch" && $"a.dim" === $"b.dim")
+      .groupBy($"a.batch".as("batch_a"), $"b.batch".as("batch_b"))
+      .agg(sum($"a.s" * $"b.s").as("dot"),
+        sum($"a.s" * $"a.s").as("norm_a"),
+        sum($"b.s" * $"b.s").as("norm_b"))
+    pair
+      .join(broadcast(counts.select($"batch".as("batch_a"), $"n".as("n_a"))), "batch_a")
+      .join(broadcast(counts.select($"batch".as("batch_b"), $"n".as("n_b"))), "batch_b")
+      .select($"batch_a", $"batch_b", $"n_a", $"n_b",
+        $"dot", $"norm_a", $"norm_b",
+        when($"norm_a" > 0L && $"norm_b" > 0L,
+          $"dot".cast(DoubleType) /
+            sqrt($"norm_a".cast(DoubleType) * $"norm_b".cast(DoubleType)))
+          .otherwise(lit(0.0d)).as("cosine"))
+  }
 }

@@ -347,6 +347,51 @@ object Telemetry {
         dsum($"value").as("attributed_value"))
   }
 
+  /** Multi-touch LINEAR attribution (`events_attribution_linear`) —
+    * the complement of [[attribution]]'s last-touch rule: every
+    * click/view touch inside the lookback window shares the purchase
+    * value equally. Credit is integer basis points with explicit floor
+    * semantics (channel_bp = (10000 × n_channel) div n_touches, direct
+    * = 10000 when no touch precedes) so the split is deterministic and
+    * the value math stays in exact decimal — no float fraction ever
+    * differs between engines.
+    *
+    * The per-purchase touch census is two conditional sums over ONE
+    * range-frame window (value-based frame, maintained incrementally —
+    * the O(n) sliding shape, not a per-purchase range join), partitioned
+    * by user: shuffle ∝ events on user_id, once. At 100 TB the window
+    * partitioning is the same per-user timeline every sessionization
+    * pass uses — this composes with them in a single exchange. */
+  def attributionLinear(spark: SparkSession, dir: String,
+      lookbackSecs: Long = 7L * 86400L): DataFrame = {
+    import spark.implicits._
+    val lookUs = lookbackSecs * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"t_us")
+      .rangeBetween(-lookUs, 0L)
+    val purch = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"value", unix_micros($"ts").as("t_us"))
+      .withColumn("n_click",
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w))
+      .withColumn("n_view",
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("click_bp", expr(
+        "CASE WHEN n_click + n_view > 0 THEN (10000 * n_click) DIV (n_click + n_view) ELSE 0 END"))
+      .withColumn("view_bp", expr(
+        "CASE WHEN n_click + n_view > 0 THEN (10000 * n_view) DIV (n_click + n_view) ELSE 0 END"))
+      .withColumn("direct_bp",
+        when($"n_click" + $"n_view" === 0L, lit(10000L)).otherwise(lit(0L)))
+    purch
+      .select($"value", explode(map(
+        lit("click"), $"click_bp",
+        lit("view"), $"view_bp",
+        lit("direct"), $"direct_bp")).as(Seq("channel", "bp")))
+      .filter($"bp" > 0L)
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(dec($"value") * $"bp").cast(DoubleType).as("value_bp"))
+  }
+
   /** rs232 port-config surface (`port_config`) — main.lua:13-20 opens
     * the port with {baud _115200, data_bits _8, parity NONE,
     * stop_bits _1, flow_control OFF}; re-expressed as the fleet-wide

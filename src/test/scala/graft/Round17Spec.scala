@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, Similarity, Telemetry}
+import graft.sources.Tables
+
+/** Round-7 additions, sixth batch: exact bitmap audience algebra,
+  * embedding-batch drift, linear multi-touch attribution. */
+class Round17Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("bitmap audience: word popcounts equal DISTINCT-user set cardinalities") {
+    val got = Relational.qBitmapAudience(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val au = Tables.events(spark, sf).select($"event_type", $"user_id").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byType = au.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val want = (for {
+      a <- types; b <- types if a < b
+      inter = (byType(a) & byType(b)).size.toLong if inter > 0
+    } yield (a, b) -> (byType(a).size.toLong, byType(b).size.toLong,
+      inter, (byType(a) | byType(b)).size.toLong)).toMap
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("bitmap audience: jaccard is the exact ratio of the integer set sizes") {
+    Relational.qBitmapAudience(spark, sf).collect().foreach { r =>
+      val (ni, nu, j) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(j == ni.toDouble / nu.toDouble)
+      assert(ni >= 1L && ni <= nu)
+    }
+  }
+
+  test("embed_drift: integer dot/norms match a driver-side recompute of batch sums") {
+    val d = 64
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val q = vecs.map { case (id, v) =>
+      val ma = v.map(x => math.abs(x.toDouble)).max
+      (id / 100L, if (ma > 0) v.map(x => math.floor(x.toDouble * 127.0 / ma + 0.5).toLong)
+        else v.map(_ => 0L))
+    }
+    val sums = q.groupBy(_._1).view.mapValues { g =>
+      Array.tabulate(d)(i => g.map(_._2(i)).sum)
+    }.toMap
+    val got = Similarity.drift(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (ba, (dot, na, nb)) =>
+      val (sa, sb) = (sums(ba), sums(ba + 1))
+      assert(dot == (0 until d).map(i => sa(i) * sb(i)).sum)
+      assert(na == sa.map(x => x * x).sum)
+      assert(nb == sb.map(x => x * x).sum)
+    }
+  }
+
+  test("embed_drift: covers every consecutive batch pair exactly once") {
+    val batches = Tables.embeddings(spark, sf)
+      .select(expr("vec_id DIV 100").as("b")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pairs = Similarity.drift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length)
+    assert(pairs.toSet == batches.zip(batches.tail)
+      .filter { case (a, b) => b == a + 1 }.toSet)
+  }
+
+  test("linear attribution: basis points are a floor split that never exceeds 10000") {
+    val rows = Telemetry.attributionLinear(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("click", "view", "direct")))
+    assert(rows.nonEmpty)
+    // total credited value (in bp) can never exceed 10000 x total purchase value
+    val totalBp = rows.map(_.getDouble(2)).sum
+    val totalValue = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .agg(sum(expr("CAST(value AS DECIMAL(18,2))"))).head().getDecimal(0)
+    assert(totalBp <= totalValue.doubleValue() * 10000.0 + 1e-6)
+  }
+
+  test("linear attribution: a user with touches splits credit, one without is direct") {
+    // engineered frame: one user clicks twice + views once then buys;
+    // another buys cold — floor split 6666/3333 vs direct 10000
+    val base = 1700000000000000L
+    val ev = Seq(
+      (1L, "click", base - 1000L, 0.0),
+      (1L, "click", base - 900L, 0.0),
+      (1L, "view", base - 800L, 0.0),
+      (1L, "purchase", base, 30.0),
+      (2L, "purchase", base, 50.0)
+    ).toDF("user_id", "event_type", "t_us", "value")
+      .withColumn("ts", timestamp_micros($"t_us"))
+      .select($"user_id", $"event_type", $"value", unix_micros($"ts").as("t_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"t_us")
+      .rangeBetween(-604800000000L, 0L)
+    val purch = ev
+      .withColumn("n_click", sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w))
+      .withColumn("n_view", sum(when($"event_type" === "view", 1L).otherwise(0L)).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("click_bp", expr(
+        "CASE WHEN n_click + n_view > 0 THEN (10000 * n_click) DIV (n_click + n_view) ELSE 0 END"))
+      .withColumn("view_bp", expr(
+        "CASE WHEN n_click + n_view > 0 THEN (10000 * n_view) DIV (n_click + n_view) ELSE 0 END"))
+      .withColumn("direct_bp",
+        when($"n_click" + $"n_view" === 0L, lit(10000L)).otherwise(lit(0L)))
+      .select($"user_id", $"click_bp", $"view_bp", $"direct_bp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(purch(1L) == ((6666L, 3333L, 0L)))
+    assert(purch(2L) == ((0L, 0L, 10000L)))
+  }
+}
