@@ -165,6 +165,7 @@ object SparkEntry {
     "embed_gram" -> (Similarity.gram _),
     "embed_pca" -> ((s: SparkSession, d: String) => Similarity.pca(s, d)),
     "embed_drift" -> ((s: SparkSession, d: String) => Similarity.drift(s, d)),
+    "embed_outliers" -> ((s: SparkSession, d: String) => Similarity.outliers(s, d)),
     "ann_pq_trained" -> ((s: SparkSession, d: String) => Similarity.pqTrain(s, d)),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
@@ -229,6 +230,7 @@ object SparkEntry {
     "mm_audio_vad" -> (Multimodal.audioVad _),
     "mm_video" -> (Multimodal.video _),
     "mm_video_trim" -> (Multimodal.videoTrim _),
+    "mm_video_keyframes" -> (Multimodal.videoKeyframes _),
     "mm_phash" -> ((s: SparkSession, d: String) => Multimodal.phash(s, d)),
     // B. streaming relay (Structured Streaming, driven to completion)
     "stream_relay" -> (graft.streaming.StreamRelay.windowedRelay _),
@@ -286,6 +288,9 @@ object SparkEntry {
     // batch-2 purchases must credit batch-1 touches from state
     "stream_attribution" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamAttribution.streamedAttribution(s, d)),
+    // batch-2 signups must retroactively legitimize batch-1 purchases
+    "stream_funnel" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamFunnel.streamedFunnel(s, d)),
   )
 
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
@@ -433,6 +438,20 @@ object SparkEntry {
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
       |  FROM orders GROUP BY o_custkey, o_orderdate) d
       |ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate""".stripMargin
+
+  /** Shared by `events_funnel` and its streaming twin `stream_funnel`
+    * — the per-user state fold (with retroactive promotion when an
+    * earlier signup lowers the qualifier) must equal the batch
+    * two-aggregation join bit-for-bit. */
+  private val funnelSql: String =
+    """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      |  GROUP BY e.user_id)
+      |SELECT s.user_id, s.signup_ts, p.purchase_ts,
+      |  epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS delay_us
+      |FROM s LEFT JOIN p ON s.user_id = p.user_id""".stripMargin
 
   /** Shared by `decontaminate` (exact semi-join) and
     * `decontaminate_bloom` (bloom-prefiltered scale path) — the bloom
@@ -942,15 +961,8 @@ object SparkEntry {
         |      CASE WHEN event_type IN ('signup', 'error', 'purchase') THEN 0 ELSE 1 END AS ctl
         |    FROM events) a) b
         |WHERE event_type NOT IN ('signup', 'error', 'purchase')""".stripMargin,
-    "events_funnel" ->
-      """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id),
-        |p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
-        |  FROM events e JOIN s ON e.user_id = s.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
-        |  GROUP BY e.user_id)
-        |SELECT s.user_id, s.signup_ts, p.purchase_ts,
-        |  epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS delay_us
-        |FROM s LEFT JOIN p ON s.user_id = p.user_id""".stripMargin,
+    "events_funnel" -> funnelSql,
+    "stream_funnel" -> funnelSql,
     "relay_gate" ->
       """SELECT event_id, user_id, ts, event_type, COALESCE(lv, 0) = 1 AS forwarded FROM (
         |  SELECT event_id, user_id, ts, event_type, ctrl,
@@ -2111,6 +2123,17 @@ object SparkEntry {
         |         WHEN lang = 'es' THEN 1000 ELSE 30000 END AS tsc,
         |    (n_chars * 3 + doc_id) % 100000 AS dur
         |  FROM documents) t""".stripMargin,
+    // outputs derive from the PARSED stss table; the oracle replays
+    // the arithmetic the packed table encodes (k = 1 + (n-1) div se)
+    "mm_video_keyframes" ->
+      """SELECT doc_id,
+        |  k AS n_sync,
+        |  CAST(1 AS BIGINT) AS first_sync,
+        |  1 + (k - 1) * se AS last_sync,
+        |  k + se * (k * (k - 1) // 2) AS sync_sum
+        |FROM (SELECT doc_id, se, 1 + (n - 1) // se AS k
+        |  FROM (SELECT doc_id, n_chars % 50 + 10 AS n, doc_id % 7 + 1 AS se
+        |    FROM documents) t) u""".stripMargin,
     "mm_audio_downsample" ->
       """SELECT doc_id,
         |  CAST(44 + dl2 AS BIGINT) AS n_bytes,
@@ -2609,6 +2632,31 @@ object SparkEntry {
         |    ELSE 0.0 END AS cosine
         |FROM p JOIN n na ON na.batch = p.batch_a
         |       JOIN n nb ON nb.batch = p.batch_b""".stripMargin,
+    // rational-free outlier gate: dist^2 > 4x mean dist^2 cross-
+    // multiplied to integers (n2d2*n > 4*sum) — no division to round
+    "embed_outliers" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, vec_id // 100 AS batch, CASE WHEN ma > 0
+        |    THEN list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qs
+        |  FROM m),
+        |s AS (SELECT batch, i, CAST(SUM(qs[i + 1]) AS BIGINT) AS s
+        |  FROM q, range(0, 64) t(i) GROUP BY 1, 2),
+        |sa AS (SELECT batch, list(s ORDER BY i) AS sarr FROM s GROUP BY 1),
+        |n AS (SELECT batch, COUNT(*) AS n FROM q GROUP BY 1),
+        |v AS (SELECT j.vec_id, j.batch,
+        |    CAST(SUM((j.n * j.qs[i + 1] - j.sarr[i + 1]) * (j.n * j.qs[i + 1] - j.sarr[i + 1])) AS BIGINT) AS n2d2
+        |  FROM (SELECT q.vec_id, q.batch, q.qs, n.n, sa.sarr
+        |    FROM q JOIN n ON n.batch = q.batch JOIN sa ON sa.batch = q.batch) j,
+        |    range(0, 64) t(i)
+        |  GROUP BY 1, 2),
+        |b AS (SELECT batch, CAST(SUM(n2d2) AS BIGINT) AS sum_n2d2, COUNT(*) AS nb
+        |  FROM v GROUP BY 1)
+        |SELECT v.vec_id, v.batch, v.n2d2,
+        |  v.n2d2 * b.nb > b.sum_n2d2 * 4 AS is_outlier
+        |FROM v JOIN b ON b.batch = v.batch""".stripMargin,
     "sample_split" ->
       """SELECT doc_id, source, n_chars, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

@@ -235,6 +235,36 @@ object Multimodal {
           .as("payload_head_sum"))
   }
 
+  /** Keyframe (sync-sample) extraction through the REAL stss wire
+    * format (`mm_video_keyframes`): blobs carry a spec-nested
+    * trak > mdia > minf > stbl > stss chain (u32 entry table), and the
+    * decoder finds it by recursive box descent — the container-aware
+    * complement of mm_framesample's time-uniform sampling: a video
+    * pipeline that samples at KEYFRAMES decodes k frames instead of
+    * seeking+decoding GOP runs, which at 100 TB of video is the
+    * difference between touching ~2% and ~100% of coded bytes.
+    * Outputs derive from the PARSED table (count, first/last index,
+    * index sum), never from the generator dials — a pack/parse
+    * mismatch fails the oracle loudly. Scan-local, zero shuffle. */
+  def videoKeyframes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brand = when($"lang" === "en", "isom").when($"lang" === "de", "mp42")
+      .when($"lang" === "es", "avc1").otherwise("mp41")
+    val timescale = when($"lang" === "en", 90000L).when($"lang" === "de", 600L)
+      .when($"lang" === "es", 1000L).otherwise(30000L)
+    val ticks = ($"n_chars" * 3L + $"doc_id") % 100000L
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        Video.packSync(brand, timescale, ticks, encode($"text", "UTF-8"),
+          ($"n_chars" % 50L) + 10L, ($"doc_id" % 7L) + 1L).as("blob"))
+      .withColumn("sync", Video.syncSamples($"blob"))
+      .select($"doc_id",
+        size($"sync").cast(LongType).as("n_sync"),
+        element_at($"sync", 1).as("first_sync"),
+        element_at($"sync", -1).as("last_sync"),
+        aggregate($"sync", lit(0L), _ + _).as("sync_sum"))
+  }
+
   /** Transform through the video codec (the mm_resize/mm_audio_
     * downsample twin): decode each blob, halve the mvhd duration AND
     * keep the first half of the mdat payload (a container-level trim

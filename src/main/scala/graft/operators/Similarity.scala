@@ -669,4 +669,50 @@ object Similarity {
             sqrt($"norm_a".cast(DoubleType) * $"norm_b".cast(DoubleType)))
           .otherwise(lit(0.0d)).as("cosine"))
   }
+
+  /** Per-vector centroid-distance outlier flags (`embed_outliers`) —
+    * the vector-level quality gate beside [[drift]]'s batch-level
+    * monitor: a vector far from its ingest batch's centroid is a
+    * mis-embedded / corrupted / off-distribution candidate to hold out
+    * of ANN index builds. Everything stays in exact integers by
+    * cross-multiplying the rationals away: squared distance to the
+    * centroid c = s/n is Σ(n·qᵢ − sᵢ)² / n² — we carry the numerator
+    * (`n2d2`), and "dist² > 4 × batch mean dist²" becomes
+    * n2d2·n > 4·Σn2d2, an integer comparison with no division for the
+    * engines to round apart.
+    *
+    * Scale posture: the batch statistics (per-dim sums + counts) are a
+    * batches×64 reduction broadcast back onto the corpus scan — the
+    * per-vector pass is scan-local arithmetic against the broadcast
+    * array, then one partial-aggregated groupBy for the batch totals
+    * and a second broadcast join for the flag. Raw vectors cross no
+    * exchange at any point. */
+  def outliers(spark: SparkSession, dir: String, batchSize: Long = 100L): DataFrame = {
+    import spark.implicits._
+    val ma = array_max(transform($"embedding", x => abs(x.cast(DoubleType))))
+    val qCol = when($"ma" > 0d,
+      transform($"embedding",
+        x => floor(x.cast(DoubleType) * lit(127.0d) / $"ma" + lit(0.5d)).cast(LongType)))
+      .otherwise(transform($"embedding", _ => lit(0L)))
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", ma.as("ma"))
+      .select($"vec_id", expr(s"vec_id DIV $batchSize").as("batch"), qCol.as("q"))
+    val stats = base
+      .select($"batch", posexplode($"q").as(Seq("dim", "qv")))
+      .groupBy($"batch", $"dim").agg(sum($"qv").as("s"))
+      .groupBy($"batch")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"s"))),
+        c => c.getField("s")).as("sarr"))
+      .join(base.groupBy($"batch").agg(count(lit(1)).as("n")), "batch")
+    val perVec = base.join(broadcast(stats), "batch")
+      .select($"vec_id", $"batch",
+        aggregate(
+          zip_with($"q", $"sarr", (qi, si) => ($"n" * qi - si) * ($"n" * qi - si)),
+          lit(0L), _ + _).as("n2d2"))
+    val totals = perVec.groupBy($"batch")
+      .agg(sum($"n2d2").as("sum_n2d2"), count(lit(1)).as("nb"))
+    perVec.join(broadcast(totals), "batch")
+      .select($"vec_id", $"batch", $"n2d2",
+        ($"n2d2" * $"nb" > $"sum_n2d2" * 4L).as("is_outlier"))
+  }
 }

@@ -35,6 +35,14 @@ object Video {
       ColumnBridge.expression(duration), ColumnBridge.expression(payload)))
   def decode(blob: Column): Column =
     ColumnBridge.column(DecodeMp4Meta(ColumnBridge.expression(blob)))
+  def packSync(brand: Column, timescale: Column, duration: Column,
+      payload: Column, nSamples: Column, syncEvery: Column): Column =
+    ColumnBridge.column(PackMp4Sync(Seq(
+      ColumnBridge.expression(brand), ColumnBridge.expression(timescale),
+      ColumnBridge.expression(duration), ColumnBridge.expression(payload),
+      ColumnBridge.expression(nSamples), ColumnBridge.expression(syncEvery))))
+  def syncSamples(blob: Column): Column =
+    ColumnBridge.column(DecodeMp4Sync(ColumnBridge.expression(blob)))
 
   val FtypLen = 24      // 8 header + major(4) + minor(4) + 2 compat brands(8)
   val MvhdLen = 108     // 8 header + version/flags(4) + v0 payload(96)
@@ -102,6 +110,142 @@ object Video {
     putTag(out, md + 4, "mdat")
     System.arraycopy(payload, 0, out, md + 8, payload.length)
     out
+  }
+
+  /** Static body for PackMp4Sync: the [[packMp4]] layout plus a
+    * spec-nested `trak > mdia > minf > stbl > stss` chain inside moov
+    * carrying the sync-sample (keyframe) table — 1-based sample
+    * indices 1, 1+syncEvery, … ≤ nSamples, exactly the stss wire
+    * format (version/flags u32, entry_count u32, u32 entries). Null
+    * on out-of-domain parameters (sample counts are u32, syncEvery
+    * ≥ 1). The nesting is real: [[decodeMp4Sync]] finds the table by
+    * recursive box descent, not by fixed offsets. */
+  def packMp4Sync(brand: UTF8String, timescale: Long, duration: Long,
+      payload: Array[Byte], nSamples: Long, syncEvery: Long): Array[Byte] = {
+    val br = brand.toString
+    if (br.length != 4 || !br.forall(c => c >= 0x20 && c < 0x7f)) return null
+    if (timescale < 1 || timescale > 0xffffffffL) return null
+    if (duration < 0 || duration > 0xffffffffL) return null
+    if (nSamples < 1 || nSamples > 0xffffffffL || syncEvery < 1) return null
+    val k = (1L + (nSamples - 1) / syncEvery).toInt
+    val stssLen = 8 + 4 + 4 + 4 * k
+    val stblLen = 8 + stssLen
+    val minfLen = 8 + stblLen
+    val mdiaLen = 8 + minfLen
+    val trakLen = 8 + mdiaLen
+    val moovLen = 8 + MvhdLen + trakLen
+    val out = new Array[Byte](FtypLen + moovLen + 8 + payload.length)
+    // ftyp
+    putIntBE(out, 0, FtypLen)
+    putTag(out, 4, "ftyp")
+    putTag(out, 8, br)
+    putIntBE(out, 12, 0x200)
+    putTag(out, 16, "isom")
+    putTag(out, 20, "mp41")
+    // moov > mvhd (version 0)
+    val mo = FtypLen
+    putIntBE(out, mo, moovLen)
+    putTag(out, mo + 4, "moov")
+    val mv = mo + 8
+    putIntBE(out, mv, MvhdLen)
+    putTag(out, mv + 4, "mvhd")
+    putIntBE(out, mv + 20, timescale.toInt)
+    putIntBE(out, mv + 24, duration.toInt)
+    putIntBE(out, mv + 28, 0x00010000)
+    out(mv + 32) = 0x01
+    putIntBE(out, mv + 44, 0x00010000)
+    putIntBE(out, mv + 60, 0x00010000)
+    putIntBE(out, mv + 76, 0x40000000)
+    putIntBE(out, mv + 104, 2)
+    // moov > trak > mdia > minf > stbl > stss
+    var o = mv + MvhdLen
+    putIntBE(out, o, trakLen); putTag(out, o + 4, "trak"); o += 8
+    putIntBE(out, o, mdiaLen); putTag(out, o + 4, "mdia"); o += 8
+    putIntBE(out, o, minfLen); putTag(out, o + 4, "minf"); o += 8
+    putIntBE(out, o, stblLen); putTag(out, o + 4, "stbl"); o += 8
+    putIntBE(out, o, stssLen); putTag(out, o + 4, "stss")
+    // version/flags u32 already zero
+    putIntBE(out, o + 12, k)
+    var i = 0
+    while (i < k) {
+      putIntBE(out, o + 16 + 4 * i, (1L + i.toLong * syncEvery).toInt)
+      i += 1
+    }
+    // mdat
+    val md = mo + moovLen
+    putIntBE(out, md, 8 + payload.length)
+    putTag(out, md + 4, "mdat")
+    System.arraycopy(payload, 0, out, md + 8, payload.length)
+    out
+  }
+
+  /** Static body for DecodeMp4Sync: top-level box scan to moov, then
+    * RECURSIVE descent through container boxes (trak/mdia/minf/stbl)
+    * to the first `stss`, whose u32 entries return as a long array —
+    * the keyframe table a sample-accurate video reader seeks by.
+    * Null on malformed bytes (bad sizes, truncated table, no ftyp);
+    * null (not empty) when no stss exists, so "no keyframe index" is
+    * quarantined distinctly from "empty index". */
+  def decodeMp4Sync(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b.length < 8 || !tag(b, 4, "ftyp")) return null
+    // returns: parsed entries, or null
+    def descend(start: Long, end: Long, depth: Int): Array[Long] = {
+      var co = start
+      while (co + 8 <= end) {
+        val c = co.toInt
+        var csize = getIntBE(b, c).toLong & 0xffffffffL
+        var chdr = 8L
+        if (csize == 1L) {
+          if (co + 16 > end) return null
+          csize = getLongBE(b, c + 8)
+          chdr = 16L
+        } else if (csize == 0L) csize = end - co
+        if (csize < chdr || co + csize > end) return null
+        if (tag(b, c + 4, "stss")) {
+          if (csize < chdr + 8) return null
+          val p = (co + chdr).toInt
+          if ((b(p) & 0xff) != 0) return null      // stss has only v0
+          val k = getIntBE(b, p + 4).toLong & 0xffffffffL
+          if (chdr + 8 + 4 * k > csize) return null
+          val arr = new Array[Long](k.toInt)
+          var i = 0
+          while (i < k) {
+            arr(i) = getIntBE(b, p + 8 + 4 * i).toLong & 0xffffffffL
+            i += 1
+          }
+          return arr
+        }
+        if (depth < 8 && (tag(b, c + 4, "trak") || tag(b, c + 4, "mdia") ||
+            tag(b, c + 4, "minf") || tag(b, c + 4, "stbl"))) {
+          val r = descend(co + chdr, co + csize, depth + 1)
+          if (r != null) return r
+        }
+        co += csize
+      }
+      null
+    }
+    var off = 0L
+    var first = true
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      var size = getIntBE(b, o).toLong & 0xffffffffL
+      var hdr = 8L
+      if (size == 1L) {
+        if (off + 16 > b.length) return null
+        size = getLongBE(b, o + 8)
+        hdr = 16L
+      } else if (size == 0L) size = b.length - off
+      if (size < hdr || off + size > b.length) return null
+      if (first && !tag(b, o + 4, "ftyp")) return null
+      if (tag(b, o + 4, "moov")) {
+        val r = descend(off + hdr, off + size, 0)
+        if (r != null)
+          return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(r)
+      }
+      first = false
+      off += size
+    }
+    null
   }
 
   /** Static body for DecodeMp4Meta: top-level box scan (ftyp required
@@ -191,6 +335,40 @@ case class PackMp4(first: Expression, second: Expression, third: Expression,
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression, d: Expression): Expression =
     copy(a, b, c, d)
+}
+
+/** (brand, timescale u32, duration u32, payload, n_samples u32,
+  * sync_every ≥ 1) → ISO-BMFF blob whose moov carries a spec-nested
+  * trak>mdia>minf>stbl>stss keyframe table. Null when out of domain. */
+case class PackMp4Sync(children: Seq[Expression])
+    extends Expression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq[DataType](StringType, LongType, LongType, BinaryType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else Video.packMp4Sync(vs(0).asInstanceOf[UTF8String],
+      vs(1).asInstanceOf[Long], vs(2).asInstanceOf[Long],
+      vs(3).asInstanceOf[Array[Byte]], vs(4).asInstanceOf[Long],
+      vs(5).asInstanceOf[Long])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs)
+}
+
+/** blob → array<long> of 1-based sync-sample (keyframe) indices from
+  * the first stss box found by recursive container descent; null when
+  * the bytes are malformed OR no stss exists (quarantine both). */
+case class DecodeMp4Sync(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Video.decodeMp4Sync(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** blob → struct(brand, timescale, duration, mdat_len, payload_off),

@@ -112,4 +112,93 @@ class Round17Spec extends SparkSpec {
     assert(purch(1L) == ((6666L, 3333L, 0L)))
     assert(purch(2L) == ((0L, 0L, 10000L)))
   }
+
+  test("stss codec: packSync/syncSamples roundtrip, meta decode still sees mvhd+mdat") {
+    val df = Seq(("isom", 90000L, 1234L, "payload-bytes", 10L, 3L))
+      .toDF("brand", "tsc", "dur", "text", "n", "se")
+      .select(graft.plans.Video.packSync($"brand", $"tsc", $"dur",
+        encode($"text", "UTF-8"), $"n", $"se").as("blob"))
+      .select($"blob", graft.plans.Video.syncSamples($"blob").as("sync"),
+        graft.plans.Video.decode($"blob").as("m"))
+    val r = df.select($"sync", $"m.timescale", $"m.duration", $"m.mdat_len").head()
+    assert(r.getSeq[Long](0) == Seq(1L, 4L, 7L, 10L))
+    assert(r.getLong(1) == 90000L && r.getLong(2) == 1234L)
+    assert(r.getInt(3) == "payload-bytes".length)
+  }
+
+  test("stss codec: no-stss blobs and malformed bytes quarantine to null") {
+    val rows = Seq(
+      ("plain", "isom"),   // packed WITHOUT a sync table
+      ("junk", "????")
+    ).toDF("kind", "brand")
+      .select($"kind", when($"kind" === "plain",
+        graft.plans.Video.pack($"brand", lit(600L), lit(10L), encode(lit("x"), "UTF-8")))
+        .otherwise(encode(lit("not an mp4 at all"), "UTF-8")).as("blob"))
+      .select($"kind", graft.plans.Video.syncSamples($"blob").as("sync"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(rows == Map("plain" -> true, "junk" -> true))
+  }
+
+  test("mm_video_keyframes: parsed table equals the arithmetic the pack encoded") {
+    val got = operators.Multimodal.videoKeyframes(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = Tables.documents(spark, sf).select($"doc_id", $"n_chars").collect()
+      .map { r =>
+        val (id, nc) = (r.getLong(0), r.getLong(1))
+        val n = nc % 50 + 10
+        val se = id % 7 + 1
+        val k = 1 + (n - 1) / se
+        id -> (k, 1L, 1 + (k - 1) * se, k + se * (k * (k - 1) / 2))
+      }.toMap
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("embed_outliers: cross-multiplied flag equals the rational dist^2 > 4x mean") {
+    val rows = operators.Similarity.outliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val byBatch = rows.groupBy(_._2)
+    byBatch.foreach { case (_, rs) =>
+      val sum = rs.map(_._3).sum
+      val n = rs.length.toLong
+      rs.foreach { case (_, _, n2d2, flag) =>
+        assert(flag == (n2d2 * n > sum * 4L))
+      }
+    }
+    // a vector AT the centroid can never be an outlier
+    assert(rows.filter(_._3 == 0L).forall(!_._4))
+  }
+
+  test("stream_funnel equals the batch funnel result") {
+    val batch = operators.Telemetry.funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+    val streamed = graft.streaming.StreamFunnel.streamedFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("stream_funnel: a later-arriving earlier signup retroactively qualifies a purchase") {
+    import graft.streaming.StreamFunnel
+    import StreamFunnel.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamFunnel.funnelStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sfun_out").start()
+    try {
+      // batch 1: a purchase with NO signup yet — it must pend, not drop
+      mem.addData(Ev(1L, 100L, "purchase", sentinel = false))
+      q.processAllAvailable()
+      assert(spark.table("sfun_out").count() == 0L)
+      // batch 2: an EARLIER signup arrives; the pended purchase now qualifies
+      mem.addData(Ev(1L, 50L, "signup", sentinel = false))
+      q.processAllAvailable()
+      // sentinel: flush
+      mem.addData(Ev(1L, 0L, "S", sentinel = true))
+      q.processAllAvailable()
+      val out = spark.table("sfun_out").collect()
+      assert(out.length == 1)
+      assert(out(0).getLong(1) == 50L, "min signup")
+      assert(out(0).getLong(2) == 100L, "promoted pending purchase must qualify")
+    } finally q.stop()
+  }
 }
