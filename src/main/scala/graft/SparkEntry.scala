@@ -75,6 +75,8 @@ object SparkEntry {
     "port_config" -> (Telemetry.portConfig _),
     "events_attribution" -> ((s: SparkSession, d: String) => Telemetry.attribution(s, d)),
     "events_attribution_linear" -> ((s: SparkSession, d: String) => Telemetry.attributionLinear(s, d)),
+    "events_abtest" -> (Telemetry.abtest _),
+    "queue_fairness" -> (Telemetry.queueFairness _),
     "status_transitions" -> (Telemetry.statusTransitions _),
     "status_notify" -> (Telemetry.statusNotify _),
     // day-scale timers / half-day restarts: sized to the synthetic
@@ -867,6 +869,41 @@ object SparkEntry {
         |SELECT channel, COUNT(*) AS n_purchases,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * bp) AS DOUBLE) AS value_bp
         |FROM u WHERE bp > 0 GROUP BY channel""".stripMargin,
+    // Welch's t assembled from decimal-exact power sums; the float
+    // expression shape matches the Spark side operation-for-operation
+    "events_abtest" ->
+      """WITH p AS (SELECT user_id % 2 = 0 AS in_a, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(v) FILTER (WHERE in_a) AS DOUBLE) AS sum_a,
+        |    CAST(SUM(v) FILTER (WHERE NOT in_a) AS DOUBLE) AS sum_b,
+        |    CAST(SUM(v * v) FILTER (WHERE in_a) AS DOUBLE) AS ss_a,
+        |    CAST(SUM(v * v) FILTER (WHERE NOT in_a) AS DOUBLE) AS ss_b
+        |  FROM p)
+        |SELECT n_a, n_b,
+        |  sum_a / CAST(n_a AS DOUBLE) AS mean_a,
+        |  sum_b / CAST(n_b AS DOUBLE) AS mean_b,
+        |  (ss_a - sum_a * sum_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+        |  (ss_b - sum_b * sum_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b,
+        |  (sum_a / CAST(n_a AS DOUBLE) - sum_b / CAST(n_b AS DOUBLE)) /
+        |    SQRT((ss_a - sum_a * sum_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE)
+        |       + (ss_b - sum_b * sum_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE)) AS t_stat
+        |FROM a""".stripMargin,
+    // integer-exact Gini by the rank formula; ties pin to device id
+    "queue_fairness" ->
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id) AS BIGINT) AS i
+        |  FROM c)
+        |SELECT event_type, COUNT(*) AS n_devices, SUM(x) AS n_msgs,
+        |  2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS gini_num,
+        |  COUNT(*) * SUM(x) AS gini_den,
+        |  CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) /
+        |    CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+        |FROM r GROUP BY event_type""".stripMargin,
     "stream_attribution" -> attributionSql,
     "port_config" ->
       """WITH d AS (

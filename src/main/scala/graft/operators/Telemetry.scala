@@ -392,6 +392,71 @@ object Telemetry {
         sum(dec($"value") * $"bp").cast(DoubleType).as("value_bp"))
   }
 
+  /** Deterministic A/B comparison (`events_abtest`) — the experiment
+    * read-out every event pipeline eventually serves: users assign to
+    * variants by id parity (the same stored-assignment-free hashing
+    * discipline as sample_split), and the purchase-value contrast
+    * reports Welch's t from decimal-exact power sums. All aggregation
+    * is exact decimal (order-independent, partial-aggregated — ONE
+    * scan, one tiny exchange); the float math is a fixed expression
+    * over the two casted sums, so both engines round identically.
+    * At 100 TB this is one conditional-sum aggregate however many
+    * users exist — no per-variant scan, no shuffle of raw rows beyond
+    * the single partial-agg exchange. */
+  def abtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select((pmod($"user_id", lit(2L)) === 0L).as("in_a"), dec($"value").as("v"))
+    val agg = p.agg(
+      sum(when($"in_a", 1L).otherwise(0L)).as("n_a"),
+      sum(when(!$"in_a", 1L).otherwise(0L)).as("n_b"),
+      sum(when($"in_a", $"v")).cast(DoubleType).as("sum_a"),
+      sum(when(!$"in_a", $"v")).cast(DoubleType).as("sum_b"),
+      sum(when($"in_a", $"v" * $"v")).cast(DoubleType).as("ss_a"),
+      sum(when(!$"in_a", $"v" * $"v")).cast(DoubleType).as("ss_b"))
+    val na = $"n_a".cast(DoubleType)
+    val nb = $"n_b".cast(DoubleType)
+    val meanA = $"sum_a" / na
+    val meanB = $"sum_b" / nb
+    // sample variances from power sums; Welch's t with its own se
+    val varA = ($"ss_a" - $"sum_a" * $"sum_a" / na) / (na - 1.0d)
+    val varB = ($"ss_b" - $"sum_b" * $"sum_b" / nb) / (nb - 1.0d)
+    agg.select($"n_a", $"n_b",
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      varA.as("var_a"), varB.as("var_b"),
+      ((meanA - meanB) / sqrt(varA / na + varB / nb)).as("t_stat"))
+  }
+
+  /** Queue-load fairness audit (`queue_fairness`) — the Gini
+    * coefficient of per-device message load within each stream: a
+    * relay whose traffic concentrates on a few devices starves the
+    * rest, and the Gini is the standard one-number read on that.
+    * Integer-exact by the rank formula: with per-device counts x
+    * sorted ascending (ties broken by device id) and 1-based rank i,
+    * numerator = 2·Σi·xᵢ − (n+1)·Σxᵢ and denominator = n·Σxᵢ — both
+    * carried as exact longs, ONE final double division.
+    *
+    * Shape: the per-(stream, device) census partial-aggregates
+    * map-side (exchange ∝ devices, not messages), one window sort per
+    * stream assigns ranks, one rollup builds the sums. At 100 TB the
+    * window input is the device census, never the message stream. */
+  def queueFairness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = Tables.events(spark, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"x".asc, $"user_id".asc)
+    census
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_devices"),
+        sum($"x").as("n_msgs"),
+        (sum($"i" * $"x") * 2L - (count(lit(1)) + 1L) * sum($"x")).as("gini_num"),
+        (count(lit(1)) * sum($"x")).as("gini_den"))
+      .withColumn("gini", $"gini_num".cast(DoubleType) / $"gini_den".cast(DoubleType))
+  }
+
   /** rs232 port-config surface (`port_config`) — main.lua:13-20 opens
     * the port with {baud _115200, data_bits _8, parity NONE,
     * stop_bits _1, flow_control OFF}; re-expressed as the fleet-wide

@@ -201,4 +201,45 @@ class Round17Spec extends SparkSpec {
       assert(out(0).getLong(2) == 100L, "promoted pending purchase must qualify")
     } finally q.stop()
   }
+
+  test("events_abtest: power sums reassemble the sequential Welch t exactly") {
+    val r = Telemetry.abtest(spark, sf).head()
+    val vals = Tables.events(spark, sf).filter($"event_type" === "purchase")
+      .select($"user_id", $"value").collect()
+      .map(x => (x.getLong(0) % 2 == 0) -> BigDecimal(x.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val (a, b) = (vals.filter(_._1).map(_._2), vals.filterNot(_._1).map(_._2))
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    val (sumA, sumB) = (a.sum.toDouble, b.sum.toDouble)
+    val na = a.length.toDouble
+    val nb = b.length.toDouble
+    assert(r.getDouble(2) == sumA / na && r.getDouble(3) == sumB / nb)
+    val ssA = a.map(x => x * x).sum.toDouble
+    val varA = (ssA - sumA * sumA / na) / (na - 1.0)
+    assert(r.getDouble(4) == varA)
+    assert(!r.getDouble(6).isNaN)
+  }
+
+  test("queue_fairness: gini is the rank formula and sits in [0, 1)") {
+    val rows = Telemetry.queueFairness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s, num, den, g) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(den == n * s)
+      assert(g == num.toDouble / den.toDouble)
+      assert(g >= 0.0 && g < 1.0)
+    }
+    // a uniform engineered load has gini exactly 0
+    val uni = Seq((1L, "q"), (2L, "q"), (3L, "q"))
+      .toDF("user_id", "event_type")
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"x".asc, $"user_id".asc)
+    val gx = uni.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"event_type")
+      .agg(((sum($"i" * $"x") * 2L - (count(lit(1)) + 1L) * sum($"x")).cast("double") /
+        (count(lit(1)) * sum($"x")).cast("double")).as("g"))
+      .head().getDouble(1)
+    assert(gx == 0.0)
+  }
 }
