@@ -1048,11 +1048,16 @@ object Relational {
     * block join never materializes them). */
   def qBitmapAudience(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the words index is consumed four times (both join sides + both
+    // cardinality legs) — checkpoint it so the event table is scanned
+    // ONCE; without this the plan re-derives the groupBy per consumer
+    // (4 full corpus scans at 100 TB for a users/64-sized result)
     val words = Tables.events(spark, dir)
       .select($"event_type", expr("user_id DIV 64").as("block"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("bit"))
       .groupBy($"event_type", $"block")
       .agg(expr("bit_or(bit)").as("word"))
+      .localCheckpoint()
     // per-type exact cardinality: popcount over that type's words
     val perType = words.groupBy($"event_type")
       .agg(sum(expr("bit_count(word)")).as("n"))

@@ -649,10 +649,13 @@ object Similarity {
     val base = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", ma.as("ma"))
       .select(expr(s"vec_id DIV $batchSize").as("batch"), qCol.as("q"))
+    // one corpus scan: the per-(batch, dim) count is the batch size,
+    // so the counts ride the same aggregation instead of a second pass
     val sums = base
       .select($"batch", posexplode($"q").as(Seq("dim", "qv")))
-      .groupBy($"batch", $"dim").agg(sum($"qv").as("s"))
-    val counts = base.groupBy($"batch").agg(count(lit(1)).as("n"))
+      .groupBy($"batch", $"dim").agg(sum($"qv").as("s"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    val counts = sums.filter($"dim" === 0).select($"batch", $"n")
     val pair = sums.as("a")
       .join(sums.as("b"), $"a.batch" + 1L === $"b.batch" && $"a.dim" === $"b.dim")
       .groupBy($"a.batch".as("batch_a"), $"b.batch".as("batch_b"))
@@ -697,13 +700,16 @@ object Similarity {
     val base = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", ma.as("ma"))
       .select($"vec_id", expr(s"vec_id DIV $batchSize").as("batch"), qCol.as("q"))
+    // stats in ONE corpus pass: the per-(batch, dim) count IS the
+    // batch size, so n rides the cell aggregation instead of a
+    // second scan + join
     val stats = base
       .select($"batch", posexplode($"q").as(Seq("dim", "qv")))
-      .groupBy($"batch", $"dim").agg(sum($"qv").as("s"))
+      .groupBy($"batch", $"dim").agg(sum($"qv").as("s"), count(lit(1)).as("cnt"))
       .groupBy($"batch")
       .agg(transform(array_sort(collect_list(struct($"dim", $"s"))),
-        c => c.getField("s")).as("sarr"))
-      .join(base.groupBy($"batch").agg(count(lit(1)).as("n")), "batch")
+        c => c.getField("s")).as("sarr"),
+        max($"cnt").as("n"))
     val perVec = base.join(broadcast(stats), "batch")
       .select($"vec_id", $"batch",
         aggregate(
