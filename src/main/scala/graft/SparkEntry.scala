@@ -126,6 +126,7 @@ object SparkEntry {
       graft.streaming.StreamCdc.streamedCdc(s, d)),
     "q_scd2" -> (Changelog.scd2 _),
     "ts_autocorr" -> (Telemetry.autocorr _),
+    "ts_xcorr" -> ((s: SparkSession, d: String) => Telemetry.xcorr(s, d)),
     "events_streak" -> (Telemetry.streaks _),
     "q_running_distinct" -> (Telemetry.runningDistinct _),
     "events_markov" -> (Telemetry.markov _),
@@ -2720,6 +2721,36 @@ object SparkEntry {
          |  FROM y JOIN s ON s.sidx = y.nsidx)
          |SELECT z.anchor_id, z.slot, z.anchor_source, r.doc_id AS neg_id, z.neg_source
          |FROM z JOIN r ON r.source = z.neg_source AND r.rnk = z.rnk""".stripMargin,
+    // all-integer Pearson over gap-filled hourly volumes; the dense
+    // calendar makes missing hours explicit zero observations
+    "ts_xcorr" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM c),
+        |hours AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM c),
+        |grid AS (SELECT t.event_type, hs.h, COALESCE(c.n, 0) AS n
+        |  FROM types t CROSS JOIN hours hs
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.h = hs.h),
+        |lags AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS lag_h),
+        |s AS (SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_h,
+        |    COUNT(*) AS n_hours,
+        |    CAST(SUM(a.n) AS BIGINT) AS sx, CAST(SUM(b.n) AS BIGINT) AS sy,
+        |    CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+        |    CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+        |    CAST(SUM(b.n * b.n) AS BIGINT) AS syy
+        |  FROM grid a CROSS JOIN lags l
+        |  JOIN grid b ON b.h = a.h + l.lag_h AND b.event_type > a.event_type
+        |  GROUP BY 1, 2, 3)
+        |SELECT type_a, type_b, lag_h, n_hours,
+        |  n_hours * sxy - sx * sy AS num,
+        |  n_hours * sxx - sx * sx AS den_x,
+        |  n_hours * syy - sy * sy AS den_y,
+        |  CASE WHEN n_hours * sxx - sx * sx > 0 AND n_hours * syy - sy * sy > 0
+        |    THEN CAST(n_hours * sxy - sx * sy AS DOUBLE) /
+        |      SQRT(CAST(n_hours * sxx - sx * sx AS DOUBLE) * CAST(n_hours * syy - sy * sy AS DOUBLE))
+        |    ELSE 0.0 END AS xcorr
+        |FROM s""".stripMargin,
     "ts_autocorr" ->
       """WITH p AS (SELECT event_type,
         |    CAST(value AS DECIMAL(18,2)) AS y,

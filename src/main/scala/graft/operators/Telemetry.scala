@@ -1189,6 +1189,62 @@ object Telemetry {
         when($"forecast".isNotNull, abs($"n_events" - $"forecast")).as("abs_err"))
   }
 
+  /** Lagged cross-correlation between event streams (`ts_xcorr`) —
+    * the "which stream leads which" diagnostic behind alerting
+    * fan-out and capacity coupling: hourly volumes of every stream
+    * pair correlate at lags 0..maxLag, so a spike in stream A that
+    * reappears in stream B two hours later shows as the (A, B, 2)
+    * peak. The inter-series complement of [[autocorr]].
+    *
+    * Volumes gap-fill to a dense hourly calendar first (a missing
+    * hour IS a zero observation — correlating only co-present hours
+    * silently biases r upward), built as types × hour-range, never by
+    * scanning raw events twice. Pearson r assembles from six INTEGER
+    * power sums (volumes are counts, so everything up to the final
+    * num/den is exact long arithmetic — no decimal needed), with one
+    * final double division + sqrt shared shape with the oracle.
+    *
+    * Scale: raw events partial-aggregate to (type, hour) map-side —
+    * the only corpus-sized pass; the checkpointed grid (types × hours
+    * — thousands of rows per year at any corpus size) drives the
+    * lag join, so shuffle after the census is ∝ types² × hours ×
+    * lags, independent of event volume. */
+  def xcorr(spark: SparkSession, dir: String, maxLag: Int = 3): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .select($"event_type", expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+    val b = counts.agg(min($"h"), max($"h")).head()
+    if (b.isNullAt(0)) return spark.emptyDataFrame
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    // dense calendar: consumed by both sides of the lag join —
+    // checkpoint so the census aggregation runs once
+    val grid = counts.select($"event_type").distinct()
+      .crossJoin(spark.range(lo, hi + 1).select($"id".as("h")))
+      .join(counts, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h", coalesce($"n", lit(0L)).as("n"))
+      .localCheckpoint()
+    val stats = grid.as("a")
+      .crossJoin(spark.range(0L, maxLag + 1L).select($"id".as("lag_h")))
+      .join(grid.as("b"),
+        $"b.h" === $"a.h" + $"lag_h" && $"b.event_type" > $"a.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"), $"lag_h")
+      .agg(count(lit(1)).as("n_hours"),
+        sum($"a.n").as("sx"), sum($"b.n").as("sy"),
+        sum($"a.n" * $"b.n").as("sxy"),
+        sum($"a.n" * $"a.n").as("sxx"),
+        sum($"b.n" * $"b.n").as("syy"))
+    val num = $"n_hours" * $"sxy" - $"sx" * $"sy"
+    val denX = $"n_hours" * $"sxx" - $"sx" * $"sx"
+    val denY = $"n_hours" * $"syy" - $"sy" * $"sy"
+    stats.select($"type_a", $"type_b", $"lag_h", $"n_hours",
+      num.as("num"), denX.as("den_x"), denY.as("den_y"),
+      when(denX > 0L && denY > 0L,
+        num.cast(DoubleType) /
+          sqrt(denX.cast(DoubleType) * denY.cast(DoubleType)))
+        .otherwise(lit(0.0d)).as("xcorr"))
+  }
+
   /** Lag-1 autocorrelation per series (`ts_autocorr`): how much does
     * each event-type's value stream remember its previous sample —
     * the first diagnostic a telemetry pipeline runs before choosing

@@ -242,4 +242,36 @@ class Round17Spec extends SparkSpec {
       .head().getDouble(1)
     assert(gx == 0.0)
   }
+
+  test("ts_xcorr: full pair x lag coverage, r in [-1, 1], gap hours count as zeros") {
+    val rows = Telemetry.xcorr(spark, sf).collect()
+    val types = Tables.events(spark, sf).select($"event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    val nPairs = types.length * (types.length - 1) / 2
+    assert(rows.length == nPairs * 4)
+    rows.foreach { r =>
+      val x = r.getDouble(7)
+      assert(x >= -1.0 - 1e-12 && x <= 1.0 + 1e-12)
+      // the overlap shrinks by exactly lag hours
+      assert(r.getLong(3) == rows.map(_.getLong(3)).max - r.getLong(2))
+    }
+    // driver-side recompute for one pair at lag 1 over the dense calendar
+    val hs = Tables.events(spark, sf)
+      .select($"event_type", expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (lo, hi) = (hs.map(_._2).min, hs.map(_._2).max)
+    def series(t: String): Array[Long] = {
+      val m = hs.filter(_._1 == t).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      (lo to hi).map(h => m.getOrElse(h, 0L)).toArray
+    }
+    val (a, b) = (series(types(0)), series(types(1)))
+    val n = a.length - 1
+    val (xs, ys) = (a.dropRight(1), b.drop(1))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val num = n * xs.zip(ys).map { case (x, y) => x * y }.sum - sx * sy
+    val want = rows.find(r => r.getString(0) == types(0) &&
+      r.getString(1) == types(1) && r.getLong(2) == 1L).get
+    assert(want.getLong(4) == num)
+    assert(want.getLong(3) == n)
+  }
 }
