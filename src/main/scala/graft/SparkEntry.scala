@@ -127,6 +127,7 @@ object SparkEntry {
     "q_scd2" -> (Changelog.scd2 _),
     "ts_autocorr" -> (Telemetry.autocorr _),
     "ts_xcorr" -> ((s: SparkSession, d: String) => Telemetry.xcorr(s, d)),
+    "events_alerts" -> ((s: SparkSession, d: String) => Telemetry.alerts(s, d)),
     "events_streak" -> (Telemetry.streaks _),
     "q_running_distinct" -> (Telemetry.runningDistinct _),
     "events_markov" -> (Telemetry.markov _),
@@ -2721,6 +2722,19 @@ object SparkEntry {
          |  FROM y JOIN s ON s.sidx = y.nsidx)
          |SELECT z.anchor_id, z.slot, z.anchor_source, r.doc_id AS neg_id, z.neg_source
          |FROM z JOIN r ON r.source = z.neg_source AND r.rnk = z.rnk""".stripMargin,
+    // quiet-period debounce: an alert emits only when no over-
+    // threshold reading preceded it within the cooldown
+    "events_alerts" ->
+      """WITH r AS (SELECT event_id, user_id, event_type, value,
+        |    CAST((length(event_type) * 7) % 40 + 30 AS BIGINT) AS threshold,
+        |    epoch_us(ts) AS t_us
+        |  FROM events WHERE value > (length(event_type) * 7) % 40 + 30),
+        |l AS (SELECT *, LAG(t_us) OVER (
+        |    PARTITION BY event_type, user_id ORDER BY t_us, event_id) AS prev_us
+        |  FROM r)
+        |SELECT event_id, user_id, event_type, value, threshold, t_us,
+        |  (prev_us IS NULL OR t_us - prev_us > 1800000000) AS emitted
+        |FROM l""".stripMargin,
     // all-integer Pearson over gap-filled hourly volumes; the dense
     // calendar makes missing hours explicit zero observations
     "ts_xcorr" ->

@@ -1189,6 +1189,36 @@ object Telemetry {
         when($"forecast".isNotNull, abs($"n_events" - $"forecast")).as("abs_err"))
   }
 
+  /** Debounced threshold alerting (`events_alerts`) — the paging rule
+    * every monitoring pipeline ends in: a reading over its stream's
+    * threshold raises an alert, but repeats inside the cooldown are
+    * suppressed (quiet-period debounce: an alert emits only when no
+    * over-threshold reading preceded it within `cooldownSecs` on the
+    * same (stream, device) timeline). Thresholds come from a
+    * deterministic per-stream config rule (the port_config pattern —
+    * a stand-in for a broadcast rules dimension).
+    *
+    * Scale shape: the threshold predicate is scan-local and pushes
+    * the corpus down to the alert subset BEFORE the only exchange;
+    * the debounce is one lag over the (stream, device) window —
+    * O(1) state per timeline, and the window input is alerts, never
+    * the full stream. Ties pin to (ts, event_id), the engine's
+    * standard total order. */
+  def alerts(spark: SparkSession, dir: String, cooldownSecs: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val coolUs = cooldownSecs * 1000000L
+    val thr = (length($"event_type").cast(LongType) * 7L) % 40L + 30L
+    val w = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"t_us".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .filter($"value" > thr.cast(DoubleType))
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        thr.as("threshold"), unix_micros($"ts").as("t_us"))
+      .withColumn("prev_us", lag($"t_us", 1).over(w))
+      .select($"event_id", $"user_id", $"event_type", $"value", $"threshold", $"t_us",
+        ($"prev_us".isNull || $"t_us" - $"prev_us" > coolUs).as("emitted"))
+  }
+
   /** Lagged cross-correlation between event streams (`ts_xcorr`) —
     * the "which stream leads which" diagnostic behind alerting
     * fan-out and capacity coupling: hourly volumes of every stream

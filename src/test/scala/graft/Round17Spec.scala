@@ -274,4 +274,28 @@ class Round17Spec extends SparkSpec {
     assert(want.getLong(4) == num)
     assert(want.getLong(3) == n)
   }
+
+  test("events_alerts: debounce emits on quiet gaps only; threshold pushes to the scan") {
+    val df = Telemetry.alerts(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every row is over its stream's threshold
+    rows.foreach(r => assert(r.getDouble(3) > r.getLong(4).toDouble))
+    // per timeline: first alert emits; later ones emit iff the gap
+    // from the PREVIOUS alert exceeds the cooldown
+    val cool = 1800L * 1000000L
+    rows.groupBy(r => (r.getString(2), r.getLong(1))).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getLong(5), r.getLong(0)))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val want = i == 0 || r.getLong(5) - sorted(i - 1).getLong(5) > cool
+        assert(r.getBoolean(6) == want)
+      }
+    }
+    // the threshold predicate must reach the parquet scan as a filter
+    // below the window exchange (the corpus shrinks BEFORE shuffling)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanToExchange = plan.split("Exchange").last
+    assert(scanToExchange.contains("Filter") || plan.contains("PushedFilters"),
+      "no filter below the exchange - the full stream would shuffle")
+  }
 }
