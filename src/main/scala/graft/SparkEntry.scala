@@ -295,6 +295,9 @@ object SparkEntry {
     // batch-2 signups must retroactively legitimize batch-1 purchases
     "stream_funnel" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamFunnel.streamedFunnel(s, d)),
+    // a batch-2 alert must see batch-1 state to suppress correctly
+    "stream_alerts" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamAlerts.streamedAlerts(s, d)),
   )
 
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
@@ -442,6 +445,23 @@ object SparkEntry {
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
       |  FROM orders GROUP BY o_custkey, o_orderdate) d
       |ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate""".stripMargin
+
+  /** Shared by `events_alerts` and its streaming twin `stream_alerts`
+    * — quiet-period debounce: an alert emits only when no
+    * over-threshold reading preceded it within the cooldown; the
+    * O(1)-per-timeline streaming state must equal the batch LAG
+    * window bit-for-bit. */
+  private val alertsSql: String =
+    """WITH r AS (SELECT event_id, user_id, event_type, value,
+      |    CAST((length(event_type) * 7) % 40 + 30 AS BIGINT) AS threshold,
+      |    epoch_us(ts) AS t_us
+      |  FROM events WHERE value > (length(event_type) * 7) % 40 + 30),
+      |l AS (SELECT *, LAG(t_us) OVER (
+      |    PARTITION BY event_type, user_id ORDER BY t_us, event_id) AS prev_us
+      |  FROM r)
+      |SELECT event_id, user_id, event_type, value, threshold, t_us,
+      |  (prev_us IS NULL OR t_us - prev_us > 1800000000) AS emitted
+      |FROM l""".stripMargin
 
   /** Shared by `events_funnel` and its streaming twin `stream_funnel`
     * — the per-user state fold (with retroactive promotion when an
@@ -2722,19 +2742,8 @@ object SparkEntry {
          |  FROM y JOIN s ON s.sidx = y.nsidx)
          |SELECT z.anchor_id, z.slot, z.anchor_source, r.doc_id AS neg_id, z.neg_source
          |FROM z JOIN r ON r.source = z.neg_source AND r.rnk = z.rnk""".stripMargin,
-    // quiet-period debounce: an alert emits only when no over-
-    // threshold reading preceded it within the cooldown
-    "events_alerts" ->
-      """WITH r AS (SELECT event_id, user_id, event_type, value,
-        |    CAST((length(event_type) * 7) % 40 + 30 AS BIGINT) AS threshold,
-        |    epoch_us(ts) AS t_us
-        |  FROM events WHERE value > (length(event_type) * 7) % 40 + 30),
-        |l AS (SELECT *, LAG(t_us) OVER (
-        |    PARTITION BY event_type, user_id ORDER BY t_us, event_id) AS prev_us
-        |  FROM r)
-        |SELECT event_id, user_id, event_type, value, threshold, t_us,
-        |  (prev_us IS NULL OR t_us - prev_us > 1800000000) AS emitted
-        |FROM l""".stripMargin,
+    "events_alerts" -> alertsSql,
+    "stream_alerts" -> alertsSql,
     // all-integer Pearson over gap-filled hourly volumes; the dense
     // calendar makes missing hours explicit zero observations
     "ts_xcorr" ->

@@ -298,4 +298,29 @@ class Round17Spec extends SparkSpec {
     assert(scanToExchange.contains("Filter") || plan.contains("PushedFilters"),
       "no filter below the exchange - the full stream would shuffle")
   }
+
+  test("stream_alerts equals the batch debounce; a cross-batch suppression exists") {
+    val batch = Telemetry.alerts(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    val streamed = graft.streaming.StreamAlerts.streamedAlerts(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // non-vacuity: some suppressed batch-2 alert depends on batch-1
+    // state (its predecessor sits on the other side of the median cut)
+    val rows = Telemetry.alerts(spark, sf).collect()
+      .map(r => (r.getString(2), r.getLong(1), r.getLong(5), r.getBoolean(6)))
+    val cut = {
+      val ts = rows.map(_._3)
+      (ts.min + ts.max) / 2
+    }
+    val straddling = rows.groupBy(r => (r._1, r._2)).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(_._3)
+      sorted.zip(sorted.tail).filter { case (a, b) => a._3 <= cut && b._3 > cut }
+    }
+    assert(straddling.nonEmpty,
+      "no alert pair straddles the staged cut - cross-batch state is never read")
+    // where the straddling gap is inside the cooldown, state MUST suppress
+    straddling.filter { case (a, b) => b._3 - a._3 <= 1800L * 1000000L }
+      .foreach { case (_, b) => assert(!b._4, "cross-batch suppression failed") }
+  }
 }
