@@ -185,6 +185,7 @@ object SparkEntry {
     "sample_split" -> (TextAnalysis.sampleSplit _),
     "sample_negative" -> ((s: SparkSession, d: String) => Curation.sampleNegative(s, d)),
     "text_hashvec" -> ((s: SparkSession, d: String) => TextAnalysis.hashVec(s, d)),
+    "text_topics" -> ((s: SparkSession, d: String) => TextAnalysis.topics(s, d)),
     "text_gopher" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "corpus_select" -> ((s: SparkSession, d: String) => TextAnalysis.corpusSelect(s, d)),
     "text_dsir" -> ((s: SparkSession, d: String) => TextAnalysis.dsir(s, d)),
@@ -1576,6 +1577,39 @@ object SparkEntry {
          |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
          |  FROM documents) u) t
          |GROUP BY source, bucket""".stripMargin,
+    // the embed_kmeans CTE chain re-played over hashed TF vectors:
+    // same seeding, same fold-exact distance, same (d, cid) argmin
+    "text_topics" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents),
+         |tb AS (SELECT doc_id, ${ph("term")} % 64 AS b, COUNT(*) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |ids AS (SELECT DISTINCT doc_id FROM tb),
+         |cell AS (SELECT i.doc_id, r.i, CAST(COALESCE(tb.tf, 0) AS BIGINT) AS x
+         |  FROM ids i CROSS JOIN range(0, 64) r(i)
+         |  LEFT JOIN tb ON tb.doc_id = i.doc_id AND tb.b = r.i),
+         |q AS (SELECT doc_id, list(x ORDER BY i) AS qv FROM cell GROUP BY doc_id),
+         |qd AS (SELECT doc_id, qv, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dvv FROM q),
+         |seeds AS (SELECT doc_id AS cid, list_transform(qv, v -> CAST(v AS DOUBLE)) AS cvec
+         |  FROM q WHERE doc_id < 4),
+         |d1 AS (SELECT a.doc_id, a.qv, s.cid, ${kmDist("a.dvv", "s.cvec")} AS d
+         |  FROM qd a CROSS JOIN seeds s),
+         |a1 AS (SELECT doc_id, qv, cid AS c1 FROM (
+         |  SELECT doc_id, qv, cid,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn FROM d1) x
+         |  WHERE rn = 1),
+         |m2 AS (SELECT c1 AS cid, pos, CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean
+         |  FROM (SELECT c1, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1) e
+         |  GROUP BY cid, pos),
+         |c2 AS (SELECT cid, list(mean ORDER BY pos) AS cvec FROM m2 GROUP BY cid),
+         |d2 AS (SELECT a.doc_id, a.c1, c.cid, ${kmDist("a.dv2", "c.cvec")} AS d
+         |  FROM (SELECT doc_id, c1, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv2 FROM a1) a
+         |  CROSS JOIN c2 c),
+         |ka AS (SELECT doc_id, c1, cid AS cluster FROM (
+         |  SELECT doc_id, c1, cid,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn FROM d2) y
+         |  WHERE rn = 1)
+         |SELECT doc_id, c1, cluster, (c1 <> cluster) AS moved FROM ka""".stripMargin,
     "corpus_select" ->
       """WITH s AS (
         |  SELECT doc_id,

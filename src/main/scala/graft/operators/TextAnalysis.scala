@@ -653,4 +653,59 @@ object TextAnalysis {
           $"corpus_evidence".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"n_target")
       .select($"doc_id", $"n_terms", $"target_evidence", $"corpus_evidence", $"selected")
   }
+
+  /** Corpus topic clustering (`text_topics`) — k-means over hashed
+    * term-frequency vectors, straight from raw text with no embedding
+    * model in the loop: each document becomes a 64-bucket integer TF
+    * vector (hashing-trick vectorizer, the text_hashvec recipe at
+    * document grain) and clusters with the SAME engine-exact k-means
+    * as embed_kmeans (integer coordinates, fold-exact SqDistLD,
+    * deterministic (d, cid) argmin, exact long-sum centroid means).
+    * This is the cluster-balanced-curation stage of a training
+    * pipeline (sample evenly across topics, cap over-represented
+    * ones) for corpora that do not have embeddings yet.
+    *
+    * Scale: tokenization and bucket hashing are scan-local; the TF
+    * census partial-aggregates to (doc, bucket) map-side; vector
+    * assembly is one groupBy per document (64 cells each); every
+    * assignment pass broadcasts k centroids over one corpus scan and
+    * the recenter is a partial-aggregated (cluster, dim) reduction —
+    * identical altitude to the embedding k-means, which is exactly
+    * the point: text needs no special-case clustering path. */
+  def topics(spark: SparkSession, dir: String, k: Int = 4, iters: Int = 2,
+      buckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(iters >= 1, "topics needs at least one assignment round")
+    val q = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
+      .groupBy($"doc_id", pmod(HashFns.polyHash($"term"), lit(buckets.toLong)).as("b"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"b", $"tf"))).as("m"))
+      .select($"doc_id",
+        transform(sequence(lit(0L), lit(buckets - 1L)),
+          i => coalesce(element_at($"m", i), lit(0L))).as("qv"))
+    def sqDist(a: Column, b: Column): Column =
+      graft.plans.VecExprs.sqDistLDCol(a, b)
+    def assign(cents: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cents))
+        .select($"doc_id", $"qv",
+          struct(sqDist($"qv", $"cvec").as("d"), $"cid".as("c")).as("s"))
+        .groupBy($"doc_id", $"qv").agg(min($"s").getField("c").as("cluster"))
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned.select($"cluster".as("cid"), posexplode($"qv").as(Seq("pos", "v")))
+        .groupBy($"cid", $"pos")
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .withColumn("mean", $"s".cast(DoubleType) / $"n".cast(DoubleType))
+        .groupBy($"cid")
+        .agg(transform(sort_array(collect_list(struct($"pos", $"mean"))),
+          _.getField("mean")).as("cvec"))
+    val seeds = q.filter($"doc_id" < k)
+      .select($"doc_id".as("cid"), transform($"qv", _.cast(DoubleType)).as("cvec"))
+    val first = assign(seeds)
+    val last = (1 until iters).foldLeft(first)((a, _) => assign(recenter(a)))
+    first.select($"doc_id", $"cluster".as("c1"))
+      .join(last.select($"doc_id", $"cluster"), "doc_id")
+      .select($"doc_id", $"c1", $"cluster", ($"c1" =!= $"cluster").as("moved"))
+  }
 }

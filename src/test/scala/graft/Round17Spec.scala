@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relational, Similarity, Telemetry}
+import graft.operators.{Relational, Similarity, Telemetry, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-7 additions, sixth batch: exact bitmap audience algebra,
@@ -322,5 +322,20 @@ class Round17Spec extends SparkSpec {
     // where the straddling gap is inside the cooldown, state MUST suppress
     straddling.filter { case (a, b) => b._3 - a._3 <= 1800L * 1000000L }
       .foreach { case (_, b) => assert(!b._4, "cross-batch suppression failed") }
+  }
+
+  test("text_topics: full assignment, seeds self-elect in round 1, moved is the delta") {
+    val rows = TextAnalysis.topics(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_._2).toSet.subsetOf((0L until 4L).toSet))
+    assert(rows.map(_._3).toSet.subsetOf((0L until 4L).toSet))
+    // each seed is its own nearest centroid in the first round
+    rows.filter(_._1 < 4).foreach { case (id, c1, _, _) => assert(c1 == id) }
+    rows.foreach { case (_, c1, c2, moved) => assert(moved == (c1 != c2)) }
+    // the TF vectorization must produce a nonzero vector for the corpus
+    // (all-zero vectors would collapse every doc onto cluster 0)
+    assert(rows.map(_._3).distinct.length > 1, "clustering collapsed to one topic")
   }
 }
