@@ -186,6 +186,7 @@ object SparkEntry {
     "sample_negative" -> ((s: SparkSession, d: String) => Curation.sampleNegative(s, d)),
     "text_hashvec" -> ((s: SparkSession, d: String) => TextAnalysis.hashVec(s, d)),
     "text_topics" -> ((s: SparkSession, d: String) => TextAnalysis.topics(s, d)),
+    "text_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     "text_gopher" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "corpus_select" -> ((s: SparkSession, d: String) => TextAnalysis.corpusSelect(s, d)),
     "text_dsir" -> ((s: SparkSession, d: String) => TextAnalysis.dsir(s, d)),
@@ -572,6 +573,34 @@ object SparkEntry {
   /** DuckDB fragment: fold-exact squared L2 between two DOUBLE lists
     * (mirrors Similarity.kmeans' sqDist — same sequential order). */
   private def kmDist(a: String, b: String): String = kmDistN(a, b, 64)
+
+  /** One BPE training round as DuckDB CTEs: pair census over the
+    * previous round's symbol table, lexicographic-tiebreak argmax,
+    * then the greedy rewrite via the run-parity rule — within a
+    * maximal run of consecutive match positions, greedy left-to-right
+    * merges exactly the even offsets (merging i consumes i+1), so
+    * islands + row parity reproduce the native scan's selection. */
+  private def bpeRoundCtes(r: Int): String = {
+    val prev = if (r == 1) "s0" else s"s${r - 1}"
+    s"""e$r AS (SELECT word, freq, syms, unnest(syms) AS sym,
+       |    CAST(generate_subscripts(syms, 1) AS BIGINT) AS i FROM $prev),
+       |p$r AS (SELECT sym AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS n
+       |  FROM e$r WHERE i < len(syms) GROUP BY 1, 2),
+       |t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+       |mm$r AS (SELECT e.word, e.i FROM e$r e CROSS JOIN t$r t
+       |  WHERE e.i < len(e.syms) AND e.sym = t.a AND e.syms[e.i + 1] = t.b),
+       |kk$r AS (SELECT word, list(i) AS ks FROM (
+       |  SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+       |  FROM (SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+       |        FROM mm$r) g) h
+       |  WHERE (rn - 1) % 2 = 0 GROUP BY word),
+       |s$r AS (SELECT e.word, MAX(e.freq) AS freq,
+       |    list(CASE WHEN list_contains(COALESCE(k.ks, []::BIGINT[]), e.i)
+       |              THEN e.sym || e.syms[e.i + 1] ELSE e.sym END ORDER BY e.i)
+       |      FILTER (WHERE NOT list_contains(COALESCE(k.ks, []::BIGINT[]), e.i - 1)) AS syms
+       |  FROM e$r e LEFT JOIN kk$r k ON k.word = e.word
+       |  GROUP BY e.word)""".stripMargin
+  }
 
   /** Fixed-order squared L2 over the first `n` coordinates — the
     * DuckDB replay of the native SqDistLD fold (index order 0..n−1,
@@ -1610,6 +1639,21 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn FROM d2) y
          |  WHERE rn = 1)
          |SELECT doc_id, c1, cluster, (c1 <> cluster) AS moved FROM ka""".stripMargin,
+    // the full training trajectory gates: three chained census +
+    // greedy-rewrite rounds, rewrite via the run-parity rule
+    "text_bpe_train" ->
+      s"""WITH w AS (SELECT word, COUNT(*) AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+         |    FROM documents) u
+         |  WHERE regexp_matches(word, '^[\\x21-\\x7e]+$$') GROUP BY word),
+         |s0 AS (SELECT word, freq, regexp_split_to_array(word, '') AS syms FROM w),
+         |${bpeRoundCtes(1)},
+         |${bpeRoundCtes(2)},
+         |${bpeRoundCtes(3)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, a AS sym_a, b AS sym_b, n AS n_merged FROM t1
+         |  UNION ALL SELECT 2, a, b, n FROM t2
+         |  UNION ALL SELECT 3, a, b, n FROM t3) m""".stripMargin,
     "corpus_select" ->
       """WITH s AS (
         |  SELECT doc_id,

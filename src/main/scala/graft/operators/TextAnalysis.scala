@@ -654,6 +654,58 @@ object TextAnalysis {
       .select($"doc_id", $"n_terms", $"target_evidence", $"corpus_evidence", $"selected")
   }
 
+  /** BPE tokenizer TRAINER (`text_bpe_train`) — the iterated merge
+    * loop that [[bpePairs]]'s single census round feeds: each round
+    * elects the highest-frequency adjacent symbol pair across the
+    * corpus (ties break lexicographically) and rewrites every word
+    * with that pair collapsed (greedy left-to-right, the native
+    * [[graft.plans.Bpe]] expression), exactly the algorithm that
+    * produces a production BPE vocabulary. Output is the learned
+    * merge table itself — the tokenizer artifact — so the oracle
+    * gates the training trajectory, not just one census.
+    *
+    * The census runs over the DISTINCT-WORD table weighted by corpus
+    * frequency: at 100 TB the per-round shuffle is ∝ vocabulary (the
+    * word census pays the corpus scan ONCE, up front), each rewrite
+    * is scan-local over that checkpointed vocabulary, and the elected
+    * pair is a one-row driver reduction per round — the codebook
+    * pattern. Training restricts to printable-ASCII words: a
+    * code-unit (JVM) vs code-point (DuckDB) character split would
+    * diverge on non-BMP input, and real trainers operate on bytes —
+    * the ASCII filter is the deterministic stand-in, applied with the
+    * same regex in both engines. */
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens($"text")).as("word"))
+      .filter($"word".rlike("^[\\x21-\\x7e]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      // split keeps the zero-width match at end-of-string as a
+      // trailing "" (limit -1) — drop it or every word grows a
+      // phantom (last-char, "") pair
+      .select(filter(split($"word", "(?!^)"), s => length(s) > 0).as("syms"), $"freq")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      // sequence(0, size-2) REVERSES when size == 1 — guard the
+      // single-symbol words out before the adjacency explode
+      val top = words.filter(size($"syms") >= 2)
+        .select($"freq", explode(transform(sequence(lit(0), size($"syms") - 2),
+          i => struct(element_at($"syms", i + 1).as("a"),
+            element_at($"syms", i + 2).as("b")))).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"a".asc, $"b".asc)
+        .limit(1).head()
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r.toLong, a, b, n))
+      words = words
+        .withColumn("syms", graft.plans.Bpe.mergePair($"syms", lit(a), lit(b)))
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "n_merged")
+  }
+
   /** Corpus topic clustering (`text_topics`) — k-means over hashed
     * term-frequency vectors, straight from raw text with no embedding
     * model in the loop: each document becomes a 64-bucket integer TF

@@ -338,4 +338,53 @@ class Round17Spec extends SparkSpec {
     // (all-zero vectors would collapse every doc onto cluster 0)
     assert(rows.map(_._3).distinct.length > 1, "clustering collapsed to one topic")
   }
+
+  test("bpe merge: greedy left-to-right equals the run-parity rule on engineered runs") {
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      (Seq("a", "b", "a", "b"), "a", "b", Seq("ab", "ab")),
+      (Seq("x", "a", "b", "y"), "a", "b", Seq("x", "ab", "y")),
+      (Seq("a", "b"), "b", "a", Seq("a", "b")),
+      (Seq("q"), "a", "b", Seq("q")))
+    val df = cases.zipWithIndex
+      .map { case ((syms, a, b, _), i) => (i, syms, a, b) }
+      .toDF("i", "syms", "a", "b")
+      .select($"i", graft.plans.Bpe.mergePair($"syms", $"a", $"b").as("out"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    cases.zipWithIndex.foreach { case ((_, _, _, want), i) =>
+      assert(df(i) == want, s"case $i")
+    }
+  }
+
+  test("text_bpe_train: the merge trajectory matches a sequential driver recompute") {
+    val got = TextAnalysis.bpeTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.length == 3)
+    // sequential reference implementation
+    var words = Tables.documents(spark, sf)
+      .select(explode(split(lower($"text"), "\\s+")).as("w")).collect()
+      .map(_.getString(0)).filter(_.matches("^[\\x21-\\x7e]+$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .map { case (w, f) => (w.toCharArray.map(_.toString).toSeq, f) }.toSeq
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1L to 3L) {
+      val census = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (s, f) =>
+        s.zip(s.tail).foreach(p => census(p) = census.getOrElse(p, 0L) + f)
+      }
+      val ((a, b), n) = census.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      merges += ((r, a, b, n))
+      words = words.map { case (s, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        (out.toSeq, f)
+      }
+    }
+    assert(got.toSeq == merges.toSeq)
+  }
 }
