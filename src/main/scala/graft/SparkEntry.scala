@@ -187,6 +187,7 @@ object SparkEntry {
     "text_hashvec" -> ((s: SparkSession, d: String) => TextAnalysis.hashVec(s, d)),
     "text_topics" -> ((s: SparkSession, d: String) => TextAnalysis.topics(s, d)),
     "text_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
+    "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
     "text_gopher" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "corpus_select" -> ((s: SparkSession, d: String) => TextAnalysis.corpusSelect(s, d)),
     "text_dsir" -> ((s: SparkSession, d: String) => TextAnalysis.dsir(s, d)),
@@ -1654,6 +1655,25 @@ object SparkEntry {
          |  SELECT CAST(1 AS BIGINT) AS round, a AS sym_a, b AS sym_b, n AS n_merged FROM t1
          |  UNION ALL SELECT 2, a, b, n FROM t2
          |  UNION ALL SELECT 3, a, b, n FROM t3) m""".stripMargin,
+    // the artifact applied: per-doc fertility through the trained
+    // final symbol table; out-of-domain words pass through as 1 token
+    "text_bpe_encode" ->
+      s"""WITH w AS (SELECT word, COUNT(*) AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+         |    FROM documents) u
+         |  WHERE regexp_matches(word, '^[\\x21-\\x7e]+$$') GROUP BY word),
+         |s0 AS (SELECT word, freq, regexp_split_to_array(word, '') AS syms FROM w),
+         |${bpeRoundCtes(1)},
+         |${bpeRoundCtes(2)},
+         |${bpeRoundCtes(3)},
+         |wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS wlen FROM s3),
+         |dw AS (SELECT doc_id, word, COUNT(*) AS n FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+         |    FROM documents) u GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+         |  CAST(SUM(n * COALESCE(wlen, 1)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(n * COALESCE(wlen, 1)) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS fertility
+         |FROM dw LEFT JOIN wl USING (word) GROUP BY doc_id""".stripMargin,
     "corpus_select" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -674,7 +674,10 @@ object TextAnalysis {
     * diverge on non-BMP input, and real trainers operate on bytes —
     * the ASCII filter is the deterministic stand-in, applied with the
     * same regex in both engines. */
-  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+  /** The shared training core: returns the merge trajectory and the
+    * final (word, freq, syms) vocabulary table. */
+  private def bpeCore(spark: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     import spark.implicits._
     var words = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens($"text")).as("word"))
@@ -683,7 +686,8 @@ object TextAnalysis {
       // split keeps the zero-width match at end-of-string as a
       // trailing "" (limit -1) — drop it or every word grows a
       // phantom (last-char, "") pair
-      .select(filter(split($"word", "(?!^)"), s => length(s) > 0).as("syms"), $"freq")
+      .select($"word",
+        filter(split($"word", "(?!^)"), s => length(s) > 0).as("syms"), $"freq")
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (r <- 1 to rounds) {
@@ -703,7 +707,42 @@ object TextAnalysis {
         .withColumn("syms", graft.plans.Bpe.mergePair($"syms", lit(a), lit(b)))
         .localCheckpoint()
     }
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "n_merged")
+    (merges.toSeq, words)
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    bpeCore(spark, dir, rounds)._1.toDF("round", "sym_a", "sym_b", "n_merged")
+  }
+
+  /** Apply the trained merges back to the corpus
+    * (`text_bpe_encode`) — the artifact-consumption half of the
+    * trainer: every document's whitespace words encode through the
+    * final symbol table and the per-document FERTILITY (BPE tokens
+    * per word — the number every context-window budget and
+    * tokens-per-byte cost model is built on) reports alongside the
+    * exact counts. Words outside the trained (ASCII) domain pass
+    * through as single tokens, the same boundary the trainer draws.
+    *
+    * Scale: the vocabulary (word → symbol count) is vocabulary-sized
+    * and joins the per-(doc, word) census — shuffle ∝ distinct
+    * (doc, word) pairs, the corpus scan paid once beyond training;
+    * at 100 TB the vocab side broadcasts (AQE) and encoding is
+    * effectively scan-local. */
+  def bpeEncode(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vocab = bpeCore(spark, dir, rounds)._2
+      .select($"word", size($"syms").cast(LongType).as("wlen"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
+      .join(vocab, Seq("word"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_words"),
+        sum($"n" * coalesce($"wlen", lit(1L))).as("n_bpe_tokens"))
+      .select($"doc_id", $"n_words", $"n_bpe_tokens",
+        ($"n_bpe_tokens".cast(DoubleType) / $"n_words".cast(DoubleType))
+          .as("fertility"))
   }
 
   /** Corpus topic clustering (`text_topics`) — k-means over hashed

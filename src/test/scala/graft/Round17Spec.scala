@@ -387,4 +387,21 @@ class Round17Spec extends SparkSpec {
     }
     assert(got.toSeq == merges.toSeq)
   }
+
+  test("text_bpe_encode: fertility shrinks with merges and bounds hold per doc") {
+    val rows = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    rows.foreach { case (_, nw, nb, f) =>
+      assert(nb >= nw, "a word encodes to >= 1 token")
+      assert(f == nb.toDouble / nw.toDouble)
+    }
+    // three merges must actually compress: total BPE tokens < total chars
+    val totalChars = Tables.documents(spark, sf)
+      .select(sum(length(regexp_replace(lower($"text"), "\\s+", ""))))
+      .head().getLong(0)
+    assert(rows.map(_._3).sum < totalChars,
+      "encoding must beat the char-level baseline after 3 merges")
+  }
 }
