@@ -154,6 +154,7 @@ object SparkEntry {
     "graph_degrees" -> ((s: SparkSession, d: String) => Dedup.degreeDist(s, d)),
     "graph_cneighbors" -> ((s: SparkSession, d: String) => Dedup.commonNeighbors(s, d)),
     "graph_reach" -> ((s: SparkSession, d: String) => Dedup.reach(s, d)),
+    "graph_modularity" -> ((s: SparkSession, d: String) => Dedup.modularity(s, d)),
     // E. similarity search
     "ann_brute" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "embed_knn_eval" -> ((s: SparkSession, d: String) => Similarity.knnEval(s, d)),
@@ -1178,6 +1179,19 @@ object SparkEntry {
          |  UNION ALL SELECT node, 2 FROM f2
          |  UNION ALL SELECT node, 3 FROM f3) lv
          |GROUP BY node""".stripMargin,
+    // component partition ⇒ every edge internal ⇒ Q = 1 − Σ(D_c/2m)²;
+    // integer counts + one double division with the same shape
+    "graph_modularity" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |deg AS (SELECT u AS node, COUNT(*) AS d FROM e GROUP BY u),
+         |mm AS (SELECT COUNT(*) AS m FROM vp),
+         |comp AS (SELECT cc.cluster_id, COUNT(*) AS n_nodes,
+         |    CAST(SUM(deg.d) AS BIGINT) AS deg_sum
+         |  FROM cc JOIN deg ON deg.node = cc.doc_id GROUP BY 1)
+         |SELECT cluster_id, n_nodes, deg_sum, deg_sum // 2 AS n_edges,
+         |  deg_sum * deg_sum AS dsq,
+         |  CAST(deg_sum * deg_sum AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE) AS share
+         |FROM comp CROSS JOIN mm""".stripMargin,
     "graph_cneighbors" ->
       s"""WITH $minhashPairsCtes,
          |e AS (SELECT doc_a AS u, doc_b AS v FROM vp UNION ALL SELECT doc_b, doc_a FROM vp),

@@ -521,6 +521,39 @@ object Dedup {
       .groupBy($"node".as("doc_id")).agg(min($"hops").as("hops"))
   }
 
+  /** Component-partition modularity profile (`graph_modularity`) —
+    * the structural read on the duplicate graph the cluster family
+    * resolves: per component, node count, degree mass D_c and
+    * internal edge count, plus each component's share D_c²/(2m)² of
+    * the modularity penalty. Under the component partition every edge
+    * is internal, so Q = 1 − Σ_c (D_c/2m)² — a share concentrated in
+    * one giant component (share → 1, Q → 0) means the "duplicate
+    * clusters" are really one hairball and cluster-level policies
+    * (keep one per cluster) are about to delete most of the corpus;
+    * many small balanced components is the healthy profile. All
+    * counts and D_c² are exact integers; the share divides once in
+    * double with the same literal shape as the oracle.
+    *
+    * Scale: degrees and component sums are partial-aggregated
+    * reductions over the pair list (shuffle ∝ nodes); m is a one-row
+    * driver reduction; nothing touches raw documents. */
+  def modularity(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
+    import spark.implicits._
+    val vp = cachedPairs(spark, dir).select($"doc_a", $"doc_b")
+    val e = vp.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(vp.select($"doc_b".as("u"), $"doc_a".as("v")))
+    val deg = e.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+    val m = vp.count()
+    deg.join(componentLabels(spark, dir, maxIters), "node")
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"d").as("deg_sum"))
+      .select($"cluster_id", $"n_nodes", $"deg_sum",
+        expr("deg_sum DIV 2").as("n_edges"),
+        ($"deg_sum" * $"deg_sum").as("dsq"),
+        (($"deg_sum" * $"deg_sum").cast(DoubleType) /
+          lit(4L * m * m).cast(DoubleType)).as("share"))
+  }
+
   /** The dedup pipeline's actual OUTPUT: the corpus with every
     * non-keeper cluster member dropped — keepers and never-paired
     * documents survive. A left-anti join against the (tiny relative

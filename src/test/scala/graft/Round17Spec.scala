@@ -404,4 +404,35 @@ class Round17Spec extends SparkSpec {
     assert(rows.map(_._3).sum < totalChars,
       "encoding must beat the char-level baseline after 3 merges")
   }
+
+  test("scan-once guards: bitmap words and xcorr calendar read checkpoints, not parquet") {
+    // the words/calendar checkpoints are the scan-once contract: the
+    // final plan must consume them, never re-derive from the parquet
+    // scan (a regression here re-scans the corpus per consumer)
+    for ((name, df) <- Seq(
+        "q_bitmap_audience" -> Relational.qBitmapAudience(spark, sf),
+        "ts_xcorr" -> Telemetry.xcorr(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("FileScan parquet") && !plan.contains("Scan parquet"),
+        s"$name: final plan re-scans parquet instead of the checkpoint")
+    }
+  }
+
+  test("graph_modularity: shares sum to <= 1, edge accounting closes, dsq exact") {
+    val rows = operators.Dedup.modularity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // every edge is internal under the component partition
+    val m = rows.map(_._4).sum
+    assert(rows.map(_._3).sum == 2 * m, "degree mass must be twice the edges")
+    rows.foreach { case (_, nn, ds, ne, dsq, share) =>
+      assert(ds == 2 * ne)
+      assert(dsq == ds * ds)
+      assert(nn >= 2, "a component needs at least one edge = two nodes")
+      assert(share == dsq.toDouble / (4L * m * m).toDouble)
+    }
+    val q = 1.0 - rows.map(_._6).sum
+    assert(q >= 0.0 && q < 1.0)
+  }
 }
