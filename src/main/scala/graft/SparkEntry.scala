@@ -128,6 +128,7 @@ object SparkEntry {
     "ts_autocorr" -> (Telemetry.autocorr _),
     "ts_xcorr" -> ((s: SparkSession, d: String) => Telemetry.xcorr(s, d)),
     "events_alerts" -> ((s: SparkSession, d: String) => Telemetry.alerts(s, d)),
+    "events_dispersion" -> (Telemetry.dispersion _),
     "events_streak" -> (Telemetry.streaks _),
     "q_running_distinct" -> (Telemetry.runningDistinct _),
     "events_markov" -> (Telemetry.markov _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "sample_negative" -> ((s: SparkSession, d: String) => Curation.sampleNegative(s, d)),
     "text_hashvec" -> ((s: SparkSession, d: String) => TextAnalysis.hashVec(s, d)),
     "text_topics" -> ((s: SparkSession, d: String) => TextAnalysis.topics(s, d)),
+    "corpus_topic_balance" -> (TextAnalysis.topicBalance _),
     "text_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
     "text_gopher" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
@@ -575,6 +577,41 @@ object SparkEntry {
   /** DuckDB fragment: fold-exact squared L2 between two DOUBLE lists
     * (mirrors Similarity.kmeans' sqDist — same sequential order). */
   private def kmDist(a: String, b: String): String = kmDistN(a, b, 64)
+
+  /** DuckDB CTE chain replaying TextAnalysis.topics (k=4, 2 rounds)
+    * down to `ka(doc_id, c1, cluster)` — shared by the text_topics
+    * oracle and the corpus_topic_balance contingency so both gate
+    * the same clustering. */
+  private def topicsAssignCtes: String =
+    s"""toks AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents),
+       |tb AS (SELECT doc_id, ${ph("term")} % 64 AS b, COUNT(*) AS tf
+       |  FROM toks GROUP BY 1, 2),
+       |ids AS (SELECT DISTINCT doc_id FROM tb),
+       |cell AS (SELECT i.doc_id, r.i, CAST(COALESCE(tb.tf, 0) AS BIGINT) AS x
+       |  FROM ids i CROSS JOIN range(0, 64) r(i)
+       |  LEFT JOIN tb ON tb.doc_id = i.doc_id AND tb.b = r.i),
+       |q AS (SELECT doc_id, list(x ORDER BY i) AS qv FROM cell GROUP BY doc_id),
+       |qd AS (SELECT doc_id, qv, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dvv FROM q),
+       |seeds AS (SELECT doc_id AS cid, list_transform(qv, v -> CAST(v AS DOUBLE)) AS cvec
+       |  FROM q WHERE doc_id < 4),
+       |d1 AS (SELECT a.doc_id, a.qv, s.cid, ${kmDist("a.dvv", "s.cvec")} AS d
+       |  FROM qd a CROSS JOIN seeds s),
+       |a1 AS (SELECT doc_id, qv, cid AS c1 FROM (
+       |  SELECT doc_id, qv, cid,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn FROM d1) x
+       |  WHERE rn = 1),
+       |m2 AS (SELECT c1 AS cid, pos, CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean
+       |  FROM (SELECT c1, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1) e
+       |  GROUP BY cid, pos),
+       |c2 AS (SELECT cid, list(mean ORDER BY pos) AS cvec FROM m2 GROUP BY cid),
+       |d2 AS (SELECT a.doc_id, a.c1, c.cid, ${kmDist("a.dv2", "c.cvec")} AS d
+       |  FROM (SELECT doc_id, c1, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv2 FROM a1) a
+       |  CROSS JOIN c2 c),
+       |ka AS (SELECT doc_id, c1, cid AS cluster FROM (
+       |  SELECT doc_id, c1, cid,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn FROM d2) y
+       |  WHERE rn = 1)""".stripMargin
 
   /** One BPE training round as DuckDB CTEs: pair census over the
     * previous round's symbol table, lexicographic-tiebreak argmax,
@@ -1624,36 +1661,24 @@ object SparkEntry {
     // the embed_kmeans CTE chain re-played over hashed TF vectors:
     // same seeding, same fold-exact distance, same (d, cid) argmin
     "text_topics" ->
-      s"""WITH toks AS (SELECT doc_id,
-         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents),
-         |tb AS (SELECT doc_id, ${ph("term")} % 64 AS b, COUNT(*) AS tf
-         |  FROM toks GROUP BY 1, 2),
-         |ids AS (SELECT DISTINCT doc_id FROM tb),
-         |cell AS (SELECT i.doc_id, r.i, CAST(COALESCE(tb.tf, 0) AS BIGINT) AS x
-         |  FROM ids i CROSS JOIN range(0, 64) r(i)
-         |  LEFT JOIN tb ON tb.doc_id = i.doc_id AND tb.b = r.i),
-         |q AS (SELECT doc_id, list(x ORDER BY i) AS qv FROM cell GROUP BY doc_id),
-         |qd AS (SELECT doc_id, qv, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dvv FROM q),
-         |seeds AS (SELECT doc_id AS cid, list_transform(qv, v -> CAST(v AS DOUBLE)) AS cvec
-         |  FROM q WHERE doc_id < 4),
-         |d1 AS (SELECT a.doc_id, a.qv, s.cid, ${kmDist("a.dvv", "s.cvec")} AS d
-         |  FROM qd a CROSS JOIN seeds s),
-         |a1 AS (SELECT doc_id, qv, cid AS c1 FROM (
-         |  SELECT doc_id, qv, cid,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn FROM d1) x
-         |  WHERE rn = 1),
-         |m2 AS (SELECT c1 AS cid, pos, CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean
-         |  FROM (SELECT c1, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1) e
-         |  GROUP BY cid, pos),
-         |c2 AS (SELECT cid, list(mean ORDER BY pos) AS cvec FROM m2 GROUP BY cid),
-         |d2 AS (SELECT a.doc_id, a.c1, c.cid, ${kmDist("a.dv2", "c.cvec")} AS d
-         |  FROM (SELECT doc_id, c1, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv2 FROM a1) a
-         |  CROSS JOIN c2 c),
-         |ka AS (SELECT doc_id, c1, cid AS cluster FROM (
-         |  SELECT doc_id, c1, cid,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn FROM d2) y
-         |  WHERE rn = 1)
+      s"""WITH $topicsAssignCtes
          |SELECT doc_id, c1, cluster, (c1 <> cluster) AS moved FROM ka""".stripMargin,
+    // topic x source contingency, independence cross-multiplied to
+    // integers: o*N vs rc*cs — no expected-count division to round
+    "corpus_topic_balance" ->
+      s"""WITH $topicsAssignCtes,
+         |cells AS (SELECT ka.cluster AS cluster_id, d.source, COUNT(*) AS o
+         |  FROM ka JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |rc AS (SELECT cluster_id, CAST(SUM(o) AS BIGINT) AS rc FROM cells GROUP BY 1),
+         |cs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cs FROM cells GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells)
+         |SELECT c.cluster_id, c.source, CAST(c.o AS BIGINT) AS n_docs,
+         |  rc.rc, cs.cs, nt.n_total,
+         |  c.o * nt.n_total - rc.rc * cs.cs AS dev_num,
+         |  CAST(c.o * nt.n_total AS DOUBLE) / CAST(rc.rc * cs.cs AS DOUBLE) AS skew,
+         |  c.o * nt.n_total > rc.rc * cs.cs AS over_rep
+         |FROM cells c JOIN rc USING (cluster_id) JOIN cs USING (source)
+         |  CROSS JOIN nt""".stripMargin,
     // the full training trajectory gates: three chained census +
     // greedy-rewrite rounds, rewrite via the run-parity rule
     "text_bpe_train" ->
@@ -2856,6 +2881,20 @@ object SparkEntry {
          |FROM z JOIN r ON r.source = z.neg_source AND r.rnk = z.rnk""".stripMargin,
     "events_alerts" -> alertsSql,
     "stream_alerts" -> alertsSql,
+    // integer cross-multiplied VMR: gap hours enter only through the
+    // global hour-range cardinality (zeros add nothing to the sums)
+    "events_dispersion" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MAX(h) - MIN(h) + 1 AS n FROM c),
+        |s AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx FROM c GROUP BY 1)
+        |SELECT event_type, b.n AS n_hours, sx, sxx,
+        |  b.n * sxx - sx * sx AS vmr_num,
+        |  b.n * sx AS vmr_den,
+        |  CAST(b.n * sxx - sx * sx AS DOUBLE) / CAST(b.n * sx AS DOUBLE) AS vmr,
+        |  b.n * sxx - sx * sx > b.n * sx AS over_dispersed
+        |FROM s CROSS JOIN b""".stripMargin,
     // all-integer Pearson over gap-filled hourly volumes; the dense
     // calendar makes missing hours explicit zero observations
     "ts_xcorr" ->

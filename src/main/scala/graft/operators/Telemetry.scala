@@ -1219,6 +1219,43 @@ object Telemetry {
         ($"prev_us".isNull || $"t_us" - $"prev_us" > coolUs).as("emitted"))
   }
 
+  /** Arrival burstiness audit (`events_dispersion`) — the
+    * variance-to-mean ratio of hourly volumes per stream, the
+    * standard over-dispersion test against a Poisson arrival model:
+    * VMR ≈ 1 is memoryless traffic, VMR ≫ 1 is bursty (batch
+    * uploads, retry storms) and tells the capacity planner that peak
+    * provisioning, not mean provisioning, is the binding constraint.
+    *
+    * Gap hours are zero observations, but unlike [[xcorr]] no dense
+    * calendar is materialized: zeros contribute nothing to Σx or Σx²,
+    * so only the global hour-range cardinality n enters the formula —
+    * population variance cross-multiplied to integers, VMR =
+    * (n·Σx² − (Σx)²) / (n·Σx), carried as exact longs with one final
+    * double division and the over-dispersion verdict as an INTEGER
+    * comparison (num > den ⟺ VMR > 1), so the flag can never round
+    * across engines.
+    *
+    * Scale: one partial-aggregated (stream, hour) census — the only
+    * corpus-sized pass — then a per-stream rollup of two sums; the
+    * hour bounds are a one-row driver reduction. */
+  def dispersion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .select($"event_type", expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .groupBy($"event_type", $"h").agg(count(lit(1)).as("x"))
+    val b = counts.agg(min($"h"), max($"h")).head()
+    if (b.isNullAt(0)) return spark.emptyDataFrame
+    val n = b.getLong(1) - b.getLong(0) + 1L
+    counts.groupBy($"event_type")
+      .agg(sum($"x").as("sx"), sum($"x" * $"x").as("sxx"))
+      .select($"event_type", lit(n).as("n_hours"), $"sx", $"sxx",
+        (lit(n) * $"sxx" - $"sx" * $"sx").as("vmr_num"),
+        (lit(n) * $"sx").as("vmr_den"),
+        ((lit(n) * $"sxx" - $"sx" * $"sx").cast(DoubleType) /
+          (lit(n) * $"sx").cast(DoubleType)).as("vmr"),
+        (lit(n) * $"sxx" - $"sx" * $"sx" > lit(n) * $"sx").as("over_dispersed"))
+  }
+
   /** Lagged cross-correlation between event streams (`ts_xcorr`) —
     * the "which stream leads which" diagnostic behind alerting
     * fan-out and capacity coupling: hourly volumes of every stream

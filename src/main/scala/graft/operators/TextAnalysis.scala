@@ -799,4 +799,38 @@ object TextAnalysis {
       .join(last.select($"doc_id", $"cluster"), "doc_id")
       .select($"doc_id", $"c1", $"cluster", ($"c1" =!= $"cluster").as("moved"))
   }
+
+  /** Topic × source balance audit (`corpus_topic_balance`) — the
+    * contingency read on [[topics]]' clustering a mixture designer
+    * checks before sampling: is some topic dominated by one source
+    * (crawl bias) or some source concentrated in one topic (a
+    * single-subject dump)? Independence deviation is cross-multiplied
+    * to integers — observed·N vs rowsum·colsum — so the
+    * over-representation verdict never divides, with the skew ratio
+    * as one double division of the same exact products.
+    *
+    * Scale: the cell census is a partial-aggregated (topic, source)
+    * reduction (cells ≤ k × sources at any corpus size); margins and
+    * the grand total derive from the CELLS, never by re-scanning
+    * documents, and broadcast back onto the cell table. */
+  def topicBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = topics(spark, dir).select($"doc_id", $"cluster")
+      .join(Tables.documents(spark, dir).select($"doc_id", $"source"), "doc_id")
+      .groupBy($"cluster".as("cluster_id"), $"source")
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rc = cells.groupBy($"cluster_id").agg(sum($"o").as("rc"))
+    val cs = cells.groupBy($"source").agg(sum($"o").as("cs"))
+    cells
+      .join(broadcast(rc), "cluster_id")
+      .join(broadcast(cs), "source")
+      .crossJoin(broadcast(cells.agg(sum($"o").as("n_total"))))
+      .select($"cluster_id", $"source", $"o".as("n_docs"),
+        $"rc", $"cs", $"n_total",
+        ($"o" * $"n_total" - $"rc" * $"cs").as("dev_num"),
+        (($"o" * $"n_total").cast(DoubleType) /
+          ($"rc" * $"cs").cast(DoubleType)).as("skew"),
+        ($"o" * $"n_total" > $"rc" * $"cs").as("over_rep"))
+  }
 }

@@ -435,4 +435,41 @@ class Round17Spec extends SparkSpec {
     val q = 1.0 - rows.map(_._6).sum
     assert(q >= 0.0 && q < 1.0)
   }
+
+  test("events_dispersion: VMR matches the driver recompute incl. zero hours") {
+    val got = Telemetry.dispersion(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7))).toMap
+    assert(got.nonEmpty)
+    val hs = Tables.events(spark, sf)
+      .select($"event_type", expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = hs.map(_._2).max - hs.map(_._2).min + 1
+    got.foreach { case (t, (nh, sx, sxx, num, den, vmr, od)) =>
+      val xs = hs.filter(_._1 == t).groupBy(_._2).map(_._2.length.toLong)
+      assert(nh == n && sx == xs.sum && sxx == xs.map(x => x * x).sum)
+      assert(num == n * sxx - sx * sx && den == n * sx)
+      assert(vmr == num.toDouble / den.toDouble)
+      assert(od == (num > den))
+    }
+  }
+
+  test("corpus_topic_balance: margins close and the verdict is the integer inequality") {
+    val rows = TextAnalysis.topicBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7), r.getBoolean(8)))
+    // columns: cluster_id, source, n_docs, rc, cs, n_total, dev_num, skew, over_rep
+    assert(rows.nonEmpty)
+    val nTotal = rows.head._6
+    assert(rows.map(_._3).sum == nTotal, "cells must cover every clustered doc")
+    // per-cluster cells sum to the row margin
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4)
+    }
+    rows.foreach { case (_, _, o, rc, cs, nt, dev, skew, over) =>
+      assert(dev == o * nt - rc * cs)
+      assert(skew == (o * nt).toDouble / (rc * cs).toDouble)
+      assert(over == (dev > 0))
+    }
+  }
 }
