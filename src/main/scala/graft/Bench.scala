@@ -65,13 +65,22 @@ object Bench {
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}"""
-    println(line)
-    // belt-and-braces: persist the same payload to a file so the full
-    // per-query timings survive even if a log capture truncates stdout
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}"""
+    // the full 213-query payload (~6 KB) goes to a FILE; the driver's
+    // stdout tail capture starts mid-line on payloads that long
+    // (BENCH_r06 and r07 both landed "parsed": null), so the LAST
+    // stdout line must be a compact summary that always fits: total,
+    // query count, failures, and only the 10 slowest per-query timings
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      java.nio.file.Paths.get("bench_last.json"), fullLine + "\n")
     catch { case _: Throwable => () }
+    val slow10 = results.collect { case (k, Some(v)) => (k, v) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.length},"queries":$slow10,"failed":$failed,"sf":"$sfDir","reps":$reps,"full":"bench_last.json"}"""
+    println(summary)
     spark.stop()
   }
 }

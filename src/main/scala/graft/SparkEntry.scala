@@ -127,6 +127,7 @@ object SparkEntry {
     "q_scd2" -> (Changelog.scd2 _),
     "ts_autocorr" -> (Telemetry.autocorr _),
     "ts_xcorr" -> ((s: SparkSession, d: String) => Telemetry.xcorr(s, d)),
+    "stream_xcorr" -> ((s: SparkSession, d: String) => graft.streaming.StreamXcorr.streamedXcorr(s, d)),
     "events_alerts" -> ((s: SparkSession, d: String) => Telemetry.alerts(s, d)),
     "events_dispersion" -> (Telemetry.dispersion _),
     "events_streak" -> (Telemetry.streaks _),
@@ -143,7 +144,7 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.minhash _),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_apply" -> ((s: SparkSession, d: String) => Dedup.applyDedup(s, d)),
-    "dedup_minhash_est" -> (Dedup.minhashEstimate _),
+    "dedup_minhash_est" -> ((s: SparkSession, d: String) => Dedup.minhashEstimate(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),
     "dedup_embed" -> (Dedup.embed _),
@@ -173,6 +174,7 @@ object SparkEntry {
     "embed_drift" -> ((s: SparkSession, d: String) => Similarity.drift(s, d)),
     "embed_outliers" -> ((s: SparkSession, d: String) => Similarity.outliers(s, d)),
     "ann_pq_trained" -> ((s: SparkSession, d: String) => Similarity.pqTrain(s, d)),
+    "ann_opq" -> ((s: SparkSession, d: String) => Similarity.opqTrain(s, d)),
     // F. text analysis
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -393,8 +395,10 @@ object SparkEntry {
        |hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> ${ph("s")}) AS hh FROM sh),
        |mh AS (SELECT doc_id, list_transform(range(0,16), j ->
        |  list_min(list_transform(hh, h -> (CAST(37 + 101*j AS BIGINT)*h + CAST(1000003*j + 12345 AS BIGINT)) % 2147483647))) AS m FROM hs),
-       |bands AS (SELECT doc_id, b, list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(m, 4*b+1, 4*b+4)), (h,x) -> (h*31+x) % 1000000007) AS bkey
+       |mhallbands AS (SELECT doc_id, b, list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(m, 4*b+1, 4*b+4)), (h,x) -> (h*31+x) % 1000000007) AS bkey
        |  FROM mh, UNNEST(range(0,4)) AS tb(b)),
+       |mhrare AS (SELECT b, bkey FROM mhallbands GROUP BY b, bkey HAVING COUNT(*) <= 200),
+       |bands AS (SELECT mhallbands.* FROM mhallbands JOIN mhrare USING (b, bkey)),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |vp AS (SELECT doc_a, doc_b, jaccard FROM (
@@ -414,20 +418,59 @@ object SparkEntry {
        |  UNION SELECT reach.node, e.v AS r FROM reach JOIN e ON e.u = reach.r),
        |cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
-  /** DuckDB fragment: 4-plane hyperplane signatures CTE (mirrors
-    * VecFns.lshSignature over the embeddings table). */
+  /** DuckDB fragment: adaptive-width hyperplane signatures CTE
+    * (mirrors Similarity.sigBuckets / VecFns.lshSignature): width =
+    * smallest p in [4,24] with 2^p*200 >= N (integer predicate,
+    * engine-exact), hot buckets > 800 dropped (stop-band). */
   private val sigsCte: String =
-    """sigs AS (
+    """nplanes AS (SELECT MIN(p) AS planes
+      |  FROM UNNEST(range(4,25)) AS tpl(p), (SELECT COUNT(*) AS n FROM embeddings) cn
+      |  WHERE (CAST(1 AS BIGINT) << p) * 200 >= cn.n),
+      |allsigs AS (
       |  SELECT vec_id, embedding, CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig FROM (
       |    SELECT vec_id, embedding, p,
       |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,64), d ->
       |        CAST(embedding[d+1] AS DOUBLE) * CAST(((1 + (p*64+d)*2654435761) % 1000003) - 500001 AS DOUBLE))), (a,t) -> a+t) AS proj
-      |    FROM embeddings, UNNEST(range(0,4)) AS tp(p)) q
-      |  GROUP BY vec_id, embedding)""".stripMargin
+      |    FROM embeddings, nplanes, UNNEST(range(0, planes)) AS tp(p)) q
+      |  GROUP BY vec_id, embedding),
+      |sigrare AS (SELECT sig FROM allsigs GROUP BY sig HAVING COUNT(*) <= 800),
+      |sigs AS (SELECT allsigs.* FROM allsigs JOIN sigrare USING (sig))""".stripMargin
 
   /** Shared by dedup_minhash_est (single-scan batch) and dedup_stream
     * (stateful incremental index) — both must produce the identical
     * estimated-Jaccard candidate pair set. */
+  /** Shared by ts_xcorr (batch) and stream_xcorr (append-mode hourly
+    * census + the same lag-join assembly over the sink) — the twin
+    * must recover the batch matrix bit-for-bit. */
+  private val xcorrSql: String =
+    """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM c),
+      |hours AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM c),
+      |grid AS (SELECT t.event_type, hs.h, COALESCE(c.n, 0) AS n
+      |  FROM types t CROSS JOIN hours hs
+      |  LEFT JOIN c ON c.event_type = t.event_type AND c.h = hs.h),
+      |lags AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS lag_h),
+      |s AS (SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_h,
+      |    COUNT(*) AS n_hours,
+      |    CAST(SUM(a.n) AS BIGINT) AS sx, CAST(SUM(b.n) AS BIGINT) AS sy,
+      |    CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+      |    CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+      |    CAST(SUM(b.n * b.n) AS BIGINT) AS syy
+      |  FROM grid a CROSS JOIN lags l
+      |  JOIN grid b ON b.h = a.h + l.lag_h AND b.event_type > a.event_type
+      |  GROUP BY 1, 2, 3)
+      |SELECT type_a, type_b, lag_h, n_hours,
+      |  n_hours * sxy - sx * sy AS num,
+      |  n_hours * sxx - sx * sx AS den_x,
+      |  n_hours * syy - sy * sy AS den_y,
+      |  CASE WHEN n_hours * sxx - sx * sx > 0 AND n_hours * syy - sy * sy > 0
+      |    THEN CAST(n_hours * sxy - sx * sy AS DOUBLE) /
+      |      SQRT(CAST(n_hours * sxx - sx * sx AS DOUBLE) * CAST(n_hours * syy - sy * sy AS DOUBLE))
+      |    ELSE 0.0 END AS xcorr
+      |FROM s""".stripMargin
+
   private def minhashEstSql: String =
     s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
@@ -436,8 +479,10 @@ object SparkEntry {
        |hs AS (SELECT doc_id, list_transform(shingles, s -> ${ph("s")}) AS hh FROM sh),
        |mh AS (SELECT doc_id, list_transform(range(0,16), j ->
        |  list_min(list_transform(hh, h -> (CAST(37 + 101*j AS BIGINT)*h + CAST(1000003*j + 12345 AS BIGINT)) % 2147483647))) AS m FROM hs),
-       |bands AS (SELECT doc_id, m, b, list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(m, 4*b+1, 4*b+4)), (h,x) -> (h*31+x) % 1000000007) AS bkey
-       |  FROM mh, UNNEST(range(0,4)) AS tb(b))
+       |mhallbands AS (SELECT doc_id, m, b, list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(m, 4*b+1, 4*b+4)), (h,x) -> (h*31+x) % 1000000007) AS bkey
+       |  FROM mh, UNNEST(range(0,4)) AS tb(b)),
+       |mhrare AS (SELECT b, bkey FROM mhallbands GROUP BY b, bkey HAVING COUNT(*) <= 200),
+       |bands AS (SELECT mhallbands.* FROM mhallbands JOIN mhrare USING (b, bkey))
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_filter(range(1,17), i -> a.m[i] = b.m[i])) AS DOUBLE) / 16.0 AS est_jaccard
        |FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
@@ -517,7 +562,7 @@ object SparkEntry {
       |    MAX(value) AS high, MIN(value) AS low,
       |    arg_max(value, epoch_us(ts)) AS close,
       |    COUNT(*) AS n_events
-      |  FROM events GROUP BY 1, 2)
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
       |SELECT event_type, day, open, high, low, close, n_events,
       |  close - LAG(close) OVER (PARTITION BY event_type ORDER BY day) AS close_chg
       |FROM candles""".stripMargin
@@ -547,11 +592,11 @@ object SparkEntry {
   private lazy val cdcSql: String =
     """SELECT user_id, value, updated_at, n_ops, n_deletes FROM (
       |  SELECT user_id,
-      |    arg_max(value, epoch_us(ts)) AS value,
-      |    arg_max(ts, epoch_us(ts)) AS updated_at,
+      |    last(value ORDER BY epoch_us(ts)) AS value,
+      |    last(ts ORDER BY epoch_us(ts)) AS updated_at,
       |    COUNT(*) AS n_ops,
       |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
-      |    arg_max(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, epoch_us(ts)) AS last_op
+      |    last(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END ORDER BY epoch_us(ts)) AS last_op
       |  FROM events GROUP BY user_id) t
       |WHERE last_op <> 'D'""".stripMargin
 
@@ -989,16 +1034,17 @@ object SparkEntry {
         |r AS (SELECT event_type, x,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id) AS BIGINT) AS i
         |  FROM c)
-        |SELECT event_type, COUNT(*) AS n_devices, SUM(x) AS n_msgs,
-        |  2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS gini_num,
-        |  COUNT(*) * SUM(x) AS gini_den,
+        |SELECT event_type, COUNT(*) AS n_devices,
+        |  CAST(SUM(x) AS BIGINT) AS n_msgs,
+        |  CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS BIGINT) AS gini_num,
+        |  CAST(COUNT(*) * SUM(x) AS BIGINT) AS gini_den,
         |  CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) /
         |    CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
         |FROM r GROUP BY event_type""".stripMargin,
     "stream_attribution" -> attributionSql,
     "port_config" ->
       """WITH d AS (
-        |  SELECT DISTINCT user_id FROM events),
+        |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
         |cfg AS (
         |  SELECT user_id AS device_id,
         |    ([9600,19200,38400,57600,115200])[CAST(user_id % 5 AS INT) + 1] AS baud,
@@ -1596,7 +1642,8 @@ object SparkEntry {
     // deterministic KMV merges: the k-th order statistic of a hash
     // SET has one value, so union/intersection estimates replay
     "q_sketch_setops" ->
-      s"""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+      s"""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
          |pt AS (SELECT event_type, COUNT(*) AS n_exact,
          |    list_slice(list_sort(list_distinct(list(h))), 1, 256) AS hs
          |  FROM (SELECT event_type, user_id, ${ph("CAST(user_id AS VARCHAR)")} AS h FROM ut) t
@@ -1617,7 +1664,8 @@ object SparkEntry {
     // exact bitmap set algebra: the oracle recomputes the same set
     // cardinalities from first principles (DISTINCT users + pair join)
     "q_bitmap_audience" ->
-      """WITH au AS (SELECT DISTINCT event_type, user_id FROM events),
+      """WITH au AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
         |c AS (SELECT event_type, COUNT(*) AS n FROM au GROUP BY 1),
         |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter
         |  FROM au a JOIN au b ON a.user_id = b.user_id AND a.event_type < b.event_type
@@ -2191,13 +2239,15 @@ object SparkEntry {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768)),
         |    (a,b) -> a+b) AS sample_sum
-        |FROM events""".stripMargin,
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL""".stripMargin,
     "frame_extract" ->
       """SELECT event_id, user_id AS device_id, epoch_us(ts) // 1000000 AS ts_secs,
         |  (event_id*7 + CAST(FLOOR(value) AS BIGINT)) % 32768 AS first_sample,
         |  (event_id*7 + 78 + CAST(FLOOR(value) AS BIGINT)) % 32768 AS last_sample,
         |  CAST(24 AS BIGINT) AS frame_bytes
-        |FROM events""".stripMargin,
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL""".stripMargin,
     "frame_stats" ->
       """SELECT device_id, COUNT(*) AS n_frames, CAST(SUM(fs) AS BIGINT) AS sample_sum,
         |  MIN(fmin) AS sample_min, MAX(fmax) AS sample_max,
@@ -2208,7 +2258,8 @@ object SparkEntry {
         |    list_min(ss) AS fmin, list_max(ss) AS fmax
         |  FROM (SELECT user_id, event_id,
         |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768) AS ss
-        |    FROM events) a) b
+        |    FROM events
+        |    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL) a) b
         |GROUP BY device_id""".stripMargin,
     "frame_wire" ->
       """SELECT user_id AS device_id, COUNT(*) AS n_frames,
@@ -2216,7 +2267,9 @@ object SparkEntry {
         |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768)),
         |    (a,b) -> a+b)) AS BIGINT) AS sample_sum,
         |  TRUE AS sync_ok
-        |FROM events GROUP BY user_id""".stripMargin,
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
     // the payload checksum replays only over frames that SURVIVE the
     // deterministic corruption (event_id % 97 == 0 flips the magic)
     "frame_resync" ->
@@ -2226,7 +2279,9 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768)),
         |    (a,b) -> a+b)) FILTER (WHERE event_id % 97 <> 0), 0) AS BIGINT) AS sample_sum
-        |FROM events GROUP BY user_id""".stripMargin,
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
     // the index is a pure access-path property: the oracle is the
     // plain time-window query over the source events (window =
     // 2024-01-05 .. 2024-01-08 UTC in epoch seconds, matching the
@@ -2237,7 +2292,8 @@ object SparkEntry {
         |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768)),
         |    (a,b) -> a+b)) AS BIGINT) AS sample_sum
         |FROM events
-        |WHERE epoch_us(ts) // 1000000 >= 1704412800
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  AND epoch_us(ts) // 1000000 >= 1704412800
         |  AND epoch_us(ts) // 1000000 < 1704672000
         |GROUP BY user_id""".stripMargin,
     // blob sizes and payload bytes are UTF-8 BYTE quantities:
@@ -2417,7 +2473,8 @@ object SparkEntry {
         |      list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768)),
         |      (a,b) -> a+b) AS ssum,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
-        |  FROM events) t
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL) t
         |WHERE (rn - 1) % 4 = 0
         |GROUP BY device_id""".stripMargin,
     "stream_relay" ->
@@ -2584,7 +2641,8 @@ object SparkEntry {
     // both medians are discrete rank statistics — element at ceil(n/2)
     // under a (value, event_id) total order; no middle-pair averaging
     "ts_mad" ->
-      """WITH ev AS (SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL),
+      """WITH ev AS (SELECT event_id, user_id, value FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
         |m1 AS (SELECT user_id, value AS med FROM (
         |  SELECT user_id, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
@@ -2704,7 +2762,7 @@ object SparkEntry {
         |  arg_min(value, epoch_us(ts)) AS v_first,
         |  arg_max(value, epoch_us(ts)) AS v_last,
         |  MIN(value) AS v_min, MAX(value) AS v_max
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "stream_ohlc" -> ohlcSql,
     "ts_forecast" ->
       """WITH daily AS (
@@ -2755,6 +2813,42 @@ object SparkEntry {
         |FROM q, range(0, 64) t1(i), range(0, 64) t2(j)
         |WHERE j >= i
         |GROUP BY i, j""".stripMargin,
+    // OPQ: variance-balanced dimension permutation (serpentine deal
+    // of dims ranked by integer variance numerator), then the same
+    // Lloyd CTEs as ann_pq_trained over the permuted subspaces
+    "ann_opq" ->
+      s"""WITH qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv64 FROM embeddings),
+         |dvs AS (SELECT i, COUNT(*) AS n, SUM(CAST(qv64[i+1] AS HUGEINT)) AS s,
+         |    SUM(CAST(qv64[i+1] AS HUGEINT) * qv64[i+1]) AS ss
+         |  FROM qz, range(0,64) t(i) GROUP BY i),
+         |rk AS (SELECT i, ROW_NUMBER() OVER (ORDER BY (n*ss - s*s) DESC, i) - 1 AS r FROM dvs),
+         |pm AS (SELECT i, r // 4 AS pos,
+         |    CASE WHEN (r // 4) % 2 = 0 THEN r % 4 ELSE 3 - (r % 4) END AS sub FROM rk),
+         |q AS (SELECT vec_id, sub, list(qv64[i+1] ORDER BY pos) AS qv
+         |  FROM qz, pm GROUP BY vec_id, sub),
+         |qd AS (SELECT vec_id, sub, qv, list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv FROM q),
+         |seeds AS (SELECT sub, vec_id AS cid, list_transform(qv, v -> CAST(v AS DOUBLE)) AS cvec FROM q WHERE vec_id < 16),
+         |d1 AS (SELECT a.vec_id, a.sub, a.qv, s.cid, ${kmDistN("a.dv", "s.cvec", 16)} AS d
+         |  FROM qd a JOIN seeds s ON s.sub = a.sub),
+         |a1 AS (SELECT vec_id, sub, qv, cid AS c1 FROM (
+         |  SELECT vec_id, sub, qv, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM d1) x
+         |  WHERE rn = 1),
+         |m2 AS (SELECT sub, c1 AS cid, pos,
+         |    CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean
+         |  FROM (SELECT sub, c1, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM a1) e
+         |  GROUP BY sub, cid, pos),
+         |c2 AS (SELECT sub, cid, list(mean ORDER BY pos) AS cvec FROM m2 GROUP BY sub, cid),
+         |d2 AS (SELECT a.vec_id, a.sub, a.c1, c.cid, ${kmDistN("a.dv2", "c.cvec", 16)} AS d
+         |  FROM (SELECT vec_id, sub, c1,
+         |      list_transform(qv, v -> CAST(v AS DOUBLE)) AS dv2 FROM a1) a
+         |  JOIN c2 c ON c.sub = a.sub),
+         |ka AS (SELECT vec_id, sub, c1, cid AS code FROM (
+         |  SELECT vec_id, sub, c1, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM d2) y
+         |  WHERE rn = 1)
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, c1, code, (c1 <> code) AS moved
+         |FROM ka""".stripMargin,
     "ann_pq_trained" ->
       s"""WITH q AS (
          |  SELECT vec_id, sub,
@@ -2897,34 +2991,12 @@ object SparkEntry {
         |FROM s CROSS JOIN b""".stripMargin,
     // all-integer Pearson over gap-filled hourly volumes; the dense
     // calendar makes missing hours explicit zero observations
-    "ts_xcorr" ->
-      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM c),
-        |hours AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds),
-        |types AS (SELECT DISTINCT event_type FROM c),
-        |grid AS (SELECT t.event_type, hs.h, COALESCE(c.n, 0) AS n
-        |  FROM types t CROSS JOIN hours hs
-        |  LEFT JOIN c ON c.event_type = t.event_type AND c.h = hs.h),
-        |lags AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS lag_h),
-        |s AS (SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_h,
-        |    COUNT(*) AS n_hours,
-        |    CAST(SUM(a.n) AS BIGINT) AS sx, CAST(SUM(b.n) AS BIGINT) AS sy,
-        |    CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
-        |    CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
-        |    CAST(SUM(b.n * b.n) AS BIGINT) AS syy
-        |  FROM grid a CROSS JOIN lags l
-        |  JOIN grid b ON b.h = a.h + l.lag_h AND b.event_type > a.event_type
-        |  GROUP BY 1, 2, 3)
-        |SELECT type_a, type_b, lag_h, n_hours,
-        |  n_hours * sxy - sx * sy AS num,
-        |  n_hours * sxx - sx * sx AS den_x,
-        |  n_hours * syy - sy * sy AS den_y,
-        |  CASE WHEN n_hours * sxx - sx * sx > 0 AND n_hours * syy - sy * sy > 0
-        |    THEN CAST(n_hours * sxy - sx * sy AS DOUBLE) /
-        |      SQRT(CAST(n_hours * sxx - sx * sx AS DOUBLE) * CAST(n_hours * syy - sy * sy AS DOUBLE))
-        |    ELSE 0.0 END AS xcorr
-        |FROM s""".stripMargin,
+    "ts_xcorr" -> xcorrSql,
+    // streaming twin: the hourly census runs as an append-mode
+    // tumbling-window aggregation; the lag-join assembly is the
+    // batch code over the (final) sink — identical by construction
+    // when cross-batch window state works
+    "stream_xcorr" -> xcorrSql,
     "ts_autocorr" ->
       """WITH p AS (SELECT event_type,
         |    CAST(value AS DECIMAL(18,2)) AS y,
@@ -3046,22 +3118,24 @@ object SparkEntry {
       """WITH a AS (SELECT COUNT(*) AS n FROM events GROUP BY event_id),
         |b AS (SELECT COUNT(*) AS n FROM events GROUP BY user_id, ts),
         |c AS (SELECT COUNT(*) AS n FROM events GROUP BY user_id, event_type, ts)
-        |SELECT 'event_id' AS key_cols, SUM(n) AS n_rows, COUNT(*) AS n_keys,
-        |  COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS n_dup_keys,
-        |  SUM(n) - COUNT(*) AS n_surplus_rows, MAX(n) AS max_multiplicity FROM a
+        |SELECT 'event_id' AS key_cols, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_keys,
+        |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_keys,
+        |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_surplus_rows,
+        |  MAX(n) AS max_multiplicity FROM a
         |UNION ALL
-        |SELECT 'user_id,ts', SUM(n), COUNT(*),
-        |  COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0),
-        |  SUM(n) - COUNT(*), MAX(n) FROM b
+        |SELECT 'user_id,ts', CAST(SUM(n) AS BIGINT), COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT),
+        |  CAST(SUM(n) - COUNT(*) AS BIGINT), MAX(n) FROM b
         |UNION ALL
-        |SELECT 'user_id,event_type,ts', SUM(n), COUNT(*),
-        |  COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0),
-        |  SUM(n) - COUNT(*), MAX(n) FROM c""".stripMargin,
+        |SELECT 'user_id,event_type,ts', CAST(SUM(n) AS BIGINT), COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT),
+        |  CAST(SUM(n) - COUNT(*) AS BIGINT), MAX(n) FROM c""".stripMargin,
     "dq_drift" ->
       """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cut FROM events),
         |c AS (SELECT event_type,
-        |    SUM(CASE WHEN epoch_us(ts) <= cut THEN 1 ELSE 0 END) AS n_a,
-        |    SUM(CASE WHEN epoch_us(ts) > cut THEN 1 ELSE 0 END) AS n_b
+        |    CAST(SUM(CASE WHEN epoch_us(ts) <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) > cut THEN 1 ELSE 0 END) AS BIGINT) AS n_b
         |  FROM events, b GROUP BY event_type),
         |t AS (SELECT SUM(n_b) AS tb, SUM(n_a) AS ta FROM c)
         |SELECT event_type, n_a, n_b,
@@ -3093,9 +3167,9 @@ object SparkEntry {
         |    frequency, monetary_dec FROM u, hw)
         |SELECT user_id, recency_days, frequency,
         |  CAST(monetary_dec AS DOUBLE) AS monetary,
-        |  CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_score,
-        |  CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_score,
-        |  CAST(NTILE(4) OVER (ORDER BY monetary_dec DESC, user_id ASC) AS BIGINT) AS m_score
+        |  CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC NULLS FIRST) AS BIGINT) AS r_score,
+        |  CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC NULLS FIRST) AS BIGINT) AS f_score,
+        |  CAST(NTILE(4) OVER (ORDER BY monetary_dec DESC, user_id ASC NULLS FIRST) AS BIGINT) AS m_score
         |FROM s""".stripMargin,
     "dedup_fuzzy" ->
       s"""WITH $minhashPairsCtes,

@@ -38,7 +38,8 @@ object Dedup {
   /** MinHash-LSH candidate pairs (band-key equi-join, unverified):
     * the shared candidate-generation tier `minhash` (Jaccard verify)
     * and `fuzzy` (edit-distance verify) both refine. */
-  private def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private def lshCandidates(spark: SparkSession, dir: String,
+      maxBucket: Int = 200): DataFrame = {
     import spark.implicits._
     val mh = shingleSets(spark, dir).select($"doc_id",
       HashFns.minHashesNative($"shingles").as("mh"))
@@ -46,7 +47,16 @@ object Dedup {
       struct(lit(b).as("band"),
         HashFns.foldKey(slice($"mh", b * HashFns.RowsPerBand + 1, HashFns.RowsPerBand)).as("bkey"))
     }: _*)).as("bk")).select($"doc_id", $"bk.band", $"bk.bkey")
-    bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+    // Stop-band removal (same rule as [[simhash]]): a band key shared
+    // by > maxBucket docs — the duplicate-heavy-crawl case — would
+    // emit C(n,2) pairs in one task; dropping it bounds per-bucket
+    // work at the standard LSH recall/cost trade. Mirrored in the
+    // DuckDB oracle (mhrare CTE) so the gate holds the same pair set.
+    val rare = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+      .select($"band", $"bkey")
+    val pruned = bands.join(rare, Seq("band", "bkey"))
+    pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
   }
@@ -68,7 +78,8 @@ object Dedup {
     * — one scan, signatures only ever shuffle (16 longs/doc, not
     * shingle sets), standard practice when re-reading 100 TB to
     * verify is the actual cost. */
-  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+  def minhashEstimate(spark: SparkSession, dir: String,
+      maxBucket: Int = 200): DataFrame = {
     import spark.implicits._
     val mh = Tables.documents(spark, dir)
       .select($"doc_id", HashFns.minHashesNative(TextFns.shingleSet($"text", 3)).as("mh"))
@@ -76,7 +87,12 @@ object Dedup {
       struct(lit(b).as("band"),
         HashFns.foldKey(slice($"mh", b * HashFns.RowsPerBand + 1, HashFns.RowsPerBand)).as("bkey"))
     }: _*)).as("bk")).select($"doc_id", $"mh", $"bk.band", $"bk.bkey")
-    bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+    // stop-band removal, same cap and oracle mirror as lshCandidates
+    val rare = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+      .select($"band", $"bkey")
+    val pruned = bands.join(rare, Seq("band", "bkey"))
+    pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         (HashFns.sigAgree($"a.mh", $"b.mh").cast(DoubleType) / 16.0d).as("est_jaccard"))
@@ -569,16 +585,15 @@ object Dedup {
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
 
-  /** Embedding-cosine near-duplicates: candidates share a 4-plane
-    * random-hyperplane signature; pairs kept at cosine ≥ 0.35 with
-    * fold-exact scores. */
+  /** Embedding-cosine near-duplicates: candidates share an adaptive-
+    * width random-hyperplane signature bucket (Similarity.sigBuckets
+    * — width grows log2(N), hot buckets capped), pairs kept at
+    * cosine ≥ 0.35 with fold-exact scores. */
   def embed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // norms computed once per vector (not per candidate pair);
     // dot/(sqrt·sqrt) ordering matches the oracle exactly
-    val sigs = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", VecFns.lshSignature($"embedding", 4).as("sig"),
-        sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val sigs = Similarity.sigBuckets(spark, dir)
     sigs.as("a").join(sigs.as("b"), Seq("sig"))
       .where($"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),

@@ -25,7 +25,11 @@ object Frames {
     import spark.implicits._
     val samples = transform(sequence(lit(0L), lit(6L)),
       i => ($"event_id" * 7 + i * 13 + floor($"value").cast(LongType)) % 32768)
+    // a frame needs a device id, an instant, and a sample seed —
+    // null-keyed telemetry rows are not framable (mirrored in every
+    // frame-family oracle's WHERE)
     Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"ts".isNotNull && $"value".isNotNull)
       .select($"event_id", $"user_id", $"ts", $"value",
         Frame.pack($"user_id", expr("unix_micros(ts) div 1000000"), samples).as("frame"))
       .withColumn("parsed", Frame.unpack($"frame"))
@@ -148,6 +152,7 @@ object Frames {
     val samples = transform(sequence(lit(0L), lit(6L)),
       i => ($"event_id" * 7 + i * 13 + floor($"value").cast(LongType)) % 32768)
     val framed = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"ts".isNotNull && $"value".isNotNull)
       .select($"user_id".as("device_id"), $"event_id",
         Frame.pack($"user_id", expr("unix_micros(ts) div 1000000"), samples).as("clean"))
       .withColumn("frame",

@@ -585,7 +585,11 @@ object Relational {
   def qSketchSetops(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
     import spark.implicits._
     import graft.functions.HashFns
+    // identified members only (the bitmap-audience null contract):
+    // a NULL user hashes to a NULL kmv slot Spark keeps but DuckDB's
+    // list ops drop, and the exact pair join drops it anyway
     val ut = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"event_type".isNotNull)
       .select($"event_type", $"user_id").distinct()
     val perType = ut
       .groupBy($"event_type")
@@ -1052,9 +1056,19 @@ object Relational {
     // cardinality legs) — checkpoint it so the event table is scanned
     // ONCE; without this the plan re-derives the groupBy per consumer
     // (4 full corpus scans at 100 TB for a users/64-sized result)
+    // floor semantics ((id - pmod)/64, pmod bit) keep the packing
+    // total over NEGATIVE ids too: truncating DIV + signed % would
+    // alias user -1 with user 63 into the same (block 0, bit 63)
+    // slot, silently undercounting vs the DISTINCT-user oracle
+    // NULL user_id is excluded EXPLICITLY (an audience is identified
+    // users; a bitmap has no null slot) — without the filter Spark
+    // drops nulls implicitly via null bit words while the DISTINCT
+    // oracle counts NULL as a member, and the two diverge
     val words = Tables.events(spark, dir)
-      .select($"event_type", expr("user_id DIV 64").as("block"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("bit"))
+      .filter($"user_id".isNotNull && $"event_type".isNotNull)
+      .select($"event_type",
+        expr("(user_id - pmod(user_id, 64)) DIV 64").as("block"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))").as("bit"))
       .groupBy($"event_type", $"block")
       .agg(expr("bit_or(bit)").as("word"))
       .localCheckpoint()

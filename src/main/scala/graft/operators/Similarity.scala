@@ -344,7 +344,9 @@ object Similarity {
     // its own nearest centroid in round 1, so no cluster starts empty)
     val seeds = q.filter($"vec_id" < k)
       .select($"vec_id".as("cid"), transform($"qv", _.cast(DoubleType)).as("cvec"))
-    val first = assign(seeds)
+    // first is consumed by the recenter chain AND the final join —
+    // checkpoint so the seed assignment pass runs once
+    val first = assign(seeds).localCheckpoint()
     val last = (1 until iters).foldLeft(first)((a, _) => assign(recenter(a)))
     first.select($"vec_id", $"cluster".as("c1"))
       .join(last.select($"vec_id", $"cluster"), "vec_id")
@@ -373,7 +375,6 @@ object Similarity {
   def pqTrain(spark: SparkSession, dir: String, m: Int = 4, subDim: Int = 16,
       k: Int = 16, iters: Int = 2): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.Column
     require(iters >= 1, "pq training needs at least one assignment round")
     val subs = (0 until m).map(s =>
       struct(lit(s.toLong).as("sub"), slice($"qv64", s * subDim + 1, subDim).as("qv")))
@@ -382,6 +383,72 @@ object Similarity {
         transform($"embedding", x => round(x.cast(DoubleType) * 1e6d).cast(LongType)).as("qv64"))
       .select($"vec_id", explode(array(subs: _*)).as("e"))
       .select($"vec_id", $"e.sub".as("sub"), $"e.qv".as("qv"))
+    pqLloydCore(q, k, iters)
+  }
+
+  /** OPQ (`ann_opq`): Optimized Product Quantization — learn a
+    * rotation that balances information across the PQ subspaces
+    * before [[pqTrain]]'s per-subspace Lloyd's runs (Ge et al. 2013,
+    * "Optimized Product Quantization for Approximate Nearest
+    * Neighbor Search"). The rotation is restricted to the PERMUTATION
+    * subgroup — the paper's variance-balancing initialization —
+    * because a full SVD-learned rotation is not bit-reproducible
+    * across engines, while a permutation is: rank the 64 dimensions
+    * by integer-exact corpus variance numerator n·Σv² − (Σv)²
+    * (decimal-exact on both engines), then deal them to the m
+    * subspaces in serpentine order (round t assigns rank r to
+    * subspace r%m for even t, m−1−r%m for odd t), so each subspace
+    * receives an even mix of high- and low-variance dimensions.
+    * Codes then train with the IDENTICAL engine-exact Lloyd recipe
+    * as ann_pq_trained ([[pqLloydCore]]) — this closes the
+    * IVF-OPQ-PQ loop: [[ivfpqTopK]]'s search shape over
+    * variance-balanced codes.
+    *
+    * Scale shape: the variance census is one partial-aggregated
+    * groupBy over d per-dim stats; the 64-row permutation is a
+    * dimension-sized driver reduction (embed_pca's documented
+    * codebook pattern); the permuted gather is scan-local
+    * element_at's — everything downstream is pqTrain's shape. */
+  def opqTrain(spark: SparkSession, dir: String, m: Int = 4,
+      k: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(iters >= 1, "opq training needs at least one assignment round")
+    val qz = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => round(x.cast(DoubleType) * 1e6d).cast(LongType)).as("qv64"))
+    val stats = qz.select(posexplode($"qv64").as(Seq("i", "v")))
+      .groupBy($"i")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        sum($"v".cast("decimal(38,0)") * $"v").as("ss"))
+      .select($"i",
+        ($"n".cast("decimal(38,0)") * $"ss" -
+          $"s".cast("decimal(38,0)") * $"s").as("var_num"))
+    // 64 rows — dimension-sized; the single-partition window is fine
+    val ranks = stats
+      .select($"i", (row_number().over(Window.orderBy($"var_num".desc, $"i".asc)) - 1).as("r"))
+      .collect().map(row => (row.getInt(0), row.getInt(1)))
+    val dimsBySub: Map[Int, Seq[Int]] = ranks.map { case (i, r) =>
+      val t = r / m
+      val j = r % m
+      (if (t % 2 == 0) j else m - 1 - j, t, i)
+    }.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.sortBy(_._2).map(_._3).toSeq
+    }
+    val subs = (0 until m).map(s =>
+      struct(lit(s.toLong).as("sub"),
+        array(dimsBySub(s).map(d => element_at($"qv64", d + 1)): _*).as("qv")))
+    val q = qz.select($"vec_id", explode(array(subs: _*)).as("e"))
+      .select($"vec_id", $"e.sub".as("sub"), $"e.qv".as("qv"))
+    pqLloydCore(q, k, iters)
+  }
+
+  /** Shared per-subspace Lloyd's core of [[pqTrain]] / [[opqTrain]]:
+    * engine-exact k-means keyed by (subspace, cluster) over quantized
+    * long subvectors `q` = (vec_id, sub, qv). */
+  private def pqLloydCore(q: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.Column
     def sqDist(a: Column, b: Column): Column =
       graft.plans.VecExprs.sqDistLDCol(a, b)
     def assign(cents: DataFrame): DataFrame =
@@ -401,7 +468,9 @@ object Similarity {
     // subvectors (each seed is its own nearest centroid in round 1)
     val seeds = q.filter($"vec_id" < k)
       .select($"sub", $"vec_id".as("cid"), transform($"qv", _.cast(DoubleType)).as("cvec"))
-    val first = assign(seeds)
+    // first is consumed by the recenter chain AND the final join —
+    // checkpoint so the seed assignment pass runs once
+    val first = assign(seeds).localCheckpoint()
     val last = (1 until iters).foldLeft(first)((a, _) => assign(recenter(a)))
     first.select($"vec_id", $"sub", $"code".as("c1"))
       .join(last.select($"vec_id", $"sub", $"code"), Seq("vec_id", "sub"))
@@ -484,14 +553,45 @@ object Similarity {
         array_max($"q").as("q_max"))
   }
 
-  /** LSH-bucketed ANN: vectors meet only within their 4-plane
-    * hyperplane-signature bucket (equi-join, shuffle ∝ data), top-3
-    * in-bucket neighbors per vector. */
-  def lshTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** Adaptive hyperplane-signature width: the smallest p ∈ [4, 24]
+    * with 2^p · targetBucket ≥ N, so expected bucket width stays
+    * ~targetBucket as the corpus grows (4 bits at the test SFs,
+    * ~23 bits at 10^9 vectors) instead of N/16 with a fixed-width
+    * signature. The count is a parquet-metadata aggregate, run once
+    * at plan time; the DuckDB oracle computes the identical integer
+    * predicate (nplanes CTE), so both engines pick the same width. */
+  def adaptivePlanes(spark: SparkSession, dir: String,
+      targetBucket: Int = 200): Int = {
+    val n = Tables.embeddings(spark, dir).count()
+    (4 to 24).find(p => (1L << p) * targetBucket >= n).getOrElse(24)
+  }
+
+  /** Bucketed hyperplane signatures with a hard per-bucket cap
+    * (stop-band removal, the SimHash rule): buckets wider than
+    * maxBucket — collapsed/clustered embeddings the adaptive width
+    * can't split — are dropped, bounding per-bucket pair work.
+    * Shared candidate tier for [[lshTopK]] and `Dedup.embed`. */
+  def sigBuckets(spark: SparkSession, dir: String,
+      maxBucket: Int = 800): DataFrame = {
     import spark.implicits._
     val sigs = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", VecFns.lshSignature($"embedding", 4).as("sig"),
+      .select($"vec_id", $"embedding",
+        VecFns.lshSignature($"embedding", adaptivePlanes(spark, dir)).as("sig"),
         sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val rare = sigs.groupBy($"sig")
+      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+      .select($"sig")
+    sigs.join(rare, Seq("sig"))
+  }
+
+  /** LSH-bucketed ANN: vectors meet only within their adaptive-width
+    * hyperplane-signature bucket (equi-join, shuffle ∝ data), top-3
+    * in-bucket neighbors per vector. Recall trade: pairs split by a
+    * hyperplane or in a dropped hot bucket are sacrificed — the
+    * standard LSH cost/recall trade, same posture as simhash. */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = sigBuckets(spark, dir)
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     sigs.as("a").join(sigs.as("b"), Seq("sig"))
       .where($"a.vec_id" =!= $"b.vec_id")

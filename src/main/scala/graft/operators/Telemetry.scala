@@ -472,7 +472,12 @@ object Telemetry {
     import spark.implicits._
     val bauds = array(Seq(9600, 19200, 38400, 57600, 115200).map(lit(_)): _*)
     val parities = array(Seq("NONE", "ODD", "EVEN", "BAD").map(lit): _*)
-    val devices = Tables.events(spark, dir).select($"user_id").distinct()
+    // a port config needs a device id — NULL user_id is not a device
+    // (mirrored in the oracle's WHERE; without it DISTINCT keeps a
+    // NULL row whose derived config nulls out asymmetrically)
+    val devices = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id").distinct()
       .select($"user_id".as("device_id"),
         element_at(bauds, (pmod($"user_id", lit(5)) + 1).cast(IntegerType)).as("baud"),
         (lit(5) + pmod($"user_id", lit(4))).as("data_bits"),
@@ -1013,8 +1018,11 @@ object Telemetry {
     * tree, engine-exact. */
   def madOutliers(spark: SparkSession, dir: String, k: Double = 3.0d): DataFrame = {
     import spark.implicits._
+    // user_id non-null too: a MAD series needs a device; the oracle's
+    // USING(user_id) joins drop the NULL group while a window keeps
+    // it — exclude it explicitly on both sides
     val ev = Tables.events(spark, dir)
-      .filter($"value".isNotNull)
+      .filter($"value".isNotNull && $"user_id".isNotNull)
       .select($"event_id", $"user_id", $"value")
     // the medians are WINDOW COLUMNS, not join branches: the element
     // at the median rank broadcasts to its whole partition through a
@@ -1080,7 +1088,11 @@ object Telemetry {
     * float summation. */
   def ohlc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // value-less ticks carry no price: excluded on both sides —
+    // Spark's max_by would surface their NULL while DuckDB's arg_max
+    // skips NULL args, so keeping them diverges open/close
     val candles = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
       .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
       .agg(
         min_by($"value", unix_micros($"ts")).as("open"),
@@ -1110,7 +1122,9 @@ object Telemetry {
   def m4(spark: SparkSession, dir: String, bucketSecs: Long = 21600L): DataFrame = {
     import spark.implicits._
     val bucketUs = bucketSecs * 1000000L
+    // value IS NOT NULL: the ohlc arg_min/arg_max null contract
     Tables.events(spark, dir)
+      .filter($"value".isNotNull)
       .withColumn("tus", unix_micros($"ts"))
       .groupBy($"user_id",
         timestamp_micros(expr(s"(tus div $bucketUs) * $bucketUs")).as("bucket"))
@@ -1240,8 +1254,10 @@ object Telemetry {
     * hour bounds are a one-row driver reduction. */
   def dispersion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // pmod-floor hour bucket: the DuckDB oracle's `//` floors, Spark
+    // DIV truncates toward zero — they'd disagree on pre-1970 ts
     val counts = Tables.events(spark, dir)
-      .select($"event_type", expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .select($"event_type", expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").as("h"))
       .groupBy($"event_type", $"h").agg(count(lit(1)).as("x"))
     val b = counts.agg(min($"h"), max($"h")).head()
     if (b.isNullAt(0)) return spark.emptyDataFrame
@@ -1279,8 +1295,19 @@ object Telemetry {
   def xcorr(spark: SparkSession, dir: String, maxLag: Int = 3): DataFrame = {
     import spark.implicits._
     val counts = Tables.events(spark, dir)
-      .select($"event_type", expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .select($"event_type", expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").as("h"))
       .groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+    xcorrFromCounts(spark, counts, maxLag)
+  }
+
+  /** The post-census assembly of [[xcorr]], shared with the streaming
+    * twin (StreamXcorr): dense calendar → pairwise lag join → integer
+    * power sums. `counts` = (event_type, h, n) final hourly counts —
+    * everything here is ∝ types² × hours × lags, independent of
+    * event volume. */
+  def xcorrFromCounts(spark: SparkSession, counts: DataFrame,
+      maxLag: Int): DataFrame = {
+    import spark.implicits._
     val b = counts.agg(min($"h"), max($"h")).head()
     if (b.isNullAt(0)) return spark.emptyDataFrame
     val (lo, hi) = (b.getLong(0), b.getLong(1))

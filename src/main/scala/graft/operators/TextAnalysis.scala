@@ -690,7 +690,8 @@ object TextAnalysis {
         filter(split($"word", "(?!^)"), s => length(s) > 0).as("syms"), $"freq")
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       // sequence(0, size-2) REVERSES when size == 1 — guard the
       // single-symbol words out before the adjacency explode
       val top = words.filter(size($"syms") >= 2)
@@ -700,12 +701,19 @@ object TextAnalysis {
         .groupBy($"p.a".as("a"), $"p.b".as("b"))
         .agg(sum($"freq").as("n"))
         .orderBy($"n".desc, $"a".asc, $"b".asc)
-        .limit(1).head()
-      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((r.toLong, a, b, n))
-      words = words
-        .withColumn("syms", graft.plans.Bpe.mergePair($"syms", lit(a), lit(b)))
-        .localCheckpoint()
+        .limit(1).take(1)
+      top.headOption match {
+        // an empty census (every word fully merged to one symbol)
+        // ends training early — the oracle degrades to fewer
+        // trajectory rows the same way, head() would throw instead
+        case None => exhausted = true
+        case Some(row) =>
+          val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((r.toLong, a, b, n))
+          words = words
+            .withColumn("syms", graft.plans.Bpe.mergePair($"syms", lit(a), lit(b)))
+            .localCheckpoint()
+      }
     }
     (merges.toSeq, words)
   }
@@ -776,6 +784,10 @@ object TextAnalysis {
       .select($"doc_id",
         transform(sequence(lit(0L), lit(buckets - 1L)),
           i => coalesce(element_at($"m", i), lit(0L))).as("qv"))
+      // the census feeds seeds + both assignment passes + the
+      // recenter: checkpoint or the tokenize/explode corpus scan
+      // re-runs per consumer (~5 scans at 100 TB for one clustering)
+      .localCheckpoint()
     def sqDist(a: Column, b: Column): Column =
       graft.plans.VecExprs.sqDistLDCol(a, b)
     def assign(cents: DataFrame): DataFrame =
@@ -793,7 +805,9 @@ object TextAnalysis {
           _.getField("mean")).as("cvec"))
     val seeds = q.filter($"doc_id" < k)
       .select($"doc_id".as("cid"), transform($"qv", _.cast(DoubleType)).as("cvec"))
-    val first = assign(seeds)
+    // first is consumed by the recenter chain AND the final join —
+    // checkpoint so the seed assignment pass runs once
+    val first = assign(seeds).localCheckpoint()
     val last = (1 until iters).foldLeft(first)((a, _) => assign(recenter(a)))
     first.select($"doc_id", $"cluster".as("c1"))
       .join(last.select($"doc_id", $"cluster"), "doc_id")

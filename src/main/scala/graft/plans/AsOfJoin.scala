@@ -135,7 +135,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       }
       advanceRight()
       val tol = tolerance.getOrElse(Long.MaxValue)
-      var lastMatch: UnsafeRow = null
+      // the retained match lives in ONE preallocated buffer
+      // (copyFrom grows it in place) — rHead.copy() per consumed
+      // right row allocated two arrays per match candidate, pure GC
+      // churn on a dense right side
+      val matchBuf = new UnsafeRow(right.output.length)
+      // copyFrom requires a byte[]-backed row; it grows this seed
+      // buffer once to the first row's size and reuses it after
+      matchBuf.pointTo(new Array[Byte](0), 0)
+      var hasMatch = false
       var lastMatchKey = 0L
       var lastMatchTime = 0L
       new Iterator[InternalRow] {
@@ -148,7 +156,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           } else {
             val lk = kt.getLong(0)
             val lt = kt.getLong(1)
-            if (lastMatch != null && lastMatchKey != lk) lastMatch = null
+            if (hasMatch && lastMatchKey != lk) hasMatch = false
             // consume right rows up to (key, time): the newest one
             // with the same key becomes the current match. Rows are
             // consumed at most once per partition — O(1) state, no
@@ -156,7 +164,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             while (rHead != null &&
               (rHeadKey < lk || (rHeadKey == lk && rHeadTime <= lt))) {
               if (rHeadKey == lk) {
-                lastMatch = rHead.copy()    // unsafe rows are reused by the iterator
+                matchBuf.copyFrom(rHead)    // unsafe rows are reused by the iterator
+                hasMatch = true
                 lastMatchKey = lk
                 lastMatchTime = rHeadTime
               }
@@ -166,8 +175,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             // candidate (any other is older still), so a recency
             // check on it decides the whole match — the state stays
             // O(1) with or without the bound
-            val matched = lastMatch != null && lt - lastMatchTime <= tol
-            joiner.join(l, if (matched) lastMatch else nullRight)
+            val matched = hasMatch && lt - lastMatchTime <= tol
+            joiner.join(l, if (matched) matchBuf else nullRight)
           }
         }
       }

@@ -35,7 +35,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object StreamAnomaly {
 
-  case class CEv(user_id: Long, cents: Long, sentinel: Boolean)
+  // cents is Option: the oracle's COUNT(*) counts NULL-value rows
+  // while SUM skips them — None increments n and adds nothing.
+  // NULL users are filtered at the source: the scoring equi-join
+  // drops them in batch and oracle alike, so they can never reach
+  // the output, and pre-shuffle filtering is the scale-right place.
+  case class CEv(user_id: Long, cents: Option[Long], sentinel: Boolean)
   case class Mom(n: Long, s1c: Long, s2cc: Long)
   case class MomOut(user_id: Long, n: Long, s1c: Long, s2cc: Long)
 
@@ -54,8 +59,8 @@ object StreamAnomaly {
             if (e.sentinel) flush = true
             else m = Mom(
               Math.addExact(m.n, 1L),
-              Math.addExact(m.s1c, e.cents),
-              Math.addExact(m.s2cc, Math.multiplyExact(e.cents, e.cents)))
+              Math.addExact(m.s1c, e.cents.getOrElse(0L)),
+              Math.addExact(m.s2cc, e.cents.map(c => Math.multiplyExact(c, c)).getOrElse(0L)))
           }
           state.update(m)
           if (flush) Iterator.single(MomOut(uid, m.n, m.s1c, m.s2cc))
@@ -71,6 +76,7 @@ object StreamAnomaly {
     import spark.implicits._
     import graft.operators.dec
     val ev = graft.sources.Tables.events(spark, dir)
+      .filter($"user_id".isNotNull)
       .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
         (dec($"value") * 100).cast(LongType).as("cents"))
     val bounds = ev.agg(min($"ts_us"), max($"ts_us")).head()
@@ -79,7 +85,8 @@ object StreamAnomaly {
     val staged = ev.select($"user_id", $"cents", lit(false).as("sentinel"),
       $"ts_us")
     val sentinels = ev.select($"user_id").distinct()
-      .select($"user_id", lit(0L).as("cents"), lit(true).as("sentinel"))
+      .select($"user_id", lit(null).cast("long").as("cents"),
+        lit(true).as("sentinel"))
     val stats = StreamDedup.runStagedStream(spark,
         Seq(staged.filter($"ts_us" <= cut).drop("ts_us"),
           staged.filter($"ts_us" > cut).drop("ts_us"),

@@ -29,11 +29,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamAttribution {
 
-  case class Ev(user_id: Long, eus: Long, event_id: Long,
-      event_type: String, value: Double)
+  // user_id/value are Option: the batch window keeps the NULL-user
+  // partition and SUM skips NULL values — a bare Long/Double encoder
+  // hard-fails on them instead of reproducing those semantics
+  case class Ev(user_id: Option[Long], eus: Long, event_id: Long,
+      event_type: String, value: Option[Double])
   case class Touch(tType: String, tUs: Long)
-  case class AttrOut(user_id: Long, event_id: Long, attributed: String,
-      value: Double)
+  case class AttrOut(user_id: Option[Long], event_id: Long, attributed: String,
+      value: Option[Double])
 
   /** The stateful core: touches update state, purchases read it. */
   def attribute(ev: Dataset[Ev], lookUs: Long): Dataset[AttrOut] = {

@@ -37,11 +37,14 @@ object StreamBeacon {
     if (bounds.isNullAt(0)) return spark.emptyDataFrame
     val (loUs, hiUs) = (bounds.getLong(0), bounds.getLong(1))
     val cutUs = (loUs + hiUs) / 2
+    // sentinel device = Long.MinValue, filtered NULL-SAFELY below:
+    // `user_id >= 0` would also drop the NULL-user series the batch
+    // groupBy keeps
     def sentinel(offsetUs: Long): DataFrame =
       spark.range(1).select(
         lit(-1L).as("event_id"),
         timestamp_micros(lit(hiUs + offsetUs)).as("ts"),
-        lit(-1L).as("user_id"),
+        lit(Long.MinValue).as("user_id"),
         lit(0.0d).as("value"))
     val out = StreamDedup.runStagedStream(spark, Seq(
         ev.filter(unix_micros($"ts") <= cutUs),
@@ -56,7 +59,7 @@ object StreamBeacon {
           min($"ts").as("first_ts"),
           max($"ts").as("last_ts"))
     }.getOrElse(return spark.emptyDataFrame)
-    out.filter($"user_id" >= 0L)
+    out.filter(!($"user_id" <=> Long.MinValue))
       .select($"user_id", $"window.start".as("bucket"), $"n_events",
         $"sum_dec".cast(DoubleType).as("sum_value"), $"first_ts", $"last_ts")
   }

@@ -32,12 +32,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamCdc {
 
-  case class Op(user_id: Long, ts_us: Long, value: Double, op: String,
+  // user_id/value are Option: the batch groupBy keeps the NULL-user
+  // key and latest-wins carries a NULL value verbatim (an upsert may
+  // legitimately set NULL) — a bare Long/Double encoder hard-fails
+  case class Op(user_id: Option[Long], ts_us: Long, value: Option[Double], op: String,
       sentinel: Boolean)
-  case class Compacted(nOps: Long, nDeletes: Long, op: String, value: Double,
+  case class Compacted(nOps: Long, nDeletes: Long, op: String, value: Option[Double],
       tsUs: Long)
-  case class CdcOut(user_id: Long, n_ops: Long, n_deletes: Long, op: String,
-      value: Double, ts_us: Long)
+  case class CdcOut(user_id: Option[Long], n_ops: Long, n_deletes: Long, op: String,
+      value: Option[Double], ts_us: Long)
 
   /** The stateful core: fold each operation into the per-key
     * election; emit the compacted row exactly once, at the
@@ -83,7 +86,8 @@ object StreamCdc {
     if (bounds.isNullAt(0)) return spark.emptyDataFrame
     val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
     val sentinels = log.select($"user_id").distinct()
-      .select($"user_id", lit(0L).as("ts_us"), lit(0.0d).as("value"),
+      .select($"user_id", lit(0L).as("ts_us"),
+        lit(null).cast("double").as("value"),
         lit("S").as("op"), lit(true).as("sentinel"))
     val out = StreamDedup.runStagedStream(spark,
         Seq(log.filter($"ts_us" <= cut), log.filter($"ts_us" > cut), sentinels)) {

@@ -63,12 +63,16 @@ object StreamFunnel {
                 val (promoted, keep) = s.pend.partition(_ >= e.ts_us)
                 val q = if (promoted.isEmpty) s.qualMin
                         else math.min(s.qualMin, promoted.min)
-                s = FunnelState(e.ts_us, q, keep)
+                // entries >= the new qualMin can never lower it again
+                // (any future promotion takes min against q), so drop
+                // them — pend stays bounded by distinct ts below q
+                s = FunnelState(e.ts_us, q, keep.filter(_ < q))
               }
             } else if (e.typ == "purchase") {
               if (e.ts_us >= s.minSignup)
                 s = s.copy(qualMin = math.min(s.qualMin, e.ts_us))
-              else s = s.copy(pend = s.pend :+ e.ts_us)
+              else if (e.ts_us < s.qualMin && !s.pend.contains(e.ts_us))
+                s = s.copy(pend = s.pend :+ e.ts_us)
             }
           }
           state.update(s)

@@ -64,6 +64,7 @@ object StreamOhlc {
   def streamedOhlc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, dir)
+      .filter($"value".isNotNull)   // the batch ohlc null contract
       .select($"event_id", $"ts", $"event_type", $"value")
     val bounds = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
     if (bounds.isNullAt(0)) return spark.emptyDataFrame
@@ -94,7 +95,9 @@ object StreamOhlc {
     // sink-side delta view: candles are final (append mode), so the
     // lag runs over the dimension-sized resampled series, not raw rows
     val bySeries = Window.partitionBy($"event_type").orderBy($"day")
-    candles.filter($"event_type" =!= "__sentinel__")
+    // null-safe: =!= on a NULL event_type is NULL and would drop
+    // the whole null-type series, not just the sentinels
+    candles.filter(!($"event_type" <=> "__sentinel__"))
       .select($"event_type", $"window.start".as("day"),
         $"open", $"high", $"low", $"close", $"n_events")
       .withColumn("close_chg", $"close" - lag($"close", 1).over(bySeries))

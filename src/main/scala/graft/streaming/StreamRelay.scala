@@ -105,7 +105,9 @@ object StreamRelay {
       // don't accumulate input-sized copies in /tmp
       deleteTree(inDir, ck)
     }
-    spark.read.parquet(outDir.toString).filter($"event_type" =!= BarrierType)
+    // null-safe: a NULL event_type window is real output the batch
+    // groupBy keeps; =!= would drop it along with the barrier rows
+    spark.read.parquet(outDir.toString).filter(!($"event_type" <=> BarrierType))
   }
 
   /** The relay's streaming query: file source → watermarked 5-minute
@@ -364,8 +366,12 @@ object StreamRelay {
       }
   }
 
-  case class BudgetEvent(event_id: Long, user_id: Long, ts_us: Long, cents: Long)
-  case class BudgetOut(event_id: Long, user_id: Long, ts_us: Long, cum_cents: Long)
+  // user_id/cents are Option: the batch window keeps the NULL-user
+  // partition, and a NULL value leaves the running SUM unchanged —
+  // with an all-NULL prefix the window sum itself is NULL and the
+  // WHERE excludes the row, which the `started` flag reproduces
+  case class BudgetEvent(event_id: Long, user_id: Option[Long], ts_us: Long, cents: Option[Long])
+  case class BudgetOut(event_id: Long, user_id: Option[Long], ts_us: Long, cum_cents: Long)
 
   /** [[statefulBudget]] with ORACLE-exact arithmetic: the running
     * total accumulates integer CENTS in per-user state (a double
@@ -379,14 +385,15 @@ object StreamRelay {
       .flatMapGroupsWithState[Long, BudgetOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, evs, state: GroupState[Long]) =>
+          var started = state.exists
           var cum = state.getOption.getOrElse(0L)
           val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
-            cum += e.cents
-            if (cum <= budgetCents)
+            e.cents.foreach { c => cum += c; started = true }
+            if (started && cum <= budgetCents)
               Some(BudgetOut(e.event_id, e.user_id, e.ts_us, cum))
             else None
           }
-          state.update(cum)
+          if (started) state.update(cum)
           out.iterator
       }
   }

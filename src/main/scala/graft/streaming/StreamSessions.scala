@@ -29,9 +29,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamSessions {
 
-  case class Ev(user_id: Long, eus: Long, event_id: Long)
+  // user_id is Option: the batch window keeps a NULL-user partition
+  // (engines agree), so the twin must shard and emit it too — a bare
+  // Long encoder hard-fails on the null with NOT_NULL_ASSERT_VIOLATION
+  case class Ev(user_id: Option[Long], eus: Long, event_id: Long)
   case class Open(sid: Long, start: Long, end: Long, n: Long)
-  case class SessOut(user_id: Long, session_id: Long, n_events: Long,
+  case class SessOut(user_id: Option[Long], session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)
 
   /** The stateful core: extend-or-close per arrival. Intra-batch

@@ -24,10 +24,13 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamTtl {
 
+  // cents is Option (the oracle's SUM skips NULL values) and a NULL
+  // `sent` coalesces to false before the encoder (a NULL CASE guard
+  // neither delivers nor services, exactly like false)
   case class TtlEvent(event_type: String, event_id: Long, t_us: Long,
-      cents: Long, sent: Boolean)
+      cents: Option[Long], sent: Boolean)
   case class TtlOut(event_type: String, event_id: Long, t_us: Long,
-      cents: Long, svc_us: Long, outcome: String)
+      cents: Option[Long], svc_us: Long, outcome: String)
 
   /** Incremental classifier: state per stream = the pending (unsent,
     * unserviced) messages in arrival order; a sent message services
@@ -72,7 +75,7 @@ object StreamTtl {
       .withColumn("k", regexp_extract($"props", "([0-9]+)", 1).cast("int"))
       .select($"event_type", $"event_id", unix_micros($"ts").as("t_us"),
         round($"value" * 100).cast(LongType).as("cents"),
-        ($"k" <= 50).as("sent"))
+        coalesce($"k" <= 50, lit(false)).as("sent"))
     val bounds = ev.agg(min($"t_us"), max($"t_us")).head()
     if (bounds.isNullAt(0)) return spark.emptyDataFrame
     val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of [[graft.operators.Telemetry.xcorr]] — the
+  * cross-correlation matrix maintained LIVE: the corpus-sized pass
+  * (hourly counts per event type) runs as a watermarked tumbling-
+  * window aggregation in APPEND mode, so each (type, hour) cell
+  * emits exactly once — when the event-time watermark passes the
+  * hour boundary and its one-counter state drops.
+  *
+  * The lagged type-pair power sums need the FINAL count of every
+  * hour in the window span — a cross-key join Structured Streaming
+  * cannot run over an unbounded stream. As with StreamOhlc's
+  * day-over-day delta, the production shape is exactly what the gate
+  * stages: closed cells land in an append-only sink (final, never
+  * retracted) and the dense-calendar lag join + power sums run as a
+  * dimension-sized batch view over the sink — types² × hours × lags
+  * rows regardless of raw stream volume
+  * ([[graft.operators.Telemetry.xcorrFromCounts]], the SAME assembly
+  * the batch operator uses, so the twin shares ts_xcorr's oracle).
+  * Append-mode finality is the property that makes the sink-side
+  * join well-defined; the twin exists because the census is the only
+  * part of ts_xcorr that touches the firehose.
+  *
+  * Batch-gated run: the two micro-batches cut INSIDE the busiest
+  * multi-event (type, hour) cell's own [first, last] µs span, so at
+  * least one cell provably carries window state across the cut; two
+  * sentinel batches 2 and 4 hours past the corpus maximum advance
+  * the watermark so every real hour closes and flushes (emission
+  * lags one batch). Sentinels carry event_type "__sentinel__" and
+  * filter out.
+  */
+object StreamXcorr {
+
+  /** Midpoint of the busiest multi-event (type, hour) cell's
+    * [first, last] µs span — a cut that some cell's events provably
+    * straddle. Deterministic election: count desc, (type, h) asc. */
+  private[streaming] def straddlingCut(spark: SparkSession, dir: String): Option[Long] = {
+    import spark.implicits._
+    graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type",
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").as("h"))
+      .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"),
+        count(lit(1)).as("n"))
+      .filter($"lo" < $"hi")
+      .orderBy($"n".desc, $"event_type".asc, $"h".asc)
+      .limit(1)
+      .collect()
+      .headOption
+      .map(r => (r.getAs[Long]("lo") + r.getAs[Long]("hi")) / 2)
+  }
+
+  def streamedXcorr(spark: SparkSession, dir: String, maxLag: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"ts", $"event_type")
+    val bounds = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    if (bounds.isNullAt(0)) return spark.emptyDataFrame
+    val hiUs = bounds.getLong(1)
+    val cutUs = straddlingCut(spark, dir).getOrElse((bounds.getLong(0) + hiUs) / 2)
+    val hourUs = 3600000000L
+    def sentinel(offsetUs: Long): DataFrame =
+      spark.range(1).select(
+        timestamp_micros(lit(hiUs + offsetUs)).as("ts"),
+        lit("__sentinel__").as("event_type"))
+    val cells = StreamDedup.runStagedStream(spark, Seq(
+        ev.filter(unix_micros($"ts") <= cutUs),
+        ev.filter(unix_micros($"ts") > cutUs),
+        sentinel(2L * hourUs),
+        sentinel(4L * hourUs))) { stream =>
+      stream
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"event_type",
+          expr("unix_micros(window.start) DIV 3600000000").as("h"), $"n")
+    }.getOrElse(return spark.emptyDataFrame)
+    // localCheckpoint: the assembly self-joins the census (distinct
+    // types × dense grid both derive from it) and the memory-sink
+    // view exposes ONE attribute set — DeduplicateRelations can only
+    // re-alias a materialized LogicalRDD, so without this the join
+    // fails analysis with conflicting references
+    // null-safe (<=>): a NULL event_type is a real series the batch
+    // operator groups; =!= would silently drop it with the sentinels
+    val counts = cells.filter(!($"event_type" <=> "__sentinel__"))
+      .localCheckpoint()
+    // append-mode finality check: a cell emitted twice means window
+    // state was lost and recounted — fail loudly, never hash-diverge
+    val dup = counts.groupBy($"event_type", $"h").count()
+      .filter($"count" =!= 1L).count()
+    if (dup > 0)
+      throw new IllegalStateException(
+        s"streamed xcorr: $dup (type, hour) cells emitted != 1 time " +
+          "(tumbling-window state lost or replayed across batches)")
+    graft.operators.Telemetry.xcorrFromCounts(spark, counts, maxLag)
+  }
+}

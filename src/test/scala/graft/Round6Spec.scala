@@ -250,19 +250,19 @@ class Round6Spec extends SparkSpec {
       .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
     try {
       // batch 1: two events 10 min apart (one open session)
-      mem.addData(Ev(1L, 0L, 1L), Ev(1L, 10L * mn, 2L))
+      mem.addData(Ev(Some(1L), 0L, 1L), Ev(Some(1L), 10L * mn, 2L))
       q.processAllAvailable()
       assert(spark.table("sess_out").count() == 0L, "session still open: nothing emits")
       // batch 2: 20 min later (extends the SAME session from state),
       // then a 40-min gap (closes it, opens session 2)
-      mem.addData(Ev(1L, 30L * mn, 3L), Ev(1L, 70L * mn, 4L))
+      mem.addData(Ev(Some(1L), 30L * mn, 3L), Ev(Some(1L), 70L * mn, 4L))
       q.processAllAvailable()
       val afterB2 = spark.table("sess_out").collect()
       assert(afterB2.length == 1)
       assert(afterB2(0).getLong(1) == 1L && afterB2(0).getLong(2) == 3L,
         s"session 1 must hold all three stitched events: ${afterB2.toSeq}")
       // sentinel: far future, closes session 2
-      mem.addData(Ev(1L, 70L * mn + 3L * gapUs, -1L))
+      mem.addData(Ev(Some(1L), 70L * mn + 3L * gapUs, -1L))
       q.processAllAvailable()
       val all = spark.table("sess_out").collect().sortBy(_.getLong(1))
       assert(all.length == 2 && all(1).getLong(1) == 2L && all(1).getLong(2) == 1L)

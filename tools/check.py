@@ -14,6 +14,19 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def duck_canon_type(t: str) -> str:
+    """Collapse DuckDB type spellings that hash identically driver-side.
+
+    TIMESTAMP vs TIMESTAMP WITH TIME ZONE differ only in parquet logical
+    annotation (Spark writes isAdjustedToUTC), and DATE vs TIMESTAMP both
+    reach pandas as datetime64 (DuckDB date_trunc('day') yields DATE where
+    Spark's yields midnight TIMESTAMP — r7 driver hashed those equal);
+    everything else — notably HUGEINT vs BIGINT and INTEGER vs BIGINT —
+    must match exactly.
+    """
+    t = t.replace(" WITH TIME ZONE", "")
+    return "TIMESTAMP" if t == "DATE" else t
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
@@ -69,8 +82,24 @@ def main():
             print(f"FAIL {name}: rows duck={len(d)} spark={len(s)}")
             n_bad += 1
             continue
+        # Schema probe at the DuckDB type level: the driver's hash is
+        # dtype-sensitive, so an oracle emitting HUGEINT (uncast SUM of
+        # BIGINT) or INTEGER where Spark wrote BIGINT must fail HERE,
+        # even when pandas maps both to the same numpy dtype.
+        dt = dict(con.sql(f"SELECT column_name, column_type FROM (DESCRIBE ({sql}))")
+                  .fetchall())
+        st = dict(con.sql(
+            "SELECT column_name, column_type FROM (DESCRIBE ("
+            f"SELECT * FROM read_parquet('{spark_path}/*.parquet')))")
+            .fetchall())
+        tmism = {c: (dt[c], st[c]) for c in dt
+                 if duck_canon_type(dt[c]) != duck_canon_type(st.get(c, "?"))}
+        if tmism:
+            print(f"FAIL {name}: oracle/spark type mismatch: {tmism}")
+            n_bad += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(d, s, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(d, s, check_dtype=True, check_exact=True)
             print(f"OK   {name}: {len(d)} rows")
             n_ok += 1
         except AssertionError as e:

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Regenerate SURVEY.md §2's STATUS line from gate artifacts.
+
+Usage: python3 tools/survey_header.py [CORRECTNESS_json ...]
+
+Reads the newest CORRECTNESS_r*.json (or the files given), counts
+green/red rows, and rewrites the single `STATUS r..:` sentence in
+SURVEY.md between the markers the section carries. The header is
+never hand-edited again (VERDICT r7 #6: hand-edited counts drifted
+from the driver's gate twice).
+"""
+import glob
+import json
+import re
+import sys
+
+
+def main():
+    files = sys.argv[1:] or sorted(glob.glob("CORRECTNESS_r*.json"))
+    if not files:
+        print("no CORRECTNESS_r*.json found", file=sys.stderr)
+        sys.exit(1)
+    latest = files[-1]
+    rnd = re.search(r"r(\d+)", latest).group(1)
+    data = json.load(open(latest))
+    total = len(data)
+    green = sum(1 for v in data.values()
+                if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
+    red = sorted(k for k, v in data.items()
+                 if not (v.get("rows_match") and v.get("schema_match") and v.get("hash_match")))
+    red_note = "" if not red else f"; red: {', '.join(red)}"
+    status = (f"STATUS (generated from {latest}): {total} rows below each have a "
+              f"`queries` entry and an `oracleSql` entry; the driver's gate "
+              f"hash-matched {green}/{total} at sf0.01{red_note}. The local "
+              f"dtype-strict replica (tools/check.py) and the adversarial "
+              f"corpora (tools/make_nonascii.py, tools/make_adversarial.py) "
+              f"must agree before close.")
+    survey = open("SURVEY.md").read()
+    pat = re.compile(r"STATUS[^#]*?(?=\n\n|\n`stream_relay`)", re.S)
+    if not pat.search(survey):
+        print("STATUS sentence not found in SURVEY.md", file=sys.stderr)
+        sys.exit(1)
+    survey = pat.sub(status, survey, count=1)
+    open("SURVEY.md", "w").write(survey)
+    print(f"SURVEY.md STATUS <- {latest}: {green}/{total} green{red_note}")
+
+
+if __name__ == "__main__":
+    main()
