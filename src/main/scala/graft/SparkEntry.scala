@@ -130,6 +130,8 @@ object SparkEntry {
     "stream_xcorr" -> ((s: SparkSession, d: String) => graft.streaming.StreamXcorr.streamedXcorr(s, d)),
     "events_alerts" -> ((s: SparkSession, d: String) => Telemetry.alerts(s, d)),
     "events_dispersion" -> (Telemetry.dispersion _),
+    "stream_dispersion" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamXcorr.streamedDispersion(s, d)),
     "events_streak" -> (Telemetry.streaks _),
     "q_running_distinct" -> (Telemetry.runningDistinct _),
     "events_markov" -> (Telemetry.markov _),
@@ -439,6 +441,21 @@ object SparkEntry {
   /** Shared by dedup_minhash_est (single-scan batch) and dedup_stream
     * (stateful incremental index) — both must produce the identical
     * estimated-Jaccard candidate pair set. */
+  /** Shared by events_dispersion (batch) and stream_dispersion
+    * (append-mode hourly census + the same VMR rollup). */
+  private val dispersionSql: String =
+    """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MAX(h) - MIN(h) + 1 AS n FROM c),
+      |s AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx FROM c GROUP BY 1)
+      |SELECT event_type, b.n AS n_hours, sx, sxx,
+      |  b.n * sxx - sx * sx AS vmr_num,
+      |  b.n * sx AS vmr_den,
+      |  CAST(b.n * sxx - sx * sx AS DOUBLE) / CAST(b.n * sx AS DOUBLE) AS vmr,
+      |  b.n * sxx - sx * sx > b.n * sx AS over_dispersed
+      |FROM s CROSS JOIN b""".stripMargin
+
   /** Shared by ts_xcorr (batch) and stream_xcorr (append-mode hourly
     * census + the same lag-join assembly over the sink) — the twin
     * must recover the batch matrix bit-for-bit. */
@@ -2977,18 +2994,10 @@ object SparkEntry {
     "stream_alerts" -> alertsSql,
     // integer cross-multiplied VMR: gap hours enter only through the
     // global hour-range cardinality (zeros add nothing to the sums)
-    "events_dispersion" ->
-      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
-        |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT MAX(h) - MIN(h) + 1 AS n FROM c),
-        |s AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx FROM c GROUP BY 1)
-        |SELECT event_type, b.n AS n_hours, sx, sxx,
-        |  b.n * sxx - sx * sx AS vmr_num,
-        |  b.n * sx AS vmr_den,
-        |  CAST(b.n * sxx - sx * sx AS DOUBLE) / CAST(b.n * sx AS DOUBLE) AS vmr,
-        |  b.n * sxx - sx * sx > b.n * sx AS over_dispersed
-        |FROM s CROSS JOIN b""".stripMargin,
+    "events_dispersion" -> dispersionSql,
+    // streaming twin: the same staged hourly census as stream_xcorr,
+    // VMR rollup over the final sink — identical by construction
+    "stream_dispersion" -> dispersionSql,
     // all-integer Pearson over gap-filled hourly volumes; the dense
     // calendar makes missing hours explicit zero observations
     "ts_xcorr" -> xcorrSql,

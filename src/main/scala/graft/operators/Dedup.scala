@@ -52,10 +52,13 @@ object Dedup {
     // emit C(n,2) pairs in one task; dropping it bounds per-bucket
     // work at the standard LSH recall/cost trade. Mirrored in the
     // DuckDB oracle (mhrare CTE) so the gate holds the same pair set.
-    val rare = bands.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+    // Anti-join against the HOT keys (≤ N·bands/maxBucket of them by
+    // construction): hot broadcasts, the band table never shuffles
+    // for the cap.
+    val hot = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bc")).filter($"bc" > maxBucket)
       .select($"band", $"bkey")
-    val pruned = bands.join(rare, Seq("band", "bkey"))
+    val pruned = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
     pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
@@ -87,11 +90,12 @@ object Dedup {
       struct(lit(b).as("band"),
         HashFns.foldKey(slice($"mh", b * HashFns.RowsPerBand + 1, HashFns.RowsPerBand)).as("bkey"))
     }: _*)).as("bk")).select($"doc_id", $"mh", $"bk.band", $"bk.bkey")
-    // stop-band removal, same cap and oracle mirror as lshCandidates
-    val rare = bands.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+    // stop-band removal, same cap / hot-set broadcast anti-join and
+    // oracle mirror as lshCandidates
+    val hot = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bc")).filter($"bc" > maxBucket)
       .select($"band", $"bkey")
-    val pruned = bands.join(rare, Seq("band", "bkey"))
+    val pruned = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
     pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -117,10 +121,12 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright($"simhash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
     }: _*)).as("bk")).select($"doc_id", $"simhash", $"bk.band", $"bk.bkey")
-    val rare = bands.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+    // hot-set broadcast anti-join (≤ N·bands/maxBucket hot keys by
+    // construction): the band table never shuffles for the cap
+    val hot = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bc")).filter($"bc" > maxBucket)
       .select($"band", $"bkey")
-    val pruned = bands.join(rare, Seq("band", "bkey"))
+    val pruned = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
     pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -174,11 +180,14 @@ object Dedup {
     // OOM at 100×). Plain count first (bounded partial-agg buffers),
     // filter to rare grams, then left-semi the index to survivors —
     // collect_list buffers are now bounded by maxBucket.
-    val rare = index.groupBy($"gram")
+    // anti-join against the HOT grams (df > cap — ≤ positions/cap of
+    // them by construction, so they broadcast): the index never
+    // shuffles for the cap, where the rare-set semi join shuffled it
+    val hot = index.groupBy($"gram")
       .agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxBucket)
+      .filter($"df" > maxBucket)
       .select($"gram")
-    val capped = index.join(rare, Seq("gram"), "left_semi")
+    val capped = index.join(broadcast(hot), Seq("gram"), "left_anti")
       .groupBy($"gram")
       .agg(collect_list($"doc_id").as("docs"))
     val shared = capped

@@ -578,10 +578,13 @@ object Similarity {
       .select($"vec_id", $"embedding",
         VecFns.lshSignature($"embedding", adaptivePlanes(spark, dir)).as("sig"),
         sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
-    val rare = sigs.groupBy($"sig")
-      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+    // anti-join against the HOT set, not inner-join against the rare
+    // set: hot is ≤ N/maxBucket keys by construction, so it
+    // broadcasts and the corpus-sized side never shuffles for the cap
+    val hot = sigs.groupBy($"sig")
+      .agg(count(lit(1)).as("bc")).filter($"bc" > maxBucket)
       .select($"sig")
-    sigs.join(rare, Seq("sig"))
+    sigs.join(broadcast(hot), Seq("sig"), "left_anti")
   }
 
   /** LSH-bucketed ANN: vectors meet only within their adaptive-width

@@ -1259,6 +1259,15 @@ object Telemetry {
     val counts = Tables.events(spark, dir)
       .select($"event_type", expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").as("h"))
       .groupBy($"event_type", $"h").agg(count(lit(1)).as("x"))
+    dispersionFromCounts(spark, counts)
+  }
+
+  /** The post-census assembly of [[dispersion]], shared with the
+    * streaming twin (StreamXcorr.streamedDispersion): everything here
+    * reduces (event_type, h, x) hourly counts — ∝ types × hours,
+    * independent of event volume. */
+  def dispersionFromCounts(spark: SparkSession, counts: DataFrame): DataFrame = {
+    import spark.implicits._
     val b = counts.agg(min($"h"), max($"h")).head()
     if (b.isNullAt(0)) return spark.emptyDataFrame
     val n = b.getLong(1) - b.getLong(0) + 1L

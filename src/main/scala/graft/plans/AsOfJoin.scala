@@ -81,7 +81,9 @@ object AsOfStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None)
+  extends BinaryExecNode
+  with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -94,6 +96,125 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // ---- whole-stage codegen (the SortMergeJoin two-iterator shape) ----
+  //
+  // The merge loop participates in whole-stage codegen: WSCG zips the
+  // two sorted shuffles (inputRDDs of size 2, the SMJ convention) and
+  // this node's doProduce emits the forward-merge loop inline, so the
+  // per-row path — key/time reads, right-side advance, null-guarded
+  // output vars — compiles into the same generated class as the
+  // parent operators instead of crossing two iterator boundaries per
+  // row. State (one-row lookahead + retained match) lives in mutable
+  // class members; the retained match copies into ONE reused buffer.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // non-primitive output vars (strings, decimals) can point into the
+  // reused match buffer, which the next copyFrom overwrites — rows a
+  // parent materializes must be copied (the SortMergeJoin convention)
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext): String = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, ExprCode, JavaCode}
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val unsafeRowCls = "org.apache.spark.sql.catalyst.expressions.UnsafeRow"
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    val rHeadValid = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRHeadValid")
+    val rHeadKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRHeadKey")
+    val rHeadTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRHeadTime")
+    val rHeadRow = ctx.addMutableState("InternalRow", "asofRHeadRow")
+    val rInit = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRInit")
+    val hasMatch = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHasMatch")
+    val matchKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofMatchKey")
+    val matchTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofMatchTime")
+    val matchRow = ctx.addMutableState(unsafeRowCls, "asofMatchRow",
+      v => s"$v = new $unsafeRowCls(${right.output.length}); " +
+        s"$v.pointTo(new byte[0], 0);")
+    // right-head key/time evaluation (codegen'd bound references)
+    val rRow = ctx.freshName("asofRightRow")
+    ctx.INPUT_ROW = rRow
+    ctx.currentVars = null
+    val rk = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rt = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val advanceRight = ctx.addNewFunction("asofAdvanceRight",
+      s"""
+         |private void asofAdvanceRight() {
+         |  $rHeadValid = false;
+         |  while (!$rHeadValid && $rightInput.hasNext()) {
+         |    InternalRow $rRow = (InternalRow) $rightInput.next();
+         |    ${rk.code}
+         |    ${rt.code}
+         |    if (!(${rk.isNull}) && !(${rt.isNull})) {
+         |      $rHeadValid = true;
+         |      $rHeadKey = ${rk.value};
+         |      $rHeadTime = ${rt.value};
+         |      $rHeadRow = $rRow;
+         |    }
+         |  }
+         |}
+       """.stripMargin)
+    // left row: key/time + output vars
+    val lRow = ctx.freshName("asofLeftRow")
+    ctx.INPUT_ROW = lRow
+    ctx.currentVars = null
+    val lk = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val lt = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    // right-half output vars read from the retained match buffer,
+    // null when this left row has no in-tolerance match
+    val matched = ctx.freshName("asofMatched")
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val getV = CodeGenerator.getValue(matchRow, a.dataType, i.toString)
+      ExprCode(
+        code"""
+          |boolean $isNull = true;
+          |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+          |if ($matched) {
+          |  $isNull = $matchRow.isNullAt($i);
+          |  if (!$isNull) { $value = $getV; }
+          |}
+        """.stripMargin,
+        JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    val tolVal = tolerance.getOrElse(Long.MaxValue)
+    s"""
+       |if (!$rInit) { $rInit = true; $advanceRight(); }
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $lRow = (InternalRow) $leftInput.next();
+       |  ${lk.code}
+       |  ${lt.code}
+       |  boolean $matched = false;
+       |  if (!(${lk.isNull}) && !(${lt.isNull})) {
+       |    if ($hasMatch && $matchKey != ${lk.value}) $hasMatch = false;
+       |    while ($rHeadValid && ($rHeadKey < ${lk.value} ||
+       |        ($rHeadKey == ${lk.value} && $rHeadTime <= ${lt.value}))) {
+       |      if ($rHeadKey == ${lk.value}) {
+       |        $matchRow.copyFrom(($unsafeRowCls) $rHeadRow);
+       |        $hasMatch = true;
+       |        $matchKey = ${lk.value};
+       |        $matchTime = $rHeadTime;
+       |      }
+       |      $advanceRight();
+       |    }
+       |    $matched = $hasMatch && ${lt.value} - $matchTime <= ${tolVal}L;
+       |  }
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val leftSchema = org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(left.output)

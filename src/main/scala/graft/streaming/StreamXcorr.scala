@@ -52,12 +52,19 @@ object StreamXcorr {
       .map(r => (r.getAs[Long]("lo") + r.getAs[Long]("hi")) / 2)
   }
 
-  def streamedXcorr(spark: SparkSession, dir: String, maxLag: Int = 3): DataFrame = {
+  /** The shared staged streaming hourly census: (event_type, h, n)
+    * final cells, one emission per cell (duplicate emission fails
+    * loudly), localCheckpointed so downstream assemblies can
+    * self-join. None on an empty corpus. Both [[streamedXcorr]] and
+    * [[streamedDispersion]] run on this — the census is the only
+    * part of either diagnostic that touches the firehose. */
+  private[streaming] def streamedHourlyCensus(
+      spark: SparkSession, dir: String): Option[DataFrame] = {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, dir)
       .select($"ts", $"event_type")
     val bounds = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
-    if (bounds.isNullAt(0)) return spark.emptyDataFrame
+    if (bounds.isNullAt(0)) return None
     val hiUs = bounds.getLong(1)
     val cutUs = straddlingCut(spark, dir).getOrElse((bounds.getLong(0) + hiUs) / 2)
     val hourUs = 3600000000L
@@ -76,8 +83,8 @@ object StreamXcorr {
         .agg(count(lit(1)).as("n"))
         .select($"event_type",
           expr("unix_micros(window.start) DIV 3600000000").as("h"), $"n")
-    }.getOrElse(return spark.emptyDataFrame)
-    // localCheckpoint: the assembly self-joins the census (distinct
+    }.getOrElse(return None)
+    // localCheckpoint: the assemblies self-join the census (distinct
     // types × dense grid both derive from it) and the memory-sink
     // view exposes ONE attribute set — DeduplicateRelations can only
     // re-alias a materialized LogicalRDD, so without this the join
@@ -92,8 +99,24 @@ object StreamXcorr {
       .filter($"count" =!= 1L).count()
     if (dup > 0)
       throw new IllegalStateException(
-        s"streamed xcorr: $dup (type, hour) cells emitted != 1 time " +
-          "(tumbling-window state lost or replayed across batches)")
-    graft.operators.Telemetry.xcorrFromCounts(spark, counts, maxLag)
+        s"streamed hourly census: $dup (type, hour) cells emitted != 1 " +
+          "time (tumbling-window state lost or replayed across batches)")
+    Some(counts)
+  }
+
+  def streamedXcorr(spark: SparkSession, dir: String, maxLag: Int = 3): DataFrame =
+    streamedHourlyCensus(spark, dir)
+      .map(c => graft.operators.Telemetry.xcorrFromCounts(spark, c, maxLag))
+      .getOrElse(spark.emptyDataFrame)
+
+  /** Streaming twin of events_dispersion (`stream_dispersion`): the
+    * identical staged census, then the VMR rollup — types × hours of
+    * state however large the stream, sharing the batch oracle. */
+  def streamedDispersion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    streamedHourlyCensus(spark, dir)
+      .map(c => graft.operators.Telemetry.dispersionFromCounts(
+        spark, c.withColumnRenamed("n", "x")))
+      .getOrElse(spark.emptyDataFrame)
   }
 }

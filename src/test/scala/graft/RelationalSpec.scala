@@ -134,4 +134,29 @@ class RelationalSpec extends SparkSpec {
     val plan = native.queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin"), plan)
   }
+
+  test("as-of merge participates in whole-stage codegen (and interpreted path agrees)") {
+    // with AQE off the executed plan prints codegen stage stars: the
+    // merge must sit INSIDE a WholeStageCodegen stage ("*(n) AsOfJoin"),
+    // not at an iterator boundary — that fusion is the difference
+    // between two virtual calls per row and a compiled loop at 100 TB
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val native = Relational.qAsOfNative(spark, sf)
+      val plan = native.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("AsOfJoin") && l.trim.matches("""[+:.\s-]*\*\(\d+\) AsOfJoin.*""")),
+        s"AsOfJoin not inside a WholeStageCodegen stage:\n$plan")
+      val rows = native.collect().map(_.getAs[Long]("event_id")).sorted
+      // interpreted fallback must produce the identical result
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = Relational.qAsOfNative(spark, sf)
+        .collect().map(_.getAs[Long]("event_id")).sorted
+      assert(rows.sameElements(interp))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", old)
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
 }
