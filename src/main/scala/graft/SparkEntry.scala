@@ -166,6 +166,7 @@ object SparkEntry {
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.ivfpqTopK(s, d)),
+    "ann_ivfopq" -> ((s: SparkSession, d: String) => Similarity.ivfopqTopK(s, d)),
     "embed_kmeans" -> ((s: SparkSession, d: String) => Similarity.kmeans(s, d)),
     "dedup_semdedup" -> ((s: SparkSession, d: String) => Similarity.semdedup(s, d)),
     "ann_refine" -> ((s: SparkSession, d: String) => Similarity.refineTopK(s, d)),
@@ -332,6 +333,64 @@ object SparkEntry {
   /** DuckDB fragments for the PQ oracle: sub-space slice and
     * fold-exact squared L2 (elements cast to double BEFORE the
     * subtraction, mirroring Similarity.pqTopK). */
+  /** DuckDB CTE chain for ann_ivfopq: the ann_opq variance-ranked
+    * serpentine permutation gathers each vector into a contiguous-
+    * per-subspace float list `pe`, then the ivfpq chain runs with pe
+    * in the PQ tiers (coarse IVF stays on the raw vector — a
+    * permutation never changes cosine). */
+  private def ivfopqCtes(k: Int): String =
+    s"""oqz AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv64 FROM embeddings),
+       |odvs AS (SELECT i, COUNT(*) AS n, SUM(CAST(qv64[i+1] AS HUGEINT)) AS s,
+       |    SUM(CAST(qv64[i+1] AS HUGEINT) * qv64[i+1]) AS ss
+       |  FROM oqz, range(0,64) t(i) GROUP BY i),
+       |ork AS (SELECT i, ROW_NUMBER() OVER (ORDER BY (n*ss - s*s) DESC, i) - 1 AS r FROM odvs),
+       |opm AS (SELECT i, r // 4 AS pos,
+       |    CASE WHEN (r // 4) % 2 = 0 THEN r % 4 ELSE 3 - (r % 4) END AS sub FROM ork),
+       |operm AS (SELECT e.vec_id, list(e.embedding[opm.i+1] ORDER BY opm.sub, opm.pos) AS pe
+       |  FROM embeddings e, opm GROUP BY e.vec_id),
+       |c AS (SELECT e.vec_id AS cid, e.embedding AS cvec, p.pe AS cpe
+       |  FROM embeddings e JOIN operm p ON p.vec_id = e.vec_id WHERE e.vec_id < 16),
+       |scored AS (SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cvec")} AS ccos
+       |  FROM embeddings e CROSS JOIN c),
+       |assign AS (SELECT cid, vec_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z
+       |  WHERE rn <= 4),
+       |ep AS (SELECT e.vec_id, c.cid,
+       |    ${pqSd(pqSub("e.pe", 0), pqSub("c.cpe", 0))} AS d0,
+       |    ${pqSd(pqSub("e.pe", 1), pqSub("c.cpe", 1))} AS d1,
+       |    ${pqSd(pqSub("e.pe", 2), pqSub("c.cpe", 2))} AS d2,
+       |    ${pqSd(pqSub("e.pe", 3), pqSub("c.cpe", 3))} AS d3
+       |  FROM operm e CROSS JOIN c),
+       |codes AS (SELECT vec_id,
+       |    struct_extract(min({'d': d0, 'c': cid}), 'c') AS c0,
+       |    struct_extract(min({'d': d1, 'c': cid}), 'c') AS c1,
+       |    struct_extract(min({'d': d2, 'c': cid}), 'c') AS c2,
+       |    struct_extract(min({'d': d3, 'c': cid}), 'c') AS c3
+       |  FROM ep GROUP BY vec_id),
+       |lp AS (SELECT e.vec_id AS query_id, c.cid,
+       |    ${pqSd(pqSub("e.pe", 0), pqSub("c.cpe", 0))} AS q0,
+       |    ${pqSd(pqSub("e.pe", 1), pqSub("c.cpe", 1))} AS q1,
+       |    ${pqSd(pqSub("e.pe", 2), pqSub("c.cpe", 2))} AS q2,
+       |    ${pqSd(pqSub("e.pe", 3), pqSub("c.cpe", 3))} AS q3
+       |  FROM operm e CROSS JOIN c WHERE e.vec_id < 10),
+       |luta AS (SELECT query_id,
+       |    list(q0 ORDER BY cid) AS a0, list(q1 ORDER BY cid) AS a1,
+       |    list(q2 ORDER BY cid) AS a2, list(q3 ORDER BY cid) AS a3
+       |  FROM lp GROUP BY query_id),
+       |sc2 AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    a0[CAST(c0+1 AS INT)] + a1[CAST(c1+1 AS INT)] + a2[CAST(c2+1 AS INT)] + a3[CAST(c3+1 AS INT)] AS approx_dist
+       |  FROM probes p JOIN assign a USING (cid)
+       |  JOIN codes x ON x.vec_id = a.vec_id
+       |  JOIN luta l ON l.query_id = p.query_id
+       |  WHERE a.vec_id != p.query_id),
+       |ipq AS (SELECT query_id, neighbor_id, approx_dist, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rnk
+       |  FROM sc2) t
+       |WHERE rnk <= $k)""".stripMargin
+
   private def pqSub(e: String, mi: Int): String =
     s"list_slice($e, ${mi * 16 + 1}, ${(mi + 1) * 16})"
   private def pqSd(a: String, b: String): String =
@@ -1427,6 +1486,9 @@ object SparkEntry {
     // query scores; ADC scoring (from ann_pq) prices each candidate
     "ann_ivfpq" ->
       s"""WITH ${ivfpqCtes(5)}
+         |SELECT query_id, neighbor_id, approx_dist, rnk FROM ipq""".stripMargin,
+    "ann_ivfopq" ->
+      s"""WITH ${ivfopqCtes(5)}
          |SELECT query_id, neighbor_id, approx_dist, rnk FROM ipq""".stripMargin,
     // ADC top-10 candidates fetch raw vectors and re-rank by EXACT
     // cosine — quantization error affects recall, never the scores

@@ -292,6 +292,70 @@ object Similarity {
       .filter($"rnk" <= k)
   }
 
+  /** IVF-OPQ-PQ (`ann_ivfopq`): the full production composition —
+    * IVF picks WHICH inverted lists a query touches (full-vector
+    * cosine, unaffected by any rotation), OPQ's learned permutation
+    * ([[opqDims]] — the variance-balanced serpentine deal) decides
+    * how the dimensions split into PQ subspaces, and PQ scores the
+    * touched codes through a broadcast per-query LUT. The permuted
+    * gather is scan-local element_at's producing a contiguous-
+    * sliceable vector (dims ordered by (subspace, position)), so the
+    * whole search keeps [[ivfpqTopK]]'s plan shape: codebooks and
+    * (probes ⋈ LUTs) broadcast, the code table never shuffles. */
+  def ivfopqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 4, subDim: Int = 16): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    def sub(c: Column, mi: Int): Column = slice(c, mi * subDim + 1, subDim)
+    def sqDist(a: Column, b: Column): Column = graft.plans.VecExprs.sqDistFFCol(a, b)
+    val dims = opqDims(spark, dir, m)
+    // permuted float vector, contiguous per subspace: dims in
+    // (subspace, position) order, so sub(pe, m) is a plain slice
+    def permuted(e: Column): Column =
+      array((0 until m).flatMap(s => dims(s).map(d => element_at(e, d + 1))): _*)
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", permuted($"embedding").as("pe"),
+        sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val cents = emb.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"),
+        $"pe".as("cpe"), $"nrm".as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"pe", $"cid",
+        (VecFns.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm")).as("ccos"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+    val assign = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"cid".as("list_id"), $"vec_id", $"pe")
+    val codes = assign.crossJoin(broadcast(cents))
+      .select($"list_id" +: $"vec_id" +: (0 until m).map(mi =>
+        struct(sqDist(sub($"pe", mi), sub($"cpe", mi)).as("d"),
+          $"cid".as("c")).as(s"s$mi")): _*)
+      .groupBy($"list_id", $"vec_id")
+      .agg(min(col("s0")).getField("c").as("c0"),
+        (1 until m).map(mi => min(col(s"s$mi")).getField("c").as(s"c$mi")): _*)
+    val probes = scored.filter($"vec_id" < nQueries)
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" <= nProbe)
+      .select($"vec_id".as("query_id"), $"cid".as("list_id"))
+    val lut = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"pe".as("qpe"))
+      .crossJoin(broadcast(cents))
+      .select($"query_id" +: $"cid" +: (0 until m).map(mi =>
+        sqDist(sub($"qpe", mi), sub($"cpe", mi)).as(s"q$mi")): _*)
+      .groupBy($"query_id")
+      .agg(transform(sort_array(collect_list(struct($"cid", col("q0")))), _.getField("q0")).as("a0"),
+        (1 until m).map(mi =>
+          transform(sort_array(collect_list(struct($"cid", col(s"q$mi")))), _.getField(s"q$mi"))
+            .as(s"a$mi")): _*)
+    val dist = (0 until m).map(mi =>
+      element_at(col(s"a$mi"), (col(s"c$mi") + 1).cast("int"))).reduceLeft(_ + _)
+    val w = Window.partitionBy($"query_id").orderBy($"approx_dist".asc, $"neighbor_id".asc)
+    broadcast(probes.join(lut, "query_id"))
+      .join(codes, "list_id")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), dist.as("approx_dist"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= k)
+  }
+
   /** Distributed k-means over the embeddings (Lloyd's algorithm, a
     * fixed `iters` rounds) — the offline training job the IVF/PQ
     * codebooks stand in for, run as the standard Spark shape: the K
@@ -409,10 +473,13 @@ object Similarity {
     * dimension-sized driver reduction (embed_pca's documented
     * codebook pattern); the permuted gather is scan-local
     * element_at's — everything downstream is pqTrain's shape. */
-  def opqTrain(spark: SparkSession, dir: String, m: Int = 4,
-      k: Int = 16, iters: Int = 2): DataFrame = {
+  /** The learned OPQ rotation as a dimension permutation: per
+    * subspace, the source dimensions in gather order (serpentine deal
+    * of dims ranked by integer-exact variance numerator). 64 rows —
+    * a dimension-sized driver reduction, shared by [[opqTrain]] and
+    * [[ivfopqTopK]]. */
+  private def opqDims(spark: SparkSession, dir: String, m: Int): Map[Int, Seq[Int]] = {
     import spark.implicits._
-    require(iters >= 1, "opq training needs at least one assignment round")
     val qz = Tables.embeddings(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => round(x.cast(DoubleType) * 1e6d).cast(LongType)).as("qv64"))
@@ -427,13 +494,23 @@ object Similarity {
     val ranks = stats
       .select($"i", (row_number().over(Window.orderBy($"var_num".desc, $"i".asc)) - 1).as("r"))
       .collect().map(row => (row.getInt(0), row.getInt(1)))
-    val dimsBySub: Map[Int, Seq[Int]] = ranks.map { case (i, r) =>
+    ranks.map { case (i, r) =>
       val t = r / m
       val j = r % m
       (if (t % 2 == 0) j else m - 1 - j, t, i)
     }.groupBy(_._1).map { case (s, xs) =>
       s -> xs.sortBy(_._2).map(_._3).toSeq
     }
+  }
+
+  def opqTrain(spark: SparkSession, dir: String, m: Int = 4,
+      k: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(iters >= 1, "opq training needs at least one assignment round")
+    val qz = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => round(x.cast(DoubleType) * 1e6d).cast(LongType)).as("qv64"))
+    val dimsBySub = opqDims(spark, dir, m)
     val subs = (0 until m).map(s =>
       struct(lit(s.toLong).as("sub"),
         array(dimsBySub(s).map(d => element_at($"qv64", d + 1)): _*).as("qv")))
