@@ -200,6 +200,7 @@ object SparkEntry {
     "corpus_select" -> ((s: SparkSession, d: String) => TextAnalysis.corpusSelect(s, d)),
     "text_dsir" -> ((s: SparkSession, d: String) => TextAnalysis.dsir(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
+    "decontaminate_semantic" -> ((s: SparkSession, d: String) => Similarity.decontaminateSemantic(s, d)),
     "decontaminate_frac" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminateFrac(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redact(s, d)),
     "corpus_pipeline" -> ((s: SparkSession, d: String) => TextAnalysis.corpusPipeline(s, d)),
@@ -1916,6 +1917,17 @@ object SparkEntry {
          |LEFT JOIN bc ON bc.j = p.j AND bc.bucket = ((t.h * p.a + p.b) % 2147483647) % 1024
          |GROUP BY t.term, t.doc_freq""".stripMargin,
     "decontaminate" -> decontaminateSql,
+    // semantic twin: max-cosine vs the broadcast holdout, argmax ties
+    // to the smaller holdout id
+    "decontaminate_semantic" ->
+      s"""SELECT vec_id, nearest_holdout, max_cosine, max_cosine >= 0.35 AS contaminated FROM (
+         |  SELECT e.vec_id, h.vec_id AS nearest_holdout,
+         |    ${cos("e.embedding", "h.embedding")} AS max_cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cos("e.embedding", "h.embedding")} DESC, h.vec_id) AS rn
+         |  FROM embeddings e JOIN embeddings h ON h.vec_id < 50
+         |  WHERE e.vec_id >= 50) t
+         |WHERE rn = 1""".stripMargin,
     "decontaminate_bloom" -> decontaminateSql,
     "decontaminate_frac" ->
       """WITH sh AS (

@@ -52,13 +52,16 @@ object Dedup {
     // emit C(n,2) pairs in one task; dropping it bounds per-bucket
     // work at the standard LSH recall/cost trade. Mirrored in the
     // DuckDB oracle (mhrare CTE) so the gate holds the same pair set.
-    // Anti-join against the HOT keys (≤ N·bands/maxBucket of them by
-    // construction): hot broadcasts, the band table never shuffles
-    // for the cap.
-    val hot = bands.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("bc")).filter($"bc" > maxBucket)
+    // Deliberately an EQUI-join on the rare side, not a broadcast
+    // anti-join on the hot side: the pair self-join below needs the
+    // (band, bkey) exchange anyway, so ReuseExchange serves the
+    // census and both join sides from ONE shuffle — a broadcast
+    // formulation re-derives the band table for the census instead
+    // (measured +50% on this operator at sf0.1).
+    val rare = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
       .select($"band", $"bkey")
-    val pruned = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val pruned = bands.join(rare, Seq("band", "bkey"))
     pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
@@ -90,12 +93,13 @@ object Dedup {
       struct(lit(b).as("band"),
         HashFns.foldKey(slice($"mh", b * HashFns.RowsPerBand + 1, HashFns.RowsPerBand)).as("bkey"))
     }: _*)).as("bk")).select($"doc_id", $"mh", $"bk.band", $"bk.bkey")
-    // stop-band removal, same cap / hot-set broadcast anti-join and
-    // oracle mirror as lshCandidates
-    val hot = bands.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("bc")).filter($"bc" > maxBucket)
+    // stop-band removal — same cap, rare-side equi-join (exchange
+    // reuse with the pair self-join) and oracle mirror as
+    // lshCandidates
+    val rare = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
       .select($"band", $"bkey")
-    val pruned = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val pruned = bands.join(rare, Seq("band", "bkey"))
     pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -121,12 +125,12 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright($"simhash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
     }: _*)).as("bk")).select($"doc_id", $"simhash", $"bk.band", $"bk.bkey")
-    // hot-set broadcast anti-join (≤ N·bands/maxBucket hot keys by
-    // construction): the band table never shuffles for the cap
-    val hot = bands.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("bc")).filter($"bc" > maxBucket)
+    // rare-side equi-join: the pair self-join needs the (band, bkey)
+    // exchange anyway, so ReuseExchange serves census + both sides
+    val rare = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
       .select($"band", $"bkey")
-    val pruned = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val pruned = bands.join(rare, Seq("band", "bkey"))
     pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -180,14 +184,11 @@ object Dedup {
     // OOM at 100×). Plain count first (bounded partial-agg buffers),
     // filter to rare grams, then left-semi the index to survivors —
     // collect_list buffers are now bounded by maxBucket.
-    // anti-join against the HOT grams (df > cap — ≤ positions/cap of
-    // them by construction, so they broadcast): the index never
-    // shuffles for the cap, where the rare-set semi join shuffled it
-    val hot = index.groupBy($"gram")
+    val rare = index.groupBy($"gram")
       .agg(count(lit(1)).as("df"))
-      .filter($"df" > maxBucket)
+      .filter($"df" <= maxBucket)
       .select($"gram")
-    val capped = index.join(broadcast(hot), Seq("gram"), "left_anti")
+    val capped = index.join(rare, Seq("gram"), "left_semi")
       .groupBy($"gram")
       .agg(collect_list($"doc_id").as("docs"))
     val shared = capped

@@ -571,6 +571,34 @@ object Similarity {
     * every vector with its cluster, duplicate-neighbor count, and
     * whether it survives (keep = no smaller-id near neighbor in its
     * cluster). */
+  /** Semantic decontamination (`decontaminate_semantic`): flag
+    * corpus vectors whose embedding is near-identical to any HELD-OUT
+    * evaluation vector — the semantic complement of the n-gram
+    * [[TextAnalysis.decontaminate]] family (paraphrased leakage that
+    * shares no 8-gram still collides in embedding space). The holdout
+    * (vec_id < `holdout`, the deterministic seed-set convention) is
+    * eval-set-sized by contract, so it BROADCASTS to one scan of the
+    * corpus — the right 100 TB shape: no shuffle at all, the max
+    * similarity and its argmax (ties to the smaller holdout id)
+    * reduce scan-locally per vector via a fixed-order array fold. */
+  def decontaminateSemantic(spark: SparkSession, dir: String,
+      holdout: Int = 50, tau: Double = 0.35d): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val hold = emb.filter($"vec_id" < holdout)
+      .select($"vec_id".as("h_id"), $"embedding".as("hv"), $"nrm".as("hnrm"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"h_id".asc)
+    emb.filter($"vec_id" >= holdout)
+      .join(broadcast(hold))
+      .select($"vec_id", $"h_id",
+        (VecFns.dot($"embedding", $"hv") / ($"nrm" * $"hnrm")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"h_id".as("nearest_holdout"),
+        $"cosine".as("max_cosine"), ($"cosine" >= tau).as("contaminated"))
+  }
+
   def semdedup(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2,
       tau: Double = 0.35d): DataFrame = {
     import spark.implicits._
@@ -655,13 +683,14 @@ object Similarity {
       .select($"vec_id", $"embedding",
         VecFns.lshSignature($"embedding", adaptivePlanes(spark, dir)).as("sig"),
         sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
-    // anti-join against the HOT set, not inner-join against the rare
-    // set: hot is ≤ N/maxBucket keys by construction, so it
-    // broadcasts and the corpus-sized side never shuffles for the cap
-    val hot = sigs.groupBy($"sig")
-      .agg(count(lit(1)).as("bc")).filter($"bc" > maxBucket)
+    // rare-side equi-join (not a broadcast anti-join on the hot set):
+    // every consumer self-joins on sig, so the sig exchange happens
+    // regardless and ReuseExchange serves the census + join sides
+    // from one shuffle — broadcasting would re-derive the signatures
+    val rare = sigs.groupBy($"sig")
+      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
       .select($"sig")
-    sigs.join(broadcast(hot), Seq("sig"), "left_anti")
+    sigs.join(rare, Seq("sig"))
   }
 
   /** LSH-bucketed ANN: vectors meet only within their adaptive-width
