@@ -140,12 +140,34 @@ object SparkEntry {
     "dq_uniqueness" -> (Quality.uniqueness _),
     "dq_drift" -> (Quality.drift _),
     "dq_volume" -> (Quality.volume _),
+    "dq_completeness" -> (Quality.completeness _),
     "events_rfm" -> (Telemetry.rfm _),
+    "q_mode" -> (Relational.qMode _),
+    "q_asof_nearest" -> (Relational.qAsOfNearest _),
+    "q_percent_rank" -> (Relational.qPercentRank _),
+    "ts_seasonal" -> (Telemetry.seasonal _),
+    "events_interarrival" -> (Telemetry.interarrival _),
+    "text_entropy" -> (TextAnalysis.entropy _),
+    "text_novelty" -> (TextAnalysis.novelty _),
+    "stream_interarrival" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamInterarrival.streamedInterarrival(s, d)),
+    "stream_seasonal" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamSeasonal.streamedSeasonal(s, d)),
+    "stream_downsample" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamDownsample.streamedDownsample(s, d)),
+    "stream_ratecap" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamRatecap.streamedRatecap(s, d)),
+    "stream_paths" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamPaths.streamedPaths(s, d)),
     // D. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_apply" -> ((s: SparkSession, d: String) => Dedup.applyDedup(s, d)),
+    "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBest(s, d)),
+    "graph_kcore" -> ((s: SparkSession, d: String) => Dedup.kcore(s, d)),
+    "ann_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "dedup_minhash_est" -> ((s: SparkSession, d: String) => Dedup.minhashEstimate(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),
@@ -645,6 +667,75 @@ object SparkEntry {
       |FROM candles""".stripMargin
 
   /** Shared by `beacon_5min` and its streaming twin `stream_beacon`. */
+  /** Shared by `ts_seasonal` and its streaming twin `stream_seasonal`
+    * — per-(type, hod, day) census state flushed at the barrier must
+    * assemble to the batch profile, seasonal index included. */
+  private val seasonalSql: String =
+    """WITH cells AS (SELECT event_type,
+      |    ((epoch_us(ts) // 3600000000) % 24 + 24) % 24 AS hod,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      |c2 AS (SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      |  FROM cells GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_type FROM c2 GROUP BY 1)
+      |SELECT event_type, hod, n_events, n_days,
+      |  CAST(n_events * 24 AS DOUBLE) / CAST(n_type AS DOUBLE) AS seasonal_idx
+      |FROM c2 JOIN t USING (event_type)""".stripMargin
+
+  /** Shared by `events_interarrival` and its streaming twin
+    * `stream_interarrival` — gaps straddling the staged cut must come
+    * out of per-type last-arrival state; percentiles are the batch
+    * rank statistics over the full gap log. */
+  private val interarrivalSql: String =
+    """WITH g AS (SELECT event_type, event_id,
+      |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      |r AS (SELECT event_type, event_id, gap_us,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_us, event_id) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM g WHERE gap_us IS NOT NULL)
+      |SELECT event_type, MAX(n) AS n_gaps,
+      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS p50_us,
+      |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END) AS p90_us,
+      |  MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_us END) AS p99_us,
+      |  MAX(gap_us) AS max_us
+      |FROM r GROUP BY event_type""".stripMargin
+
+  /** Shared by `downsample_1hz` and its streaming twin
+    * `stream_downsample` — the O(1)-per-user second-gate state must
+    * elect the same keeper per (user, second) as the batch window. */
+  private val downsampleSql: String =
+    """SELECT event_id, user_id, sec, value FROM (
+      |  SELECT event_id, user_id, date_trunc('second', ts) AS sec, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('second', ts) ORDER BY ts, event_id) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  /** Shared by `events_ratecap` and its streaming twin
+    * `stream_ratecap` — the bounded keeper set folded across
+    * micro-batches must equal the batch TopKPairs election. */
+  private val ratecapSql: String =
+    """SELECT user_id, day, rnk, event_id, n_total FROM (
+      |  SELECT user_id, date_trunc('day', ts) AS day, event_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts, event_id) AS BIGINT) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY user_id, date_trunc('day', ts)) AS n_total
+      |  FROM events) t
+      |WHERE rnk <= 5""".stripMargin
+
+  /** Shared by `events_paths` and its streaming twin `stream_paths`
+    * — per-user last-type state must chain the same bigrams as the
+    * batch lead() window. */
+  private val pathsSql: String =
+    """SELECT from_type, to_type, COUNT(*) AS n_transitions,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM (
+      |  SELECT user_id, event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events WHERE ts IS NOT NULL) z
+      |WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type""".stripMargin
+
   private val beaconSql: String =
     """SELECT user_id, bucket, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -958,11 +1049,10 @@ object SparkEntry {
          |  CASE WHEN epoch_us(ts) - epoch_us(last_order_date) <= ${8500L * 86400L * 1000000L}
          |       THEN last_day_total END AS last_day_total
          |FROM ($asOfSql) t""".stripMargin,
-    "downsample_1hz" ->
-      """SELECT event_id, user_id, sec, value FROM (
-        |  SELECT event_id, user_id, date_trunc('second', ts) AS sec, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('second', ts) ORDER BY ts, event_id) AS rn
-        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "downsample_1hz" -> downsampleSql,
+    // streaming twin on the SAME oracle: the per-user second-gate
+    // state must survive a second straddling the micro-batch cut
+    "stream_downsample" -> downsampleSql,
     "beacon_5min" -> beaconSql,
     // streaming twin on the SAME oracle: append-mode window emission
     // across the micro-batch cut must equal the batch groupBy exactly
@@ -1254,6 +1344,32 @@ object SparkEntry {
       s"""WITH RECURSIVE $clusterCtes
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $clusterCtes
+         |SELECT cluster_id, keeper_id, keeper_chars, cluster_size FROM (
+         |  SELECT cc.cluster_id, d.doc_id AS keeper_id, d.n_chars AS keeper_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY cc.cluster_id ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cc.cluster_id) AS cluster_size
+         |  FROM cc JOIN documents d USING (doc_id)) t
+         |WHERE rn = 1""".stripMargin,
+    "graph_kcore" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |e0 AS (SELECT doc_a AS u, doc_b AS v FROM vp UNION SELECT doc_b, doc_a FROM vp),
+         |n0 AS (SELECT DISTINCT u AS node FROM e0),
+         |k1 AS (SELECT u AS node FROM e0 GROUP BY u HAVING COUNT(*) >= 2),
+         |e1 AS (SELECT e0.u, e0.v FROM e0 JOIN k1 a ON e0.u = a.node JOIN k1 b ON e0.v = b.node),
+         |k2 AS (SELECT u AS node FROM e1 GROUP BY u HAVING COUNT(*) >= 2),
+         |e2 AS (SELECT e1.u, e1.v FROM e1 JOIN k2 a ON e1.u = a.node JOIN k2 b ON e1.v = b.node),
+         |k3 AS (SELECT u AS node FROM e2 GROUP BY u HAVING COUNT(*) >= 2),
+         |e3 AS (SELECT e2.u, e2.v FROM e2 JOIN k3 a ON e2.u = a.node JOIN k3 b ON e2.v = b.node),
+         |fd AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS final_degree FROM e3 GROUP BY u)
+         |SELECT n0.node AS doc_id,
+         |  CAST((CASE WHEN n0.node IN (SELECT node FROM k1) THEN 1 ELSE 0 END)
+         |     + (CASE WHEN n0.node IN (SELECT node FROM k2) THEN 1 ELSE 0 END)
+         |     + (CASE WHEN n0.node IN (SELECT node FROM k3) THEN 1 ELSE 0 END) AS BIGINT) AS rounds_survived,
+         |  n0.node IN (SELECT node FROM k3) AS in_core,
+         |  COALESCE(fd.final_degree, 0) AS final_degree
+         |FROM n0 LEFT JOIN fd USING (node)""".stripMargin,
     "dedup_minhash_est" -> minhashEstSql,
     // the streaming incremental index must recover the batch
     // operator's exact pair set (same hashes, same agree/16 estimate)
@@ -1451,6 +1567,54 @@ object SparkEntry {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY ${cos("p.qv", "a.embedding")} DESC, a.vec_id) AS BIGINT) AS rnk
          |  FROM probes p JOIN assign a USING (cid)
          |  WHERE a.vec_id != p.query_id) t
+         |WHERE rnk <= 5""".stripMargin,
+    // recall@k of the IVF search vs the brute-force ground truth on
+    // the same query set — both top-k elections deterministic, so the
+    // metric is exact
+    "ann_recall" ->
+      s"""WITH bt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.embedding", "e.embedding")} DESC, e.vec_id) AS BIGINT) AS rnk
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10) t
+         |WHERE rnk <= 5),
+         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         |scored AS (SELECT e.vec_id, e.embedding, c.cid, c.cvec, ${cos("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT cid, vec_id, embedding FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z
+         |  WHERE rn <= 4),
+         |iv AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY ${cos("p.qv", "a.embedding")} DESC, a.vec_id) AS BIGINT) AS rnk
+         |  FROM probes p JOIN assign a USING (cid)
+         |  WHERE a.vec_id != p.query_id) t
+         |WHERE rnk <= 5),
+         |r AS (SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+         |  FROM bt LEFT JOIN iv USING (query_id, neighbor_id)
+         |  GROUP BY bt.query_id)
+         |SELECT query_id, n_true, n_found,
+         |  CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+         |FROM r""".stripMargin,
+    // corpus-proportional query side (vec_id ≡ 0 mod 10), each query
+    // scoring only its OWN inverted list — the k-NN-graph build shape
+    "ann_knn_graph" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         |scored AS (SELECT e.vec_id, e.embedding, c.cid, ${cos("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT cid, vec_id, embedding FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |q AS (SELECT cid, vec_id AS query_id, embedding AS qv FROM assign WHERE vec_id % 10 = 0)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, ${cos("q.qv", "a.embedding")} AS cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "a.embedding")} DESC, a.vec_id) AS BIGINT) AS rnk
+         |  FROM q JOIN assign a USING (cid)
+         |  WHERE a.vec_id != q.query_id) t
          |WHERE rnk <= 5""".stripMargin,
     "ann_pq" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
@@ -2052,15 +2216,10 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM slotted GROUP BY window_start""".stripMargin,
-    "events_paths" ->
-      """SELECT from_type, to_type, COUNT(*) AS n_transitions,
-        |  COUNT(DISTINCT user_id) AS n_users
-        |FROM (
-        |  SELECT user_id, event_type AS from_type,
-        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-        |  FROM events WHERE ts IS NOT NULL) z
-        |WHERE to_type IS NOT NULL
-        |GROUP BY from_type, to_type""".stripMargin,
+    "events_paths" -> pathsSql,
+    // streaming twin on the SAME oracle: a bigram whose halves land
+    // in different micro-batches must come out of cross-batch state
+    "stream_paths" -> pathsSql,
     "ts_ewma" ->
       """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS eus,
         |    CAST(round(value*100) AS BIGINT) AS cents
@@ -2627,14 +2786,10 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     // the heap election replays as the window formulation it replaces
-    "events_ratecap" ->
-      """SELECT user_id, day, rnk, event_id, n_total FROM (
-        |  SELECT user_id, date_trunc('day', ts) AS day, event_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
-        |      ORDER BY ts, event_id) AS BIGINT) AS rnk,
-        |    COUNT(*) OVER (PARTITION BY user_id, date_trunc('day', ts)) AS n_total
-        |  FROM events) t
-        |WHERE rnk <= 5""".stripMargin,
+    "events_ratecap" -> ratecapSql,
+    // streaming twin on the SAME oracle: keeper sets and totals fold
+    // across the staged cut in per-(user, day) state
+    "stream_ratecap" -> ratecapSql,
     // 20%-of-average evaluated division-free: qty < 0.2*sum/n ⟺ 5*qty*n < sum
     "q_corr_subquery" ->
       """WITH s AS (SELECT l_partkey,
@@ -3239,6 +3394,95 @@ object SparkEntry {
         |  ((CAST(d.n_events AS DOUBLE) - s.mu) * (CAST(d.n_events AS DOUBLE) - s.mu)
         |     > 4.0 * (s.m2 - s.mu * s.mu)) AS is_spike
         |FROM daily d JOIN s USING (event_type)""".stripMargin,
+    "dq_completeness" ->
+      """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+        |    CAST(SUM(CASE WHEN event_type IS NOT NULL AND trim(event_type) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_event_type,
+        |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        |    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        |    CAST(SUM(CASE WHEN props IS NOT NULL AND trim(props) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_props
+        |  FROM events)
+        |SELECT column_name, n_rows, n_null, n_blank,
+        |  CAST(n_rows - n_null - n_blank AS DOUBLE) / CAST(n_rows AS DOUBLE) AS populated_frac
+        |FROM (
+        |  SELECT 'ts' AS column_name, n_rows, null_ts AS n_null, CAST(0 AS BIGINT) AS n_blank FROM s
+        |  UNION ALL SELECT 'user_id', n_rows, null_user_id, CAST(0 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'event_type', n_rows, null_event_type, blank_event_type FROM s
+        |  UNION ALL SELECT 'value', n_rows, null_value, CAST(0 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'props', n_rows, null_props, blank_props FROM s) u""".stripMargin,
+    "q_mode" ->
+      """WITH census AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT n_name, mode_segment, n_mode, n_customers, n_segments FROM (
+        |  SELECT c_nationkey, c_mktsegment AS mode_segment, n AS n_mode,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY n DESC, c_mktsegment) AS rn,
+        |    CAST(SUM(n) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_customers,
+        |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n_segments
+        |  FROM census) t JOIN nation ON n_nationkey = c_nationkey
+        |WHERE rn = 1""".stripMargin,
+    "q_percent_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS cume
+        |FROM customer""".stripMargin,
+    "text_novelty" ->
+      """WITH grams AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) >= 4
+        |  THEN list_transform(range(1, length(lower(text))-2), i -> substr(lower(text), i, 4))
+        |  ELSE [lower(text)] END) AS gs FROM documents),
+        |idx AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        |fs AS (SELECT gram, MIN(doc_id) AS first_seen FROM idx GROUP BY gram)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN first_seen < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before,
+        |  1.0 - CAST(SUM(CASE WHEN first_seen < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+        |FROM idx JOIN fs USING (gram) GROUP BY doc_id""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH d AS (SELECT o_custkey AS u, o_orderdate AS t, 0 AS is_event,
+        |    CAST(NULL AS BIGINT) AS event_id, o_orderdate AS od,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |  FROM orders GROUP BY o_custkey, o_orderdate),
+        |ev AS (SELECT user_id AS u, ts AS t, 1 AS is_event, event_id,
+        |    CAST(NULL AS TIMESTAMP) AS od, CAST(NULL AS DOUBLE) AS day_total
+        |  FROM events WHERE ts IS NOT NULL),
+        |un AS (SELECT * FROM d UNION ALL SELECT * FROM ev),
+        |w AS (SELECT *,
+        |    LAST_VALUE(od IGNORE NULLS) OVER (PARTITION BY u ORDER BY t, is_event ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_od,
+        |    LAST_VALUE(day_total IGNORE NULLS) OVER (PARTITION BY u ORDER BY t, is_event ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_total,
+        |    FIRST_VALUE(od IGNORE NULLS) OVER (PARTITION BY u ORDER BY t, is_event ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_od,
+        |    FIRST_VALUE(day_total IGNORE NULLS) OVER (PARTITION BY u ORDER BY t, is_event ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_total
+        |  FROM un),
+        |f AS (SELECT *, (back_od IS NOT NULL AND (fwd_od IS NULL
+        |    OR epoch_us(t) - epoch_us(back_od) <= epoch_us(fwd_od) - epoch_us(t))) AS use_back
+        |  FROM w WHERE is_event = 1)
+        |SELECT event_id, u AS user_id, t AS ts,
+        |  CASE WHEN use_back THEN back_od ELSE fwd_od END AS near_order_date,
+        |  CASE WHEN use_back THEN back_total ELSE fwd_total END AS near_day_total,
+        |  CASE WHEN back_od IS NULL AND fwd_od IS NULL THEN CAST(NULL AS VARCHAR)
+        |       WHEN use_back THEN 'back' ELSE 'fwd' END AS direction
+        |FROM f""".stripMargin,
+    "ts_seasonal" -> seasonalSql,
+    // streaming twin on the SAME oracle: cell counts fold across the
+    // staged cut in per-(type, hod, day) state
+    "stream_seasonal" -> seasonalSql,
+    "events_interarrival" -> interarrivalSql,
+    // streaming twin on the SAME oracle: a gap straddling the cut
+    // must come out of per-type last-arrival state
+    "stream_interarrival" -> interarrivalSql,
+    "text_entropy" ->
+      """WITH cp AS (SELECT doc_id, ascii(c) AS cp
+        |    FROM documents, UNNEST(string_split(text, '')) AS t(c)
+        |    WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, cp, COUNT(*) AS c FROM cp GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_cps,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS coll_pairs
+        |  FROM cc GROUP BY doc_id)
+        |SELECT doc_id, n_cps, n_distinct, coll_pairs,
+        |  CASE WHEN coll_pairs > 0
+        |    THEN CAST(n_cps * (n_cps - 1) AS DOUBLE) / CAST(coll_pairs AS DOUBLE)
+        |    ELSE CAST(NULL AS DOUBLE) END AS eff_alphabet
+        |FROM agg""".stripMargin,
     "events_rfm" ->
       """WITH u AS (
         |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS frequency,

@@ -595,6 +595,72 @@ object Dedup {
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
 
+  /** Quality-aware keeper election (`dedup_keep_best`): per duplicate
+    * cluster, keep the member with the MOST content (n_chars DESC,
+    * doc_id ASC on ties) instead of [[clusters]]' min-id convention —
+    * the policy real LLM dedup pipelines want, because the min-id
+    * keeper is arbitrary while the longest member usually subsumes
+    * its truncated near-duplicates.
+    *
+    * Shape: the converged component labels (shared/checkpointed with
+    * the whole cluster family) join the corpus's (doc_id, n_chars)
+    * projection — a column-pruned scan, never the text — and the
+    * election is the q_argmax `min(struct)` trick, partial-aggregated
+    * so one candidate struct per cluster crosses the shuffle. Output
+    * is cluster-sized, not corpus-sized. */
+  def keepBest(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
+    import spark.implicits._
+    val labeled = componentLabels(spark, dir, maxIters)
+      .join(Tables.documents(spark, dir)
+        .select($"doc_id".as("node"), $"n_chars"), "node")
+    labeled.groupBy($"label".as("cluster_id"))
+      .agg(min(struct((-$"n_chars").as("negc"), $"node".as("id"))).as("m"),
+        count(lit(1)).as("cluster_size"))
+      .select($"cluster_id", $"m.id".as("keeper_id"),
+        (-$"m.negc").as("keeper_chars"), $"cluster_size")
+  }
+
+  /** Bounded-round k-core peel (`graph_kcore`): iteratively drop
+    * nodes of degree < k from the duplicate graph for a FIXED number
+    * of rounds, reporting each node's survival depth and whether it
+    * sits in the (round-bounded) k-core — the "dense duplicate mass"
+    * detector: chains and stars peel away in a round or two, while
+    * template farms (every page near-duplicating every other) survive
+    * all rounds and deserve cluster-level policy, not pairwise.
+    *
+    * Rounds are FIXED (like [[reach]]'s bounded BFS), not
+    * run-to-convergence: each round is one degree aggregation + two
+    * semi-joins, all shuffles ∝ surviving edges, with a
+    * localCheckpoint per round truncating lineage; at 100 TB a
+    * bounded sweep is k passes, and the depth-R verdict is already
+    * the actionable signal (survivors of round R only get denser). */
+  def kcore(spark: SparkSession, dir: String, k: Int = 2, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vp = cachedPairs(spark, dir).select($"doc_a", $"doc_b")
+    val sym = vp.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(vp.select($"doc_b".as("u"), $"doc_a".as("v")))
+    val all = sym.select($"u".as("node")).distinct()
+    var edges = sym
+    // survived(r) = nodes still present after r peel rounds
+    var depth = all.withColumn("rounds_survived", lit(0L))
+    for (_ <- 1 to rounds) {
+      val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+      val keep = deg.filter($"d" >= k).select($"u".as("node")).localCheckpoint()
+      edges = edges
+        .join(keep.select($"node".as("u")), Seq("u"), "left_semi")
+        .join(keep.select($"node".as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      depth = depth.join(keep.withColumn("s", lit(1L)), Seq("node"), "left")
+        .select($"node",
+          ($"rounds_survived" + coalesce($"s", lit(0L))).as("rounds_survived"))
+    }
+    val finalDeg = edges.groupBy($"u".as("node")).agg(count(lit(1)).as("fd"))
+    depth.join(finalDeg, Seq("node"), "left")
+      .select($"node".as("doc_id"), $"rounds_survived",
+        ($"rounds_survived" === rounds.toLong).as("in_core"),
+        coalesce($"fd", lit(0L)).as("final_degree"))
+  }
+
   /** Embedding-cosine near-duplicates: candidates share an adaptive-
     * width random-hyperplane signature bucket (Similarity.sigBuckets
     * — width grows log2(N), hot buckets capped), pairs kept at

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -256,5 +256,41 @@ object Quality {
     daily.join(stats, "event_type")
       .select($"event_type", $"day", $"n_events", stats("n_days"),
         ((d * d) > (lit(4.0d) * stats("variance"))).as("is_spike"))
+  }
+
+  /** Column completeness profile (`dq_completeness`): per column of
+    * the event stream, null count, blank count (string columns:
+    * non-null but empty/whitespace), and the populated fraction —
+    * the first dashboard any ingestion pipeline stands up, and the
+    * input to "is this column trustworthy enough to train on".
+    *
+    * Scale shape: every per-column flag is a scan-local conditional
+    * and ALL of them sum in ONE partial-aggregated pass — k columns
+    * cost one corpus read and ONE row crosses the shuffle; the
+    * per-column unpivot happens on that single row (driver-sized
+    * stack, never a row-explosion over the corpus). Fractions are
+    * single divisions of exact longs. */
+  def completeness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def nNull(c: Column) = sum(when(c.isNull, 1L).otherwise(0L))
+    def nBlank(c: Column) =
+      sum(when(c.isNotNull && trim(c) === "", 1L).otherwise(0L))
+    val one = Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        nNull($"ts").as("null_ts"), lit(0L).as("blank_ts"),
+        nNull($"user_id").as("null_user_id"), lit(0L).as("blank_user_id"),
+        nNull($"event_type").as("null_event_type"), nBlank($"event_type").as("blank_event_type"),
+        nNull($"value").as("null_value"), lit(0L).as("blank_value"),
+        nNull($"props").as("null_props"), nBlank($"props").as("blank_props"))
+    one.select($"n_rows", expr(
+      """stack(5,
+        |  'ts', null_ts, blank_ts,
+        |  'user_id', null_user_id, blank_user_id,
+        |  'event_type', null_event_type, blank_event_type,
+        |  'value', null_value, blank_value,
+        |  'props', null_props, blank_props) AS (column_name, n_null, n_blank)""".stripMargin))
+      .select($"column_name", $"n_rows", $"n_null", $"n_blank",
+        (($"n_rows" - $"n_null" - $"n_blank").cast(DoubleType) /
+          $"n_rows".cast(DoubleType)).as("populated_frac"))
   }
 }

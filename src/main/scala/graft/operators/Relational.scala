@@ -1089,4 +1089,97 @@ object Relational {
         ($"n_inter".cast(DoubleType) /
           ($"n_a" + $"n_b" - $"n_inter").cast(DoubleType)).as("jaccard"))
   }
+
+  /** Per-group statistical mode (`q_mode`): each nation's modal
+    * market segment among its customers. The census
+    * groupBy(nation, segment) partial-aggregates map-side (shuffle ∝
+    * occupied cells, never customers), then the winner election is
+    * the q_argmax `min(struct)` trick — (−count, segment) orders
+    * "highest count, then alphabetically first segment" so the tie
+    * break is total and deterministic, and the election itself
+    * partial-aggregates (one struct per buffer). The window
+    * formulation (`ROW_NUMBER` over the census) would sort every
+    * census cell per nation just to keep one row. */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val top = census.groupBy($"c_nationkey")
+      .agg(min(struct((-$"n").as("negn"), $"c_mktsegment".as("seg"))).as("m"),
+        sum($"n").as("n_customers"),
+        count(lit(1)).as("n_segments"))
+      .select($"c_nationkey", $"m.seg".as("mode_segment"),
+        (-$"m.negn").as("n_mode"), $"n_customers", $"n_segments")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    top.join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"mode_segment", $"n_mode", $"n_customers",
+        $"n_segments")
+  }
+
+  /** Relative-standing window functions (`q_percent_rank`): each
+    * customer's percent_rank and cume_dist of account balance within
+    * its nation — the peer-percentile readout ntile buckets
+    * ([[qNtile]]) are too coarse for. The order key includes the
+    * primary key, so the order is TOTAL: percent_rank reduces to
+    * (rn−1)/(n−1) and cume_dist to rn/n — each ONE division of exact
+    * longs, deterministic on both engines (a value-only ordering
+    * would leave tie groups engine-ordered). One exchange, one sort;
+    * window state is O(1) per frame. */
+  def qPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+  }
+
+  /** Nearest-neighbor as-of join (`q_asof_nearest`) — completes the
+    * as-of family: each event matches its user's temporally CLOSEST
+    * daily order aggregate, in either direction (q_asof looks only
+    * backward, q_asof_forward only forward); exact time ties break
+    * backward. Same union+window composition as [[qAsOf]]: the daily
+    * aggregates and the events union into ONE stream sorted per user,
+    * the backward candidate is a running `last(ignoreNulls)` and the
+    * forward candidate a `first(ignoreNulls)` over the following
+    * frame on the SAME sort — one exchange, two window passes, no
+    * range join. The is_event sort bit places each event AFTER a
+    * same-instant order for the backward pass and BEFORE none for the
+    * forward pass, so a same-µs order is "distance zero backward" on
+    * both engines. */
+  def qAsOfNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(dsum($"o_totalprice").as("day_total"))
+      .select($"o_custkey".as("u"), $"o_orderdate".as("t"),
+        lit(0).as("is_event"), lit(null).cast(LongType).as("event_id"),
+        $"o_orderdate".as("od"), $"day_total")
+    val ev = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .select($"user_id".as("u"), $"ts".as("t"),
+        lit(1).as("is_event"), $"event_id",
+        lit(null).cast("timestamp").as("od"), lit(null).cast(DoubleType).as("day_total"))
+    val wBack = Window.partitionBy($"u").orderBy($"t".asc, $"is_event".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy($"u").orderBy($"t".asc, $"is_event".asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    daily.unionByName(ev)
+      .withColumn("back_od", last($"od", ignoreNulls = true).over(wBack))
+      .withColumn("back_total", last($"day_total", ignoreNulls = true).over(wBack))
+      .withColumn("fwd_od", first($"od", ignoreNulls = true).over(wFwd))
+      .withColumn("fwd_total", first($"day_total", ignoreNulls = true).over(wFwd))
+      .filter($"is_event" === 1)
+      .withColumn("back_gap", unix_micros($"t") - unix_micros($"back_od"))
+      .withColumn("fwd_gap", unix_micros($"fwd_od") - unix_micros($"t"))
+      .withColumn("use_back",
+        $"back_od".isNotNull && ($"fwd_od".isNull || $"back_gap" <= $"fwd_gap"))
+      .select($"event_id", $"u".as("user_id"), $"t".as("ts"),
+        when($"use_back", $"back_od").otherwise($"fwd_od").as("near_order_date"),
+        when($"use_back", $"back_total").otherwise($"fwd_total").as("near_day_total"),
+        when($"back_od".isNull && $"fwd_od".isNull, lit(null).cast("string"))
+          .when($"use_back", lit("back")).otherwise(lit("fwd")).as("direction"))
+  }
 }

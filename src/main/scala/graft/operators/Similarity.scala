@@ -930,4 +930,76 @@ object Similarity {
       .select($"vec_id", $"batch", $"n2d2",
         ($"n2d2" * $"nb" > $"sum_n2d2" * 4L).as("is_outlier"))
   }
+
+  /** ANN recall harness (`ann_recall`): recall@k of the IVF search
+    * against the exact brute-force ground truth on the SAME query
+    * set — the one number that decides whether an approximate index
+    * is shippable, and the standard eval every ANN deployment runs
+    * before swapping brute for approximate. Per query: hits among
+    * the true top-k and recall = hits/k; ties inside both top-k
+    * elections are already deterministic ((cosine DESC, id ASC)), so
+    * the metric is exact, not expectation.
+    *
+    * Shape: both searches are their own audited plans; the harness
+    * adds one broadcast-sized left join (query × k rows per side)
+    * and a partial-aggregated rollup — evaluation cost is
+    * independent of the corpus. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val truth = bruteTopK(spark, dir, k = k)
+      .select($"query_id", $"neighbor_id")
+    val got = ivfTopK(spark, dir, k = k)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    truth.join(got, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0L))).as("n_found"))
+      .select($"query_id", $"n_true", $"n_found",
+        ($"n_found".cast(DoubleType) / $"n_true".cast(DoubleType)).as("recall"))
+  }
+
+  /** Cluster-bounded k-NN graph (`ann_knn_graph`): for a
+    * deterministic query sample (vec_id ≡ 0 mod qMod), its k nearest
+    * neighbors WITHIN its IVF inverted list — the batch artifact
+    * semantic-dedup, diversity sampling, and label propagation all
+    * start from. Unlike [[ivfTopK]]'s online search (few queries,
+    * probe set broadcast), the query side here is corpus-
+    * proportional, so the plan co-partitions BOTH sides on the
+    * centroid id — one equi-join, no broadcast of anything
+    * corpus-sized — and the per-query election is the TopKPairs
+    * bounded-heap aggregate: at most k (neighbor, cosine) pairs per
+    * buffer cross the final shuffle, where the ROW_NUMBER
+    * formulation would sort every candidate pair. Candidate volume is
+    * Σ|list|·|queries in list| — bounded by the coarse quantizer's
+    * balance, the documented IVF contract ([[embedProfile]] is the
+    * pre-flight check). The index materializes once
+    * (localCheckpoint): queries are a filter OF the index, and
+    * without the cut the self-join re-derives the assignment pass
+    * twice. */
+  def knnGraph(spark: SparkSession, dir: String, qMod: Int = 10, k: Int = 5,
+      nCentroids: Int = 16): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val cents = emb.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"nrm", $"cid",
+        (VecFns.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm")).as("ccos"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+    val index = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"cid", $"vec_id", $"embedding", $"nrm")
+      .localCheckpoint()
+    val queries = index.filter(pmod($"vec_id", lit(qMod.toLong)) === 0L)
+      .select($"cid", $"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"))
+    queries.join(index, "cid")
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
+      .groupBy($"query_id")
+      .agg(graft.plans.Sketch.topKPairs($"cosine", $"neighbor_id", k).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.key".as("neighbor_id"),
+        $"col.value".as("cosine"), ($"pos" + 1).cast(LongType).as("rnk"))
+  }
 }

@@ -1550,4 +1550,76 @@ object Telemetry {
         $"monetary_dec".cast(DoubleType).as("monetary"),
         $"r_score", $"f_score", $"m_score")
   }
+
+  /** Hour-of-day seasonal profile (`ts_seasonal`): per (event_type,
+    * hour-of-day) activity baseline — event count, distinct active
+    * days, and the seasonal index (24·n_hod / n_type: 1.0 = flat, >1
+    * = peak hour). The capacity-planning complement of
+    * [[dispersion]]: dispersion asks "how bursty", this asks "WHEN".
+    *
+    * Scale shape: ONE partial-aggregated census shuffle keyed by
+    * (type, hod) — at most 24 cells per type however large the
+    * stream; per-type totals come from a second aggregation over the
+    * ≤24-cell census (dimension-sized), broadcast back. The distinct
+    * day count hashes on (type, hod, day) — the only corpus-bounded
+    * aggregate, still partial-deduped map-side. Hour-of-day uses
+    * pmod-floor µs arithmetic (Spark DIV truncates toward zero; the
+    * oracle's `//` floors — they'd disagree pre-1970), and the index
+    * is ONE division of exact longs, deterministic on both engines. */
+  def seasonal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"event_type".isNotNull)
+      .select($"event_type",
+        expr("pmod((unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000, 24)").as("hod"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000").as("day"))
+      .groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"day").as("n_days"))
+    val totals = cells.groupBy($"event_type")
+      .agg(sum($"n_events").as("n_type"))
+    cells.join(broadcast(totals), "event_type")
+      .select($"event_type", $"hod", $"n_events", $"n_days",
+        (($"n_events" * 24L).cast(DoubleType) / $"n_type".cast(DoubleType))
+          .as("seasonal_idx"))
+  }
+
+  /** Inter-arrival time distribution (`events_interarrival`): per
+    * event_type, exact discrete p50/p90/p99/max of the µs gap
+    * between consecutive events — the arrival-process view that sizes
+    * ingestion buffers and picks watermark delays. Percentiles are
+    * rank statistics (value at ceil(p·n) under a (gap, event_id)
+    * total order — deterministic under ties, no interpolation, no
+    * sketch error), the [[queueLatency]] discipline applied to the
+    * arrival process instead of the service process.
+    *
+    * Scale shape: one LAG pass and the rank window hash-partition on
+    * the SAME type key (exchange paid once, re-sorted once); the
+    * rollup partial-aggregates. Per-type sequential rank is the
+    * operator's inherent semantics — at 100 TB a hot type's sort
+    * spills rather than breaking, and the t-digest sketch is the
+    * documented trade when ±ε quantiles suffice. */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wSeq = Window.partitionBy($"event_type")
+      .orderBy($"t_us".asc, $"event_id".asc)
+    val gaps = Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"event_type".isNotNull)
+      .select($"event_type", $"event_id", unix_micros($"ts").as("t_us"))
+      .withColumn("prev_us", lag($"t_us", 1).over(wSeq))
+      .filter($"prev_us".isNotNull)
+      .withColumn("gap_us", $"t_us" - $"prev_us")
+    val wRank = Window.partitionBy($"event_type")
+      .orderBy($"gap_us".asc, $"event_id".asc)
+    gaps
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(
+        max($"n").as("n_gaps"),
+        max(when($"rn" === expr("(n + 1) div 2"), $"gap_us")).as("p50_us"),
+        max(when($"rn" === expr("(9 * n + 9) div 10"), $"gap_us")).as("p90_us"),
+        max(when($"rn" === expr("(99 * n + 99) div 100"), $"gap_us")).as("p99_us"),
+        max($"gap_us").as("max_us"))
+  }
 }

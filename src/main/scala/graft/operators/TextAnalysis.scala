@@ -847,4 +847,71 @@ object TextAnalysis {
           ($"rc" * $"cs").cast(DoubleType)).as("skew"),
         ($"o" * $"n_total" > $"rc" * $"cs").as("over_rep"))
   }
+
+  /** Character-diversity profile (`text_entropy`): per document, the
+    * Rényi-2 (collision) diversity of its code points — collision
+    * pair count Σc·(c−1) over the per-codepoint census, and the
+    * effective alphabet size n·(n−1)/Σc·(c−1) (= exp of the Rényi-2
+    * entropy). The gibberish/boilerplate gate: natural prose lands at
+    * an effective alphabet ~15–25, single-char spam near 1, random
+    * bytes near the raw alphabet size. Rényi-2 rather than Shannon is
+    * deliberate: Shannon needs ln(), and libm ln is not
+    * correctly-rounded (Java vs DuckDB diverge in the last ulp — the
+    * [[ngramLm]] lesson); the collision form is EXACT integer
+    * arithmetic with one final IEEE division, engine-identical.
+    *
+    * Scale shape: zero shuffle — the census folds scan-local inside
+    * one `aggregate` HOF over the SORTED codepoint array (run-length
+    * walk, O(len log len) per doc, no explode: the exploded
+    * formulation ships one row per CHARACTER of a 100 TB corpus into
+    * a groupBy just to count runs a sort already exposes). */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(length($"text") > 0)
+      .withColumn("cps", sort_array(HashFns.codePoints($"text")))
+      .select($"doc_id",
+        size($"cps").cast(LongType).as("n_cps"),
+        size(array_distinct($"cps")).cast(LongType).as("n_distinct"),
+        expr(
+          """aggregate(cps,
+            |  struct(CAST(-1 AS BIGINT) AS prev, CAST(0 AS BIGINT) AS run, CAST(0 AS BIGINT) AS acc),
+            |  (s, x) -> IF(x = s.prev,
+            |    struct(s.prev AS prev, s.run + CAST(1 AS BIGINT) AS run, s.acc AS acc),
+            |    struct(x AS prev, CAST(1 AS BIGINT) AS run,
+            |      s.acc + s.run * (s.run - CAST(1 AS BIGINT)) AS acc)),
+            |  s -> s.acc + s.run * (s.run - CAST(1 AS BIGINT)))""".stripMargin)
+          .as("coll_pairs"))
+      .withColumn("eff_alphabet",
+        when($"coll_pairs" > 0L,
+          ($"n_cps" * ($"n_cps" - 1L)).cast(DoubleType) /
+            $"coll_pairs".cast(DoubleType))
+          .otherwise(lit(null).cast(DoubleType)))
+  }
+
+  /** Corpus novelty curve (`text_novelty`): per document, how much of
+    * its 4-gram vocabulary already appeared in EARLIER documents
+    * (doc_id order = ingestion order) — the marginal-value signal
+    * dedup ROI and crawl-frontier scheduling read: a novelty fraction
+    * trending to zero means the crawl is re-reading the web.
+    *
+    * Shape: the distinct-gram index explodes once (scan-local), the
+    * first-seen census is a partial-aggregated MIN per gram, and the
+    * verdict joins the index back on the gram key — two shuffles,
+    * both ∝ distinct (doc, gram) pairs, never pairs². The fraction is
+    * one division of exact longs. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val index = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextFns.charNGrams($"text", 4)).as("gram"))
+    val firstSeen = index.groupBy($"gram").agg(min($"doc_id").as("first_seen"))
+    index.join(firstSeen, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_seen" < $"doc_id", 1L).otherwise(0L)).as("n_seen_before"))
+      .select($"doc_id", $"n_grams", $"n_seen_before",
+        (lit(1.0d) - $"n_seen_before".cast(DoubleType) /
+          $"n_grams".cast(DoubleType)).as("novelty_frac"))
+  }
+
 }
