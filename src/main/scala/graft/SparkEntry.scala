@@ -149,6 +149,10 @@ object SparkEntry {
     "events_interarrival" -> (Telemetry.interarrival _),
     "text_entropy" -> (TextAnalysis.entropy _),
     "text_novelty" -> (TextAnalysis.novelty _),
+    "stream_novelty" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamNovelty.streamedNovelty(s, d)),
+    "corpus_curriculum" -> ((s: SparkSession, d: String) => Curation.curriculum(s, d)),
+    "events_ltv" -> (Telemetry.ltv _),
     "stream_interarrival" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamInterarrival.streamedInterarrival(s, d)),
     "stream_seasonal" -> ((s: SparkSession, d: String) =>
@@ -168,6 +172,8 @@ object SparkEntry {
     "graph_kcore" -> ((s: SparkSession, d: String) => Dedup.kcore(s, d)),
     "ann_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "embed_truncate_eval" -> ((s: SparkSession, d: String) => Similarity.truncateEval(s, d)),
+    "dedup_report" -> ((s: SparkSession, d: String) => Dedup.dedupReport(s, d)),
     "dedup_minhash_est" -> ((s: SparkSession, d: String) => Dedup.minhashEstimate(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngram(s, d)),
@@ -270,6 +276,8 @@ object SparkEntry {
     "mm_video_trim" -> (Multimodal.videoTrim _),
     "mm_video_keyframes" -> (Multimodal.videoKeyframes _),
     "mm_phash" -> ((s: SparkSession, d: String) => Multimodal.phash(s, d)),
+    "mm_dedup_clusters" -> ((s: SparkSession, d: String) => Multimodal.phashClusters(s, d)),
+    "mm_av_sync" -> ((s: SparkSession, d: String) => Multimodal.avSync(s, d)),
     // B. streaming relay (Structured Streaming, driven to completion)
     "stream_relay" -> (graft.streaming.StreamRelay.windowedRelay _),
     // D. streaming incremental dedup: the documents corpus as two
@@ -352,6 +360,12 @@ object SparkEntry {
 
   private def cos(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  /** dot/cos over the first n dims (embed_truncate_eval's slices). */
+  private def dotN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,$n), i -> CAST($a[i+1] AS DOUBLE)*CAST($b[i+1] AS DOUBLE))), (x,y) -> x+y)"
+  private def cosN(a: String, b: String, n: Int): String =
+    s"(${dotN(a, b, n)} / (sqrt(${dotN(a, a, n)}) * sqrt(${dotN(b, b, n)})))"
 
   /** DuckDB fragments for the PQ oracle: sub-space slice and
     * fold-exact squared L2 (elements cast to double BEFORE the
@@ -501,6 +515,30 @@ object SparkEntry {
        |reach AS (SELECT node, node AS r FROM nodes
        |  UNION SELECT reach.node, e.v AS r FROM reach JOIN e ON e.u = reach.r),
        |cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  /** DuckDB fragment: the mm_phash banded-Hamming candidate pairs
+    * (`pp`), shared by mm_phash and mm_dedup_clusters — the ahash /
+    * band / stop-bucket dials restate Multimodal.phash. */
+  private val phashPairsCtes: String =
+    """bytes AS (SELECT doc_id,
+      |    list_transform(range(0, LEAST(strlen(text), 62)),
+      |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bs
+      |  FROM documents WHERE strlen(text) >= 1),
+      |sums AS (SELECT doc_id, bs,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (a,b) -> a+b) AS s,
+      |    CAST(len(bs) AS BIGINT) AS n FROM bytes),
+      |ah AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(0, n), i -> CASE WHEN bs[i+1] > (s // n)
+      |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), (a,x) -> a+x) AS ahash
+      |  FROM sums),
+      |allbands AS (SELECT doc_id, ahash, b, ((ahash >> (16*b)) & 65535) AS bkey
+      |  FROM ah, UNNEST(range(0,4)) AS tb(b)),
+      |rare AS (SELECT b, bkey FROM allbands GROUP BY b, bkey HAVING COUNT(*) <= 200),
+      |bands AS (SELECT allbands.* FROM allbands JOIN rare USING (b, bkey)),
+      |pp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 8)""".stripMargin
 
   /** DuckDB fragment: adaptive-width hyperplane signatures CTE
     * (mirrors Similarity.sigBuckets / VecFns.lshSignature): width =
@@ -667,6 +705,20 @@ object SparkEntry {
       |FROM candles""".stripMargin
 
   /** Shared by `beacon_5min` and its streaming twin `stream_beacon`. */
+  /** Shared by `text_novelty` and its streaming twin `stream_novelty`
+    * — per-gram first-seen state must classify later documents
+    * exactly like the batch MIN census. */
+  private val noveltySql: String =
+    """WITH grams AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) >= 4
+      |  THEN list_transform(range(1, length(lower(text))-2), i -> substr(lower(text), i, 4))
+      |  ELSE [lower(text)] END) AS gs FROM documents),
+      |idx AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+      |fs AS (SELECT gram, MIN(doc_id) AS first_seen FROM idx GROUP BY gram)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN first_seen < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before,
+      |  1.0 - CAST(SUM(CASE WHEN first_seen < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+      |FROM idx JOIN fs USING (gram) GROUP BY doc_id""".stripMargin
+
   /** Shared by `ts_seasonal` and its streaming twin `stream_seasonal`
     * — per-(type, hod, day) census state flushed at the barrier must
     * assemble to the batch profile, seasonal index included. */
@@ -1344,6 +1396,20 @@ object SparkEntry {
       s"""WITH RECURSIVE $clusterCtes
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin,
+    "dedup_report" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |lab AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+         |  FROM cc JOIN documents d USING (doc_id)),
+         |pc AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+         |    CAST(SUM(CASE WHEN doc_id <> cluster_id THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+         |  FROM lab GROUP BY cluster_id)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+         |  CAST(SUM(cluster_size - 1) AS BIGINT) AS n_losers,
+         |  CAST(SUM(chars_total) AS BIGINT) AS chars_total,
+         |  CAST(SUM(chars_dropped) AS BIGINT) AS chars_dropped
+         |FROM pc GROUP BY cluster_size""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $clusterCtes
          |SELECT cluster_id, keeper_id, keeper_chars, cluster_size FROM (
@@ -1487,25 +1553,33 @@ object SparkEntry {
          |JOIN deg da ON da.u = vp.doc_a
          |JOIN deg db ON db.u = vp.doc_b""".stripMargin,
     "mm_phash" ->
-      """WITH bytes AS (SELECT doc_id,
-        |    list_transform(range(0, LEAST(strlen(text), 62)),
-        |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bs
-        |  FROM documents WHERE strlen(text) >= 1),
-        |sums AS (SELECT doc_id, bs,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (a,b) -> a+b) AS s,
-        |    CAST(len(bs) AS BIGINT) AS n FROM bytes),
-        |ah AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(0, n), i -> CASE WHEN bs[i+1] > (s // n)
-        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), (a,x) -> a+x) AS ahash
-        |  FROM sums),
-        |allbands AS (SELECT doc_id, ahash, b, ((ahash >> (16*b)) & 65535) AS bkey
-        |  FROM ah, UNNEST(range(0,4)) AS tb(b)),
-        |rare AS (SELECT b, bkey FROM allbands GROUP BY b, bkey HAVING COUNT(*) <= 200),
-        |bands AS (SELECT allbands.* FROM allbands JOIN rare USING (b, bkey))
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
-        |FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 8""".stripMargin,
+      s"""WITH $phashPairsCtes
+         |SELECT doc_a, doc_b, hamming FROM pp""".stripMargin,
+    "mm_dedup_clusters" ->
+      s"""WITH RECURSIVE $phashPairsCtes,
+         |pe AS (SELECT doc_a AS u, doc_b AS v FROM pp UNION SELECT doc_b, doc_a FROM pp),
+         |pn AS (SELECT DISTINCT u AS node FROM pe),
+         |preach AS (SELECT node, node AS r FROM pn
+         |  UNION SELECT preach.node, pe.v AS r FROM preach JOIN pe ON pe.u = preach.r),
+         |pcc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM preach GROUP BY node)
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM pcc""".stripMargin,
+    "mm_av_sync" ->
+      """SELECT doc_id, audio_us, video_us, video_us - audio_us AS drift_us,
+        |  abs(video_us - audio_us) <= 1000000 AS in_sync
+        |FROM (SELECT doc_id,
+        |    CAST((dl // (ch * 2)) * 1000000 // rate AS BIGINT) AS audio_us,
+        |    CAST(dur * 1000000 // tsc AS BIGINT) AS video_us
+        |  FROM (SELECT doc_id,
+        |      (doc_id % 2 + 1) AS ch,
+        |      CASE WHEN lang = 'en' THEN 16000 WHEN lang = 'de' THEN 44100
+        |           WHEN lang = 'es' THEN 8000 ELSE 22050 END AS rate,
+        |      strlen(text) - strlen(text) % ((doc_id % 2 + 1) * 2) AS dl,
+        |      CASE WHEN lang = 'en' THEN 90000 WHEN lang = 'de' THEN 600
+        |           WHEN lang = 'es' THEN 1000 ELSE 30000 END AS tsc,
+        |      (n_chars * 3 + doc_id) % 100000 AS dur
+        |    FROM documents) t) u""".stripMargin,
     "dedup_containment" ->
       """WITH grams AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) >= 4
         |  THEN list_transform(range(1, length(lower(text))-2), i -> substr(lower(text), i, 4))
@@ -1568,6 +1642,29 @@ object SparkEntry {
          |  FROM probes p JOIN assign a USING (cid)
          |  WHERE a.vec_id != p.query_id) t
          |WHERE rnk <= 5""".stripMargin,
+    // recall@k of brute search on 16-dim-truncated vectors vs the
+    // full-dim ground truth — the serve-at-lower-dims question
+    "embed_truncate_eval" ->
+      s"""WITH bt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.embedding", "e.embedding")} DESC, e.vec_id) AS BIGINT) AS rnk
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10) t
+         |WHERE rnk <= 5),
+         |te AS (SELECT vec_id, list_slice(embedding, 1, 16) AS tv FROM embeddings),
+         |tr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${cosN("q.tv", "e.tv", 16)} DESC, e.vec_id) AS BIGINT) AS rnk
+         |  FROM te q JOIN te e ON e.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10) t
+         |WHERE rnk <= 5),
+         |r AS (SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+         |  FROM bt LEFT JOIN tr USING (query_id, neighbor_id)
+         |  GROUP BY bt.query_id)
+         |SELECT query_id, n_true, n_found,
+         |  CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+         |FROM r""".stripMargin,
     // recall@k of the IVF search vs the brute-force ground truth on
     // the same query set — both top-k elections deterministic, so the
     // metric is exact
@@ -3427,16 +3524,33 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS pct_rank,
         |  cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS cume
         |FROM customer""".stripMargin,
-    "text_novelty" ->
-      """WITH grams AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) >= 4
-        |  THEN list_transform(range(1, length(lower(text))-2), i -> substr(lower(text), i, 4))
-        |  ELSE [lower(text)] END) AS gs FROM documents),
-        |idx AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
-        |fs AS (SELECT gram, MIN(doc_id) AS first_seen FROM idx GROUP BY gram)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-        |  CAST(SUM(CASE WHEN first_seen < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before,
-        |  1.0 - CAST(SUM(CASE WHEN first_seen < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
-        |FROM idx JOIN fs USING (gram) GROUP BY doc_id""".stripMargin,
+    "text_novelty" -> noveltySql,
+    // streaming twin on the SAME oracle: a gram first seen in an
+    // earlier micro-batch must classify later docs from state
+    "stream_novelty" -> noveltySql,
+    "corpus_curriculum" ->
+      """WITH r AS (SELECT doc_id, n_chars AS difficulty,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS pos,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, difficulty, pos, CAST((4 * pos) // n AS BIGINT) AS phase
+        |FROM r""".stripMargin,
+    "events_ltv" ->
+      """WITH cohorts AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT user_id, date_trunc('week', ts) AS p_week, value
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        |cells AS (SELECT cohort_week,
+        |    CAST(datediff('day', cohort_week, p_week) // 7 AS BIGINT) AS week_offset,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS rev_dec
+        |  FROM cohorts JOIN p USING (user_id) WHERE p_week >= cohort_week
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_buyers,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_dec) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+        |FROM cells""".stripMargin,
     "q_asof_nearest" ->
       """WITH d AS (SELECT o_custkey AS u, o_orderdate AS t, 0 AS is_event,
         |    CAST(NULL AS BIGINT) AS event_id, o_orderdate AS od,

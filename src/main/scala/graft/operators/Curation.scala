@@ -286,6 +286,39 @@ object Curation {
       .select($"doc_id", $"shard", ($"base" + $"lrn").as("pos"))
   }
 
+  /** Curriculum ordering (`corpus_curriculum`): rank the corpus by a
+    * difficulty signal (content length here; any deterministic score
+    * plugs in) and cut the global order into training phases — the
+    * curriculum-learning data-prep step ("train on easy docs first")
+    * that needs a TOTAL deterministic order so every re-run of the
+    * schedule is bit-identical.
+    *
+    * The global rank uses [[corpusShard]]'s two-phase decomposition
+    * over score-range buckets (local row_numbers + broadcast
+    * per-bucket base offsets) so no single task sorts the corpus;
+    * the phase cut (4·pos) div n is integer arithmetic over the
+    * 0-based rank, ties broken by doc_id. */
+  def curriculum(spark: SparkSession, dir: String,
+      bucketWidth: Long = 64L): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+      .withColumn("bucket", expr(s"n_chars DIV $bucketWidth"))
+    val localW = Window.partitionBy($"bucket").orderBy($"n_chars".asc, $"doc_id".asc)
+    val local = docs.withColumn("lrn", row_number().over(localW).cast(LongType))
+    // per-bucket cumulative bases: dimension-sized (score range /
+    // bucketWidth rows), the single-task window is over buckets
+    val baseW = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = docs.groupBy($"bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("base", coalesce(sum($"bn").over(baseW), lit(0L)))
+      .select($"bucket", $"base")
+    local.join(broadcast(bases), "bucket")
+      .withColumn("pos", $"base" + $"lrn" - 1L)
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select($"doc_id", $"n_chars".as("difficulty"), $"pos",
+        expr("(4 * pos) DIV n").as("phase"))
+  }
+
   /** Deterministic source interleaving — the training-order step
     * after mixture weighting: documents from S sources emit in strict
     * round-robin (source 0's rank-r doc at global position r·S + 0,

@@ -318,12 +318,22 @@ object Dedup {
   }
 
   private def computeComponentLabels(spark: SparkSession, dir: String, maxIters: Int)
-      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    import spark.implicits._
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
     // the cached pair checkpoint: computed once per (session, dir),
     // shared with pagerank/apply/pipeline — the symmetric union's two
     // branches read its blocks instead of recomputing the MinHash join
-    val pairs = cachedPairs(spark, dir)
+    propagateMinLabels(spark, cachedPairs(spark, dir), maxIters)
+
+  /** Min-label propagation to convergence over ANY (doc_a, doc_b)
+    * candidate-pair frame — the connected-components core shared by
+    * the text cluster family (via [[componentLabels]]'s cache) and
+    * the image near-dup clusters ([[Multimodal.phashClusters]]).
+    * Returns converged (node, label) plus the checkpoint RDD handles
+    * the caller owns. */
+  private[operators] def propagateMinLabels(spark: SparkSession,
+      pairs: DataFrame, maxIters: Int)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    import spark.implicits._
     val edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
     val nodes = edges.select($"u".as("node")).distinct()
@@ -618,6 +628,35 @@ object Dedup {
         count(lit(1)).as("cluster_size"))
       .select($"cluster_id", $"m.id".as("keeper_id"),
         (-$"m.negc").as("keeper_chars"), $"cluster_size")
+  }
+
+  /** Dedup savings report (`dedup_report`): the management summary of
+    * the whole dedup pipeline, as a cluster-SIZE histogram — per
+    * cluster size: how many clusters, how many documents, how many
+    * would drop under keep-one-per-cluster, and the exact character
+    * mass dropped — the "what does dedup buy us" number that decides
+    * whether the pipeline runs at all, broken down by the cluster
+    * shape ([[kcore]]'s hairball warning in accounting form).
+    *
+    * Shape: converged labels join the column-pruned (doc_id, n_chars)
+    * projection; sizes and the histogram are two partial-aggregated
+    * reductions, each strictly smaller than the last (nodes →
+    * clusters → distinct sizes). Never touches text. */
+  def dedupReport(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
+    import spark.implicits._
+    val labeled = componentLabels(spark, dir, maxIters)
+      .join(Tables.documents(spark, dir)
+        .select($"doc_id".as("node"), $"n_chars"), "node")
+    val perCluster = labeled.groupBy($"label")
+      .agg(count(lit(1)).as("cluster_size"),
+        sum($"n_chars").as("chars_total"),
+        sum(when($"node" =!= $"label", $"n_chars").otherwise(0L)).as("chars_dropped"))
+    perCluster.groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"cluster_size").as("n_docs"),
+        sum($"cluster_size" - 1L).as("n_losers"),
+        sum($"chars_total").as("chars_total"),
+        sum($"chars_dropped").as("chars_dropped"))
   }
 
   /** Bounded-round k-core peel (`graph_kcore`): iteratively drop

@@ -202,6 +202,61 @@ object Multimodal {
   /** Shared (doc_id, MP4 blob) derivation for the video operators —
     * brand/timescale/duration dials live here once; the mm_video /
     * mm_video_trim oracle restatements must move in step. */
+  /** Cross-modal A/V sync audit (`mm_av_sync`): per document, the
+    * audio track's decoded duration vs the video container's — the
+    * mux-quality gate a multimodal training pipeline runs before
+    * trusting (frame, transcript) alignment, because a drifted pair
+    * poisons every timestamped caption cut from it. ONE corpus scan
+    * packs and decodes BOTH containers per row (audio via the RIFF
+    * walk, video via the ISO-BMFF box scan) — the naive
+    * audio-table ⋈ video-table formulation reads the corpus twice
+    * and pays a doc_id shuffle for what is a row-local comparison.
+    * Durations are integer µs (engine-exact), the verdict one
+    * integer comparison. Scan-local, zero shuffle. */
+  def avSync(spark: SparkSession, dir: String, tolUs: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val channels = (col("doc_id") % 2) + 1
+    val rate = when(col("lang") === "en", 16000L)
+      .when(col("lang") === "de", 44100L)
+      .when(col("lang") === "es", 8000L).otherwise(22050L)
+    val brand = when($"lang" === "en", "isom").when($"lang" === "de", "mp42")
+      .when($"lang" === "es", "avc1").otherwise("mp41")
+    val timescale = when($"lang" === "en", 90000L).when($"lang" === "de", 600L)
+      .when($"lang" === "es", 1000L).otherwise(30000L)
+    val ticks = ($"n_chars" * 3L + $"doc_id") % 100000L
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        Audio.pack(channels, rate, encode($"text", "UTF-8")).as("ablob"),
+        Video.pack(brand, timescale, ticks, encode($"text", "UTF-8")).as("vblob"))
+      .withColumn("am", Audio.decode($"ablob"))
+      .withColumn("vm", Video.decode($"vblob"))
+      .select($"doc_id",
+        expr("(CAST(am.data_len AS BIGINT) div (am.channels * 2)) * 1000000 div am.sample_rate")
+          .cast(LongType).as("audio_us"),
+        expr("vm.duration * 1000000 div vm.timescale").cast(LongType).as("video_us"))
+      .withColumn("drift_us", $"video_us" - $"audio_us")
+      .withColumn("in_sync", abs($"drift_us") <= tolUs)
+  }
+
+  /** Image near-dup CLUSTER resolution (`mm_dedup_clusters`): the
+    * visual modality's last dedup mile — [[phash]]'s banded Hamming
+    * candidate pairs become connected components with one keeper per
+    * component, through the SAME min-label propagation core as the
+    * text cluster family ([[Dedup.propagateMinLabels]] — joins-only,
+    * checkpoint-per-round, run to convergence). A re-encoded or
+    * slightly-cropped image family collapses to one kept exemplar,
+    * which pairwise Hamming scores alone cannot decide. Output is
+    * [[Dedup.clusters]]' shape on image ids. */
+  def phashClusters(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
+    import spark.implicits._
+    val (labels, _) = Dedup.propagateMinLabels(spark,
+      phash(spark, dir).select($"doc_a", $"doc_b"), maxIters)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"node".as("doc_id"), $"label".as("cluster_id"),
+        ($"node" === $"label").as("is_keeper"), $"cluster_size")
+  }
+
   private def packedVideo(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val brand = when($"lang" === "en", "isom").when($"lang" === "de", "mp42")

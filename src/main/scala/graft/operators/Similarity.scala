@@ -931,6 +931,42 @@ object Similarity {
         ($"n2d2" * $"nb" > $"sum_n2d2" * 4L).as("is_outlier"))
   }
 
+  /** Dimension-truncation eval (`embed_truncate_eval`): recall@k of
+    * brute-force search on the first `dims` dimensions against the
+    * full-dimension ground truth — the Matryoshka/MRL question every
+    * embedding deployment asks ("can I serve at 16 of 64 dims?"),
+    * because a truncated index is a dims/64 cut of RAM, IO, and
+    * compute for ALL downstream ANN. Both top-k elections are
+    * deterministic ((cosine DESC, id ASC)), so the recall is exact.
+    *
+    * Shape: truncation is a scan-local slice; both searches are the
+    * ann_brute broadcast-query plan; the harness join is
+    * (queries × k)-sized. */
+  def truncateEval(spark: SparkSession, dir: String, dims: Int = 16,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val truth = bruteTopK(spark, dir, nQueries, k)
+      .select($"query_id", $"neighbor_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", slice($"embedding", 1, dims).as("tv"))
+      .select($"vec_id", $"tv", sqrt(VecFns.dot($"tv", $"tv")).as("nrm"))
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"tv".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    val trunc = emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (VecFns.dot($"qv", $"tv") / ($"qnrm" * $"nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    truth.join(trunc, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0L))).as("n_found"))
+      .select($"query_id", $"n_true", $"n_found",
+        ($"n_found".cast(DoubleType) / $"n_true".cast(DoubleType)).as("recall"))
+  }
+
   /** ANN recall harness (`ann_recall`): recall@k of the IVF search
     * against the exact brute-force ground truth on the SAME query
     * set — the one number that decides whether an approximate index

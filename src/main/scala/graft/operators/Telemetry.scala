@@ -1551,6 +1551,43 @@ object Telemetry {
         $"r_score", $"f_score", $"m_score")
   }
 
+  /** Cohort lifetime value (`events_ltv`): the revenue twin of
+    * [[retention]] — per (signup-cohort week, week offset): distinct
+    * buyers, weekly purchase revenue, and the cohort's CUMULATIVE
+    * revenue curve (the payback-period readout: which week each
+    * cohort's LTV crosses acquisition cost). Revenue stays in exact
+    * decimal through both the weekly rollup and the running sum, so
+    * the doubles surfaced at the end are order-independent; the
+    * cumulative window runs over the DIMENSION-sized (cohort, week)
+    * grid, never raw events.
+    *
+    * Scale shape: cohort assignment is one groupBy(user) min; the
+    * purchase join hashes on user_id; the cell rollup
+    * partial-aggregates. */
+  def ltv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("first_signup"))
+      .select($"user_id", date_trunc("week", $"first_signup").as("cohort_week"))
+    val purchases = ev.filter($"event_type" === "purchase" && $"ts".isNotNull)
+      .select($"user_id", date_trunc("week", $"ts").as("p_week"), $"value")
+    val cells = cohorts.join(purchases, Seq("user_id"))
+      .filter($"p_week" >= $"cohort_week")
+      .select($"cohort_week",
+        (datediff($"p_week", $"cohort_week") / 7).cast(LongType).as("week_offset"),
+        $"user_id", $"value")
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_buyers"),
+        sum(dec($"value")).as("rev_dec"))
+    val w = Window.partitionBy($"cohort_week").orderBy($"week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_dec", sum($"rev_dec").over(w))
+      .select($"cohort_week", $"week_offset", $"n_buyers",
+        $"rev_dec".cast(DoubleType).as("revenue"),
+        $"cum_dec".cast(DoubleType).as("cum_revenue"))
+  }
+
   /** Hour-of-day seasonal profile (`ts_seasonal`): per (event_type,
     * hour-of-day) activity baseline — event count, distinct active
     * days, and the seasonal index (24·n_hod / n_type: 1.0 = flat, >1

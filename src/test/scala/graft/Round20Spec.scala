@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Quality, Relational, Similarity, Telemetry, TextAnalysis}
+import graft.operators.{Curation, Dedup, Quality, Relational, Similarity, Telemetry, TextAnalysis}
 
 /** Round-9 additions: mode/nearest-as-of relational ops, seasonal +
   * inter-arrival telemetry profiles, Rényi-2 text diversity, column
@@ -259,6 +259,46 @@ class Round20Spec extends SparkSpec {
     }
   }
 
+  test("embed_truncate_eval: 64-dim truncation is perfect recall; shape holds at 16") {
+    // truncating to the FULL width must reproduce the ground truth
+    // exactly — recall 1.0 for every query — while the 16-dim default
+    // stays a valid recall in [0, 1] over the same query set
+    val full = Similarity.truncateEval(spark, sf, dims = 64).collect()
+    assert(full.nonEmpty)
+    full.foreach(r => assert(r.getAs[Double]("recall") == 1.0))
+    val t16 = Similarity.truncateEval(spark, sf).collect()
+    assert(t16.map(_.getAs[Long]("query_id")).toSet ==
+      full.map(_.getAs[Long]("query_id")).toSet)
+    t16.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_true"))
+    }
+  }
+
+  test("dedup_report: histogram masses reconcile with the cluster assignment") {
+    val clusters = Dedup.clusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_keeper")))
+    val chars = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val report = Dedup.dedupReport(spark, sf).collect()
+    val bySize = clusters.groupBy(_._3)
+    assert(report.map(_.getAs[Long]("cluster_size")).toSet == bySize.keySet)
+    report.foreach { r =>
+      val sz = r.getAs[Long]("cluster_size")
+      val members = bySize(sz)
+      val nClusters = members.map(_._2).distinct.length.toLong
+      assert(r.getAs[Long]("n_clusters") == nClusters)
+      assert(r.getAs[Long]("n_docs") == members.length.toLong)
+      assert(r.getAs[Long]("n_losers") == (members.length - nClusters).toLong)
+      assert(r.getAs[Long]("chars_total") == members.map(m => chars(m._1)).sum)
+      assert(r.getAs[Long]("chars_dropped") ==
+        members.filterNot(_._4).map(m => chars(m._1)).sum)
+    }
+  }
+
   test("stream_interarrival equals the batch events_interarrival") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_gaps"),
@@ -276,6 +316,83 @@ class Round20Spec extends SparkSpec {
         r.getAs[Double]("seasonal_idx"))).sortBy(t => (t._1, t._2)).toSeq
     val batch = canon(Telemetry.seasonal(spark, sf))
     val streamed = canon(graft.streaming.StreamSeasonal.streamedSeasonal(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
+  test("corpus_curriculum: two-phase rank equals a global sort; phases quartile-cut") {
+    val got = Curation.curriculum(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("difficulty"),
+        r.getAs[Long]("pos"), r.getAs[Long]("phase")))
+    val n = got.length
+    assert(n > 0)
+    val expected = got.map(g => (g._2, g._1)).sorted.zipWithIndex
+      .map { case ((_, id), i) => id -> i.toLong }.toMap
+    got.foreach { case (id, _, pos, phase) =>
+      assert(pos == expected(id))
+      assert(phase == 4L * pos / n)
+    }
+  }
+
+  test("events_ltv: cumulative revenue is the running sum of weekly revenue") {
+    val rows = Telemetry.ltv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Timestamp]("cohort_week")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("week_offset"))
+      var cum = BigDecimal(0)
+      sorted.foreach { r =>
+        cum += BigDecimal(r.getAs[Double]("revenue"))
+        assert(math.abs(r.getAs[Double]("cum_revenue") - cum.toDouble) < 1e-6)
+        assert(r.getAs[Long]("n_buyers") >= 1)
+      }
+    }
+  }
+
+  test("mm_av_sync: durations match the single-modality operators row-for-row") {
+    val audio = graft.operators.Multimodal.audio(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("duration_us")).toMap
+    val video = graft.operators.Multimodal.video(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("duration_us")).toMap
+    val got = graft.operators.Multimodal.avSync(spark, sf).collect()
+    assert(got.nonEmpty && got.length == audio.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("audio_us") == audio(id))
+      assert(r.getAs[Long]("video_us") == video(id))
+      assert(r.getAs[Long]("drift_us") == video(id) - audio(id))
+      assert(r.getAs[Boolean]("in_sync") == (math.abs(video(id) - audio(id)) <= 1000000L))
+    }
+  }
+
+  test("mm_dedup_clusters: components consistent with the phash pair graph") {
+    val pairs = graft.operators.Multimodal.phash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val got = graft.operators.Multimodal.phashClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_keeper"),
+          r.getAs[Long]("cluster_size")))).toMap
+    assert(got.nonEmpty)
+    // every paired doc labeled; both endpoints of every edge share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(got.contains(a) && got.contains(b))
+      assert(got(a)._1 == got(b)._1, s"edge ($a, $b) split across clusters")
+    }
+    // keeper = min id of its cluster; sizes = member counts
+    got.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(cid == members.keys.min)
+      members.foreach { case (id, (_, keeper, size)) =>
+        assert(keeper == (id == cid))
+        assert(size == members.size.toLong)
+      }
+    }
+  }
+
+  test("stream_novelty equals the batch text_novelty") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_seen_before"), r.getAs[Double]("novelty_frac")))
+      .sortBy(_._1).toSeq
+    val batch = canon(TextAnalysis.novelty(spark, sf))
+    val streamed = canon(graft.streaming.StreamNovelty.streamedNovelty(spark, sf))
     assert(batch.nonEmpty && batch == streamed)
   }
 
