@@ -169,6 +169,9 @@ object SparkEntry {
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_apply" -> ((s: SparkSession, d: String) => Dedup.applyDedup(s, d)),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBest(s, d)),
+    "dedup_sensitivity" -> ((s: SparkSession, d: String) => Dedup.sensitivity(s, d)),
+    "stream_retention" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamRetention.streamedRetention(s, d)),
     "graph_kcore" -> ((s: SparkSession, d: String) => Dedup.kcore(s, d)),
     "ann_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
@@ -705,6 +708,19 @@ object SparkEntry {
       |FROM candles""".stripMargin
 
   /** Shared by `beacon_5min` and its streaming twin `stream_beacon`. */
+  /** Shared by `events_retention` and its streaming twin
+    * `stream_retention` — per-user (signup, week-set) state flushed
+    * at the barrier must aggregate to the batch cohort matrix. */
+  private val retentionSql: String =
+    """WITH s AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', cohort_week, act_week) / 7 AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_active
+      |FROM s JOIN a ON s.user_id = a.user_id AND act_week >= cohort_week
+      |GROUP BY 1, 2""".stripMargin
+
   /** Shared by `text_novelty` and its streaming twin `stream_novelty`
     * — per-gram first-seen state must classify later documents
     * exactly like the batch MIN census. */
@@ -1366,15 +1382,10 @@ object SparkEntry {
         |                       WHEN event_type = 'error' THEN 0 END AS ctrl
         |        FROM events) t) w
         |WHERE ctrl IS NULL""".stripMargin,
-    "events_retention" ->
-      """WITH s AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
-        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
-        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
-        |SELECT cohort_week,
-        |  CAST(date_diff('day', cohort_week, act_week) / 7 AS BIGINT) AS week_offset,
-        |  COUNT(DISTINCT a.user_id) AS n_active
-        |FROM s JOIN a ON s.user_id = a.user_id AND act_week >= cohort_week
-        |GROUP BY 1, 2""".stripMargin,
+    "events_retention" -> retentionSql,
+    // streaming twin on the SAME oracle: a signup in batch 1 must
+    // cohort activity arriving in batch 2 from per-user state
+    "stream_retention" -> retentionSql,
     "events_anomaly" -> anomalySql,
     // streaming twin: per-user moments accumulated in O(1) state
     // across micro-batches, then the scoring join — identical result
@@ -1396,6 +1407,15 @@ object SparkEntry {
       s"""WITH RECURSIVE $clusterCtes
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin,
+    "dedup_sensitivity" ->
+      s"""WITH $minhashPairsCtes,
+         |th AS (SELECT CAST(i AS DOUBLE) / 10.0 AS threshold FROM UNNEST(range(2,9)) AS t(i)),
+         |x AS (SELECT th.threshold, vp.doc_a, vp.doc_b
+         |  FROM vp CROSS JOIN th WHERE vp.jaccard >= th.threshold)
+         |SELECT threshold, CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+         |  CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+         |FROM (SELECT threshold, unnest([doc_a, doc_b]) AS doc FROM x) u
+         |GROUP BY threshold""".stripMargin,
     "dedup_report" ->
       s"""WITH RECURSIVE $clusterCtes,
          |lab AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars

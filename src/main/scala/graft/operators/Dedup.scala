@@ -630,6 +630,32 @@ object Dedup {
         (-$"m.negc").as("keeper_chars"), $"cluster_size")
   }
 
+  /** Threshold-sensitivity sweep (`dedup_sensitivity`): how the
+    * verified near-dup pair set shrinks as the Jaccard threshold
+    * rises from the operating point (0.2) to 0.8 — the tuning curve
+    * that decides WHERE to set the dedup knife before committing a
+    * 100 TB run: a cliff between two thresholds means the corpus has
+    * a distinct near-dup family right there. Per threshold: surviving
+    * pairs and distinct documents touched.
+    *
+    * Shape: the verified pair set (with its exact-division Jaccard
+    * scores) crosses a 7-row broadcast threshold dimension — the
+    * sweep costs 7× a pair-sized frame, never a second corpus pass;
+    * both counts partial-aggregate. */
+  def sensitivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhash(spark, dir)
+    val thresholds = spark.range(2, 9)
+      .select(($"id".cast(DoubleType) / 10.0d).as("threshold"))
+    pairs.crossJoin(broadcast(thresholds))
+      .filter($"jaccard" >= $"threshold")
+      .select($"threshold", $"doc_a", $"doc_b",
+        explode(array($"doc_a", $"doc_b")).as("doc"))
+      .groupBy($"threshold")
+      .agg((count(lit(1)) / 2L).cast(LongType).as("n_pairs"),
+        countDistinct($"doc").as("n_docs"))
+  }
+
   /** Dedup savings report (`dedup_report`): the management summary of
     * the whole dedup pipeline, as a cluster-SIZE histogram — per
     * cluster size: how many clusters, how many documents, how many

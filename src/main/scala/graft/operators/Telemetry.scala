@@ -1605,6 +1605,9 @@ object Telemetry {
     * is ONE division of exact longs, deterministic on both engines. */
   def seasonal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the census feeds BOTH the totals and the final join — without
+    // the checkpoint Catalyst re-derives it per consumer, i.e. two
+    // full corpus scans at 100 TB for a ≤ types×24-row frame
     val cells = Tables.events(spark, dir)
       .filter($"ts".isNotNull && $"event_type".isNotNull)
       .select($"event_type",
@@ -1613,6 +1616,7 @@ object Telemetry {
       .groupBy($"event_type", $"hod")
       .agg(count(lit(1)).as("n_events"),
         countDistinct($"day").as("n_days"))
+      .localCheckpoint()
     val totals = cells.groupBy($"event_type")
       .agg(sum($"n_events").as("n_type"))
     cells.join(broadcast(totals), "event_type")

@@ -386,6 +386,32 @@ class Round20Spec extends SparkSpec {
     }
   }
 
+  test("dedup_sensitivity: counts monotone non-increasing in threshold; 0.2 = all pairs") {
+    val pairs = Dedup.minhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    val got = Dedup.sensitivity(spark, sf).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"))).sortBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (t, np, nd) =>
+      val surv = pairs.filter(_._3 >= t)
+      assert(np == surv.length.toLong)
+      assert(nd == surv.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }
+    val ps = got.map(_._2)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+    assert(got.head._1 == 0.2 && got.head._2 == pairs.length.toLong)
+  }
+
+  test("stream_retention equals the batch events_retention") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("cohort_week").getTime,
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_active"))).sorted.toSeq
+    val batch = canon(Telemetry.retention(spark, sf))
+    val streamed = canon(graft.streaming.StreamRetention.streamedRetention(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
   test("stream_novelty equals the batch text_novelty") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
