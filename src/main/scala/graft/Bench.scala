@@ -49,7 +49,13 @@ object Bench {
       val s = xs.sorted
       s(s.length / 2)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional positional args restrict the run to the named queries —
+    // the single-operator iteration loop (run `Bench q1_agg dedup_exact`)
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => wanted(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (0 until reps).flatMap(_ => timeOnce(fn))
       // a query only counts as measured if EVERY rep succeeded
       name -> (if (runs.length == reps) Some(median(runs)) else None)
@@ -71,9 +77,13 @@ object Bench {
     // (BENCH_r06 and r07 both landed "parsed": null), so the LAST
     // stdout line must be a compact summary that always fits: total,
     // query count, failures, and only the 10 slowest per-query timings
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    // only a FULL run may replace the artifact of record — a filtered
+    // single-operator iteration must not clobber the last full bench
+    if (wanted.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_last.json"), fullLine + "\n")
+      catch { case _: Throwable => () }
+    }
     val slow10 = results.collect { case (k, Some(v)) => (k, v) }
       .sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

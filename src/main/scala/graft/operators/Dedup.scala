@@ -334,8 +334,14 @@ object Dedup {
       pairs: DataFrame, maxIters: Int)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     import spark.implicits._
-    val edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
-      .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
+    // materialize the symmetric edge set ONCE: every propagation round
+    // joins against it, and for callers whose pair frame is a live
+    // pipeline (phashClusters' banded Hamming join over packed image
+    // blobs) an unmaterialized edge frame re-runs that pipeline per
+    // round — the checkpoint turns O(rounds) pair computations into 1
+    val (edges, edgeRdds) = localCheckpointTracked(
+      pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
+        .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v"))))
     val nodes = edges.select($"u".as("node")).distinct()
     var (labels, labelRdds) = localCheckpointTracked(nodes.withColumn("label", $"node"))
     // labels only ever decrease under min-propagation, so the label
@@ -367,6 +373,7 @@ object Dedup {
     // an unconverged result would silently split real components into
     // several clusters with wrong keepers — fail loudly instead; the
     // caller raises maxIters for pathological chain-shaped corpora
+    edgeRdds.foreach(_.unpersist(blocking = false))
     if (!converged) {
       labelRdds.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
