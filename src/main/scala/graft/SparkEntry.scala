@@ -170,6 +170,7 @@ object SparkEntry {
     "dedup_apply" -> ((s: SparkSession, d: String) => Dedup.applyDedup(s, d)),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBest(s, d)),
     "dedup_sensitivity" -> ((s: SparkSession, d: String) => Dedup.sensitivity(s, d)),
+    "dedup_url" -> (Dedup.urlDedup _),
     "stream_retention" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamRetention.streamedRetention(s, d)),
     "graph_kcore" -> ((s: SparkSession, d: String) => Dedup.kcore(s, d)),
@@ -198,6 +199,7 @@ object SparkEntry {
     "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.ivfpqTopK(s, d)),
     "ann_ivfopq" -> ((s: SparkSession, d: String) => Similarity.ivfopqTopK(s, d)),
+    "ann_filtered" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
     "embed_kmeans" -> ((s: SparkSession, d: String) => Similarity.kmeans(s, d)),
     "dedup_semdedup" -> ((s: SparkSession, d: String) => Similarity.semdedup(s, d)),
     "ann_refine" -> ((s: SparkSession, d: String) => Similarity.refineTopK(s, d)),
@@ -214,6 +216,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_winnow" -> ((s: SparkSession, d: String) => TextAnalysis.winnow(s, d)),
     "text_topterms" -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "q_cms_topterms" -> ((s: SparkSession, d: String) => TextAnalysis.cmsTopTerms(s, d)),
     "text_tfidf" -> (TextAnalysis.tfidf _),
@@ -1395,6 +1398,27 @@ object SparkEntry {
     // streaming twin: the arrival log aggregated — identical result
     // by construction when cross-batch keeper state works
     "dedup_exact_stream" -> exactDedupSql,
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.COM' ELSE source || '.example.com' END) ||
+        |  '/' || lang || '/item-' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 != 0 AND doc_id % 7 = 0 THEN '?ref=home&utm_source=feed'
+        |        WHEN doc_id % 5 != 0 AND doc_id % 7 = 1 THEN '?utm_source=feed&utm_campaign=x'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN '#section' ELSE '' END) AS url
+        |FROM documents),
+        |n AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*', '') AS u2 FROM u),
+        |c AS (SELECT doc_id, url,
+        |  lower(regexp_extract(u2, '^[^/?]+')) ||
+        |  regexp_replace(regexp_replace(regexp_replace(u2, '^[^/?]+', ''), '[?&]utm_[^&#]*', '', 'g'), '/$', '') AS canonical_url
+        |FROM n)
+        |SELECT canonical_url, MIN(doc_id) AS keeper_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+        |FROM c GROUP BY 1""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM vp""".stripMargin,
@@ -1662,6 +1686,25 @@ object SparkEntry {
          |  FROM probes p JOIN assign a USING (cid)
          |  WHERE a.vec_id != p.query_id) t
          |WHERE rnk <= 5""".stripMargin,
+    // ann_ivf's CTE chain with the label predicate PRE-filtering the
+    // index side of the probe join (hybrid-search / hard-negative
+    // semantics: neighbors must carry a DIFFERENT label)
+    "ann_filtered" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         |scored AS (SELECT e.vec_id, e.embedding, e.label, c.cid, ${cos("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT cid, vec_id, embedding, label FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z
+         |  WHERE rn <= 4)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cos("p.qv", "a.embedding")} AS cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY ${cos("p.qv", "a.embedding")} DESC, a.vec_id) AS BIGINT) AS rnk
+         |  FROM probes p JOIN assign a USING (cid)
+         |  WHERE a.vec_id != p.query_id AND a.label != p.qlabel) t
+         |WHERE rnk <= 5""".stripMargin,
     // recall@k of brute search on 16-dim-truncated vectors vs the
     // full-dim ground truth — the serve-at-lower-dims question
     "embed_truncate_eval" ->
@@ -1851,6 +1894,25 @@ object SparkEntry {
          |  list_min(list_transform(grams, x -> ${ph("x")})) AS min_kgram_hash,
          |  CAST(len(grams) AS BIGINT) AS n_distinct_kgrams
          |FROM g""".stripMargin,
+    // winnowing (k=8, w=4): positional k-gram rolling hashes, window
+    // minima, distinct fingerprint VALUES — selection order-free, so
+    // both engines agree however window ties resolve
+    "text_winnow" ->
+      s"""WITH b AS (SELECT doc_id, lower(text) AS lc FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN length(lc) >= 8
+         |    THEN list_transform(range(1, length(lc)-6), i -> ${ph("substr(lc, CAST(i AS INT), 8)")})
+         |    ELSE CAST([] AS BIGINT[]) END AS hs FROM b),
+         |w AS (SELECT doc_id, hs, CASE
+         |    WHEN len(hs) >= 4 THEN list_transform(range(1, len(hs)-2),
+         |      j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j+3 AS INT))))
+         |    WHEN len(hs) > 0 THEN [list_min(hs)]
+         |    ELSE CAST([] AS BIGINT[]) END AS mins FROM g),
+         |f AS (SELECT doc_id, hs, mins, list_distinct(mins) AS fps FROM w)
+         |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+         |  CAST(len(mins) AS BIGINT) AS n_windows,
+         |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a,x) -> a+x) AS fp_sum,
+         |  list_min(fps) AS fp_min FROM f""".stripMargin,
     "q_moments" ->
       """SELECT l_returnflag, n,
         |  round(sx / nd, 9) AS mean_qty,

@@ -637,6 +637,57 @@ object Dedup {
         (-$"m.negc").as("keeper_chars"), $"cluster_size")
   }
 
+  /** URL-canonicalization dedup (`dedup_url`) — the FIRST dedup pass
+    * of every web-crawl pipeline: the same page is fetched under
+    * http/https, cased hosts, trailing slashes, tracking params, and
+    * fragments, and collapsing those is pure per-URL string
+    * normalization — no content hashing, no pairs, no index. The
+    * corpus has no URL column, so (the mm_* blob-packing pattern)
+    * each doc derives a deterministic MESSY crawl URL from its dials:
+    * scheme by id parity, host casing by id%3, trailing slash on the
+    * query-less id%5 stratum, tracking-suffixed query strings by
+    * id%7, a fragment by id%11.
+    *
+    * Canonicalization (applied by regex to the URL STRING, the way a
+    * canonicalizer meets real crawl data): drop the scheme, drop the
+    * fragment, lowercase the HOST only (path case is significant),
+    * drop `utm_*` tracking params (the generator keeps them
+    * param-sorted last, standing in for a canonicalizer's param
+    * sort), strip the trailing slash. Scan-local expressions into
+    * ONE partial-aggregated groupBy on the canonical key — at 100 TB
+    * this is a map-side-combined census, the cheapest dedup tier
+    * there is, which is exactly why crawls run it first. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+    val scheme = when($"doc_id" % 2L === 0L, lit("http://")).otherwise(lit("https://"))
+    val host = when($"doc_id" % 3L === 0L, concat(upper($"source"), lit(".Example.COM")))
+      .otherwise(concat($"source", lit(".example.com")))
+    val path = concat(lit("/"), $"lang", lit("/item-"), ($"doc_id" % 50L).cast("string"))
+    val slash = when($"doc_id" % 5L === 0L, lit("/")).otherwise(lit(""))
+    val query = when($"doc_id" % 5L =!= 0L && $"doc_id" % 7L === 0L,
+        lit("?ref=home&utm_source=feed"))
+      .when($"doc_id" % 5L =!= 0L && $"doc_id" % 7L === 1L,
+        lit("?utm_source=feed&utm_campaign=x"))
+      .otherwise(lit(""))
+    val frag = when($"doc_id" % 11L === 0L, lit("#section")).otherwise(lit(""))
+    val withUrl = d.select($"doc_id",
+      concat(scheme, host, path, slash, query, frag).as("url"))
+    // scheme off, fragment off; host lowercases, path/query keep case
+    val noScheme = regexp_replace(
+      regexp_replace($"url", "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""), "#.*", "")
+    val canon = withUrl.withColumn("u2", noScheme)
+      .withColumn("canonical_url", concat(
+        lower(regexp_extract($"u2", "^[^/?]+", 0)),
+        regexp_replace(
+          regexp_replace(regexp_replace($"u2", "^[^/?]+", ""), "[?&]utm_[^&#]*", ""),
+          "/$", "")))
+    canon.groupBy($"canonical_url")
+      .agg(min($"doc_id").as("keeper_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct($"url").as("n_raw_variants"))
+  }
+
   /** Threshold-sensitivity sweep (`dedup_sensitivity`): how the
     * verified near-dup pair set shrinks as the Jaccard threshold
     * rises from the operating point (0.2) to 0.8 — the tuning curve

@@ -292,6 +292,49 @@ object Similarity {
       .filter($"rnk" <= k)
   }
 
+  /** Metadata-FILTERED ANN (`ann_filtered`) — the hybrid-search /
+    * hard-negative-mining shape: each query retrieves its top-k
+    * nearest neighbors among vectors whose `label` DIFFERS from the
+    * query's own (cross-class retrieval — the contrastive-training
+    * complement of [[Curation.sampleNegative]]'s hash-random draws).
+    *
+    * The scale decision this operator exercises is PRE-filtering:
+    * the predicate applies to the inverted-index side BEFORE scoring,
+    * inside the probe equi-join — post-filtering a top-k result
+    * under-fills k whenever same-class vectors dominate a
+    * neighborhood (they do; that is what embedding classes mean).
+    * Plan shape is [[ivfTopK]]'s: centroids broadcast for one
+    * assignment pass, probes (queries × nProbe, query label riding
+    * along) broadcast into the index join, and the filter is one
+    * scan-local predicate on the join — the corpus never shuffles
+    * and the filtered fraction prunes before any dot product. */
+  def filteredTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", $"label",
+        sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val cents = emb.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"label", $"nrm", $"cid",
+        (VecFns.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm")).as("ccos"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+    val index = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"cid", $"vec_id", $"embedding", $"label", $"nrm")
+    val probes = scored.filter($"vec_id" < nQueries)
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" <= nProbe)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"),
+        $"label".as("qlabel"), $"cid")
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    broadcast(probes).join(index, "cid")
+      .where($"vec_id" =!= $"query_id" && $"label" =!= $"qlabel")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= k)
+  }
+
   /** IVF-OPQ-PQ (`ann_ivfopq`): the full production composition —
     * IVF picks WHICH inverted lists a query touches (full-vector
     * cosine, unaffected by any rotation), OPQ's learned permutation

@@ -484,6 +484,48 @@ object TextAnalysis {
       size(grams).cast(LongType).as("n_distinct_kgrams"))
   }
 
+  /** Winnowing fingerprints (`text_winnow`) — the MOSS
+    * local-fingerprinting algorithm (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03), the contamination/plagiarism detector that
+    * [[fingerprint]]'s single global min-hash approximates: slide a
+    * window of `w` consecutive k-gram rolling hashes and keep each
+    * window's MINIMUM — any shared substring of length ≥ k+w−1
+    * between two documents is then GUARANTEED to share a
+    * fingerprint, while only ~2/(w+1) of the grams are kept. Emitting
+    * the distinct fingerprint VALUES (not positions) makes the
+    * selection order-free and tie-safe on both engines.
+    *
+    * Shape: entirely scan-local higher-order expressions (sequence →
+    * positional k-gram polyHash → windowed array_min → distinct) —
+    * zero shuffle, zero UDF, O(n·w) per document; the fingerprint
+    * set is the ~n/w-sized column a downstream overlap join (the
+    * [[decontaminate]] family) would explode-and-join on, at 1/w the
+    * volume of full shingling. */
+  def winnow(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4): DataFrame = {
+    import spark.implicits._
+    val lc = lower($"text")
+    val n = length(lc)
+    val empty = array().cast("array<bigint>")
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => HashFns.polyHash(lc.substr(i, lit(k))))).otherwise(empty)
+    Tables.documents(spark, dir)
+      .select($"doc_id", grams.as("hs"))
+      .withColumn("mins",
+        when(size($"hs") >= w,
+          transform(sequence(lit(1), size($"hs") - (w - 1)),
+            j => array_min(slice($"hs", j, lit(w)))))
+          .when(size($"hs") > 0, array(array_min($"hs")))
+          .otherwise(empty))
+      .withColumn("fps", array_distinct($"mins"))
+      .select($"doc_id",
+        size($"hs").cast(LongType).as("n_grams"),
+        size($"mins").cast(LongType).as("n_windows"),
+        size($"fps").cast(LongType).as("n_fingerprints"),
+        aggregate($"fps", lit(0L), _ + _).as("fp_sum"),
+        array_min($"fps").as("fp_min"))
+  }
+
   /** Lexical diversity (the vocabulary-richness quality signal
     * beside [[quality]]'s surface ratios): type-token ratio and
     * hapax-legomenon fraction per document — machine-generated and

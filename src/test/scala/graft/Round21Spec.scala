@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Round-8 late additions: URL-canonicalization dedup, winnowing
+  * fingerprints, metadata-filtered ANN. */
+class Round21Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 1000000007L
+
+  private def polyHash(s: String): Long = {
+    var h = 0L
+    s.codePoints().forEach(cp => h = (h * 31 + cp) % P)
+    h
+  }
+
+  test("dedup_url: canonical key collapses scheme/case/slash/utm/fragment") {
+    val got = Dedup.urlDedup(spark, sf).collect()
+      .map(r => r.getAs[String]("canonical_url") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_raw_variants")))).toMap
+    // independent restatement of what canonicalization must land on:
+    // lowercase host, path, only the non-tracking query survives
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.map { case (id, lang, source) =>
+      val keptQuery = if (id % 5 != 0 && id % 7 == 0) "?ref=home" else ""
+      (s"${source.toLowerCase}.example.com/$lang/item-${id % 50}$keptQuery", id)
+    }.groupBy(_._1).map { case (c, rows) =>
+      c -> ((rows.map(_._2).min, rows.size.toLong))
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (c, (keeper, n)) =>
+      assert(got(c)._1 == keeper && got(c)._2 == n, s"mismatch at $c")
+    }
+    assert(got.values.map(_._2).sum == docs.length.toLong)
+    // the operator is non-vacuous: messy variants actually collapsed
+    assert(got.values.exists(_._3 > 1L), "no canonical group held >1 raw variant")
+    got.keySet.foreach { c =>
+      assert(!c.contains("#") && !c.contains("utm_") && !c.startsWith("http"))
+    }
+  }
+
+  test("text_winnow: matches a direct winnowing recompute on every doc") {
+    val k = 8; val w = 4
+    val got = TextAnalysis.winnow(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_windows"),
+          r.getAs[Long]("n_fingerprints"), r.getAs[Long]("fp_sum"),
+          Option(r.get(r.fieldIndex("fp_min")))
+            .map(_.asInstanceOf[Long])))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val cps = text.toLowerCase.codePoints().toArray
+      val hs: Seq[Long] =
+        if (cps.length >= k)
+          (0 to cps.length - k).map(i => polyHash(new String(cps, i, k)))
+        else Seq.empty
+      val mins: Seq[Long] =
+        if (hs.length >= w) hs.sliding(w).map(_.min).toSeq
+        else if (hs.nonEmpty) Seq(hs.min)
+        else Seq.empty
+      val fps = mins.distinct
+      val (gGrams, gWins, gFps, gSum, gMin) = got(id)
+      assert(gGrams == hs.length.toLong, s"n_grams at doc $id")
+      assert(gWins == mins.length.toLong, s"n_windows at doc $id")
+      assert(gFps == fps.length.toLong, s"n_fingerprints at doc $id")
+      assert(gSum == fps.sum, s"fp_sum at doc $id")
+      assert(gMin == (if (fps.isEmpty) None else Some(fps.min)), s"fp_min at doc $id")
+    }
+  }
+
+  test("ann_filtered: cross-class only, dense ranks, full k per query") {
+    val res = Similarity.filteredTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rnk")))
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res.nonEmpty)
+    res.foreach { case (q, nb, _, _) =>
+      assert(labels(nb) != labels(q), s"same-label neighbor $nb for query $q")
+      assert(nb != q)
+    }
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to rows.length.toLong).toSeq,
+        s"ranks not dense for $q")
+      val cosines = byRank.map(_._3)
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+        s"cosine not non-increasing for $q")
+      // 500+ vectors across several classes: the probed lists always
+      // hold at least k cross-class members
+      assert(rows.length == 5, s"query $q returned ${rows.length} != k")
+    }
+    // plan shape: the corpus never shuffles for the search — the only
+    // nested-loop joins are the broadcast centroid cross joins
+    val plan = Similarity.filteredTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "unexpected CartesianProduct")
+  }
+}
