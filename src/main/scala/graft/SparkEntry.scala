@@ -217,6 +217,8 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_winnow" -> ((s: SparkSession, d: String) => TextAnalysis.winnow(s, d)),
+    "decontaminate_winnow" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.decontaminateWinnow(s, d)),
     "text_topterms" -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "q_cms_topterms" -> ((s: SparkSession, d: String) => TextAnalysis.cmsTopTerms(s, d)),
     "text_tfidf" -> (TextAnalysis.tfidf _),
@@ -352,6 +354,20 @@ object SparkEntry {
     * graft.functions.HashFns.polyHash). */
   private def ph(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s,''), c -> CAST(ascii(c) AS BIGINT))), (h,c) -> (h*31+c) % 1000000007)"
+
+  /** DuckDB CTEs replaying TextAnalysis.winnowArrays (k=8, w=4) down
+    * to `w (doc_id, hs, mins)` — shared by the text_winnow and
+    * decontaminate_winnow oracles. */
+  private def winnowCtes: String =
+    s"""b AS (SELECT doc_id, lower(text) AS lc FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN length(lc) >= 8
+       |    THEN list_transform(range(1, length(lc)-6), i -> ${ph("substr(lc, CAST(i AS INT), 8)")})
+       |    ELSE CAST([] AS BIGINT[]) END AS hs FROM b),
+       |w AS (SELECT doc_id, hs, CASE
+       |    WHEN len(hs) >= 4 THEN list_transform(range(1, len(hs)-2),
+       |      j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j+3 AS INT))))
+       |    WHEN len(hs) > 0 THEN [list_min(hs)]
+       |    ELSE CAST([] AS BIGINT[]) END AS mins FROM g)""".stripMargin
 
   /** DuckDB fragment: 8-bit × 8-bit Morton interleave of columns
     * x and y (mirrors Curation.zorder's bit arithmetic). */
@@ -1898,21 +1914,24 @@ object SparkEntry {
     // minima, distinct fingerprint VALUES — selection order-free, so
     // both engines agree however window ties resolve
     "text_winnow" ->
-      s"""WITH b AS (SELECT doc_id, lower(text) AS lc FROM documents),
-         |g AS (SELECT doc_id, CASE WHEN length(lc) >= 8
-         |    THEN list_transform(range(1, length(lc)-6), i -> ${ph("substr(lc, CAST(i AS INT), 8)")})
-         |    ELSE CAST([] AS BIGINT[]) END AS hs FROM b),
-         |w AS (SELECT doc_id, hs, CASE
-         |    WHEN len(hs) >= 4 THEN list_transform(range(1, len(hs)-2),
-         |      j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j+3 AS INT))))
-         |    WHEN len(hs) > 0 THEN [list_min(hs)]
-         |    ELSE CAST([] AS BIGINT[]) END AS mins FROM g),
+      s"""WITH $winnowCtes,
          |f AS (SELECT doc_id, hs, mins, list_distinct(mins) AS fps FROM w)
          |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
          |  CAST(len(mins) AS BIGINT) AS n_windows,
          |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a,x) -> a+x) AS fp_sum,
          |  list_min(fps) AS fp_min FROM f""".stripMargin,
+    // winnowing prints + df-capped overlap join against the eval
+    // holdout (doc_id < 50), threshold at 3 shared fingerprints
+    "decontaminate_winnow" ->
+      s"""WITH $winnowCtes,
+         |fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w),
+         |keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 100),
+         |ev AS (SELECT DISTINCT f.fp FROM fp f JOIN keep USING (fp) WHERE f.doc_id < 50)
+         |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
+         |  COUNT(*) >= 3 AS contaminated
+         |FROM fp f JOIN ev USING (fp)
+         |WHERE f.doc_id >= 50 GROUP BY 1""".stripMargin,
     "q_moments" ->
       """SELECT l_returnflag, n,
         |  round(sx / nd, 9) AS mean_qty,

@@ -501,7 +501,8 @@ object TextAnalysis {
     * set is the ~n/w-sized column a downstream overlap join (the
     * [[decontaminate]] family) would explode-and-join on, at 1/w the
     * volume of full shingling. */
-  def winnow(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4): DataFrame = {
+  private[operators] def winnowArrays(spark: SparkSession, dir: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
     import spark.implicits._
     val lc = lower($"text")
     val n = length(lc)
@@ -517,6 +518,11 @@ object TextAnalysis {
             j => array_min(slice($"hs", j, lit(w)))))
           .when(size($"hs") > 0, array(array_min($"hs")))
           .otherwise(empty))
+  }
+
+  def winnow(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4): DataFrame = {
+    import spark.implicits._
+    winnowArrays(spark, dir, k, w)
       .withColumn("fps", array_distinct($"mins"))
       .select($"doc_id",
         size($"hs").cast(LongType).as("n_grams"),
@@ -524,6 +530,37 @@ object TextAnalysis {
         size($"fps").cast(LongType).as("n_fingerprints"),
         aggregate($"fps", lit(0L), _ + _).as("fp_sum"),
         array_min($"fps").as("fp_min"))
+  }
+
+  /** Winnowing-fingerprint decontamination (`decontaminate_winnow`)
+    * — the [[decontaminate]] family through [[winnow]]'s local
+    * fingerprints instead of full word-shingle sets: a train doc
+    * sharing `minShared`+ distinct fingerprints with the eval
+    * holdout is flagged, and winnowing's guarantee makes the flag
+    * PRINCIPLED — any verbatim overlap of ≥ k+w−1 characters
+    * surfaces at least one shared fingerprint, at ~1/w the index
+    * volume of shingling (the 100 TB reason to run decontamination
+    * on winnowed prints).
+    *
+    * Stop-gram tier (the dedup_ngram df-cap discipline): fingerprints
+    * held by > `maxDf` documents corpus-wide — ubiquitous 8-grams
+    * like common stopword runs — drop before the overlap join, so no
+    * single fp key can fan out into a hot bucket; the df census
+    * partial-aggregates on the same exploded frame the join consumes. */
+  def decontaminateWinnow(spark: SparkSession, dir: String,
+      holdout: Long = 50L, minShared: Long = 3L, maxDf: Long = 100L): DataFrame = {
+    import spark.implicits._
+    val fp = winnowArrays(spark, dir)
+      .select($"doc_id", explode(array_distinct($"mins")).as("fp"))
+    val keep = fp.groupBy($"fp").agg(count(lit(1)).as("dfc"))
+      .filter($"dfc" <= maxDf).select($"fp")
+    val eval_ = fp.filter($"doc_id" < holdout)
+      .join(keep, "fp").select($"fp").distinct()
+    fp.filter($"doc_id" >= holdout)
+      .join(eval_, "fp")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .withColumn("contaminated", $"n_shared_fps" >= minShared)
   }
 
   /** Lexical diversity (the vocabulary-richness quality signal

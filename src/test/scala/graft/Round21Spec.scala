@@ -77,6 +77,42 @@ class Round21Spec extends SparkSpec {
     }
   }
 
+  test("decontaminate_winnow: matches a direct fp-overlap recompute; cap fires") {
+    val k = 8; val w = 4; val holdout = 50L; val maxDf = 100
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def fps(text: String): Set[Long] = {
+      val cps = text.toLowerCase.codePoints().toArray
+      val hs: Seq[Long] =
+        if (cps.length >= k)
+          (0 to cps.length - k).map(i => polyHash(new String(cps, i, k)))
+        else Seq.empty
+      val mins =
+        if (hs.length >= w) hs.sliding(w).map(_.min).toSeq
+        else if (hs.nonEmpty) Seq(hs.min) else Seq.empty
+      mins.toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> fps(t) }.toMap
+    val df = byDoc.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size)
+    assert(df.values.exists(_ > maxDf), "df cap is vacuous on this corpus")
+    val kept = df.collect { case (fp, c) if c <= maxDf => fp }.toSet
+    val evalFps = byDoc.collect { case (id, s) if id < holdout => s }
+      .flatten.toSet.intersect(kept)
+    val expected = byDoc.collect {
+      case (id, s) if id >= holdout && s.intersect(evalFps).nonEmpty =>
+        id -> s.intersect(evalFps).size.toLong
+    }
+    val got = TextAnalysis.decontaminateWinnow(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shared_fps"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, n) =>
+      assert(got(id)._1 == n, s"n_shared_fps at doc $id")
+      assert(got(id)._2 == (n >= 3L), s"contaminated flag at doc $id")
+    }
+  }
+
   test("ann_filtered: cross-class only, dense ranks, full k per query") {
     val res = Similarity.filteredTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
