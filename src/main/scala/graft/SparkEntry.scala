@@ -157,6 +157,10 @@ object SparkEntry {
       graft.streaming.StreamInterarrival.streamedInterarrival(s, d)),
     "stream_seasonal" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamSeasonal.streamedSeasonal(s, d)),
+    "stream_heatmap" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamHeatmap.streamedHeatmap(s, d)),
+    "stream_quarantine" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamQuarantine.streamedQuarantine(s, d)),
     "stream_downsample" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamDownsample.streamedDownsample(s, d)),
     "stream_ratecap" -> ((s: SparkSession, d: String) =>
@@ -354,6 +358,37 @@ object SparkEntry {
     * graft.functions.HashFns.polyHash). */
   private def ph(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s,''), c -> CAST(ascii(c) AS BIGINT))), (h,c) -> (h*31+c) % 1000000007)"
+
+  /** events_heatmap's oracle, shared with its streaming twin. */
+  private def heatmapSql: String =
+    """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+      |  (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE ts IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
+  /** events_quarantine's oracle, shared with its streaming twin. */
+  private def quarantineSql: String =
+    """WITH a AS (SELECT
+      |    SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS v1,
+      |    SUM(CASE WHEN event_type NOT IN ('signup','click','view','purchase','error')
+      |      THEN 1 ELSE 0 END) AS v2,
+      |    SUM(CASE WHEN user_id < 0 THEN 1 ELSE 0 END) AS v3,
+      |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+      |      OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS v4,
+      |    SUM(CASE WHEN value < 1.0
+      |      OR event_type NOT IN ('signup','click','view','purchase','error')
+      |      OR user_id < 0
+      |      OR ts < TIMESTAMP '2024-01-01'
+      |      OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS va,
+      |    COUNT(*) AS n
+      |  FROM events)
+      |SELECT 'low_value' AS constraint_name, CAST(v1 AS BIGINT) AS n_violations, n AS n_rows FROM a
+      |UNION ALL SELECT 'unknown_type', CAST(v2 AS BIGINT), n FROM a
+      |UNION ALL SELECT 'invalid_user', CAST(v3 AS BIGINT), n FROM a
+      |UNION ALL SELECT 'out_of_window', CAST(v4 AS BIGINT), n FROM a
+      |UNION ALL SELECT 'any', CAST(va AS BIGINT), n FROM a""".stripMargin
 
   /** DuckDB CTEs replaying TextAnalysis.winnowArrays (k=8, w=4) down
     * to `w (doc_id, hs, mins)` — shared by the text_winnow and
@@ -2003,13 +2038,10 @@ object SparkEntry {
         |FROM cw GROUP BY l_returnflag""".stripMargin,
     // integer-µs calendar: native dayofweek()/extract(dow) numbering
     // differs across engines; (days + 4) % 7 (0 = Sunday) does not
-    "events_heatmap" ->
-      """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
-        |  (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
-        |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events WHERE ts IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin,
+    "events_heatmap" -> heatmapSql,
+    // streaming twin on the SAME oracle: (dow, hour) cell counters
+    // fold across the staged cut in exact-cents state
+    "stream_heatmap" -> heatmapSql,
     "text_lexdiv" ->
       """SELECT doc_id,
         |  CAST(len(t) AS BIGINT) AS n_tokens,
@@ -2951,26 +2983,10 @@ object SparkEntry {
         |GROUP BY e.user_id""".stripMargin,
     // identical CASE/OR forms on both engines (no GREATEST: it
     // propagates NULL in ANSI SQL where Spark's skips it)
-    "events_quarantine" ->
-      """WITH a AS (SELECT
-        |    SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS v1,
-        |    SUM(CASE WHEN event_type NOT IN ('signup','click','view','purchase','error')
-        |      THEN 1 ELSE 0 END) AS v2,
-        |    SUM(CASE WHEN user_id < 0 THEN 1 ELSE 0 END) AS v3,
-        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
-        |      OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS v4,
-        |    SUM(CASE WHEN value < 1.0
-        |      OR event_type NOT IN ('signup','click','view','purchase','error')
-        |      OR user_id < 0
-        |      OR ts < TIMESTAMP '2024-01-01'
-        |      OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS va,
-        |    COUNT(*) AS n
-        |  FROM events)
-        |SELECT 'low_value' AS constraint_name, CAST(v1 AS BIGINT) AS n_violations, n AS n_rows FROM a
-        |UNION ALL SELECT 'unknown_type', CAST(v2 AS BIGINT), n FROM a
-        |UNION ALL SELECT 'invalid_user', CAST(v3 AS BIGINT), n FROM a
-        |UNION ALL SELECT 'out_of_window', CAST(v4 AS BIGINT), n FROM a
-        |UNION ALL SELECT 'any', CAST(va AS BIGINT), n FROM a""".stripMargin,
+    "events_quarantine" -> quarantineSql,
+    // streaming twin on the SAME oracle: scan-local flags fold into
+    // per-shard counter state across the staged cut
+    "stream_quarantine" -> quarantineSql,
     "dq_orphans" ->
       """SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_child,
         |  CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans

@@ -113,6 +113,27 @@ class Round21Spec extends SparkSpec {
     }
   }
 
+  test("stream_heatmap equals the batch events_heatmap") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = canon(graft.operators.Telemetry.heatmap(spark, sf))
+    val streamed = canon(graft.streaming.StreamHeatmap.streamedHeatmap(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
+  test("stream_quarantine equals the batch events_quarantine") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("constraint_name"),
+        r.getAs[Long]("n_violations"), r.getAs[Long]("n_rows")))
+      .sortBy(_._1).toSeq
+    val batch = canon(graft.operators.Quality.quarantine(spark, sf))
+    val streamed = canon(
+      graft.streaming.StreamQuarantine.streamedQuarantine(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
   test("ann_filtered: cross-class only, dense ranks, full k per query") {
     val res = Similarity.filteredTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
