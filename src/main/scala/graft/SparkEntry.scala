@@ -161,6 +161,10 @@ object SparkEntry {
       graft.streaming.StreamHeatmap.streamedHeatmap(s, d)),
     "stream_quarantine" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamQuarantine.streamedQuarantine(s, d)),
+    "stream_distinct" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamDistinct.streamedDistinct(s, d)),
+    "corpus_fill_budget" -> ((s: SparkSession, d: String) =>
+      Curation.fillBudget(s, d)),
     "stream_downsample" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamDownsample.streamedDownsample(s, d)),
     "stream_ratecap" -> ((s: SparkSession, d: String) =>
@@ -2042,6 +2046,30 @@ object SparkEntry {
     // streaming twin on the SAME oracle: (dow, hour) cell counters
     // fold across the staged cut in exact-cents state
     "stream_heatmap" -> heatmapSql,
+    // the k-min set of a SET is fold-order independent, so the
+    // streamed sketch and the KMV estimate replay deterministically
+    "stream_distinct" ->
+      s"""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+         |hs AS (SELECT event_type, list_slice(list_sort(list_distinct(list(h))), 1, 64) AS hs
+         |  FROM (SELECT event_type, ${ph("CAST(user_id AS VARCHAR)")} AS h FROM ut) t
+         |  GROUP BY 1)
+         |SELECT event_type, CAST(len(hs) AS BIGINT) AS n_sketch,
+         |  CASE WHEN len(hs) < 64 THEN CAST(len(hs) AS DOUBLE)
+         |       ELSE CAST(63 AS DOUBLE) * CAST(1000000007 AS DOUBLE) / CAST(hs[64] AS DOUBLE) END AS est_distinct
+         |FROM hs""".stripMargin,
+    // deterministic shuffled order (content-hash rank) + exact
+    // running token sum, admitted while cum <= budget
+    "corpus_fill_budget" ->
+      s"""WITH t AS (SELECT doc_id, ${ph("text")} AS h,
+         |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, pos, n_tokens, cum_tokens FROM r
+         |WHERE cum_tokens <= 20000""".stripMargin,
     "text_lexdiv" ->
       """SELECT doc_id,
         |  CAST(len(t) AS BIGINT) AS n_tokens,

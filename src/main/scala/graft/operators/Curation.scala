@@ -286,6 +286,48 @@ object Curation {
       .select($"doc_id", $"shard", ($"base" + $"lrn").as("pos"))
   }
 
+  /** Token-budget corpus fill (`corpus_fill_budget`) — the
+    * pretraining-mixture step that answers "which documents make the
+    * first N tokens": the corpus takes a DETERMINISTIC shuffled
+    * total order (content-hash rank — the [[corpusShard]]
+    * discipline: re-runs are bit-identical, no rand()), and
+    * documents are admitted while the running whitespace-token sum
+    * stays within the budget.
+    *
+    * The global prefix sum never runs as one task: [[corpusShard]]'s
+    * two-phase decomposition carries the TOKEN mass alongside the
+    * row count — local running sums within (bucket) partitions plus
+    * broadcast per-bucket token bases — so admission is decided
+    * scan-local after one corpus-sized exchange. The budget
+    * comparison is exact long arithmetic; token counts are
+    * text_tokens' n_ws_tokens so the budget currency is shared
+    * across the text family. */
+  def fillBudget(spark: SparkSession, dir: String, budget: Long = 20000L,
+      bucketWidth: Long = 16000000L): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    import graft.functions.TextFns
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", HashFns.polyHash($"text").as("h"),
+        size(TextFns.tokens($"text")).cast(LongType).as("n_tokens"))
+      .withColumn("bucket", floor($"h" / bucketWidth).cast(LongType))
+    val localW = Window.partitionBy($"bucket").orderBy($"h".asc, $"doc_id".asc)
+    val local = docs
+      .withColumn("lrn", row_number().over(localW).cast(LongType))
+      .withColumn("lts", sum($"n_tokens").over(localW))
+    val baseW = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = docs.groupBy($"bucket")
+      .agg(count(lit(1)).as("bn"), sum($"n_tokens").as("bt"))
+      .withColumn("rbase", coalesce(sum($"bn").over(baseW), lit(0L)))
+      .withColumn("tbase", coalesce(sum($"bt").over(baseW), lit(0L)))
+      .select($"bucket", $"rbase", $"tbase")
+    local.join(broadcast(bases), "bucket")
+      .select($"doc_id", ($"rbase" + $"lrn").as("pos"), $"n_tokens",
+        ($"tbase" + $"lts").as("cum_tokens"))
+      .filter($"cum_tokens" <= budget)
+  }
+
   /** Curriculum ordering (`corpus_curriculum`): rank the corpus by a
     * difficulty signal (content length here; any deterministic score
     * plugs in) and cut the global order into training phases — the

@@ -134,6 +134,61 @@ class Round21Spec extends SparkSpec {
     assert(batch.nonEmpty && batch == streamed)
   }
 
+  test("stream_distinct: matches the batch KMV recompute; fold is order-free") {
+    val k = graft.streaming.StreamDistinct.K
+    // order independence of the k-min fold: any permutation of the
+    // same hash multiset lands on the same sketch
+    val hashes = (1 to 200).map(i => polyHash(s"u$i")) ++ (1 to 50).map(i => polyHash(s"u$i"))
+    val expected0 = hashes.distinct.sorted.take(k)
+    (0 until 5).foreach { s =>
+      val perm = new scala.util.Random(s).shuffle(hashes)
+      val folded = perm.foldLeft(Vector.empty[Long]: Seq[Long])(
+        (acc, h) => graft.streaming.StreamDistinct.insert(acc, h, k))
+      assert(folded == expected0, s"fold order $s changed the sketch")
+    }
+    // the streamed operator vs a direct recompute on the corpus
+    val byType = graft.sources.Tables.events(spark, sf)
+      .filter($"user_id".isNotNull && $"event_type".isNotNull && $"ts".isNotNull)
+      .select($"event_type", $"user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(u => polyHash(u._2.toString)).distinct.sorted.take(k)).toMap
+    val got = graft.streaming.StreamDistinct.streamedDistinct(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_sketch"), r.getAs[Double]("est_distinct")))).toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (tp, hs) =>
+      val est =
+        if (hs.length < k) hs.length.toDouble
+        else (k - 1).toDouble * graft.functions.HashFns.P.toDouble / hs(k - 1).toDouble
+      assert(got(tp)._1 == hs.length.toLong, s"n_sketch at $tp")
+      assert(got(tp)._2 == est, s"est_distinct at $tp")
+    }
+  }
+
+  test("corpus_fill_budget: admitted set is the exact budget prefix") {
+    val budget = 20000L
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ordered = docs.map { case (id, t) =>
+      (polyHash(t), id, t.toLowerCase.split("\\s+", -1).length.toLong)
+    }.sortBy(x => (x._1, x._2))
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var cum = 0L
+    var pos = 0L
+    var stopped = false
+    ordered.foreach { case (_, id, n) =>
+      pos += 1; cum += n
+      if (cum <= budget && !stopped) expected += ((id, pos, n, cum))
+      else stopped = true
+    }
+    assert(expected.nonEmpty && stopped, "budget never binds on this corpus")
+    val got = graft.operators.Curation.fillBudget(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).sortBy(_._2)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("ann_filtered: cross-class only, dense ranks, full k per query") {
     val res = Similarity.filteredTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
