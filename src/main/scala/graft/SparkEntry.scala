@@ -208,6 +208,7 @@ object SparkEntry {
     "ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.ivfpqTopK(s, d)),
     "ann_ivfopq" -> ((s: SparkSession, d: String) => Similarity.ivfopqTopK(s, d)),
     "ann_filtered" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
+    "ann_range" -> ((s: SparkSession, d: String) => Similarity.rangeSearch(s, d)),
     "embed_kmeans" -> ((s: SparkSession, d: String) => Similarity.kmeans(s, d)),
     "dedup_semdedup" -> ((s: SparkSession, d: String) => Similarity.semdedup(s, d)),
     "ann_refine" -> ((s: SparkSession, d: String) => Similarity.refineTopK(s, d)),
@@ -1741,6 +1742,21 @@ object SparkEntry {
          |  FROM probes p JOIN assign a USING (cid)
          |  WHERE a.vec_id != p.query_id) t
          |WHERE rnk <= 5""".stripMargin,
+    // ann_ivf's probe structure with the rank replaced by a
+    // scan-local similarity floor (result size is data-dependent)
+    "ann_range" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         |scored AS (SELECT e.vec_id, e.embedding, c.cid, ${cos("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT cid, vec_id, embedding FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z
+         |  WHERE rn <= 4)
+         |SELECT p.query_id, a.vec_id AS neighbor_id, ${cos("p.qv", "a.embedding")} AS cosine
+         |FROM probes p JOIN assign a USING (cid)
+         |WHERE a.vec_id != p.query_id AND ${cos("p.qv", "a.embedding")} >= 0.2""".stripMargin,
     // ann_ivf's CTE chain with the label predicate PRE-filtering the
     // index side of the probe join (hybrid-search / hard-negative
     // semantics: neighbors must carry a DIFFERENT label)

@@ -335,6 +335,39 @@ object Similarity {
       .filter($"rnk" <= k)
   }
 
+  /** RANGE search (`ann_range`) — the similarity-search variant
+    * top-k cannot express: ALL neighbors above a similarity floor
+    * (near-duplicate radius queries, "everything within ε of this
+    * centroid"), where the result size is data-dependent, not k.
+    * Same IVF plan shape as [[ivfTopK]] — centroids broadcast,
+    * probes broadcast into the inverted-index equi-join — but the
+    * per-query window rank is REPLACED by a scan-local threshold
+    * predicate, so the operator needs no window exchange at all:
+    * score, filter, done — at 100 TB that is the difference between
+    * a shuffle keyed on query and none. */
+  def rangeSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
+      minCos: Double = 0.2d, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val cents = emb.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"nrm", $"cid",
+        (VecFns.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm")).as("ccos"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+    val index = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"cid", $"vec_id", $"embedding", $"nrm")
+    val probes = scored.filter($"vec_id" < nQueries)
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" <= nProbe)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"), $"cid")
+    broadcast(probes).join(index, "cid")
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
+      .filter($"cosine" >= minCos)
+  }
+
   /** IVF-OPQ-PQ (`ann_ivfopq`): the full production composition —
     * IVF picks WHICH inverted lists a query touches (full-vector
     * cosine, unaffected by any rotation), OPQ's learned permutation

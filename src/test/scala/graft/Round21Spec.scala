@@ -189,6 +189,27 @@ class Round21Spec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("ann_range: every pair clears the floor; plan has no per-query window") {
+    val res = Similarity.rangeSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine")))
+    assert(res.nonEmpty)
+    res.foreach { case (q, nb, c) =>
+      assert(c >= 0.2d, s"pair ($q,$nb) below the floor")
+      assert(nb != q)
+    }
+    // data-dependent result sizes: not every query returns the same
+    // number of neighbors (that would suggest a hidden top-k)
+    val sizes = res.groupBy(_._1).values.map(_.length).toSet
+    assert(sizes.size > 1, "all queries returned identical result sizes")
+    // the search side pays no window exchange: the only window in the
+    // plan is the IVF assignment rank, partitioned by vec_id
+    val plan = Similarity.rangeSearch(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("query_id ASC NULLS FIRST], [query_id"),
+      "unexpected per-query window in the range-search plan")
+  }
+
   test("ann_filtered: cross-class only, dense ranks, full k per query") {
     val res = Similarity.filteredTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
