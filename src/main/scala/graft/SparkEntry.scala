@@ -110,6 +110,7 @@ object SparkEntry {
     "ts_interp" -> (Telemetry.interp _),
     "ts_mad" -> ((s: SparkSession, d: String) => Telemetry.madOutliers(s, d)),
     "events_heatmap" -> (Telemetry.heatmap _),
+    "events_journeys" -> ((s: SparkSession, d: String) => Telemetry.journeys(s, d)),
     "ts_ohlc" -> (Telemetry.ohlc _),
     "ts_m4" -> ((s: SparkSession, d: String) => Telemetry.m4(s, d)),
     "ts_forecast" -> (Telemetry.forecast _),
@@ -2062,6 +2063,24 @@ object SparkEntry {
     // streaming twin on the SAME oracle: (dow, hour) cell counters
     // fold across the staged cut in exact-cents state
     "stream_heatmap" -> heatmapSql,
+    // first-8-step session journeys, census top-20 (count desc,
+    // journey asc); gap/tie conventions shared with session_windows
+    "events_journeys" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
+        |o AS (SELECT *, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+        |    OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+        |    THEN 1 ELSE 0 END AS ns FROM e),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM o),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess ORDER BY t, event_id) AS rn2 FROM s),
+        |j AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY t, event_id) AS journey
+        |  FROM r WHERE rn2 <= 8 GROUP BY 1, 2),
+        |c AS (SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM j GROUP BY 1)
+        |SELECT journey, n_sessions, n_users, rnk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, journey) AS BIGINT) AS rnk
+        |  FROM c) t
+        |WHERE rnk <= 20""".stripMargin,
     // the k-min set of a SET is fold-order independent, so the
     // streamed sketch and the KMV estimate replay deterministically
     "stream_distinct" ->

@@ -187,6 +187,51 @@ object Telemetry {
       .agg(count(lit(1)).as("n_events"), min($"ts").as("start_ts"), max($"ts").as("end_ts"))
   }
 
+  /** Top session journeys (`events_journeys`) — the product-analytics
+    * census events_paths' bigrams cannot express: the full ordered
+    * event-type sequence of each session (first `maxSteps` steps,
+    * the standard truncation — a runaway session cannot mint an
+    * unbounded journey string), counted across the corpus with its
+    * distinct-user reach, top `topK` by frequency.
+    *
+    * Scale shape: sessionization AND the within-session step rank
+    * ride ONE user-keyed window exchange — the step is rn minus the
+    * running max of session-start rns over the SAME frame (the
+    * queue_drain trick), not a second (user, session)-keyed window.
+    * The step filter truncates BEFORE the journey assembly, so the
+    * per-session aggregation state is ≤ maxSteps structs; the
+    * journey census partial-aggregates; only the census (≤ distinct
+    * journeys, never sessions) reaches the final top-k rank. Ties
+    * pin to (ts, event_id) within sessions and (count desc, journey
+    * asc) in the census. */
+  def journeys(spark: SparkSession, dir: String, gapSeconds: Long = 1800L,
+      maxSteps: Int = 8, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val w = byUserTime(spark)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_type".isNotNull)
+      .withColumn("t", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"t", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_us".isNull || $"t" - $"prev_us" > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"new_s").over(cum).cast(LongType))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sess_start_rn", max(when($"new_s" === 1, $"rn")).over(cum))
+      .withColumn("step", $"rn" - $"sess_start_rn" + 1L)
+      .filter($"step" <= maxSteps)
+    val perSession = stepped.groupBy($"user_id", $"session_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"t", $"event_id", $"event_type"))),
+          _.getField("event_type")), ">").as("journey"))
+    perSession.groupBy($"journey")
+      .agg(count(lit(1)).as("n_sessions"), countDistinct($"user_id").as("n_users"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy($"n_sessions".desc, $"journey".asc)).cast(LongType))
+      .filter($"rnk" <= topK)
+  }
+
   /** Max-message-size chunking, "6.4 kb maximum message size" →
     * sendImuChunk (notes.org): split payloads into numbered chunks. */
   def chunkMessages(spark: SparkSession, dir: String, chunkBytes: Long = 6400L): DataFrame = {

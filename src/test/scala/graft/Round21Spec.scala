@@ -189,6 +189,37 @@ class Round21Spec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("events_journeys: matches a direct sessionize-and-census recompute") {
+    val gapUs = 1800L * 1000000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_type".isNotNull)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val journeys = ev.groupBy(_._1).toSeq.flatMap { case (user, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var prev = Long.MinValue
+      sorted.foreach { case (_, t, _, tp) =>
+        if (sessions.isEmpty || t - prev > gapUs) sessions += List(tp)
+        else sessions(sessions.length - 1) = sessions.last :+ tp
+        prev = t
+      }
+      sessions.map(s => (user, s.take(8).mkString(">")))
+    }
+    val census = journeys.groupBy(_._2).map { case (j, rs) =>
+      j -> ((rs.size.toLong, rs.map(_._1).distinct.size.toLong))
+    }
+    val expected = census.toSeq.sortBy { case (j, (n, _)) => (-n, j) }
+      .take(20).zipWithIndex
+      .map { case ((j, (n, u)), i) => (j, n, u, i + 1L) }
+    val got = graft.operators.Telemetry.journeys(spark, sf).collect()
+      .map(r => (r.getAs[String]("journey"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("rnk"))).sortBy(_._4)
+    assert(got.toSeq == expected)
+    assert(got.nonEmpty && got.exists(_._2 > 1L), "census is degenerate")
+  }
+
   test("ann_range: every pair clears the floor; plan has no per-query window") {
     val res = Similarity.rangeSearch(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
