@@ -279,6 +279,7 @@ object SparkEntry {
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
     "frame_stats" -> (Frames.stats _),
+    "frame_delta" -> (Frames.delta _),
     "frame_wire" -> ((s: SparkSession, d: String) => Frames.wire(s, d)),
     "frame_resync" -> ((s: SparkSession, d: String) => Frames.resync(s, d)),
     "frame_lookup" -> ((s: SparkSession, d: String) => Frames.lookup(s, d)),
@@ -2839,6 +2840,33 @@ object SparkEntry {
         |  AND epoch_us(ts) // 1000000 >= 1704412800
         |  AND epoch_us(ts) // 1000000 < 1704672000
         |GROUP BY user_id""".stripMargin,
+    // delta + zigzag + varint over the PARSED int16 samples: d0 is
+    // the absolute first sample, later deltas are the mod-32768
+    // differences; varint boundaries at 2^7 / 2^14 (int16 deltas
+    // never exceed 3 bytes)
+    "frame_delta" ->
+      """WITH f AS (
+        |  SELECT user_id AS device_id,
+        |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768) AS ss
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |d AS (
+        |  SELECT device_id,
+        |    list_transform(range(0,7), i -> CASE WHEN i = 0 THEN ss[1] ELSE ss[i+1] - ss[i] END) AS ds
+        |  FROM f),
+        |e AS (
+        |  SELECT device_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_transform(ds, x -> CASE WHEN x >= 0 THEN x*2 ELSE -x*2 - 1 END),
+        |        v -> CAST(1 + CASE WHEN v >= 128 THEN 1 ELSE 0 END
+        |                     + CASE WHEN v >= 16384 THEN 1 ELSE 0 END AS BIGINT))),
+        |      (a,b) -> a+b) AS eb
+        |  FROM d)
+        |SELECT device_id, COUNT(*) AS n_frames,
+        |  CAST(COUNT(*) * 14 AS BIGINT) AS raw_bytes,
+        |  CAST(SUM(eb) AS BIGINT) AS enc_bytes,
+        |  CAST(SUM(eb) AS DOUBLE) / CAST(COUNT(*) * 14 AS DOUBLE) AS ratio
+        |FROM e GROUP BY device_id""".stripMargin,
     // blob sizes and payload bytes are UTF-8 BYTE quantities:
     // strlen() (bytes), not length() (code points), and the payload
     // head sum walks the hex of the encoded text — exact for any

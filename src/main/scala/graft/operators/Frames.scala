@@ -61,6 +61,39 @@ object Frames {
       octet_length($"frame").cast(LongType).as("frame_bytes"))
   }
 
+  /** Delta/zigzag/varint payload compression accounting
+    * (`frame_delta`) — the bandwidth question behind notes.org's
+    * 6.4 kB message cap and 100 MB budget: IMU samples are slowly
+    * varying, so delta + zigzag + varint is the standard wire
+    * compression, and this operator measures EXACTLY what it buys
+    * per device. Deltas (d₀ = s₀, dᵢ = sᵢ − sᵢ₋₁) come from the
+    * PARSED samples — the binary codec is in the loop, not the
+    * generator formula — zigzag folds the sign ((d≥0 → 2d, else
+    * −2d−1), all integer-exact), and varint size is 1/2/3 bytes at
+    * the 2⁷/2¹⁴ boundaries (int16 deltas never need more). Per
+    * device: frames, raw vs encoded bytes, one double ratio.
+    * Scan-local HOFs into a partial-aggregated device rollup — one
+    * shuffle, integers until the final division. */
+  def delta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parsedFrames(spark, dir)
+      .withColumn("s", transform($"parsed.samples", x => x.cast(LongType)))
+      .withColumn("ds", transform(sequence(lit(0), lit(6)), i =>
+        when(i === 0, element_at($"s", 1))
+          .otherwise(element_at($"s", i + 1) - element_at($"s", i))))
+      .withColumn("zz", transform($"ds", x =>
+        when(x >= 0L, x * 2L).otherwise(-x * 2L - 1L)))
+      .withColumn("eb", aggregate($"zz", lit(0L), (a, v) =>
+        a + lit(1L) + when(v >= 128L, lit(1L)).otherwise(lit(0L)) +
+          when(v >= 16384L, lit(1L)).otherwise(lit(0L))))
+      .groupBy($"parsed.device".cast(LongType).as("device_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        (count(lit(1)) * 14L).as("raw_bytes"),
+        sum($"eb").as("enc_bytes"))
+      .withColumn("ratio",
+        $"enc_bytes".cast(DoubleType) / $"raw_bytes".cast(DoubleType))
+  }
+
   /** The reference's on-disk wire format end-to-end (bytes_to_file /
     * get_bytes_from_file + the 0x3a frame delimiter, main.py:33-57):
     * frames concatenate into one contiguous `frame:frame:...` byte

@@ -495,38 +495,41 @@ object TextAnalysis {
     * the distinct fingerprint VALUES (not positions) makes the
     * selection order-free and tie-safe on both engines.
     *
-    * Shape: entirely scan-local higher-order expressions (sequence →
-    * positional k-gram polyHash → windowed array_min → distinct) —
-    * zero shuffle, zero UDF, O(n·w) per document; the fingerprint
+    * Shape: one native scan-local expression
+    * ([[graft.plans.WinnowMins]]: direct k-gram polyhash + a
+    * monotonic-deque sliding min — the interpreted HOF pipeline it
+    * replaced was the engine's most expensive scan, ~30× slower) —
+    * zero shuffle, zero UDF, O(n) per document; the fingerprint
     * set is the ~n/w-sized column a downstream overlap join (the
     * [[decontaminate]] family) would explode-and-join on, at 1/w the
-    * volume of full shingling. */
-  private[operators] def winnowArrays(spark: SparkSession, dir: String,
+    * volume of full shingling. `n_grams` and `n_windows` are the
+    * closed forms max(len−k+1, 0) and max(g−w+1, min(g,1)) the
+    * intermediate arrays' sizes reduce to — neither the gram-hash
+    * array nor the repeated window-min sequence ever materializes;
+    * `fps` is the DISTINCT fingerprint set, fused into the native
+    * expression. */
+  private[graft] def winnowArrays(spark: SparkSession, dir: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     import spark.implicits._
     val lc = lower($"text")
-    val n = length(lc)
     val empty = array().cast("array<bigint>")
-    val grams = when(n >= k,
-      transform(sequence(lit(1), n - (k - 1)),
-        i => HashFns.polyHash(lc.substr(i, lit(k))))).otherwise(empty)
+    val g = coalesce(greatest(length(lc) - (k - 1), lit(0)), lit(0))
+      .cast(LongType)
     Tables.documents(spark, dir)
-      .select($"doc_id", grams.as("hs"))
-      .withColumn("mins",
-        when(size($"hs") >= w,
-          transform(sequence(lit(1), size($"hs") - (w - 1)),
-            j => array_min(slice($"hs", j, lit(w)))))
-          .when(size($"hs") > 0, array(array_min($"hs")))
-          .otherwise(empty))
+      .select($"doc_id",
+        g.as("n_grams"),
+        when(g >= w, g - (w - 1)).when(g > 0, lit(1L)).otherwise(lit(0L))
+          .as("n_windows"),
+        coalesce(graft.plans.TextExprs.winnowMinsCol(lc, k, w, distinct = true), empty)
+          .as("fps"))
   }
 
   def winnow(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4): DataFrame = {
     import spark.implicits._
     winnowArrays(spark, dir, k, w)
-      .withColumn("fps", array_distinct($"mins"))
       .select($"doc_id",
-        size($"hs").cast(LongType).as("n_grams"),
-        size($"mins").cast(LongType).as("n_windows"),
+        $"n_grams",
+        $"n_windows",
         size($"fps").cast(LongType).as("n_fingerprints"),
         aggregate($"fps", lit(0L), _ + _).as("fp_sum"),
         array_min($"fps").as("fp_min"))
@@ -550,14 +553,23 @@ object TextAnalysis {
   def decontaminateWinnow(spark: SparkSession, dir: String,
       holdout: Long = 50L, minShared: Long = 3L, maxDf: Long = 100L): DataFrame = {
     import spark.implicits._
+    // census and train side each re-run the winnow scan — with the
+    // native WinnowMins expression that's cheaper at any scale than
+    // materializing the N×(n/w) exploded fingerprint frame
     val fp = winnowArrays(spark, dir)
-      .select($"doc_id", explode(array_distinct($"mins")).as("fp"))
-    val keep = fp.groupBy($"fp").agg(count(lit(1)).as("dfc"))
-      .filter($"dfc" <= maxDf).select($"fp")
-    val eval_ = fp.filter($"doc_id" < holdout)
-      .join(keep, "fp").select($"fp").distinct()
+      .select($"doc_id", explode($"fps").as("fp"))
+    // ONE census pass carries both the df cap and the eval flag —
+    // a separate eval-side distinct would shuffle the fingerprint
+    // frame a second time for a dimension the census already holds
+    val evalFps = fp.groupBy($"fp")
+      .agg(count(lit(1)).as("dfc"),
+        sum(when($"doc_id" < holdout, 1L).otherwise(0L)).as("n_eval"))
+      .filter($"dfc" <= maxDf && $"n_eval" > 0L)
+      .select($"fp")
+    // the surviving fp dimension is eval-holdout-sized by contract:
+    // broadcast it so the train side joins map-side
     fp.filter($"doc_id" >= holdout)
-      .join(eval_, "fp")
+      .join(broadcast(evalFps), "fp")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared_fps"))
       .withColumn("contaminated", $"n_shared_fps" >= minShared)

@@ -29,6 +29,75 @@ object TextExprs {
     ColumnBridge.column(ShingleSet(ColumnBridge.expression(text), w))
   def charNGramSetCol(text: Column, n: Int): Column =
     ColumnBridge.column(CharNGramSet(ColumnBridge.expression(text), n))
+  def winnowMinsCol(text: Column, k: Int, w: Int, distinct: Boolean = false): Column =
+    ColumnBridge.column(WinnowMins(ColumnBridge.expression(text), k, w, distinct))
+
+  /** Static body for WinnowMins (also called from generated code):
+    * the windowed-minimum sequence of the k-gram polyhashes of an
+    * ALREADY-LOWERCASED string — identical, element for element, to
+    * the HOF pipeline it replaces
+    * (transform(sequence) ∘ polyHash(substr) ∘ array_min(slice),
+    * TextAnalysis.winnowArrays) and to the DuckDB oracle's
+    * list_transform shape, but one tight code-point pass: direct
+    * O(k) gram hashing (k is 8 — rolling buys nothing at that width)
+    * and a monotonic-deque sliding min, zero intermediate arrays.
+    * The interpreted HOF tree was the single most expensive scan in
+    * the engine (~6 s for 5k docs at sf0.1 — HOFs don't codegen);
+    * this is the same numbers at scan speed.
+    *
+    * Window minima use the LEFTMOST-min tie rule implicitly: ties
+    * are value-equal so which position wins is unobservable (the
+    * output is the VALUE sequence). Grams count < w degrades to one
+    * global min; no grams (len < k) yields an empty array — both
+    * exactly the HOF when() branches.
+    *
+    * `distinct = true` fuses array_distinct in (first-occurrence
+    * order, array_distinct's rule) so the ~(w+1)/2-fold repeated
+    * window minima never materialize — every consumer of the
+    * distinct form is a set function (explode→join, size, sum, min),
+    * so order is unobservable there too. */
+  def winnowMins(v: UTF8String, k: Int, w: Int, distinct: Boolean): ArrayData = {
+    val cps = v.toString.codePoints().toArray
+    val n = cps.length
+    val g = n - k + 1
+    if (g <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](g)
+    val P = HashExprs.P
+    var i = 0
+    while (i < g) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31L + cps(i + j)) % P; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    if (g < w) {
+      var m = hs(0); i = 1
+      while (i < g) { if (hs(i) < m) m = hs(i); i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    val out = new Array[Long](g - w + 1)
+    val deque = new Array[Int](g) // indices, increasing hs values
+    var head = 0; var tail = 0    // [head, tail)
+    i = 0
+    while (i < g) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = hs(deque(head))
+      i += 1
+    }
+    if (!distinct) return new GenericArrayData(out)
+    val seen = new java.util.HashSet[java.lang.Long](out.length * 2)
+    val ded = new Array[Long](out.length)
+    var d = 0
+    i = 0
+    while (i < out.length) {
+      if (seen.add(out(i))) { ded(d) = out(i); d += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(ded, d))
+  }
 
   /** Static body for ShingleSet (also called from generated code). */
   def shingles(v: UTF8String, w: Int): ArrayData = {
@@ -66,6 +135,18 @@ object TextExprs {
     } else out += s
     new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
   }
+}
+
+case class WinnowMins(child: Expression, k: Int, w: Int, distinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq[DataType](StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprs.winnowMins(v.asInstanceOf[UTF8String], k, w, distinct)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.winnowMins($c, $k, $w, $distinct)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 case class ShingleSet(child: Expression, w: Int)

@@ -125,11 +125,18 @@ object StreamDedup {
       (transform: DataFrame => DataFrame): Option[DataFrame] = {
     import java.nio.file.Files
     require(batches.nonEmpty, "staged stream needs at least one batch")
+    val prof = sys.env.contains("GRAFT_STREAM_PROF")
+    var t0 = System.nanoTime()
+    def mark(phase: String): Unit = if (prof) {
+      val t1 = System.nanoTime()
+      println(f"STREAMPROF $phase: ${(t1 - t0) / 1e9}%.2f s"); t0 = t1
+    }
     val tmp = Files.createTempDirectory("graft_sdedup_")
     try {
       batches.zipWithIndex.foreach { case (b, i) =>
         b.coalesce(1).write.parquet(f"$tmp/in/b_$i%03d")
       }
+      mark("stage-writes")
       locally {
         import java.nio.file.attribute.FileTime
         var t = 1000000L
@@ -143,6 +150,7 @@ object StreamDedup {
         }
       }
       val schema = spark.read.parquet(s"$tmp/in/b_000").schema
+      mark("mtime+schema")
       // cloned session (shared context, independent SQLConf): each
       // state store pays checkpoint sync per micro-batch, so 8 stores
       // beat 32 for a small-increment stateful op — same rationale as
@@ -154,7 +162,8 @@ object StreamDedup {
       val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_stream_$sinkCounter" }
       val q = transform(stream)
         .writeStream.outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      try { q.processAllAvailable(); mark("stream-run") } finally q.stop()
+      mark("stream-stop")
       Some(ss.table(name))
     } finally {
       import scala.jdk.CollectionConverters._

@@ -104,4 +104,39 @@ class NativeParitySpec extends SparkSpec {
       .filter($"native" =!= $"hof")
     assert(bad.isEmpty)
   }
+
+  test("WinnowMins == HOF winnow pipeline on all documents + edges") {
+    val (k, w) = (8, 4)
+    // the HOF shape WinnowMins replaced (TextAnalysis.winnowArrays
+    // pre-native): positional k-gram polyhash → windowed array_min
+    def hofMins(lc: org.apache.spark.sql.Column) = {
+      val n = length(lc)
+      val empty = array().cast("array<bigint>")
+      val hs = when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)),
+          i => HashFns.polyHash(lc.substr(i, lit(k))))).otherwise(empty)
+      (when(size(hs) >= w,
+        transform(sequence(lit(1), size(hs) - (w - 1)),
+          j => array_min(slice(hs, j, lit(w)))))
+        .when(size(hs) > 0, array(array_min(hs)))
+        .otherwise(empty), hs)
+    }
+    val edges = Seq(
+      "", "short", "exactly8", "nine char", "abcdefghij1234",
+      "aaaaaaaaaaaaaaaaaaaa",                   // all-tied window minima
+      "café naïve 你好世界 text with repeats text with repeats",
+      "emoji 😀😀 pair spans a surrogate 🍺 boundary here")
+      .toDF("text")
+    for (df <- Seq(Tables.documents(spark, sf).select($"text"), edges)) {
+      val lc = lower($"text")
+      val (hof, _) = hofMins(lc)
+      val bad = df.select(
+          graft.plans.TextExprs.winnowMinsCol(lc, k, w).as("native"),
+          graft.plans.TextExprs.winnowMinsCol(lc, k, w, distinct = true).as("native_d"),
+          hof.as("hof"))
+        .filter(to_json($"native") =!= to_json($"hof") ||
+          to_json($"native_d") =!= to_json(array_distinct($"hof")))
+      assert(bad.isEmpty)
+    }
+  }
 }
