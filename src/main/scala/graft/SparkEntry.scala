@@ -68,6 +68,11 @@ object SparkEntry {
     "session_windows" -> ((s: SparkSession, d: String) => Telemetry.sessionWindows(s, d)),
     "chunk_messages" -> ((s: SparkSession, d: String) => Telemetry.chunkMessages(s, d)),
     "chunk_reassemble" -> ((s: SparkSession, d: String) => Telemetry.chunkReassemble(s, d)),
+    // B. streaming twin: O(1) per-message (count, bytes) state across
+    // the chunk-parity cut; per-message sentinels flush zero rows for
+    // all-lost messages
+    "stream_chunks" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamChunks.streamedChunks(s, d)),
     "queue_stats" -> (Telemetry.queueStats _),
     "queue_ttl" -> ((s: SparkSession, d: String) => Telemetry.queueTtl(s, d)),
     "queue_latency" -> (Telemetry.queueLatency _),
@@ -78,6 +83,11 @@ object SparkEntry {
     "events_abtest" -> (Telemetry.abtest _),
     "queue_fairness" -> (Telemetry.queueFairness _),
     "status_transitions" -> (Telemetry.statusTransitions _),
+    // B. streaming twin: pending-transition state closes each dwell
+    // with the next arrival's timestamp (the batch lead() made
+    // causal); per-user sentinel barrier closes final dwells at 0
+    "stream_transitions" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamTransitions.streamedTransitions(s, d)),
     "status_notify" -> (Telemetry.statusNotify _),
     // day-scale timers / half-day restarts: sized to the synthetic
     // corpus's ~4-day inter-event gaps so the Paused and restart
@@ -134,8 +144,17 @@ object SparkEntry {
     "stream_dispersion" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamXcorr.streamedDispersion(s, d)),
     "events_streak" -> (Telemetry.streaks _),
+    // G. streaming twin: seven-integer per-user streak state replaces
+    // the batch gaps-and-islands shuffles; per-user sentinel flush
+    "stream_streak" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamStreak.streamedStreaks(s, d)),
     "q_running_distinct" -> (Telemetry.runningDistinct _),
     "events_markov" -> (Telemetry.markov _),
+    // G. streaming twin: O(1) last-type state emits every bigram at
+    // arrival (self-loops + NULL-to included); the types²-sized
+    // matrix assembly runs over the append sink
+    "stream_markov" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamMarkov.streamedMarkov(s, d)),
     "ts_changepoint" -> ((s: SparkSession, d: String) => Telemetry.changepoints(s, d)),
     "dq_benford" -> (Quality.benford _),
     "dq_uniqueness" -> (Quality.uniqueness _),
@@ -865,6 +884,81 @@ object SparkEntry {
       |WHERE to_type IS NOT NULL
       |GROUP BY from_type, to_type""".stripMargin
 
+  /** Shared by `status_transitions` and its streaming twin
+    * `stream_transitions` — the pending-transition state must close
+    * each dwell with the same next-arrival timestamp the batch
+    * lead() sees (0 on each user's final row). */
+  private val statusTransitionsSql: String =
+    """SELECT prev_type, event_type AS cur_type, COUNT(*) AS n_transitions,
+      |  CAST(SUM(COALESCE(next_us - epoch_us(ts), 0)) AS BIGINT) AS total_dwell_us
+      |FROM (
+      |  SELECT user_id, ts, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      |  FROM events) t
+      |WHERE prev_type IS NOT NULL AND prev_type <> event_type
+      |GROUP BY prev_type, event_type""".stripMargin
+
+  /** Shared by `events_markov` and its streaming twin
+    * `stream_markov` — last-type state must chain the same bigrams
+    * (self-loops and NULL-to included) as the batch lag() window. */
+  private val markovSql: String =
+    """WITH bg AS (SELECT user_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+      |    event_type AS to_state
+      |  FROM events),
+      |m AS (SELECT from_state, to_state, COUNT(*) AS n_transitions
+      |  FROM bg WHERE from_state IS NOT NULL GROUP BY from_state, to_state)
+      |SELECT from_state, to_state, n_transitions,
+      |  CAST(SUM(n_transitions) OVER (PARTITION BY from_state) AS BIGINT) AS row_total,
+      |  CAST(n_transitions AS DOUBLE) /
+      |    CAST(SUM(n_transitions) OVER (PARTITION BY from_state) AS DOUBLE) AS p,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY from_state
+      |    ORDER BY n_transitions DESC, to_state ASC) AS BIGINT) AS rnk
+      |FROM m""".stripMargin
+
+  /** Shared by `chunk_reassemble` and its streaming twin
+    * `stream_chunks` — per-message received counts must accumulate
+    * across the chunk-parity cut, and a key whose chunks ALL dropped
+    * still flushes a zero row at its sentinel. */
+  private val chunkReassembleSql: String =
+    """WITH m AS (SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS nbytes
+      |  FROM events WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
+      |r AS (SELECT event_id, COUNT(*) AS n_received,
+      |    CAST(SUM(LEAST(6400, nbytes - chunk_idx * 6400)) AS BIGINT) AS bytes_received
+      |  FROM (SELECT event_id, nbytes, CAST(t.chunk_idx AS BIGINT) AS chunk_idx
+      |    FROM m, UNNEST(range(0, CAST(CEIL(nbytes / 6400.0) AS BIGINT))) AS t(chunk_idx)) c
+      |  WHERE (event_id + chunk_idx) % 97 != 0
+      |  GROUP BY event_id)
+      |SELECT m.event_id, m.user_id,
+      |  COALESCE(r.n_received, 0) AS n_received,
+      |  COALESCE(r.bytes_received, 0) AS bytes_received,
+      |  CAST(CEIL(m.nbytes / 6400.0) AS BIGINT) AS n_expected,
+      |  COALESCE(r.n_received, 0) = CAST(CEIL(m.nbytes / 6400.0) AS BIGINT) AS is_complete
+      |FROM m LEFT JOIN r ON m.event_id = r.event_id""".stripMargin
+
+  /** Shared by `events_streak` and its streaming twin
+    * `stream_streak` — the O(1) running-streak state must reproduce
+    * the batch gaps-and-islands best election exactly (len DESC,
+    * start ASC ties). */
+  private val streakSql: String =
+    """WITH days AS (SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
+      |isl AS (SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |st AS (SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+      |  FROM isl GROUP BY user_id, grp),
+      |ranked AS (SELECT user_id,
+      |    CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+      |    len, start_day,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, start_day ASC) AS rk
+      |  FROM st)
+      |SELECT user_id, n_active_days, n_streaks, len AS best_len,
+      |  DATE '1970-01-01' + CAST(start_day AS INTEGER) AS best_start
+      |FROM ranked WHERE rk = 1""".stripMargin
+
   private val beaconSql: String =
     """SELECT user_id, bucket, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -1201,21 +1295,8 @@ object SparkEntry {
         |  LEAST(6400, nbytes - t.chunk_idx * 6400) AS chunk_bytes
         |FROM (SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS nbytes FROM events) e,
         |  UNNEST(range(0, CAST(CEIL(nbytes / 6400.0) AS BIGINT))) AS t(chunk_idx)""".stripMargin,
-    "chunk_reassemble" ->
-      """WITH m AS (SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS nbytes
-        |  FROM events WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
-        |r AS (SELECT event_id, COUNT(*) AS n_received,
-        |    CAST(SUM(LEAST(6400, nbytes - chunk_idx * 6400)) AS BIGINT) AS bytes_received
-        |  FROM (SELECT event_id, nbytes, CAST(t.chunk_idx AS BIGINT) AS chunk_idx
-        |    FROM m, UNNEST(range(0, CAST(CEIL(nbytes / 6400.0) AS BIGINT))) AS t(chunk_idx)) c
-        |  WHERE (event_id + chunk_idx) % 97 != 0
-        |  GROUP BY event_id)
-        |SELECT m.event_id, m.user_id,
-        |  COALESCE(r.n_received, 0) AS n_received,
-        |  COALESCE(r.bytes_received, 0) AS bytes_received,
-        |  CAST(CEIL(m.nbytes / 6400.0) AS BIGINT) AS n_expected,
-        |  COALESCE(r.n_received, 0) = CAST(CEIL(m.nbytes / 6400.0) AS BIGINT) AS is_complete
-        |FROM m LEFT JOIN r ON m.event_id = r.event_id""".stripMargin,
+    "chunk_reassemble" -> chunkReassembleSql,
+    "stream_chunks" -> chunkReassembleSql,
     "queue_stats" ->
       """SELECT event_type, COUNT(*) AS n_msgs,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bytes_total,
@@ -1375,16 +1456,8 @@ object SparkEntry {
         |FROM ev JOIN cfg USING (event_type)
         |WHERE ev.is_loss
         |GROUP BY ev.event_type, cfg.notify_on""".stripMargin,
-    "status_transitions" ->
-      """SELECT prev_type, event_type AS cur_type, COUNT(*) AS n_transitions,
-        |  CAST(SUM(COALESCE(next_us - epoch_us(ts), 0)) AS BIGINT) AS total_dwell_us
-        |FROM (
-        |  SELECT user_id, ts, event_type,
-        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
-        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
-        |  FROM events) t
-        |WHERE prev_type IS NOT NULL AND prev_type <> event_type
-        |GROUP BY prev_type, event_type""".stripMargin,
+    "status_transitions" -> statusTransitionsSql,
+    "stream_transitions" -> statusTransitionsSql,
     "status_delayed" ->
       """WITH c AS (
         |  SELECT user_id, event_id,
@@ -3556,23 +3629,8 @@ object SparkEntry {
         |  (n_pairs * sxy - sx * sy) /
         |    (sqrt(n_pairs * sxx - sx * sx) * sqrt(n_pairs * syy - sy * sy)) AS autocorr
         |FROM s""".stripMargin,
-    "events_streak" ->
-      """WITH days AS (SELECT DISTINCT user_id,
-        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
-        |isl AS (SELECT user_id, day,
-        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
-        |  FROM days),
-        |st AS (SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
-        |  FROM isl GROUP BY user_id, grp),
-        |ranked AS (SELECT user_id,
-        |    CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days,
-        |    COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
-        |    len, start_day,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, start_day ASC) AS rk
-        |  FROM st)
-        |SELECT user_id, n_active_days, n_streaks, len AS best_len,
-        |  DATE '1970-01-01' + CAST(start_day AS INTEGER) AS best_start
-        |FROM ranked WHERE rk = 1""".stripMargin,
+    "events_streak" -> streakSql,
+    "stream_streak" -> streakSql,
     "q_running_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |act AS (SELECT day, COUNT(*) AS n_active_users FROM ud GROUP BY day),
@@ -3583,20 +3641,8 @@ object SparkEntry {
         |  CAST(SUM(COALESCE(nu.n_new_users, 0)) OVER (ORDER BY act.day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users
         |FROM act LEFT JOIN nu ON act.day = nu.day""".stripMargin,
-    "events_markov" ->
-      """WITH bg AS (SELECT user_id,
-        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
-        |    event_type AS to_state
-        |  FROM events),
-        |m AS (SELECT from_state, to_state, COUNT(*) AS n_transitions
-        |  FROM bg WHERE from_state IS NOT NULL GROUP BY from_state, to_state)
-        |SELECT from_state, to_state, n_transitions,
-        |  CAST(SUM(n_transitions) OVER (PARTITION BY from_state) AS BIGINT) AS row_total,
-        |  CAST(n_transitions AS DOUBLE) /
-        |    CAST(SUM(n_transitions) OVER (PARTITION BY from_state) AS DOUBLE) AS p,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY from_state
-        |    ORDER BY n_transitions DESC, to_state ASC) AS BIGINT) AS rnk
-        |FROM m""".stripMargin,
+    "events_markov" -> markovSql,
+    "stream_markov" -> markovSql,
     "ts_changepoint" ->
       """WITH ev AS (SELECT event_type, event_id, ts,
         |    CAST(value AS DECIMAL(18,2)) AS v FROM events),

@@ -1506,9 +1506,19 @@ object Telemetry {
       .select($"user_id", $"ts", $"event_id", $"event_type".as("to_state"))
       .withColumn("from_state", lag($"to_state", 1).over(w))
       .filter($"from_state".isNotNull)
+    markovAssembly(bigrams.groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("n_transitions")))
+  }
+
+  /** The post-census assembly of [[markov]], shared with the
+    * streaming twin (StreamMarkov): row totals, transition
+    * probabilities, per-from rank — everything here is ∝ the
+    * transition-matrix dimension (types²), independent of event
+    * volume. `counts` = (from_state, to_state, n_transitions). */
+  def markovAssembly(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
     val byFrom = Window.partitionBy($"from_state")
-    bigrams.groupBy($"from_state", $"to_state")
-      .agg(count(lit(1)).as("n_transitions"))
+    counts
       .withColumn("row_total", sum($"n_transitions").over(byFrom))
       .withColumn("p", $"n_transitions".cast(DoubleType) / $"row_total".cast(DoubleType))
       .withColumn("rnk",

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Telemetry
+
+/** Round-8 continuation: the stream_transitions / stream_markov
+  * twins — per-user lookahead-free dwell closure and live bigram
+  * matrix feed. */
+class Round22Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream_transitions equals the batch status_transitions") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("cur_type"),
+        r.getAs[Long]("n_transitions"), r.getAs[Long]("total_dwell_us")))
+      .sorted.toSeq
+    val batch = canon(Telemetry.statusTransitions(spark, sf))
+    val streamed = canon(
+      graft.streaming.StreamTransitions.streamedTransitions(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
+  test("stream_transitions: dwell closes ACROSS a micro-batch cut; sentinel closes the tail at 0") {
+    import graft.streaming.StreamTransitions
+    import StreamTransitions.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamTransitions.transitions(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stx_out").start()
+    try {
+      // batch 1: a→a→b; the a→b transition at t=300 has no successor
+      // yet, so nothing may emit
+      mem.addData(
+        Ev(Some(1L), 100L, 1L, Some("a")),
+        Ev(Some(1L), 200L, 2L, Some("a")),
+        Ev(Some(1L), 300L, 3L, Some("b")))
+      q.processAllAvailable()
+      assert(spark.table("stx_out").count() == 0L,
+        "pending transition must not emit before its dwell closes")
+      // batch 2: the next arrival (same type, t=450) closes the
+      // pending a→b with dwell 150 — measured across the cut
+      mem.addData(Ev(Some(1L), 450L, 4L, Some("b")))
+      q.processAllAvailable()
+      val mid = spark.table("stx_out").as[StreamTransitions.Trans].collect()
+      assert(mid.toSeq == Seq(StreamTransitions.Trans(Some(1L), "a", "b", 150L)))
+      // batch 3: b→c opens a new pending; the sentinel closes it at 0
+      mem.addData(Ev(Some(1L), 500L, 5L, Some("c")),
+        Ev(Some(1L), 600L, -1L, None))
+      q.processAllAvailable()
+      val out = spark.table("stx_out").as[StreamTransitions.Trans].collect().toSet
+      assert(out == Set(
+        StreamTransitions.Trans(Some(1L), "a", "b", 150L),
+        StreamTransitions.Trans(Some(1L), "b", "c", 0L)))
+    } finally q.stop()
+  }
+
+  test("stream_streak equals the batch events_streak") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("user_id")).map(_.longValue),
+        r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+        r.getAs[Long]("best_len"),
+        Option(r.getAs[java.sql.Date]("best_start")).map(_.toString)))
+      .sortBy(_.toString).toSeq
+    val batch = canon(Telemetry.streaks(spark, sf))
+    val streamed = canon(graft.streaming.StreamStreak.streamedStreaks(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
+  test("stream_streak: best-streak ties keep the EARLIEST start; gaps reset") {
+    import graft.streaming.StreamStreak
+    import StreamStreak.{Ev, Out}
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000000L
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamStreak.streaks(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sstreak_out").start()
+    try {
+      // days 10,11 | gap | 20,21 — two len-2 streaks; the tie must
+      // keep start=10. The second streak STRADDLES the batch cut.
+      mem.addData(Ev(Some(7L), 10L * day, 1L), Ev(Some(7L), 11L * day + 5L, 2L),
+        Ev(Some(7L), 20L * day, 3L))
+      q.processAllAvailable()
+      mem.addData(Ev(Some(7L), 21L * day, 4L))
+      q.processAllAvailable()
+      assert(spark.table("sstreak_out").count() == 0L, "emits only at the barrier")
+      mem.addData(Ev(Some(7L), 30L * day, -1L))
+      q.processAllAvailable()
+      val out = spark.table("sstreak_out").as[Out].collect().toSeq
+      assert(out == Seq(Out(Some(7L), 4L, 2L, 2L, 10L)))
+    } finally q.stop()
+  }
+
+  test("stream_chunks equals the batch chunk_reassemble") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("user_id")).map(_.longValue),
+        r.getAs[Long]("n_received"), r.getAs[Long]("bytes_received"),
+        r.getAs[Long]("n_expected"), r.getAs[Boolean]("is_complete")))
+      .sorted.toSeq
+    val batch = canon(Telemetry.chunkReassemble(spark, sf))
+    val streamed = canon(graft.streaming.StreamChunks.streamedChunks(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+    // the all-chunks-lost accounting case must be exercised: at least
+    // one zero-received message, still present with is_complete=false
+    assert(streamed.exists(r => r._3 == 0L && !r._6) ||
+      !batch.exists(r => r._3 == 0L), "zero-received rows survive the twin")
+  }
+
+  test("stream_markov equals the batch events_markov") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("from_state"), Option(r.getAs[String]("to_state")),
+        r.getAs[Long]("n_transitions"), r.getAs[Long]("row_total"),
+        r.getAs[Double]("p"), r.getAs[Long]("rnk")))
+      .sorted.toSeq
+    val batch = canon(Telemetry.markov(spark, sf))
+    val streamed = canon(graft.streaming.StreamMarkov.streamedMarkov(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+}
