@@ -112,6 +112,11 @@ object SparkEntry {
     "events_props" -> (Telemetry.propsExtract _),
     "events_paths" -> (Telemetry.paths _),
     "ts_ewma" -> ((s: SparkSession, d: String) => Telemetry.ewma(s, d)),
+    // B. streaming twin: O(taps) per-user delay line, each arrival
+    // emits its smoothed value at landing; order across the cut is
+    // the gated property
+    "stream_ewma" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamEwma.streamedEwma(s, d)),
     "events_sliding" -> (Telemetry.sliding _),
     "events_ratecap" -> ((s: SparkSession, d: String) => Telemetry.rateCap(s, d)),
     "events_quarantine" -> (Quality.quarantine _),
@@ -162,6 +167,10 @@ object SparkEntry {
     "dq_volume" -> (Quality.volume _),
     "dq_completeness" -> (Quality.completeness _),
     "events_rfm" -> (Telemetry.rfm _),
+    // G. streaming twin: three-integer per-user state, flushed once
+    // at the snapshot barrier; quartile assembly over the census
+    "stream_rfm" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamRfm.streamedRfm(s, d)),
     "q_mode" -> (Relational.qMode _),
     "q_asof_nearest" -> (Relational.qAsOfNearest _),
     "q_percent_rank" -> (Relational.qPercentRank _),
@@ -958,6 +967,54 @@ object SparkEntry {
       |SELECT user_id, n_active_days, n_streaks, len AS best_len,
       |  DATE '1970-01-01' + CAST(start_day AS INTEGER) AS best_start
       |FROM ranked WHERE rk = 1""".stripMargin
+
+  /** Shared by `ts_ewma` and its streaming twin `stream_ewma` —
+    * the delay-line state must chain cent values across the cut in
+    * the batch lag() order. */
+  private val ewmaSql: String =
+    """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS eus,
+      |    CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |l AS (SELECT event_id, user_id, eus, cents AS l0,
+      |    lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
+      |    lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4,
+      |    lag(cents, 5) OVER w AS l5, lag(cents, 6) OVER w AS l6,
+      |    lag(cents, 7) OVER w AS l7
+      |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id))
+      |SELECT event_id, user_id, eus,
+      |  CAST(CASE WHEN l0 IS NULL THEN 0 ELSE 1 END + CASE WHEN l1 IS NULL THEN 0 ELSE 1 END
+      |   + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END
+      |   + CASE WHEN l4 IS NULL THEN 0 ELSE 1 END + CASE WHEN l5 IS NULL THEN 0 ELSE 1 END
+      |   + CASE WHEN l6 IS NULL THEN 0 ELSE 1 END + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END
+      |   AS BIGINT) AS n_window,
+      |  CAST(COALESCE(l0*128,0) + COALESCE(l1*64,0) + COALESCE(l2*32,0) + COALESCE(l3*16,0)
+      |     + COALESCE(l4*8,0) + COALESCE(l5*4,0) + COALESCE(l6*2,0) + COALESCE(l7*1,0) AS DOUBLE)
+      |  / CAST(CASE WHEN l0 IS NULL THEN 0 ELSE 128 END + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+      |       + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+      |       + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+      |       + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END
+      |       AS DOUBLE)
+      |  / 100.0 AS ewma
+      |FROM l""".stripMargin
+
+  /** Shared by `events_rfm` and its streaming twin `stream_rfm` —
+    * per-user (max, count, cents) state flushed at the snapshot
+    * barrier must reproduce the batch census exactly. */
+  private val rfmSql: String =
+    """WITH u AS (
+      |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS frequency,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS monetary_dec
+      |  FROM events GROUP BY user_id),
+      |hw AS (SELECT MAX(epoch_us(ts)) AS hi_us FROM events),
+      |s AS (SELECT user_id, (hi_us - last_us) // 86400000000 AS recency_days,
+      |    frequency, monetary_dec FROM u, hw)
+      |SELECT user_id, recency_days, frequency,
+      |  CAST(monetary_dec AS DOUBLE) AS monetary,
+      |  CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC NULLS FIRST) AS BIGINT) AS r_score,
+      |  CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC NULLS FIRST) AS BIGINT) AS f_score,
+      |  CAST(NTILE(4) OVER (ORDER BY monetary_dec DESC, user_id ASC NULLS FIRST) AS BIGINT) AS m_score
+      |FROM s""".stripMargin
 
   private val beaconSql: String =
     """SELECT user_id, bucket, COUNT(*) AS n_events,
@@ -2587,31 +2644,8 @@ object SparkEntry {
     // streaming twin on the SAME oracle: a bigram whose halves land
     // in different micro-batches must come out of cross-batch state
     "stream_paths" -> pathsSql,
-    "ts_ewma" ->
-      """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS eus,
-        |    CAST(round(value*100) AS BIGINT) AS cents
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-        |l AS (SELECT event_id, user_id, eus, cents AS l0,
-        |    lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
-        |    lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4,
-        |    lag(cents, 5) OVER w AS l5, lag(cents, 6) OVER w AS l6,
-        |    lag(cents, 7) OVER w AS l7
-        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id))
-        |SELECT event_id, user_id, eus,
-        |  CAST(CASE WHEN l0 IS NULL THEN 0 ELSE 1 END + CASE WHEN l1 IS NULL THEN 0 ELSE 1 END
-        |   + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END
-        |   + CASE WHEN l4 IS NULL THEN 0 ELSE 1 END + CASE WHEN l5 IS NULL THEN 0 ELSE 1 END
-        |   + CASE WHEN l6 IS NULL THEN 0 ELSE 1 END + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END
-        |   AS BIGINT) AS n_window,
-        |  CAST(COALESCE(l0*128,0) + COALESCE(l1*64,0) + COALESCE(l2*32,0) + COALESCE(l3*16,0)
-        |     + COALESCE(l4*8,0) + COALESCE(l5*4,0) + COALESCE(l6*2,0) + COALESCE(l7*1,0) AS DOUBLE)
-        |  / CAST(CASE WHEN l0 IS NULL THEN 0 ELSE 128 END + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
-        |       + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
-        |       + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
-        |       + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END
-        |       AS DOUBLE)
-        |  / 100.0 AS ewma
-        |FROM l""".stripMargin,
+    "ts_ewma" -> ewmaSql,
+    "stream_ewma" -> ewmaSql,
     "ts_moving_avg" ->
       """SELECT event_id, user_id, eus, value, n_window,
         |  CAST(sw AS DOUBLE) / n_window AS avg_window
@@ -3851,21 +3885,8 @@ object SparkEntry {
         |    THEN CAST(n_cps * (n_cps - 1) AS DOUBLE) / CAST(coll_pairs AS DOUBLE)
         |    ELSE CAST(NULL AS DOUBLE) END AS eff_alphabet
         |FROM agg""".stripMargin,
-    "events_rfm" ->
-      """WITH u AS (
-        |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS frequency,
-        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
-        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS monetary_dec
-        |  FROM events GROUP BY user_id),
-        |hw AS (SELECT MAX(epoch_us(ts)) AS hi_us FROM events),
-        |s AS (SELECT user_id, (hi_us - last_us) // 86400000000 AS recency_days,
-        |    frequency, monetary_dec FROM u, hw)
-        |SELECT user_id, recency_days, frequency,
-        |  CAST(monetary_dec AS DOUBLE) AS monetary,
-        |  CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC NULLS FIRST) AS BIGINT) AS r_score,
-        |  CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC NULLS FIRST) AS BIGINT) AS f_score,
-        |  CAST(NTILE(4) OVER (ORDER BY monetary_dec DESC, user_id ASC NULLS FIRST) AS BIGINT) AS m_score
-        |FROM s""".stripMargin,
+    "events_rfm" -> rfmSql,
+    "stream_rfm" -> rfmSql,
     "dedup_fuzzy" ->
       s"""WITH $minhashPairsCtes,
          |docs AS (SELECT doc_id, substr(text, 1, 512) AS head,

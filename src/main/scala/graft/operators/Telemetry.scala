@@ -1586,13 +1586,24 @@ object Telemetry {
     * µs→day arithmetic. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val perUser = Tables.events(spark, dir)
+    rfmAssembly(Tables.events(spark, dir)
       .groupBy($"user_id")
       .agg(max(unix_micros($"ts")).as("last_us"),
         count(lit(1)).as("frequency"),
         coalesce(sum(when($"event_type" === "purchase", dec($"value"))), lit(0))
-          .cast(DecimalType(18, 2)).as("monetary_dec"))
-    val hi = Tables.events(spark, dir).agg(max(unix_micros($"ts")).as("hi_us"))
+          .cast(DecimalType(18, 2)).as("monetary_dec")))
+  }
+
+  /** The post-census assembly of [[rfm]], shared with the streaming
+    * twin (StreamRfm): quartile scores over the per-user census —
+    * user-dimension-sized, independent of event volume. The snapshot
+    * instant (`hi_us`) is the max over per-user last-activity times:
+    * identical to the batch global max because every event belongs
+    * to exactly one user group (the NULL user included). `perUser` =
+    * (user_id, last_us, frequency, monetary_dec). */
+  def rfmAssembly(perUser: DataFrame): DataFrame = {
+    import perUser.sparkSession.implicits._
+    val hi = perUser.agg(max($"last_us").as("hi_us"))
     val rW = Window.orderBy($"recency_days".asc, $"user_id".asc)
     val fW = Window.orderBy($"frequency".desc, $"user_id".asc)
     val mW = Window.orderBy($"monetary_dec".desc, $"user_id".asc)

@@ -109,6 +109,54 @@ class Round22Spec extends SparkSpec {
       !batch.exists(r => r._3 == 0L), "zero-received rows survive the twin")
   }
 
+  test("stream_ewma equals the batch ts_ewma") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("user_id")).map(_.longValue),
+        r.getAs[Long]("eus"), r.getAs[Long]("n_window"),
+        r.getAs[Double]("ewma")))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val batch = canon(Telemetry.ewma(spark, sf))
+    val streamed = canon(graft.streaming.StreamEwma.streamedEwma(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
+  test("stream_ewma: the delay line chains ACROSS the micro-batch cut") {
+    import graft.streaming.StreamEwma
+    import StreamEwma.{Ev, Out}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamEwma.smooth(mem.toDS(), taps = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sewma_out").start()
+    try {
+      // taps=2: weights 2,1. Batch 1: values 100 then 300 cents.
+      mem.addData(Ev(Some(1L), 10L, 1L, 100L), Ev(Some(1L), 20L, 2L, 300L))
+      q.processAllAvailable()
+      // Batch 2: 600 cents — must smooth over batch 1's tail (300).
+      mem.addData(Ev(Some(1L), 30L, 3L, 600L))
+      q.processAllAvailable()
+      val out = spark.table("sewma_out").as[Out].collect()
+        .map(o => o.event_id -> (o.n_window, o.ewma)).toMap
+      assert(out(1L) == (1L, 1.0))                       // 100/100
+      assert(out(2L) == (2L, (300 * 2 + 100).toDouble / 3 / 100))
+      assert(out(3L) == (2L, (600 * 2 + 300).toDouble / 3 / 100),
+        "tap from the PREVIOUS micro-batch")
+    } finally q.stop()
+  }
+
+  test("stream_rfm equals the batch events_rfm") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("user_id")).map(_.longValue),
+        r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+        r.getAs[Double]("monetary"), r.getAs[Long]("r_score"),
+        r.getAs[Long]("f_score"), r.getAs[Long]("m_score")))
+      .sortBy(_.toString).toSeq
+    val batch = canon(Telemetry.rfm(spark, sf))
+    val streamed = canon(graft.streaming.StreamRfm.streamedRfm(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
   test("stream_markov equals the batch events_markov") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("from_state"), Option(r.getAs[String]("to_state")),
