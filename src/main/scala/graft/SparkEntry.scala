@@ -81,6 +81,11 @@ object SparkEntry {
     "events_attribution" -> ((s: SparkSession, d: String) => Telemetry.attribution(s, d)),
     "events_attribution_linear" -> ((s: SparkSession, d: String) => Telemetry.attributionLinear(s, d)),
     "events_abtest" -> (Telemetry.abtest _),
+    // B. streaming twin: two arm rows of exact integer power sums
+    // (n, nv, Σcents, Σcents²), flushed at the analysis-cutoff
+    // barrier; DECIMAL reconstruction before the shared t assembly
+    "stream_abtest" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamAbtest.streamedAbtest(s, d)),
     "queue_fairness" -> (Telemetry.queueFairness _),
     "status_transitions" -> (Telemetry.statusTransitions _),
     // B. streaming twin: pending-transition state closes each dwell
@@ -154,6 +159,11 @@ object SparkEntry {
     "stream_streak" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamStreak.streamedStreaks(s, d)),
     "q_running_distinct" -> (Telemetry.runningDistinct _),
+    // G. streaming twin: per-user day-set state (time-axis bounded),
+    // one final (user, day, is_first) emission per user-day, no
+    // sentinel; day-dimension census over the sink
+    "stream_active" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamActive.streamedActive(s, d)),
     "events_markov" -> (Telemetry.markov _),
     // G. streaming twin: O(1) last-type state emits every bigram at
     // arrival (self-loops + NULL-to included); the types²-sized
@@ -1016,6 +1026,44 @@ object SparkEntry {
       |  CAST(NTILE(4) OVER (ORDER BY monetary_dec DESC, user_id ASC NULLS FIRST) AS BIGINT) AS m_score
       |FROM s""".stripMargin
 
+  /** Shared by `events_abtest` and its streaming twin `stream_abtest`
+    * — the streamed integer power sums must reproduce the batch
+    * DECIMAL aggregation bit-for-bit. */
+  private val abtestSql: String =
+    """WITH p AS (SELECT user_id % 2 = 0 AS in_a, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |a AS (SELECT
+      |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(v) FILTER (WHERE in_a) AS DOUBLE) AS sum_a,
+      |    CAST(SUM(v) FILTER (WHERE NOT in_a) AS DOUBLE) AS sum_b,
+      |    CAST(SUM(v * v) FILTER (WHERE in_a) AS DOUBLE) AS ss_a,
+      |    CAST(SUM(v * v) FILTER (WHERE NOT in_a) AS DOUBLE) AS ss_b
+      |  FROM p)
+      |SELECT n_a, n_b,
+      |  sum_a / CAST(n_a AS DOUBLE) AS mean_a,
+      |  sum_b / CAST(n_b AS DOUBLE) AS mean_b,
+      |  (ss_a - sum_a * sum_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+      |  (ss_b - sum_b * sum_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b,
+      |  (sum_a / CAST(n_a AS DOUBLE) - sum_b / CAST(n_b AS DOUBLE)) /
+      |    SQRT((ss_a - sum_a * sum_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE)
+      |       + (ss_b - sum_b * sum_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE)) AS t_stat
+      |FROM a""".stripMargin
+
+  /** Shared by `q_running_distinct` and its streaming twin
+    * `stream_active` — per-user day-set state must not recount a
+    * cross-cut user as new. */
+  private val runningDistinctSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |act AS (SELECT day, COUNT(*) AS n_active_users FROM ud GROUP BY day),
+      |fs AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id),
+      |nu AS (SELECT day, COUNT(*) AS n_new_users FROM fs GROUP BY day)
+      |SELECT act.day, act.n_active_users,
+      |  COALESCE(nu.n_new_users, 0) AS n_new_users,
+      |  CAST(SUM(COALESCE(nu.n_new_users, 0)) OVER (ORDER BY act.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users
+      |FROM act LEFT JOIN nu ON act.day = nu.day""".stripMargin
+
   private val beaconSql: String =
     """SELECT user_id, bucket, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -1441,26 +1489,8 @@ object SparkEntry {
         |FROM u WHERE bp > 0 GROUP BY channel""".stripMargin,
     // Welch's t assembled from decimal-exact power sums; the float
     // expression shape matches the Spark side operation-for-operation
-    "events_abtest" ->
-      """WITH p AS (SELECT user_id % 2 = 0 AS in_a, CAST(value AS DECIMAL(18,2)) AS v
-        |  FROM events WHERE event_type = 'purchase'),
-        |a AS (SELECT
-        |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        |    CAST(SUM(v) FILTER (WHERE in_a) AS DOUBLE) AS sum_a,
-        |    CAST(SUM(v) FILTER (WHERE NOT in_a) AS DOUBLE) AS sum_b,
-        |    CAST(SUM(v * v) FILTER (WHERE in_a) AS DOUBLE) AS ss_a,
-        |    CAST(SUM(v * v) FILTER (WHERE NOT in_a) AS DOUBLE) AS ss_b
-        |  FROM p)
-        |SELECT n_a, n_b,
-        |  sum_a / CAST(n_a AS DOUBLE) AS mean_a,
-        |  sum_b / CAST(n_b AS DOUBLE) AS mean_b,
-        |  (ss_a - sum_a * sum_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
-        |  (ss_b - sum_b * sum_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b,
-        |  (sum_a / CAST(n_a AS DOUBLE) - sum_b / CAST(n_b AS DOUBLE)) /
-        |    SQRT((ss_a - sum_a * sum_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE)
-        |       + (ss_b - sum_b * sum_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE)) AS t_stat
-        |FROM a""".stripMargin,
+    "events_abtest" -> abtestSql,
+    "stream_abtest" -> abtestSql,
     // integer-exact Gini by the rank formula; ties pin to device id
     "queue_fairness" ->
       """WITH c AS (SELECT event_type, user_id, COUNT(*) AS x
@@ -3665,16 +3695,8 @@ object SparkEntry {
         |FROM s""".stripMargin,
     "events_streak" -> streakSql,
     "stream_streak" -> streakSql,
-    "q_running_distinct" ->
-      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |act AS (SELECT day, COUNT(*) AS n_active_users FROM ud GROUP BY day),
-        |fs AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id),
-        |nu AS (SELECT day, COUNT(*) AS n_new_users FROM fs GROUP BY day)
-        |SELECT act.day, act.n_active_users,
-        |  COALESCE(nu.n_new_users, 0) AS n_new_users,
-        |  CAST(SUM(COALESCE(nu.n_new_users, 0)) OVER (ORDER BY act.day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users
-        |FROM act LEFT JOIN nu ON act.day = nu.day""".stripMargin,
+    "q_running_distinct" -> runningDistinctSql,
+    "stream_active" -> runningDistinctSql,
     "events_markov" -> markovSql,
     "stream_markov" -> markovSql,
     "ts_changepoint" ->

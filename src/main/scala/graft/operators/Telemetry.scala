@@ -453,13 +453,22 @@ object Telemetry {
     val p = Tables.events(spark, dir)
       .filter($"event_type" === "purchase")
       .select((pmod($"user_id", lit(2L)) === 0L).as("in_a"), dec($"value").as("v"))
-    val agg = p.agg(
+    abtestFromPowerSums(p.agg(
       sum(when($"in_a", 1L).otherwise(0L)).as("n_a"),
       sum(when(!$"in_a", 1L).otherwise(0L)).as("n_b"),
       sum(when($"in_a", $"v")).cast(DoubleType).as("sum_a"),
       sum(when(!$"in_a", $"v")).cast(DoubleType).as("sum_b"),
       sum(when($"in_a", $"v" * $"v")).cast(DoubleType).as("ss_a"),
-      sum(when(!$"in_a", $"v" * $"v")).cast(DoubleType).as("ss_b"))
+      sum(when(!$"in_a", $"v" * $"v")).cast(DoubleType).as("ss_b")))
+  }
+
+  /** The Welch-t assembly of [[abtest]], shared with the streaming
+    * twin (StreamAbtest): means and sample variances from the
+    * already-deterministic double power sums — one fixed expression
+    * shape, so batch and streamed sums produce bit-identical t.
+    * `agg` = one row of (n_a, n_b, sum_a, sum_b, ss_a, ss_b). */
+  def abtestFromPowerSums(agg: DataFrame): DataFrame = {
+    import agg.sparkSession.implicits._
     val na = $"n_a".cast(DoubleType)
     val nb = $"n_b".cast(DoubleType)
     val meanA = $"sum_a" / na

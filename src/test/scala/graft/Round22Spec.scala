@@ -157,6 +157,48 @@ class Round22Spec extends SparkSpec {
     assert(batch.nonEmpty && batch == streamed)
   }
 
+  test("stream_abtest equals the batch events_abtest (bit-exact t)") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("mean_a"), r.getAs[Double]("mean_b"),
+        r.getAs[Double]("var_a"), r.getAs[Double]("var_b"),
+        r.getAs[Double]("t_stat"))).toSeq
+    val batch = canon(Telemetry.abtest(spark, sf))
+    val streamed = canon(graft.streaming.StreamAbtest.streamedAbtest(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
+  test("stream_active equals the batch q_running_distinct") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_active_users"), r.getAs[Long]("n_new_users"),
+        r.getAs[Long]("cum_distinct_users"))).sorted.toSeq
+    val batch = canon(Telemetry.runningDistinct(spark, sf))
+    val streamed = canon(graft.streaming.StreamActive.streamedActive(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
+  test("stream_active: a cross-cut user never recounts as new") {
+    import graft.streaming.StreamActive
+    import StreamActive.{Ev, Hit}
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000000L
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamActive.hits(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sact_out").start()
+    try {
+      mem.addData(Ev(Some(5L), 10L * day), Ev(Some(5L), 10L * day + 7L))
+      q.processAllAvailable()
+      // same day again next batch: no re-emission; a NEW day emits
+      // with is_first = false (the user is already counted)
+      mem.addData(Ev(Some(5L), 10L * day + 9L), Ev(Some(5L), 12L * day))
+      q.processAllAvailable()
+      val out = spark.table("sact_out").as[Hit].collect().toSet
+      assert(out == Set(Hit(Some(5L), 10L, true), Hit(Some(5L), 12L, false)))
+    } finally q.stop()
+  }
+
   test("stream_markov equals the batch events_markov") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("from_state"), Option(r.getAs[String]("to_state")),
