@@ -113,6 +113,10 @@ object SparkEntry {
     "stream_anomaly" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamAnomaly.streamedAnomaly(s, d)),
     "ts_gapfill" -> ((s: SparkSession, d: String) => Telemetry.gapfill(s, d)),
+    // B. streaming twin: O(1) slot-cursor state per user replaces the
+    // batch synthetic grid; hours emit when they can no longer change
+    "stream_gapfill" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamGapfill.streamedGapfill(s, d)),
     "ts_moving_avg" -> ((s: SparkSession, d: String) => Telemetry.movingAvg(s, d)),
     "events_props" -> (Telemetry.propsExtract _),
     "events_paths" -> (Telemetry.paths _),
@@ -1063,6 +1067,27 @@ object SparkEntry {
       |  CAST(SUM(COALESCE(nu.n_new_users, 0)) OVER (ORDER BY act.day
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users
       |FROM act LEFT JOIN nu ON act.day = nu.day""".stripMargin
+
+  /** Shared by `ts_gapfill` and its streaming twin `stream_gapfill`
+    * — the slot-cursor state must reproduce the batch grid fill
+    * across a mid-hour micro-batch cut. */
+  private val gapfillSql: String =
+    """WITH ev0 AS (SELECT user_id, ts, value, event_id, date_trunc('hour', ts) AS hr
+      |  FROM events WHERE ts IS NOT NULL),
+      |ev AS (SELECT user_id, hr, ts AS t, 0 AS isg, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |  FROM ev0) z WHERE rn = 1),
+      |slots AS (SELECT user_id, hr, hr + to_microseconds((m+1)*60000000 - 1) AS t,
+      |    1 AS isg, CAST(NULL AS DOUBLE) AS value
+      |  FROM (SELECT user_id, hr, unnest(range(0,60)) AS m
+      |        FROM (SELECT DISTINCT user_id, hr FROM ev) h) s),
+      |w AS (SELECT user_id, hr, isg,
+      |    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id, hr ORDER BY t, isg
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      |  FROM (SELECT * FROM ev UNION ALL SELECT * FROM slots) u)
+      |SELECT user_id, hr AS hour_ts, COUNT(*) AS n_slots, COUNT(v) AS n_filled,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled
+      |FROM w WHERE isg = 1 GROUP BY user_id, hr""".stripMargin
 
   private val beaconSql: String =
     """SELECT user_id, bucket, COUNT(*) AS n_events,
@@ -2689,23 +2714,8 @@ object SparkEntry {
         |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)) z""".stripMargin,
     // the union+window as-of trick replayed in SQL: grid slot ends and
     // events share one ordered pass per (user, hour)
-    "ts_gapfill" ->
-      """WITH ev0 AS (SELECT user_id, ts, value, event_id, date_trunc('hour', ts) AS hr
-        |  FROM events WHERE ts IS NOT NULL),
-        |ev AS (SELECT user_id, hr, ts AS t, 0 AS isg, value FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-        |  FROM ev0) z WHERE rn = 1),
-        |slots AS (SELECT user_id, hr, hr + to_microseconds((m+1)*60000000 - 1) AS t,
-        |    1 AS isg, CAST(NULL AS DOUBLE) AS value
-        |  FROM (SELECT user_id, hr, unnest(range(0,60)) AS m
-        |        FROM (SELECT DISTINCT user_id, hr FROM ev) h) s),
-        |w AS (SELECT user_id, hr, isg,
-        |    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id, hr ORDER BY t, isg
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
-        |  FROM (SELECT * FROM ev UNION ALL SELECT * FROM slots) u)
-        |SELECT user_id, hr AS hour_ts, COUNT(*) AS n_slots, COUNT(v) AS n_filled,
-        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled
-        |FROM w WHERE isg = 1 GROUP BY user_id, hr""".stripMargin,
+    "ts_gapfill" -> gapfillSql,
+    "stream_gapfill" -> gapfillSql,
     "text_boilerplate" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
         |cl AS (SELECT doc_id,

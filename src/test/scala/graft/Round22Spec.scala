@@ -199,6 +199,48 @@ class Round22Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_gapfill equals the batch ts_gapfill") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("user_id")).map(_.longValue),
+        r.getAs[java.sql.Timestamp]("hour_ts").getTime,
+        r.getAs[Long]("n_slots"), r.getAs[Long]("n_filled"),
+        Option(r.getAs[java.lang.Double]("sum_filled")).map(_.doubleValue)))
+      .sortBy(_.toString).toSeq
+    val batch = canon(Telemetry.gapfill(spark, sf))
+    val streamed = canon(graft.streaming.StreamGapfill.streamedGapfill(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
+  test("stream_gapfill: a mid-hour cut carries the slot cursor; NULL value keeps the carry") {
+    import graft.streaming.StreamGapfill
+    import StreamGapfill.{Ev, Out}
+    implicit val sqlCtx = spark.sqlContext
+    val hr = StreamGapfill.hourUs
+    val mn = 60000000L
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamGapfill.fill(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sgap_out").start()
+    try {
+      // value 2.00 at minute 5; a NULL-value event at minute 10 must
+      // NOT reset the carry
+      mem.addData(Ev(Some(1L), hr + 5L * mn, 1L, Some(200L)),
+        Ev(Some(1L), hr + 10L * mn, 2L, None))
+      q.processAllAvailable()
+      assert(spark.table("sgap_out").count() == 0L, "open hour must not emit")
+      // batch 2: value 3.00 at minute 30 of the SAME hour (cursor
+      // carried across the cut), then a sentinel closes it
+      mem.addData(Ev(Some(1L), hr + 30L * mn, 3L, Some(300L)))
+      q.processAllAvailable()
+      mem.addData(Ev(Some(1L), 3L * hr, -1L, None))
+      q.processAllAvailable()
+      val out = spark.table("sgap_out").as[Out].collect().toSeq
+      // slots 0..4 empty; 5..29 carry 200 (ends at min 6..30 − 1µs →
+      // 25 slots); 30..59 carry 300 (30 slots)
+      assert(out == Seq(Out(Some(1L), hr, 60L, 55L, 25L * 200L + 30L * 300L)))
+    } finally q.stop()
+  }
+
   test("stream_markov equals the batch events_markov") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("from_state"), Option(r.getAs[String]("to_state")),
