@@ -196,6 +196,11 @@ object SparkEntry {
       graft.streaming.StreamNovelty.streamedNovelty(s, d)),
     "corpus_curriculum" -> ((s: SparkSession, d: String) => Curation.curriculum(s, d)),
     "events_ltv" -> (Telemetry.ltv _),
+    // G. streaming twin: earliest-signup election + time-axis-bounded
+    // per-week cent sums; snapshot flush because a late earlier
+    // signup re-offsets the whole slice
+    "stream_ltv" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamLtv.streamedLtv(s, d)),
     "stream_interarrival" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamInterarrival.streamedInterarrival(s, d)),
     "stream_seasonal" -> ((s: SparkSession, d: String) =>
@@ -1088,6 +1093,26 @@ object SparkEntry {
       |SELECT user_id, hr AS hour_ts, COUNT(*) AS n_slots, COUNT(v) AS n_filled,
       |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled
       |FROM w WHERE isg = 1 GROUP BY user_id, hr""".stripMargin
+
+  /** Shared by `events_ltv` and its streaming twin `stream_ltv` —
+    * a late-arriving earlier signup must re-assign the cohort and
+    * re-offset every cell the user touches. */
+  private val ltvSql: String =
+    """WITH cohorts AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT user_id, date_trunc('week', ts) AS p_week, value
+      |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+      |cells AS (SELECT cohort_week,
+      |    CAST(datediff('day', cohort_week, p_week) // 7 AS BIGINT) AS week_offset,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS rev_dec
+      |  FROM cohorts JOIN p USING (user_id) WHERE p_week >= cohort_week
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_buyers,
+      |  CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(SUM(rev_dec) OVER (PARTITION BY cohort_week ORDER BY week_offset
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+      |FROM cells""".stripMargin
 
   private val beaconSql: String =
     """SELECT user_id, bucket, COUNT(*) AS n_events,
@@ -3855,22 +3880,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, difficulty, pos, CAST((4 * pos) // n AS BIGINT) AS phase
         |FROM r""".stripMargin,
-    "events_ltv" ->
-      """WITH cohorts AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
-        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
-        |p AS (SELECT user_id, date_trunc('week', ts) AS p_week, value
-        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
-        |cells AS (SELECT cohort_week,
-        |    CAST(datediff('day', cohort_week, p_week) // 7 AS BIGINT) AS week_offset,
-        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
-        |    SUM(CAST(value AS DECIMAL(18,2))) AS rev_dec
-        |  FROM cohorts JOIN p USING (user_id) WHERE p_week >= cohort_week
-        |  GROUP BY 1, 2)
-        |SELECT cohort_week, week_offset, n_buyers,
-        |  CAST(rev_dec AS DOUBLE) AS revenue,
-        |  CAST(SUM(rev_dec) OVER (PARTITION BY cohort_week ORDER BY week_offset
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
-        |FROM cells""".stripMargin,
+    "events_ltv" -> ltvSql,
+    "stream_ltv" -> ltvSql,
     "q_asof_nearest" ->
       """WITH d AS (SELECT o_custkey AS u, o_orderdate AS t, 0 AS is_event,
         |    CAST(NULL AS BIGINT) AS event_id, o_orderdate AS od,

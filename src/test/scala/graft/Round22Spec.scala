@@ -241,6 +241,46 @@ class Round22Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_ltv equals the batch events_ltv") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("cohort_week").getTime,
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_buyers"),
+        Option(r.getAs[java.lang.Double]("revenue")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("cum_revenue")).map(_.doubleValue)))
+      .sortBy(_.toString).toSeq
+    val batch = canon(Telemetry.ltv(spark, sf))
+    val streamed = canon(graft.streaming.StreamLtv.streamedLtv(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
+  test("stream_ltv: a late EARLIER signup re-assigns the cohort and pulls prior purchases in") {
+    import graft.streaming.StreamLtv
+    import StreamLtv.{Cell, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val wk = 7L * 86400000000L
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamLtv.cells(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sltv_out").start()
+    try {
+      // batch 1: signup in week 10, purchase in week 8 — OUTSIDE the
+      // triangle under this cohort
+      mem.addData(
+        Ev(1L, 10L * wk + 5L, 10L * wk, isSignup = true, None, sentinel = false),
+        Ev(1L, 8L * wk + 9L, 8L * wk, isSignup = false, Some(500L), sentinel = false))
+      q.processAllAvailable()
+      // batch 2: an EARLIER signup (week 7) arrives late — the week-8
+      // purchase must now be IN the triangle at offset 1
+      mem.addData(
+        Ev(1L, 7L * wk + 2L, 7L * wk, isSignup = true, None, sentinel = false))
+      q.processAllAvailable()
+      mem.addData(Ev(1L, 0L, 0L, isSignup = false, None, sentinel = true))
+      q.processAllAvailable()
+      val out = spark.table("sltv_out").as[Cell].collect().toSeq
+      assert(out == Seq(Cell(1L, 7L * wk, 8L * wk, Some(500L))))
+    } finally q.stop()
+  }
+
   test("stream_markov equals the batch events_markov") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("from_state"), Option(r.getAs[String]("to_state")),
