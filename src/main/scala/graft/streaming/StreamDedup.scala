@@ -133,15 +133,30 @@ object StreamDedup {
     }
     val tmp = Files.createTempDirectory("graft_sdedup_")
     try {
-      batches.zipWithIndex.foreach { case (b, i) =>
-        b.coalesce(1).write.parquet(f"$tmp/in/b_$i%03d")
-      }
+      // ONE write job stages every batch: union with a literal gbatch
+      // column (no leading underscore: `_`-prefixed paths are hidden to
+      // Spark file listing), partitionBy into per-batch dirs. N separate writes
+      // each paid a full job (planning + commit protocol + upstream
+      // recompute) — ~0.5 s × batches per twin, pure overhead. An
+      // EMPTY batch writes no dir and simply contributes no
+      // micro-batch, which is behavior-identical (an empty
+      // micro-batch is a no-op for every twin's state).
+      import org.apache.spark.sql.functions.lit
+      batches.zipWithIndex
+        .map { case (b, i) => b.withColumn("gbatch", lit(f"b_$i%03d")) }
+        .reduce(_ unionByName _)
+        .repartition(batches.length, org.apache.spark.sql.functions.col("gbatch"))
+        .write.partitionBy("gbatch").parquet(s"$tmp/in")
       mark("stage-writes")
+      val batchDirs = batches.indices
+        .map(i => java.nio.file.Paths.get(f"$tmp/in/gbatch=b_$i%03d"))
+        .filter(Files.isDirectory(_))
+      require(batchDirs.nonEmpty, "staged stream wrote no data")
       locally {
         import java.nio.file.attribute.FileTime
         var t = 1000000L
-        batches.indices.foreach { i =>
-          val walk = Files.walk(java.nio.file.Paths.get(f"$tmp/in/b_$i%03d"))
+        batchDirs.foreach { dir =>
+          val walk = Files.walk(dir)
           try {
             import scala.jdk.CollectionConverters._
             walk.iterator().asScala.foreach(p => Files.setLastModifiedTime(p, FileTime.fromMillis(t)))
@@ -149,7 +164,7 @@ object StreamDedup {
           t += 60000L
         }
       }
-      val schema = spark.read.parquet(s"$tmp/in/b_000").schema
+      val schema = spark.read.parquet(batchDirs.head.toString).schema
       mark("mtime+schema")
       // cloned session (shared context, independent SQLConf): each
       // state store pays checkpoint sync per micro-batch, so 8 stores
