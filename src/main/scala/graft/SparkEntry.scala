@@ -176,6 +176,10 @@ object SparkEntry {
       graft.streaming.StreamMarkov.streamedMarkov(s, d)),
     "ts_changepoint" -> ((s: SparkSession, d: String) => Telemetry.changepoints(s, d)),
     "dq_benford" -> (Quality.benford _),
+    // G. streaming twin: nine digit counters, flushed at the audit
+    // barrier; nine-row Benford assembly over the sink
+    "stream_benford" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamBenford.streamedBenford(s, d)),
     "dq_uniqueness" -> (Quality.uniqueness _),
     "dq_drift" -> (Quality.drift _),
     "dq_volume" -> (Quality.volume _),
@@ -1113,6 +1117,29 @@ object SparkEntry {
       |  CAST(SUM(rev_dec) OVER (PARTITION BY cohort_week ORDER BY week_offset
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
       |FROM cells""".stripMargin
+
+  /** Shared by `dq_benford` and its streaming twin `stream_benford`
+    * — per-digit counts must accumulate across the order-key cut. */
+  private val benfordSql: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+      |    AS INTEGER) AS digit FROM lineitem),
+      |g AS (SELECT digit, COUNT(*) AS n_rows FROM d GROUP BY digit)
+      |SELECT digit, n_rows,
+      |  CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) AS share,
+      |  CASE digit
+      |    WHEN 1 THEN CAST(0.301030 AS DOUBLE) WHEN 2 THEN CAST(0.176091 AS DOUBLE)
+      |    WHEN 3 THEN CAST(0.124939 AS DOUBLE) WHEN 4 THEN CAST(0.096910 AS DOUBLE)
+      |    WHEN 5 THEN CAST(0.079181 AS DOUBLE) WHEN 6 THEN CAST(0.066947 AS DOUBLE)
+      |    WHEN 7 THEN CAST(0.057992 AS DOUBLE) WHEN 8 THEN CAST(0.051153 AS DOUBLE)
+      |    WHEN 9 THEN CAST(0.045757 AS DOUBLE) END AS benford_expected,
+      |  abs(CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) -
+      |    CASE digit
+      |      WHEN 1 THEN CAST(0.301030 AS DOUBLE) WHEN 2 THEN CAST(0.176091 AS DOUBLE)
+      |      WHEN 3 THEN CAST(0.124939 AS DOUBLE) WHEN 4 THEN CAST(0.096910 AS DOUBLE)
+      |      WHEN 5 THEN CAST(0.079181 AS DOUBLE) WHEN 6 THEN CAST(0.066947 AS DOUBLE)
+      |      WHEN 7 THEN CAST(0.057992 AS DOUBLE) WHEN 8 THEN CAST(0.051153 AS DOUBLE)
+      |      WHEN 9 THEN CAST(0.045757 AS DOUBLE) END) AS abs_dev
+      |FROM g""".stripMargin
 
   private val beaconSql: String =
     """SELECT user_id, bucket, COUNT(*) AS n_events,
@@ -3774,26 +3801,8 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
-    "dq_benford" ->
-      """WITH d AS (SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
-        |    AS INTEGER) AS digit FROM lineitem),
-        |g AS (SELECT digit, COUNT(*) AS n_rows FROM d GROUP BY digit)
-        |SELECT digit, n_rows,
-        |  CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) AS share,
-        |  CASE digit
-        |    WHEN 1 THEN CAST(0.301030 AS DOUBLE) WHEN 2 THEN CAST(0.176091 AS DOUBLE)
-        |    WHEN 3 THEN CAST(0.124939 AS DOUBLE) WHEN 4 THEN CAST(0.096910 AS DOUBLE)
-        |    WHEN 5 THEN CAST(0.079181 AS DOUBLE) WHEN 6 THEN CAST(0.066947 AS DOUBLE)
-        |    WHEN 7 THEN CAST(0.057992 AS DOUBLE) WHEN 8 THEN CAST(0.051153 AS DOUBLE)
-        |    WHEN 9 THEN CAST(0.045757 AS DOUBLE) END AS benford_expected,
-        |  abs(CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) -
-        |    CASE digit
-        |      WHEN 1 THEN CAST(0.301030 AS DOUBLE) WHEN 2 THEN CAST(0.176091 AS DOUBLE)
-        |      WHEN 3 THEN CAST(0.124939 AS DOUBLE) WHEN 4 THEN CAST(0.096910 AS DOUBLE)
-        |      WHEN 5 THEN CAST(0.079181 AS DOUBLE) WHEN 6 THEN CAST(0.066947 AS DOUBLE)
-        |      WHEN 7 THEN CAST(0.057992 AS DOUBLE) WHEN 8 THEN CAST(0.051153 AS DOUBLE)
-        |      WHEN 9 THEN CAST(0.045757 AS DOUBLE) END) AS abs_dev
-        |FROM g""".stripMargin,
+    "dq_benford" -> benfordSql,
+    "stream_benford" -> benfordSql,
     "dq_uniqueness" ->
       """WITH a AS (SELECT COUNT(*) AS n FROM events GROUP BY event_id),
         |b AS (SELECT COUNT(*) AS n FROM events GROUP BY user_id, ts),

@@ -127,6 +127,19 @@ object Quality {
     * subtraction is deterministic. */
   def benford(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    benfordAssembly(Tables.lineitem(spark, dir)
+      .select(substring(dec($"l_extendedprice").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy($"digit")
+      .agg(count(lit(1)).as("n_rows")))
+  }
+
+  /** The post-census assembly of [[benford]], shared with the
+    * streaming twin (StreamBenford): shares, the Benford law
+    * expectation, absolute deviation — nine rows of work.
+    * `digits` = (digit, n_rows). */
+  def benfordAssembly(digits: DataFrame): DataFrame = {
+    import digits.sparkSession.implicits._
     val expected = Map(
       1 -> 0.301030d, 2 -> 0.176091d, 3 -> 0.124939d,
       4 -> 0.096910d, 5 -> 0.079181d, 6 -> 0.066947d,
@@ -134,11 +147,6 @@ object Quality {
     val expectedCol = expected.foldLeft(lit(Double.NaN)) {
       case (acc, (d, p)) => when($"digit" === d, lit(p)).otherwise(acc)
     }
-    val digits = Tables.lineitem(spark, dir)
-      .select(substring(dec($"l_extendedprice").cast("string"), 1, 1)
-        .cast("int").as("digit"))
-      .groupBy($"digit")
-      .agg(count(lit(1)).as("n_rows"))
     val total = Window.partitionBy(lit(1))
     digits
       .withColumn("share",

@@ -281,6 +281,16 @@ class Round22Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_benford equals the batch dq_benford") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("digit"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("share"), r.getAs[Double]("benford_expected"),
+        r.getAs[Double]("abs_dev"))).sorted.toSeq
+    val batch = canon(graft.operators.Quality.benford(spark, sf))
+    val streamed = canon(graft.streaming.StreamBenford.streamedBenford(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
   test("stream_markov equals the batch events_markov") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("from_state"), Option(r.getAs[String]("to_state")),
