@@ -80,6 +80,10 @@ object SparkEntry {
     "port_config" -> (Telemetry.portConfig _),
     "events_attribution" -> ((s: SparkSession, d: String) => Telemetry.attribution(s, d)),
     "events_attribution_linear" -> ((s: SparkSession, d: String) => Telemetry.attributionLinear(s, d)),
+    // B. streaming twin: lookback-pruned per-user touch buffer (the
+    // watermark bound); purchases emit their bp split at landing
+    "stream_attr_linear" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamAttrLinear.streamedAttrLinear(s, d)),
     "events_abtest" -> (Telemetry.abtest _),
     // B. streaming twin: two arm rows of exact integer power sums
     // (n, nv, Σcents, Σcents²), flushed at the analysis-cutoff
@@ -183,6 +187,10 @@ object SparkEntry {
     "dq_uniqueness" -> (Quality.uniqueness _),
     "dq_drift" -> (Quality.drift _),
     "dq_volume" -> (Quality.volume _),
+    // G. streaming twin: per-type day census (time-axis bounded),
+    // flushed at the audit barrier; spike assembly over the sink
+    "stream_volume" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamVolume.streamedVolume(s, d)),
     "dq_completeness" -> (Quality.completeness _),
     "events_rfm" -> (Telemetry.rfm _),
     // G. streaming twin: three-integer per-user state, flushed once
@@ -1141,6 +1149,46 @@ object SparkEntry {
       |      WHEN 9 THEN CAST(0.045757 AS DOUBLE) END) AS abs_dev
       |FROM g""".stripMargin
 
+  /** Shared by `events_attribution_linear` and its streaming twin
+    * `stream_attr_linear` — the pruned touch buffer must reproduce
+    * the batch RANGE frame, same-microsecond touches included. */
+  private val attrLinearSql: String =
+    """WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS t_us FROM events),
+      |c AS (SELECT *,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id ORDER BY t_us
+      |       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_click,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id ORDER BY t_us
+      |       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_view
+      |  FROM e),
+      |b AS (SELECT value,
+      |    CASE WHEN n_click + n_view > 0 THEN (10000 * n_click) // (n_click + n_view) ELSE 0 END AS click_bp,
+      |    CASE WHEN n_click + n_view > 0 THEN (10000 * n_view) // (n_click + n_view) ELSE 0 END AS view_bp,
+      |    CASE WHEN n_click + n_view = 0 THEN 10000 ELSE 0 END AS direct_bp
+      |  FROM c WHERE event_type = 'purchase'),
+      |u AS (SELECT 'click' AS channel, value, click_bp AS bp FROM b
+      |  UNION ALL SELECT 'view', value, view_bp FROM b
+      |  UNION ALL SELECT 'direct', value, direct_bp FROM b)
+      |SELECT channel, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * bp) AS DOUBLE) AS value_bp
+      |FROM u WHERE bp > 0 GROUP BY channel""".stripMargin
+
+  /** Shared by `dq_volume` and its streaming twin `stream_volume` —
+    * per-(type, day) counts must accumulate across the cut. */
+  private val volumeSql: String =
+    """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, COUNT(*) AS n_days,
+      |    CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+      |    CAST(SUM(n_events * n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m2
+      |  FROM daily GROUP BY event_type)
+      |SELECT d.event_type, d.day, d.n_events, s.n_days,
+      |  ((CAST(d.n_events AS DOUBLE) - s.mu) * (CAST(d.n_events AS DOUBLE) - s.mu)
+      |     > 4.0 * (s.m2 - s.mu * s.mu)) AS is_spike
+      |FROM daily d JOIN s USING (event_type)""".stripMargin
+
   private val beaconSql: String =
     """SELECT user_id, bucket, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -1543,27 +1591,8 @@ object SparkEntry {
     "events_attribution" -> attributionSql,
     // linear multi-touch: floor basis points keep the split integer-
     // exact; RANGE frame = the same incremental sliding window shape
-    "events_attribution_linear" ->
-      """WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS t_us FROM events),
-        |c AS (SELECT *,
-        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER
-        |      (PARTITION BY user_id ORDER BY t_us
-        |       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_click,
-        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER
-        |      (PARTITION BY user_id ORDER BY t_us
-        |       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_view
-        |  FROM e),
-        |b AS (SELECT value,
-        |    CASE WHEN n_click + n_view > 0 THEN (10000 * n_click) // (n_click + n_view) ELSE 0 END AS click_bp,
-        |    CASE WHEN n_click + n_view > 0 THEN (10000 * n_view) // (n_click + n_view) ELSE 0 END AS view_bp,
-        |    CASE WHEN n_click + n_view = 0 THEN 10000 ELSE 0 END AS direct_bp
-        |  FROM c WHERE event_type = 'purchase'),
-        |u AS (SELECT 'click' AS channel, value, click_bp AS bp FROM b
-        |  UNION ALL SELECT 'view', value, view_bp FROM b
-        |  UNION ALL SELECT 'direct', value, direct_bp FROM b)
-        |SELECT channel, COUNT(*) AS n_purchases,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * bp) AS DOUBLE) AS value_bp
-        |FROM u WHERE bp > 0 GROUP BY channel""".stripMargin,
+    "events_attribution_linear" -> attrLinearSql,
+    "stream_attr_linear" -> attrLinearSql,
     // Welch's t assembled from decimal-exact power sums; the float
     // expression shape matches the Spark side operation-for-operation
     "events_abtest" -> abtestSql,
@@ -3833,18 +3862,8 @@ object SparkEntry {
         |    * (CAST(n_b AS DOUBLE) - CAST(n_a * tb AS DOUBLE) / ta)
         |    / (CAST(n_a * tb AS DOUBLE) / ta) AS chi2_term
         |FROM c, t""".stripMargin,
-    "dq_volume" ->
-      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
-        |    COUNT(*) AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |s AS (SELECT event_type, COUNT(*) AS n_days,
-        |    CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
-        |    CAST(SUM(n_events * n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m2
-        |  FROM daily GROUP BY event_type)
-        |SELECT d.event_type, d.day, d.n_events, s.n_days,
-        |  ((CAST(d.n_events AS DOUBLE) - s.mu) * (CAST(d.n_events AS DOUBLE) - s.mu)
-        |     > 4.0 * (s.m2 - s.mu * s.mu)) AS is_spike
-        |FROM daily d JOIN s USING (event_type)""".stripMargin,
+    "dq_volume" -> volumeSql,
+    "stream_volume" -> volumeSql,
     "dq_completeness" ->
       """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,

@@ -249,9 +249,17 @@ object Quality {
     * never the raw stream. */
   def volume(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val daily = Tables.events(spark, dir)
+    volumeAssembly(Tables.events(spark, dir)
       .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
+  }
+
+  /** The post-census assembly of [[volume]], shared with the
+    * streaming twin (StreamVolume): per-type day statistics and the
+    * 2σ spike verdict — day-dimension-sized, independent of event
+    * volume. `daily` = (event_type, day, n_events). */
+  def volumeAssembly(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
     val stats = daily.groupBy($"event_type")
       .agg(count(lit(1)).as("n_days"),
         sum($"n_events").as("s1"),

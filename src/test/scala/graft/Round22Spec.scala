@@ -291,6 +291,53 @@ class Round22Spec extends SparkSpec {
     assert(batch.nonEmpty && batch == streamed)
   }
 
+  test("stream_attr_linear equals the batch events_attribution_linear") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("n_purchases"),
+        Option(r.getAs[java.lang.Double]("value_bp")).map(_.doubleValue)))
+      .sorted.toSeq
+    val batch = canon(Telemetry.attributionLinear(spark, sf))
+    val streamed = canon(
+      graft.streaming.StreamAttrLinear.streamedAttrLinear(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
+  test("stream_attr_linear: same-µs touches count; cross-cut touches count; pruned ones don't") {
+    import graft.streaming.StreamAttrLinear
+    import StreamAttrLinear.{Ev, Split}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val look = 1000L
+    val q = StreamAttrLinear.splits(mem.toDS(), look)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sattr_out").start()
+    try {
+      // batch 1: a click at t=100 (in-window later), a view at t=10
+      // (will be PRUNED: 10 < 1200-1000)
+      mem.addData(Ev(Some(1L), 10L, 1L, 1, None), Ev(Some(1L), 100L, 2L, 0, None))
+      q.processAllAvailable()
+      // batch 2: a view at the purchase's EXACT µs but HIGHER
+      // event_id — the range frame counts it: 1 click + 1 view
+      mem.addData(Ev(Some(1L), 1050L, 3L, 2, Some(700L)),
+        Ev(Some(1L), 1050L, 4L, 1, None))
+      q.processAllAvailable()
+      val out = spark.table("sattr_out").as[Split].collect().toSeq
+      assert(out == Seq(Split(Some(700L), 5000L, 5000L, 0L)))
+    } finally q.stop()
+  }
+
+  test("stream_volume equals the batch dq_volume") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getAs[String]("event_type")),
+        r.getAs[java.sql.Timestamp]("day").getTime,
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_days"),
+        r.getAs[Boolean]("is_spike")))
+      .sortBy(_.toString).toSeq
+    val batch = canon(graft.operators.Quality.volume(spark, sf))
+    val streamed = canon(graft.streaming.StreamVolume.streamedVolume(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
   test("stream_markov equals the batch events_markov") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("from_state"), Option(r.getAs[String]("to_state")),
