@@ -74,6 +74,10 @@ object SparkEntry {
     "stream_chunks" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamChunks.streamedChunks(s, d)),
     "queue_stats" -> (Telemetry.queueStats _),
+    // B. streaming twin: eight order-free counters per stream (the
+    // Lua proxy's own shape), flushed at the report barrier
+    "stream_queue_stats" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamQueueStats.streamedQueueStats(s, d)),
     "queue_ttl" -> ((s: SparkSession, d: String) => Telemetry.queueTtl(s, d)),
     "queue_latency" -> (Telemetry.queueLatency _),
     "queue_drain" -> (Telemetry.queueDrain _),
@@ -122,6 +126,10 @@ object SparkEntry {
     "stream_gapfill" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamGapfill.streamedGapfill(s, d)),
     "ts_moving_avg" -> ((s: SparkSession, d: String) => Telemetry.movingAvg(s, d)),
+    // B. streaming twin: span-pruned per-user buffer; every arrival
+    // emits its trailing count/average at landing, no sentinel
+    "stream_moving_avg" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamMovingAvg.streamedMovingAvg(s, d)),
     "events_props" -> (Telemetry.propsExtract _),
     "events_paths" -> (Telemetry.paths _),
     "ts_ewma" -> ((s: SparkSession, d: String) => Telemetry.ewma(s, d)),
@@ -1189,6 +1197,34 @@ object SparkEntry {
       |     > 4.0 * (s.m2 - s.mu * s.mu)) AS is_spike
       |FROM daily d JOIN s USING (event_type)""".stripMargin
 
+  /** Shared by `queue_stats` and its streaming twin
+    * `stream_queue_stats` — the per-stream counters must accumulate
+    * across the cut, three-valued lost flag included. */
+  private val queueStatsSql: String =
+    """SELECT event_type, COUNT(*) AS n_msgs,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bytes_total,
+      |  CAST(COUNT(*) FILTER (WHERE k > 50) AS BIGINT) AS n_lost,
+      |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE k > 50), 0) AS DOUBLE) AS bytes_lost,
+      |  MAX(ts) FILTER (WHERE k <= 50) AS last_sent,
+      |  MAX(ts) FILTER (WHERE k > 50) AS last_lost
+      |FROM (SELECT *, CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k FROM events) t
+      |GROUP BY event_type""".stripMargin
+
+  /** Shared by `ts_moving_avg` and its streaming twin
+    * `stream_moving_avg` — the pruned buffer must reproduce the
+    * batch RANGE frame, same-microsecond rows included. */
+  private val movingAvgSql: String =
+    """SELECT event_id, user_id, eus, value, n_window,
+      |  CAST(sw AS DOUBLE) / n_window AS avg_window
+      |FROM (
+      |  SELECT event_id, user_id, eus, value,
+      |    COUNT(*) OVER w AS n_window,
+      |    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sw
+      |  FROM (SELECT event_id, user_id, epoch_us(ts) AS eus, value
+      |        FROM events WHERE ts IS NOT NULL) t
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY eus
+      |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)) z""".stripMargin
+
   private val beaconSql: String =
     """SELECT user_id, bucket, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -1527,15 +1563,8 @@ object SparkEntry {
         |  UNNEST(range(0, CAST(CEIL(nbytes / 6400.0) AS BIGINT))) AS t(chunk_idx)""".stripMargin,
     "chunk_reassemble" -> chunkReassembleSql,
     "stream_chunks" -> chunkReassembleSql,
-    "queue_stats" ->
-      """SELECT event_type, COUNT(*) AS n_msgs,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bytes_total,
-        |  CAST(COUNT(*) FILTER (WHERE k > 50) AS BIGINT) AS n_lost,
-        |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE k > 50), 0) AS DOUBLE) AS bytes_lost,
-        |  MAX(ts) FILTER (WHERE k <= 50) AS last_sent,
-        |  MAX(ts) FILTER (WHERE k > 50) AS last_lost
-        |FROM (SELECT *, CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k FROM events) t
-        |GROUP BY event_type""".stripMargin,
+    "queue_stats" -> queueStatsSql,
+    "stream_queue_stats" -> queueStatsSql,
     "queue_ttl" -> queueTtlSql,
     "stream_ttl" -> queueTtlSql,
     "queue_drain" ->
@@ -2782,17 +2811,8 @@ object SparkEntry {
     "stream_paths" -> pathsSql,
     "ts_ewma" -> ewmaSql,
     "stream_ewma" -> ewmaSql,
-    "ts_moving_avg" ->
-      """SELECT event_id, user_id, eus, value, n_window,
-        |  CAST(sw AS DOUBLE) / n_window AS avg_window
-        |FROM (
-        |  SELECT event_id, user_id, eus, value,
-        |    COUNT(*) OVER w AS n_window,
-        |    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sw
-        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS eus, value
-        |        FROM events WHERE ts IS NOT NULL) t
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY eus
-        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)) z""".stripMargin,
+    "ts_moving_avg" -> movingAvgSql,
+    "stream_moving_avg" -> movingAvgSql,
     // the union+window as-of trick replayed in SQL: grid slot ends and
     // events share one ordered pass per (user, hour)
     "ts_gapfill" -> gapfillSql,

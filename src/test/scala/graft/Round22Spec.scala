@@ -338,6 +338,34 @@ class Round22Spec extends SparkSpec {
     assert(batch.nonEmpty && batch == streamed)
   }
 
+  test("stream_queue_stats equals the batch queue_stats") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getAs[String]("event_type")),
+        r.getAs[Long]("n_msgs"),
+        Option(r.getAs[java.lang.Double]("bytes_total")).map(_.doubleValue),
+        r.getAs[Long]("n_lost"), r.getAs[Double]("bytes_lost"),
+        Option(r.getAs[java.sql.Timestamp]("last_sent")).map(_.getTime),
+        Option(r.getAs[java.sql.Timestamp]("last_lost")).map(_.getTime)))
+      .sortBy(_.toString).toSeq
+    val batch = canon(Telemetry.queueStats(spark, sf))
+    val streamed = canon(
+      graft.streaming.StreamQueueStats.streamedQueueStats(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
+  test("stream_moving_avg equals the batch ts_moving_avg") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("user_id")).map(_.longValue),
+        r.getAs[Long]("eus"), r.getAs[Long]("n_window"),
+        Option(r.getAs[java.lang.Double]("avg_window")).map(_.doubleValue)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val batch = canon(Telemetry.movingAvg(spark, sf))
+    val streamed = canon(
+      graft.streaming.StreamMovingAvg.streamedMovingAvg(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
   test("stream_markov equals the batch events_markov") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("from_state"), Option(r.getAs[String]("to_state")),
