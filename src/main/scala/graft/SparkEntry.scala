@@ -41,6 +41,11 @@ object SparkEntry {
     "q_quantiles_approx" -> ((s: SparkSession, d: String) => Relational.qQuantilesApprox(s, d)),
     "q_quantiles_cont" -> (Relational.qQuantilesCont _),
     "q_quantiles_hist" -> ((s: SparkSession, d: String) => Relational.qQuantilesHist(s, d)),
+    // C. streaming twin: the bucket census as order-free state (the
+    // mergeable-sketch property run live), snapshot-barrier flush,
+    // batch cumulative walk over the flushed census
+    "stream_quantiles_hist" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamQuantilesHist.streamedQuantilesHist(s, d)),
     "q_skewjoin" -> (Relational.qSkewJoin _),
     "q_nullskew_join" -> (Relational.qNullSkewJoin _),
     "q_bucket_join" -> ((s: SparkSession, d: String) => Relational.qBucketJoin(s, d)),
@@ -139,20 +144,66 @@ object SparkEntry {
     "stream_ewma" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamEwma.streamedEwma(s, d)),
     "events_sliding" -> (Telemetry.sliding _),
+    // B. streaming twin: sliding windows fan ×4 into watermarked
+    // append-mode state; distinct users via the two-level (slot,
+    // user)-cell census — cells emit once, the rollup counts them
+    "stream_sliding" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamSliding.streamedSliding(s, d)),
+    // B. hourly-volume OLS slope per stream: zero hours enter through
+    // closed-form regressor sums (no dense calendar), exact longs
+    "ts_trend" -> (Telemetry.trend _),
+    // B. streaming twin: hour-census state per stream, snapshot
+    // flush, the batch h0/closed-form OLS assembly over the census
+    "stream_trend" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamTrend.streamedTrend(s, d)),
+    // B. Rényi-2 behavioral diversity per user (integer collision
+    // pairs — the text_entropy recipe on the event-type census)
+    "events_diversity" -> (Telemetry.diversity _),
+    // G. streaming twin: per-user type census (vocabulary-bounded),
+    // snapshot flush, batch Rényi-2 rollup over the cells
+    "stream_diversity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamDiversity.streamedDiversity(s, d)),
+    // B. per-device 5-min-slot availability fraction over the
+    // device's own active span (integer slot census, one division)
+    "events_uptime" -> (Telemetry.uptime _),
+    // G. streaming twin: occupied-slot set per device (time-axis
+    // bounded) + event count; span/frac assembled at the flush
+    "stream_uptime" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamUptime.streamedUptime(s, d)),
     "events_ratecap" -> ((s: SparkSession, d: String) => Telemetry.rateCap(s, d)),
     "events_quarantine" -> (Quality.quarantine _),
     "dq_orphans" -> (Quality.orphans _),
     "events_funnel3" -> (Telemetry.funnel3 _),
+    // B. streaming twin: the 3-step retroactive-qualifier chain —
+    // a late earlier signup promotes pending views AND re-qualifies
+    // pending purchases through the moved view_ts
+    "stream_funnel3" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamFunnel3.streamedFunnel3(s, d)),
     "ts_interp" -> (Telemetry.interp _),
     "ts_mad" -> ((s: SparkSession, d: String) => Telemetry.madOutliers(s, d)),
     "events_heatmap" -> (Telemetry.heatmap _),
     "events_journeys" -> ((s: SparkSession, d: String) => Telemetry.journeys(s, d)),
     "ts_ohlc" -> (Telemetry.ohlc _),
     "ts_m4" -> ((s: SparkSession, d: String) => Telemetry.m4(s, d)),
+    // B. streaming twin: watermarked 6h tumbling windows in append
+    // mode — min_by/max_by five-scalar state per open bucket, buckets
+    // close as the watermark passes; time-based sentinel exclusion
+    "stream_m4" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamM4.streamedM4(s, d)),
     "ts_forecast" -> (Telemetry.forecast _),
     "events_basket" -> (Telemetry.basket _),
+    // G. streaming twin: per-user type-set membership emits each
+    // DISTINCT (user, type) cell once, final at arrival (no
+    // sentinel); pair/lift assembly over the cell sink
+    "stream_basket" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamBasket.streamedBasket(s, d)),
     "q_asof_forward" -> (Relational.qAsOfForward _),
     "dq_freshness" -> ((s: SparkSession, d: String) => Quality.freshness(s, d)),
+    // G. streaming twin: per-type high-water mark + 24h-of-type-max
+    // pruned buffer (the corpus window is always a subset); snapshot
+    // flush, type-dimension staleness assembly
+    "stream_freshness" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamFreshness.streamedFreshness(s, d)),
     "q_cdc_apply" -> (Changelog.cdcApply _),
     // G. streaming changelog materialization: the CDC topic as two
     // micro-batches through per-key latest-op election state —
@@ -200,6 +251,13 @@ object SparkEntry {
     "stream_volume" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamVolume.streamedVolume(s, d)),
     "dq_completeness" -> (Quality.completeness _),
+    // G. streaming twin: sharded ten-counter state (the
+    // StreamQuarantine posture), snapshot flush, batch unpivot
+    "stream_completeness" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamCompleteness.streamedCompleteness(s, d)),
+    // G. join-key skew pre-flight: bounded-heap hot-key election over
+    // the key census, null mass as its own headline column
+    "dq_keyskew" -> ((s: SparkSession, d: String) => Quality.keySkew(s, d)),
     "events_rfm" -> (Telemetry.rfm _),
     // G. streaming twin: three-integer per-user state, flushed once
     // at the snapshot barrier; quartile assembly over the census
@@ -212,6 +270,9 @@ object SparkEntry {
     "events_interarrival" -> (Telemetry.interarrival _),
     "text_entropy" -> (TextAnalysis.entropy _),
     "text_novelty" -> (TextAnalysis.novelty _),
+    // F. language-ID confusion matrix + per-language recall (the
+    // eval harness beside the langid heuristic, the ann_recall stance)
+    "text_langid_eval" -> (TextAnalysis.langIdEval _),
     "stream_novelty" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamNovelty.streamedNovelty(s, d)),
     "corpus_curriculum" -> ((s: SparkSession, d: String) => Curation.curriculum(s, d)),
@@ -252,6 +313,13 @@ object SparkEntry {
     "graph_kcore" -> ((s: SparkSession, d: String) => Dedup.kcore(s, d)),
     "ann_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    // E. IVF list-balance audit: per-list load + exact-micro fit mass
+    "ann_index_stats" -> ((s: SparkSession, d: String) =>
+      Similarity.annIndexStats(s, d)),
+    // E. streaming twin: scan-local broadcast-codebook assignment,
+    // O(K) per-list moment state, snapshot-barrier flush
+    "stream_ann_ingest" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamAnnIngest.streamedAnnIngest(s, d)),
     "embed_truncate_eval" -> ((s: SparkSession, d: String) => Similarity.truncateEval(s, d)),
     "dedup_report" -> ((s: SparkSession, d: String) => Dedup.dedupReport(s, d)),
     "dedup_minhash_est" -> ((s: SparkSession, d: String) => Dedup.minhashEstimate(s, d)),
@@ -298,6 +366,11 @@ object SparkEntry {
       TextAnalysis.decontaminateWinnow(s, d)),
     "text_topterms" -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "q_cms_topterms" -> ((s: SparkSession, d: String) => TextAnalysis.cmsTopTerms(s, d)),
+    // F. streaming twin: hash-sharded per-term counters (vocabulary-
+    // bounded state), snapshot-barrier flush, CMS grid + top-k over
+    // the flushed census via the additivity identity
+    "stream_topterms" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamTopTerms.streamedTopTerms(s, d)),
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "sample_strata" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStrata(s, d)),
     "sample_weighted" -> ((s: SparkSession, d: String) => TextAnalysis.sampleWeighted(s, d)),
@@ -346,6 +419,11 @@ object SparkEntry {
     "frame_roundtrip" -> (Frames.roundtrip _),
     "frame_extract" -> (Frames.extract _),
     "frame_stats" -> (Frames.stats _),
+    // A. streaming twin: the live wire decoder — scan-local
+    // UnpackFrame before the stateful shuffle, four integers per
+    // device, snapshot flush
+    "stream_frame_stats" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamFrameStats.streamedFrameStats(s, d)),
     "frame_delta" -> (Frames.delta _),
     "frame_wire" -> ((s: SparkSession, d: String) => Frames.wire(s, d)),
     "frame_resync" -> ((s: SparkSession, d: String) => Frames.resync(s, d)),
@@ -1134,6 +1212,23 @@ object SparkEntry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
       |FROM cells""".stripMargin
 
+  /** The langid marker-count prediction, shared by `text_langid`
+    * (row-level verdicts) and `text_langid_eval` (the confusion
+    * matrix over the same predictions). Yields (doc_id, lang,
+    * pred_lang). */
+  private val langidPredSql: String =
+    """SELECT doc_id, lang,
+      |    CASE WHEN c_de = mx THEN 'de' WHEN c_en = mx THEN 'en' WHEN c_es = mx THEN 'es'
+      |         WHEN c_fr = mx THEN 'fr' WHEN c_zh = mx THEN 'zh' ELSE 'und' END AS pred_lang
+      |  FROM (SELECT doc_id, lang, c_de, c_en, c_es, c_fr, c_zh, greatest(c_de, c_en, c_es, c_fr, c_zh) AS mx FROM (
+      |    SELECT doc_id, lang,
+      |      len(list_filter(toks, x -> x='der' OR x='und' OR x='die' OR x='nicht' OR x='das')) AS c_de,
+      |      len(list_filter(toks, x -> x='the' OR x='and' OR x='of' OR x='to' OR x='is')) AS c_en,
+      |      len(list_filter(toks, x -> x='el' OR x='la' OR x='de' OR x='que' OR x='los')) AS c_es,
+      |      len(list_filter(toks, x -> x='le' OR x='la' OR x='et' OR x='les' OR x='des')) AS c_fr,
+      |      len(list_filter(toks, x -> x='de' OR x='shi' OR x='le' OR x='wo' OR x='bu')) AS c_zh
+      |    FROM (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents) a) b) c""".stripMargin
+
   /** Shared by `dq_benford` and its streaming twin `stream_benford`
     * — per-digit counts must accumulate across the order-key cut. */
   private val benfordSql: String =
@@ -1184,6 +1279,130 @@ object SparkEntry {
 
   /** Shared by `dq_volume` and its streaming twin `stream_volume` —
     * per-(type, day) counts must accumulate across the cut. */
+  private val m4Sql: String =
+      """SELECT user_id,
+        |  make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
+        |  COUNT(*) AS n_points,
+        |  arg_min(value, epoch_us(ts)) AS v_first,
+        |  arg_max(value, epoch_us(ts)) AS v_last,
+        |  MIN(value) AS v_min, MAX(value) AS v_max
+        |FROM events WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  private val funnel3Sql: String =
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS view_ts
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts >= s1.signup_ts GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.view_ts GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.signup_ts, s2.view_ts, s3.purchase_ts,
+        |  CAST(CASE WHEN s3.purchase_ts IS NOT NULL THEN 3
+        |            WHEN s2.view_ts IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS reached_step,
+        |  epoch_us(s3.purchase_ts) - epoch_us(s1.signup_ts) AS total_delay_us
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
+  private val freshnessSql: String =
+      """WITH hwm AS (SELECT MAX(ts) AS corpus_max FROM events)
+        |SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN ts >= corpus_max - INTERVAL 1 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day,
+        |  (epoch_us(MAX(corpus_max)) - epoch_us(MAX(ts))) // 1000000 AS lag_seconds,
+        |  ((epoch_us(MAX(corpus_max)) - epoch_us(MAX(ts))) // 1000000) > 86400 AS is_stale
+        |FROM events CROSS JOIN hwm
+        |GROUP BY event_type""".stripMargin
+
+  private val completenessSql: String =
+      """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+        |    CAST(SUM(CASE WHEN event_type IS NOT NULL AND trim(event_type) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_event_type,
+        |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        |    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        |    CAST(SUM(CASE WHEN props IS NOT NULL AND trim(props) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_props
+        |  FROM events)
+        |SELECT column_name, n_rows, n_null, n_blank,
+        |  CAST(n_rows - n_null - n_blank AS DOUBLE) / CAST(n_rows AS DOUBLE) AS populated_frac
+        |FROM (
+        |  SELECT 'ts' AS column_name, n_rows, null_ts AS n_null, CAST(0 AS BIGINT) AS n_blank FROM s
+        |  UNION ALL SELECT 'user_id', n_rows, null_user_id, CAST(0 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'event_type', n_rows, null_event_type, blank_event_type FROM s
+        |  UNION ALL SELECT 'value', n_rows, null_value, CAST(0 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'props', n_rows, null_props, blank_props FROM s) u""".stripMargin
+
+  private val frameStatsSql: String =
+      """SELECT device_id, COUNT(*) AS n_frames, CAST(SUM(fs) AS BIGINT) AS sample_sum,
+        |  MIN(fmin) AS sample_min, MAX(fmax) AS sample_max,
+        |  CAST(SUM(fs) AS DOUBLE) / CAST(COUNT(*) * 7 AS DOUBLE) AS sample_avg
+        |FROM (
+        |  SELECT user_id AS device_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), ss), (a,b) -> a+b) AS fs,
+        |    list_min(ss) AS fmin, list_max(ss) AS fmax
+        |  FROM (SELECT user_id, event_id,
+        |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768) AS ss
+        |    FROM events
+        |    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL) a) b
+        |GROUP BY device_id""".stripMargin
+
+  private val basketSql: String =
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |m AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+        |u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, ma.n AS n_a, mb.n AS n_b, p.n_ab,
+        |  CAST(p.n_ab * u.n_users AS DOUBLE) / (ma.n * mb.n) AS lift
+        |FROM p JOIN m ma ON ma.event_type = p.type_a
+        |JOIN m mb ON mb.event_type = p.type_b CROSS JOIN u""".stripMargin
+
+  private val uptimeSql: String =
+      """WITH s AS (SELECT user_id, epoch_us(ts) // 300000000 AS slot
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT user_id, slot, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_slots_active,
+        |  MAX(slot) - MIN(slot) + 1 AS n_slots_span,
+        |  CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(MAX(slot) - MIN(slot) + 1 AS DOUBLE) AS uptime_frac
+        |FROM c GROUP BY 1""".stripMargin
+
+  private val diversitySql: String =
+      """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS collisions
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_types, collisions,
+        |  n_events * (n_events - 1) AS pairs,
+        |  CASE WHEN collisions > 0
+        |    THEN CAST(n_events * (n_events - 1) AS DOUBLE) / CAST(collisions AS DOUBLE)
+        |  END AS effective_types
+        |FROM u""".stripMargin
+
+  private val trendSql: String =
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT MIN(h) AS h0, MAX(h) - MIN(h) + 1 AS hn FROM c),
+        |s AS (SELECT event_type, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM((h - (SELECT h0 FROM b)) * y) AS BIGINT) AS sty
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, b.hn AS n_hours, sy AS n_events,
+        |  b.hn * sty - (b.hn * (b.hn - 1) // 2) * sy AS slope_num,
+        |  b.hn * ((b.hn - 1) * b.hn * (2 * b.hn - 1) // 6)
+        |    - (b.hn * (b.hn - 1) // 2) * (b.hn * (b.hn - 1) // 2) AS slope_den,
+        |  CAST(b.hn * sty - (b.hn * (b.hn - 1) // 2) * sy AS DOUBLE) /
+        |    CAST(b.hn * ((b.hn - 1) * b.hn * (2 * b.hn - 1) // 6)
+        |      - (b.hn * (b.hn - 1) // 2) * (b.hn * (b.hn - 1) // 2) AS DOUBLE)
+        |    AS slope_per_hour
+        |FROM s CROSS JOIN b""".stripMargin
+
   private val volumeSql: String =
     """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
       |    COUNT(*) AS n_events
@@ -1429,7 +1648,20 @@ object SparkEntry {
       |    FROM events) a) b
       |GROUP BY user_id, session_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    // streaming twins sharing their batch operator's oracle verbatim
+    // (the twin must recover the batch answer bit-for-bit, including
+    // cross-cut state): declared by reference so the pair can never
+    // drift apart
+    val aliases = Map(
+      "stream_sliding" -> "events_sliding",
+      "stream_quantiles_hist" -> "q_quantiles_hist",
+      "stream_topterms" -> "q_cms_topterms",
+      "stream_ann_ingest" -> "ann_index_stats")
+    oracleSqlBase ++ aliases.map { case (twin, orig) => twin -> oracleSqlBase(orig) }
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1516,18 +1748,8 @@ object SparkEntry {
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |ON e.user_id = p.user_id AND e.ts <= p.pts""".stripMargin,
-    "events_basket" ->
-      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-        |m AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
-        |u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
-        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
-        |  FROM ut a JOIN ut b
-        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
-        |  GROUP BY 1, 2)
-        |SELECT p.type_a, p.type_b, ma.n AS n_a, mb.n AS n_b, p.n_ab,
-        |  CAST(p.n_ab * u.n_users AS DOUBLE) / (ma.n * mb.n) AS lift
-        |FROM p JOIN m ma ON ma.event_type = p.type_a
-        |JOIN m mb ON mb.event_type = p.type_b CROSS JOIN u""".stripMargin,
+    "events_basket" -> basketSql,
+    "stream_basket" -> basketSql,
     // the tolerance variant nulls matches older than 8500 days; the
     // newest right row <= ts is the only candidate, so wrapping the
     // plain as-of in a recency CASE is exactly equivalent
@@ -2039,6 +2261,25 @@ object SparkEntry {
          |  FROM probes p JOIN assign a USING (cid)
          |  WHERE a.vec_id != p.query_id) t
          |WHERE rnk <= 5""".stripMargin,
+    // IVF list-balance audit: same assignment CTE, exact-micro fit
+    // mass (floor(cos*1e6) longs — double sums are order-dependent)
+    "ann_index_stats" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         |scored AS (SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT cid, CAST(FLOOR(ccos * 1000000.0) AS BIGINT) AS cm FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |cells AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |    CAST(SUM(cm) AS BIGINT) AS sum_cos_micro,
+         |    MIN(cm) AS min_cos_micro, MAX(cm) AS max_cos_micro
+         |  FROM assign GROUP BY 1)
+         |SELECT cid, n_vectors, sum_cos_micro, min_cos_micro, max_cos_micro,
+         |  CAST(SUM(n_vectors) OVER () AS BIGINT) AS n_total,
+         |  CAST(n_vectors AS DOUBLE) /
+         |    CAST(CAST(SUM(n_vectors) OVER () AS BIGINT) AS DOUBLE) AS load_share,
+         |  n_vectors * 16 > CAST(SUM(n_vectors) OVER () AS BIGINT) * 2 AS hot
+         |FROM cells""".stripMargin,
     // ann_ivf's probe structure with the rank replaced by a
     // scan-local similarity floor (result size is data-dependent)
     "ann_range" ->
@@ -2222,19 +2463,19 @@ object SparkEntry {
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qs), (a,b) -> a+b) AS BIGINT) AS q_sum,
         |  list_min(qs) AS q_min, list_max(qs) AS q_max
         |FROM q""".stripMargin,
-    "text_langid" ->
-      """SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN c_de = mx THEN 'de' WHEN c_en = mx THEN 'en' WHEN c_es = mx THEN 'es'
-        |         WHEN c_fr = mx THEN 'fr' WHEN c_zh = mx THEN 'zh' ELSE 'und' END AS pred_lang
-        |  FROM (SELECT doc_id, lang, c_de, c_en, c_es, c_fr, c_zh, greatest(c_de, c_en, c_es, c_fr, c_zh) AS mx FROM (
-        |    SELECT doc_id, lang,
-        |      len(list_filter(toks, x -> x='der' OR x='und' OR x='die' OR x='nicht' OR x='das')) AS c_de,
-        |      len(list_filter(toks, x -> x='the' OR x='and' OR x='of' OR x='to' OR x='is')) AS c_en,
-        |      len(list_filter(toks, x -> x='el' OR x='la' OR x='de' OR x='que' OR x='los')) AS c_es,
-        |      len(list_filter(toks, x -> x='le' OR x='la' OR x='et' OR x='les' OR x='des')) AS c_fr,
-        |      len(list_filter(toks, x -> x='de' OR x='shi' OR x='le' OR x='wo' OR x='bu')) AS c_zh
-        |    FROM (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents) a) b) c) d""".stripMargin,
+    "text_langid" -> (s"SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM ($langidPredSql) d"),
+    // F. confusion matrix over the SAME prediction CTE — per-language
+    // totals and cell shares from the cells, never a corpus re-scan
+    "text_langid_eval" ->
+      s"""WITH cells AS (
+        |  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM ($langidPredSql) p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n_docs,
+        |  CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+        |  CAST(n_docs AS DOUBLE) /
+        |    CAST(CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE) AS cell_share,
+        |  lang = pred_lang AS is_diagonal
+        |FROM cells""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, n_chars_actual, n_tokens, avg_token_len, punct_ratio, digit_ratio, stop_ratio,
         |  (n_tokens >= 10 AND punct_ratio < 0.1) AS is_quality
@@ -3040,19 +3281,8 @@ object SparkEntry {
         |  CAST(24 AS BIGINT) AS frame_bytes
         |FROM events
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL""".stripMargin,
-    "frame_stats" ->
-      """SELECT device_id, COUNT(*) AS n_frames, CAST(SUM(fs) AS BIGINT) AS sample_sum,
-        |  MIN(fmin) AS sample_min, MAX(fmax) AS sample_max,
-        |  CAST(SUM(fs) AS DOUBLE) / CAST(COUNT(*) * 7 AS DOUBLE) AS sample_avg
-        |FROM (
-        |  SELECT user_id AS device_id,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), ss), (a,b) -> a+b) AS fs,
-        |    list_min(ss) AS fmin, list_max(ss) AS fmax
-        |  FROM (SELECT user_id, event_id,
-        |    list_transform(range(0,7), i -> (event_id*7 + i*13 + CAST(FLOOR(value) AS BIGINT)) % 32768) AS ss
-        |    FROM events
-        |    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL) a) b
-        |GROUP BY device_id""".stripMargin,
+    "frame_stats" -> frameStatsSql,
+    "stream_frame_stats" -> frameStatsSql,
     "frame_wire" ->
       """SELECT user_id AS device_id, COUNT(*) AS n_frames,
         |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -3393,21 +3623,8 @@ object SparkEntry {
         |      ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rnk
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
         |WHERE rnk <= 3""".stripMargin,
-    "events_funnel3" ->
-      """WITH s1 AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
-        |  WHERE event_type = 'signup' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, MIN(e.ts) AS view_ts
-        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'view' AND e.ts >= s1.signup_ts GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
-        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.view_ts GROUP BY e.user_id)
-        |SELECT s1.user_id, s1.signup_ts, s2.view_ts, s3.purchase_ts,
-        |  CAST(CASE WHEN s3.purchase_ts IS NOT NULL THEN 3
-        |            WHEN s2.view_ts IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS reached_step,
-        |  epoch_us(s3.purchase_ts) - epoch_us(s1.signup_ts) AS total_delay_us
-        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    "events_funnel3" -> funnel3Sql,
+    "stream_funnel3" -> funnel3Sql,
     // interpolant: fixed tree of correctly-rounded IEEE ops over exact
     // integer-µs deltas; per-hour export sums floor(v·1e6) integers
     "ts_interp" ->
@@ -3554,14 +3771,8 @@ object SparkEntry {
     "ts_ohlc" -> ohlcSql,
     // arg_min/arg_max keys are unique per (user, ts) — the ohlc
     // determinism contract; bucket ids by integer µs division
-    "ts_m4" ->
-      """SELECT user_id,
-        |  make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
-        |  COUNT(*) AS n_points,
-        |  arg_min(value, epoch_us(ts)) AS v_first,
-        |  arg_max(value, epoch_us(ts)) AS v_last,
-        |  MIN(value) AS v_min, MAX(value) AS v_max
-        |FROM events WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "ts_m4" -> m4Sql,
+    "stream_m4" -> m4Sql,
     "stream_ohlc" -> ohlcSql,
     "ts_forecast" ->
       """WITH daily AS (
@@ -3575,14 +3786,8 @@ object SparkEntry {
         |FROM daily a LEFT JOIN daily b
         |  ON b.event_type = a.event_type
         |  AND b.day_us = a.day_us - 604800000000""".stripMargin,
-    "dq_freshness" ->
-      """WITH hwm AS (SELECT MAX(ts) AS corpus_max FROM events)
-        |SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events,
-        |  CAST(SUM(CASE WHEN ts >= corpus_max - INTERVAL 1 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day,
-        |  (epoch_us(MAX(corpus_max)) - epoch_us(MAX(ts))) // 1000000 AS lag_seconds,
-        |  ((epoch_us(MAX(corpus_max)) - epoch_us(MAX(ts))) // 1000000) > 86400 AS is_stale
-        |FROM events CROSS JOIN hwm
-        |GROUP BY event_type""".stripMargin,
+    "dq_freshness" -> freshnessSql,
+    "stream_freshness" -> freshnessSql,
     "q_pareto" ->
       """WITH rev AS (
         |  SELECT l_partkey,
@@ -3777,6 +3982,18 @@ object SparkEntry {
     // integer cross-multiplied VMR: gap hours enter only through the
     // global hour-range cardinality (zeros add nothing to the sums)
     "events_dispersion" -> dispersionSql,
+    // hourly-volume OLS slope: zero hours enter through closed-form
+    // regressor sums over the global hour range; exact longs, one
+    // double division
+    "ts_trend" -> trendSql,
+    "stream_trend" -> trendSql,
+    // per-device 5-min-slot availability over the device's own span
+    "events_uptime" -> uptimeSql,
+    "stream_uptime" -> uptimeSql,
+    // Rényi-2 behavioral diversity: integer collision pairs over the
+    // (user, type) census; single-event users report NULL
+    "events_diversity" -> diversitySql,
+    "stream_diversity" -> diversitySql,
     // streaming twin: the same staged hourly census as stream_xcorr,
     // VMR rollup over the final sink — identical by construction
     "stream_dispersion" -> dispersionSql,
@@ -3884,24 +4101,24 @@ object SparkEntry {
         |FROM c, t""".stripMargin,
     "dq_volume" -> volumeSql,
     "stream_volume" -> volumeSql,
-    "dq_completeness" ->
-      """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
-        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
-        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
-        |    CAST(SUM(CASE WHEN event_type IS NOT NULL AND trim(event_type) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_event_type,
-        |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
-        |    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
-        |    CAST(SUM(CASE WHEN props IS NOT NULL AND trim(props) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_props
-        |  FROM events)
-        |SELECT column_name, n_rows, n_null, n_blank,
-        |  CAST(n_rows - n_null - n_blank AS DOUBLE) / CAST(n_rows AS DOUBLE) AS populated_frac
-        |FROM (
-        |  SELECT 'ts' AS column_name, n_rows, null_ts AS n_null, CAST(0 AS BIGINT) AS n_blank FROM s
-        |  UNION ALL SELECT 'user_id', n_rows, null_user_id, CAST(0 AS BIGINT) FROM s
-        |  UNION ALL SELECT 'event_type', n_rows, null_event_type, blank_event_type FROM s
-        |  UNION ALL SELECT 'value', n_rows, null_value, CAST(0 AS BIGINT) FROM s
-        |  UNION ALL SELECT 'props', n_rows, null_props, blank_props FROM s) u""".stripMargin,
+    "dq_completeness" -> completenessSql,
+    "stream_completeness" -> completenessSql,
+    // join-key skew pre-flight: hot keys by (count DESC, key ASC),
+    // NULL mass its own column, skew factor = n*K/N (one division)
+    "dq_keyskew" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(COALESCE(SUM(CASE WHEN user_id IS NULL THEN n END), 0) AS BIGINT) AS null_rows
+        |  FROM c),
+        |top AS (SELECT user_id, n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rnk
+        |  FROM c WHERE user_id IS NOT NULL)
+        |SELECT rnk, user_id, n, n_rows, n_keys, null_rows,
+        |  CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+        |  CAST(n * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_factor
+        |FROM top CROSS JOIN s WHERE rnk <= 10""".stripMargin,
     "q_mode" ->
       """WITH census AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
         |  FROM customer GROUP BY 1, 2)

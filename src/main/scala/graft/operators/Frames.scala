@@ -21,7 +21,7 @@ import graft.sources.Tables
 object Frames {
 
   /** events → packed frames → parsed columns. */
-  private def parsedFrames(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def parsedFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val samples = transform(sequence(lit(0L), lit(6L)),
       i => ($"event_id" * 7 + i * 13 + floor($"value").cast(LongType)) % 32768)
@@ -312,7 +312,7 @@ object Frames {
   /** Per-device stats over parsed sample payloads. */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    parsedFrames(spark, dir)
+    statsAssembly(parsedFrames(spark, dir)
       .select($"parsed.device".cast(LongType).as("device_id"),
         aggregate(transform($"parsed.samples", s => s.cast(LongType)), lit(0L), _ + _)
           .as("frame_sum"),
@@ -322,8 +322,18 @@ object Frames {
       .agg(count(lit(1)).as("n_frames"),
         sum($"frame_sum").as("sample_sum"),
         min($"frame_min").as("sample_min"),
-        max($"frame_max").as("sample_max"),
-        (sum($"frame_sum").cast(DoubleType) / (count(lit(1)) * 7).cast(DoubleType))
-          .as("sample_avg"))
+        max($"frame_max").as("sample_max")))
+  }
+
+  /** The final per-device projection of [[stats]], shared with the
+    * streaming twin (StreamFrameStats): `perDev` = (device_id,
+    * n_frames, sample_sum, sample_min, sample_max) — only the avg
+    * division happens here, over device-dimension rows. */
+  def statsAssembly(perDev: DataFrame): DataFrame = {
+    import perDev.sparkSession.implicits._
+    perDev.select($"device_id", $"n_frames", $"sample_sum",
+      $"sample_min", $"sample_max",
+      ($"sample_sum".cast(DoubleType) / ($"n_frames" * 7).cast(DoubleType))
+        .as("sample_avg"))
   }
 }

@@ -298,6 +298,16 @@ object Quality {
         nNull($"event_type").as("null_event_type"), nBlank($"event_type").as("blank_event_type"),
         nNull($"value").as("null_value"), lit(0L).as("blank_value"),
         nNull($"props").as("null_props"), nBlank($"props").as("blank_props"))
+    completenessAssembly(one)
+  }
+
+  /** The post-census unpivot of [[completeness]], shared with the
+    * streaming twin (StreamCompleteness): `one` is the single
+    * 11-counter row (n_rows + null/blank per column) — the stack and
+    * the populated fraction run over 5 rows however large the
+    * corpus. */
+  def completenessAssembly(one: DataFrame): DataFrame = {
+    import one.sparkSession.implicits._
     one.select($"n_rows", expr(
       """stack(5,
         |  'ts', null_ts, blank_ts,
@@ -308,5 +318,42 @@ object Quality {
       .select($"column_name", $"n_rows", $"n_null", $"n_blank",
         (($"n_rows" - $"n_null" - $"n_blank").cast(DoubleType) /
           $"n_rows".cast(DoubleType)).as("populated_frac"))
+  }
+
+  /** Join-key skew profile (`dq_keyskew`) — the pre-flight in front
+    * of every fact-fact join: the top-k hottest values of the join
+    * key with their share of the table, the distinct-key count, and
+    * the NULL mass as its own headline (nulls are the classic
+    * one-reducer key; [[graft.operators.Skew]] salts the hot keys,
+    * q_nullskew_join routes the nulls — this operator is how a
+    * pipeline decides to reach for either). skew_factor = n·K/N is
+    * the hot key's multiple of uniform load (1.0 = even), from exact
+    * integer products with one double division.
+    *
+    * Scale: the key census partial-aggregates map-side (shuffle ∝
+    * distinct keys); the hot-key election is the bounded-heap
+    * aggregate over the CELLS (≤ k pairs per buffer cross the final
+    * shuffle — the ROW_NUMBER formulation would sort every distinct
+    * key), and the stats rollup rides the same checkpointed census.
+    * Counts are exact in the heap's double (< 2⁵³). */
+  def keySkew(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val stats = cells.agg(
+      sum($"n").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      coalesce(sum(when($"user_id".isNull, $"n")), lit(0L)).as("null_rows"))
+    val top = cells.filter($"user_id".isNotNull)
+      .agg(graft.plans.Sketch.topKPairs($"n".cast(DoubleType), $"user_id", k).as("top"))
+      .select(posexplode($"top"))
+      .select(($"pos" + 1).cast(LongType).as("rnk"),
+        $"col.key".as("user_id"), $"col.value".cast(LongType).as("n"))
+    top.crossJoin(broadcast(stats))
+      .select($"rnk", $"user_id", $"n", $"n_rows", $"n_keys", $"null_rows",
+        ($"n".cast(DoubleType) / $"n_rows".cast(DoubleType)).as("share"),
+        (($"n" * $"n_keys").cast(DoubleType) /
+          $"n_rows".cast(DoubleType)).as("skew_factor"))
   }
 }

@@ -782,6 +782,18 @@ object Relational {
       .groupBy($"l_returnflag",
         floor($"l_extendedprice" / lit(width)).cast(LongType).as("bucket"))
       .agg(count(lit(1)).as("c"))
+    quantilesHistAssembly(b, width)
+  }
+
+  /** The post-census walk of [[qQuantilesHist]], shared with the
+    * streaming twin (StreamQuantilesHist): everything here reduces
+    * the (flag, bucket, c) histogram — ∝ occupied buckets, never
+    * rows. The per-partition histograms the census merges by vector
+    * addition are exactly what a streaming state store accumulates,
+    * which is why the twin shares this code verbatim. */
+  def quantilesHistAssembly(b: DataFrame, width: Double = 500.0d): DataFrame = {
+    val spark = b.sparkSession
+    import spark.implicits._
     val byFlag = Window.partitionBy($"l_returnflag")
     val cum = b
       .withColumn("cumc", sum($"c").over(

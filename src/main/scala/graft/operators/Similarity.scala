@@ -1114,4 +1114,61 @@ object Similarity {
       .select($"query_id", $"col.key".as("neighbor_id"),
         $"col.value".as("cosine"), ($"pos" + 1).cast(LongType).as("rnk"))
   }
+
+  /** IVF index balance audit (`ann_index_stats`) — the pre-flight a
+    * serving deployment runs on its inverted lists: per centroid
+    * list, member count, load share vs the corpus, and the
+    * assignment-quality mass (how well members fit their centroid).
+    * An imbalanced index (a hot list holding a big corpus fraction)
+    * makes every probe of that list pay the imbalance — the signal
+    * that the codebook needs re-training (embed_kmeans) or the
+    * probe count needs raising.
+    *
+    * Engine-exactness: per-member centroid cosines are fold-exact
+    * doubles, but SUMMING doubles is aggregation-order-dependent —
+    * so the quality mass accumulates as Σ floor(cos·10⁶) exact longs
+    * (the embed_profile discipline), min/max ride the same integer
+    * unit, and the only double emitted is the load share (one
+    * division). The `hot` verdict is an integer cross-multiplication
+    * (n·K > 2N ⟺ load > 2× uniform) that can never round apart.
+    *
+    * Scale: one broadcast-codebook assignment pass (the ivfTopK
+    * plan), then a partial-aggregated rollup to K rows; the share
+    * window runs over the K-row aggregate. */
+  def annIndexStats(spark: SparkSession, dir: String,
+      nCentroids: Int = 16): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val cents = emb.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid",
+        (VecFns.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm")).as("ccos"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+    val assigned = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"cid", floor($"ccos" * lit(1000000.0d)).cast(LongType).as("cos_micro"))
+    annIndexStatsAssembly(
+      assigned.groupBy($"cid")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum($"cos_micro").as("sum_cos_micro"),
+          min($"cos_micro").as("min_cos_micro"),
+          max($"cos_micro").as("max_cos_micro")),
+      nCentroids)
+  }
+
+  /** The post-census assembly of [[annIndexStats]], shared with the
+    * streaming twin (StreamAnnIngest): share + hot verdict over the
+    * K-row list census. */
+  def annIndexStatsAssembly(cells: DataFrame, nCentroids: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells
+      .withColumn("n_total", sum($"n_vectors").over(
+        Window.partitionBy()).cast(LongType))
+      .select($"cid", $"n_vectors", $"sum_cos_micro", $"min_cos_micro",
+        $"max_cos_micro", $"n_total",
+        ($"n_vectors".cast(DoubleType) / $"n_total".cast(DoubleType)).as("load_share"),
+        ($"n_vectors" * lit(nCentroids.toLong) > $"n_total" * lit(2L)).as("hot"))
+  }
 }

@@ -1207,8 +1207,16 @@ object Telemetry {
     */
   def basket(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ut = Tables.events(spark, dir)
-      .select($"user_id", $"event_type").distinct()
+    basketAssembly(Tables.events(spark, dir)
+      .select($"user_id", $"event_type").distinct())
+  }
+
+  /** The post-distinct assembly of [[basket]], shared with the
+    * streaming twin (StreamBasket): marginals, pair self-join and
+    * lift over the DISTINCT (user, type) cell table — at most
+    * #users × #types rows however large the raw stream. */
+  def basketAssembly(ut: DataFrame): DataFrame = {
+    import ut.sparkSession.implicits._
     val marginals = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
     val nUsers = ut.groupBy().agg(countDistinct($"user_id").as("n_users"))
     val pairs = ut.as("a")
@@ -1737,5 +1745,141 @@ object Telemetry {
         max(when($"rn" === expr("(9 * n + 9) div 10"), $"gap_us")).as("p90_us"),
         max(when($"rn" === expr("(99 * n + 99) div 100"), $"gap_us")).as("p99_us"),
         max($"gap_us").as("max_us"))
+  }
+
+  /** Hourly-volume trend per stream (`ts_trend`): the ordinary-least-
+    * squares slope of event volume over the corpus' hour calendar —
+    * the capacity-planning complement of [[dispersion]] ("how bursty")
+    * and [[seasonal]] ("when"): is the load GROWING, and how fast per
+    * hour. A stream whose slope clears the fleet's provisioning rate
+    * is the one that pages capacity planning before it pages on-call.
+    *
+    * Gap hours are zero observations (a silent hour is evidence of
+    * decline, not missing data) — and like [[dispersion]] no dense
+    * calendar materializes: over the GLOBAL hour range 0..H−1
+    * (indices normalized to the corpus' first hour, a 1-row driver
+    * reduction) the regressor sums are closed forms — Σt = H(H−1)/2,
+    * Σt² = (H−1)H(2H−1)/6 — and zero-volume hours contribute nothing
+    * to Σy or Σty, so only occupied cells are ever touched. The slope
+    * assembles from exact longs (num = H·Σty − Σt·Σy,
+    * den = H·Σt² − (Σt)², both emitted for the gate) with ONE double
+    * division — engine-exact, no libm. Normalizing t to the corpus
+    * origin also keeps every product far from Long overflow (t ≤ H
+    * instead of ~5·10⁵ epoch-hours).
+    *
+    * Scale: one partial-aggregated (stream, hour) census is the only
+    * corpus-sized pass; the per-stream rollup carries two sums. */
+  def trend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // pmod-floor hour bucket (DuckDB `//` floors, Spark DIV truncates)
+    val cells = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .select($"event_type",
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").as("h"))
+      .groupBy($"event_type", $"h").agg(count(lit(1)).as("y"))
+    trendAssembly(cells)
+  }
+
+  /** The post-census assembly of [[trend]], shared with the streaming
+    * twin (StreamTrend): the h0/H driver reduction, closed-form
+    * regressor sums, and the per-stream rollup — everything here runs
+    * over the (stream, hour, y) census, ∝ occupied hours, never
+    * events. */
+  def trendAssembly(cells: DataFrame): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val b = cells.agg(min($"h"), max($"h")).head()
+    if (b.isNullAt(0)) return spark.emptyDataFrame
+    val h0 = b.getLong(0)
+    val hN = b.getLong(1) - h0 + 1L
+    val st = hN * (hN - 1L) / 2L
+    val st2 = (hN - 1L) * hN * (2L * hN - 1L) / 6L
+    cells
+      .withColumn("t", $"h" - lit(h0))
+      .groupBy($"event_type")
+      .agg(sum($"y").as("sy"), sum($"t" * $"y").as("sty"))
+      .select($"event_type", lit(hN).as("n_hours"), $"sy".as("n_events"),
+        (lit(hN) * $"sty" - lit(st) * $"sy").as("slope_num"),
+        lit(hN * st2 - st * st).as("slope_den"),
+        ((lit(hN) * $"sty" - lit(st) * $"sy").cast(DoubleType) /
+          lit((hN * st2 - st * st).toDouble)).as("slope_per_hour"))
+  }
+
+  /** Behavioral diversity per user (`events_diversity`): the Rényi-2
+    * collision index of each user's event-type distribution — the
+    * bot/monoculture gate on the BEHAVIOR axis that
+    * [[graft.operators.TextAnalysis]]'s text_entropy applies to
+    * characters: a scripted device hammers one event type (effective
+    * types → 1) while organic usage spreads over the surface. Exact
+    * integer arithmetic throughout — collision pairs Σc·(c−1) over
+    * the per-type census vs total pairs N·(N−1) — because Shannon
+    * entropy's ln() is libm and not cross-engine reproducible (the
+    * text_entropy lesson); effective_types = N(N−1)/Σc(c−1) is ONE
+    * IEEE division. Single-event users have no pairs and report NULL
+    * (no evidence either way), exactly as the oracle's NULLIF.
+    *
+    * Scale: the (user, type) census partial-aggregates map-side
+    * (shuffle ∝ occupied cells, never events); the per-user rollup
+    * rides the same key so the exchange is paid once. */
+  /** Fleet availability audit (`events_uptime`): per device, the
+    * fraction of 5-minute slots in its OWN active span (first event →
+    * last event) that saw at least one event — the "was the device
+    * actually reporting" health number beside [[sessionWindows]]'
+    * gap view: a device with 40% uptime and healthy sessions is a
+    * duty-cycled sensor; one with 99.9% and a single hole is an
+    * outage. All integers — slot ids by pmod-floor µs division
+    * (engine-exact pre-1970), active = distinct occupied slots, span
+    * = last − first + 1 — with ONE final double division.
+    *
+    * Scale: the (device, slot) census partial-aggregates map-side
+    * (shuffle ∝ occupied slots, never events); the per-device rollup
+    * rides the same key. NULL-ts rows carry no slot evidence and are
+    * filtered scan-side (spelled in the oracle identically). */
+  def uptime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    uptimeAssembly(Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .select($"user_id",
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 300000000)) DIV 300000000").as("slot"))
+      .groupBy($"user_id", $"slot").agg(count(lit(1)).as("n")))
+  }
+
+  /** The post-census rollup of [[uptime]], shared with the streaming
+    * twin (StreamUptime): per-device slot census → span/active/frac;
+    * ∝ occupied slots, never events. `cells` = (user_id, slot, n). */
+  def uptimeAssembly(cells: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
+    cells
+      .groupBy($"user_id")
+      .agg(sum($"n").as("n_events"),
+        count(lit(1)).as("n_slots_active"),
+        (max($"slot") - min($"slot") + 1L).as("n_slots_span"))
+      .withColumn("uptime_frac",
+        $"n_slots_active".cast(DoubleType) / $"n_slots_span".cast(DoubleType))
+  }
+
+  def diversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    diversityAssembly(Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c")))
+  }
+
+  /** The post-census rollup of [[diversity]], shared with the
+    * streaming twin (StreamDiversity): the Rényi-2 collision index
+    * over the (user, type, c) census — ∝ occupied cells, never
+    * events. */
+  def diversityAssembly(cells: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
+    cells
+      .groupBy($"user_id")
+      .agg(sum($"c").as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum($"c" * ($"c" - 1L)).as("collisions"))
+      .select($"user_id", $"n_events", $"n_types", $"collisions",
+        ($"n_events" * ($"n_events" - 1L)).as("pairs"),
+        when($"collisions" > 0L,
+          ($"n_events" * ($"n_events" - 1L)).cast(DoubleType) /
+            $"collisions".cast(DoubleType))
+          .as("effective_types"))
   }
 }

@@ -241,7 +241,6 @@ object TextAnalysis {
     * bounded by the bucket-collision mass. */
   def cmsTopTerms(spark: SparkSession, dir: String, k: Int = 20, w: Int = 1024): DataFrame = {
     import spark.implicits._
-    import graft.plans.{CountMin, Sketch}
     val terms = Tables.documents(spark, dir)
       .select($"doc_id", explode(array_distinct(TextFns.tokens($"text"))).as("term"))
     // one corpus pass: the exact per-term counts feed BOTH the top-k
@@ -250,6 +249,20 @@ object TextAnalysis {
     // two branches share the groupBy exchange instead of each
     // re-scanning and re-exploding the corpus
     val byTerm = terms.groupBy($"term").agg(count(lit(1)).as("doc_freq"))
+    cmsTopTermsAssembly(byTerm, k, w)
+  }
+
+  /** The post-census assembly of [[cmsTopTerms]], shared with the
+    * streaming twin (StreamTopTerms): grid build + top-k + estimate
+    * lookups all reduce the (term, doc_freq) census — vocabulary-
+    * sized, never the corpus. Building the grid from the census
+    * rather than per occurrence is exactly the weighted-update
+    * additivity the batch operator already exploits, which is what
+    * makes a streamed census a faithful CMS feed. */
+  def cmsTopTermsAssembly(byTerm: DataFrame, k: Int = 20, w: Int = 1024): DataFrame = {
+    val spark = byTerm.sparkSession
+    import spark.implicits._
+    import graft.plans.{CountMin, Sketch}
     val cms = byTerm.agg(
       Sketch.countMinWeighted(HashFns.polyHash($"term"), $"doc_freq", w).as("cms"))
     val top = byTerm
@@ -1003,6 +1016,31 @@ object TextAnalysis {
       .select($"doc_id", $"n_grams", $"n_seen_before",
         (lit(1.0d) - $"n_seen_before".cast(DoubleType) /
           $"n_grams".cast(DoubleType)).as("novelty_frac"))
+  }
+
+  /** Language-ID evaluation harness (`text_langid_eval`): the
+    * confusion matrix of [[langId]]'s marker-count prediction against
+    * the labeled `lang` column, with per-true-language totals and
+    * recall — the [[graft.operators.Similarity]] ann_recall stance
+    * applied to the classifier: an eval harness beside every
+    * approximate component, so "the heuristic is good enough" is a
+    * measured number, not a belief. Cells are exact integer counts;
+    * recall (cell share of its true-language row) is ONE division of
+    * longs, and both margins derive from the CELLS (≤ langs² of them)
+    * — the corpus is scanned once, by the classifier itself.
+    *
+    * Scale: [[langId]] is scan-local; the confusion census
+    * partial-aggregates map-side (shuffle ∝ occupied cells, never
+    * documents), margins ride a cells-sized window. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = langId(spark, dir)
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n_docs"))
+    cells
+      .withColumn("n_lang", sum($"n_docs").over(Window.partitionBy($"lang")))
+      .select($"lang", $"pred_lang", $"n_docs", $"n_lang",
+        ($"n_docs".cast(DoubleType) / $"n_lang".cast(DoubleType)).as("cell_share"),
+        ($"lang" === $"pred_lang").as("is_diagonal"))
   }
 
 }

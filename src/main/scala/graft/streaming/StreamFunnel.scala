@@ -37,9 +37,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamFunnel {
 
-  case class Ev(user_id: Long, ts_us: Long, typ: String, sentinel: Boolean)
+  case class Ev(user_id: Option[Long], ts_us: Long, typ: String, sentinel: Boolean)
   case class FunnelState(minSignup: Long, qualMin: Long, pend: Seq[Long])
-  case class FunnelOut(user_id: Long, signup_us: Long, purchase_us: Option[Long])
+  case class FunnelOut(user_id: Option[Long], signup_us: Long, purchase_us: Option[Long])
 
   private val None_ = Long.MaxValue
 
@@ -56,6 +56,9 @@ object StreamFunnel {
           var flush = false
           it.foreach { e =>
             if (e.sentinel) flush = true
+            // a NULL user never equi-joins in the batch shape: its
+            // purchases can't qualify against its signups
+            else if (uid.isEmpty && e.typ != "signup") ()
             else if (e.typ == "signup") {
               if (e.ts_us < s.minSignup) {
                 // a lower min signup legitimizes pending purchases at

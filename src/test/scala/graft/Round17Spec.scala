@@ -186,14 +186,14 @@ class Round17Spec extends SparkSpec {
       .writeStream.outputMode("append").format("memory").queryName("sfun_out").start()
     try {
       // batch 1: a purchase with NO signup yet — it must pend, not drop
-      mem.addData(Ev(1L, 100L, "purchase", sentinel = false))
+      mem.addData(Ev(Some(1L), 100L, "purchase", sentinel = false))
       q.processAllAvailable()
       assert(spark.table("sfun_out").count() == 0L)
       // batch 2: an EARLIER signup arrives; the pended purchase now qualifies
-      mem.addData(Ev(1L, 50L, "signup", sentinel = false))
+      mem.addData(Ev(Some(1L), 50L, "signup", sentinel = false))
       q.processAllAvailable()
       // sentinel: flush
-      mem.addData(Ev(1L, 0L, "S", sentinel = true))
+      mem.addData(Ev(Some(1L), 0L, "S", sentinel = true))
       q.processAllAvailable()
       val out = spark.table("sfun_out").collect()
       assert(out.length == 1)
