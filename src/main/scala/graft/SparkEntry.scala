@@ -173,6 +173,11 @@ object SparkEntry {
     "events_ratecap" -> ((s: SparkSession, d: String) => Telemetry.rateCap(s, d)),
     "events_quarantine" -> (Quality.quarantine _),
     "dq_orphans" -> (Quality.orphans _),
+    // G. streaming twin: stream-static FK probe per micro-batch
+    // (parents are static dims), sharded two-counter state, barrier
+    // flush, fk-dimension rollup
+    "stream_orphans" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOrphans.streamedOrphans(s, d)),
     "events_funnel3" -> (Telemetry.funnel3 _),
     // B. streaming twin: the 3-step retroactive-qualifier chain —
     // a late earlier signup promotes pending views AND re-qualifies
@@ -191,6 +196,10 @@ object SparkEntry {
     "stream_m4" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamM4.streamedM4(s, d)),
     "ts_forecast" -> (Telemetry.forecast _),
+    // G. streaming twin: the StreamVolume day-census state reused
+    // verbatim; barrier flush, batch day-7 self-join assembly
+    "stream_forecast" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamForecast.streamedForecast(s, d)),
     "events_basket" -> (Telemetry.basket _),
     // G. streaming twin: per-user type-set membership emits each
     // DISTINCT (user, type) cell once, final at arrival (no
@@ -214,6 +223,11 @@ object SparkEntry {
       graft.streaming.StreamCdc.streamedCdc(s, d)),
     "q_scd2" -> (Changelog.scd2 _),
     "ts_autocorr" -> (Telemetry.autocorr _),
+    // G. streaming twin: O(1) delay-line state per stream emits lag
+    // pairs final at arrival (no sentinel); decimal power-sum
+    // assembly over the pair sink
+    "stream_autocorr" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamAutocorr.streamedAutocorr(s, d)),
     "ts_xcorr" -> ((s: SparkSession, d: String) => Telemetry.xcorr(s, d)),
     "stream_xcorr" -> ((s: SparkSession, d: String) => graft.streaming.StreamXcorr.streamedXcorr(s, d)),
     "events_alerts" -> ((s: SparkSession, d: String) => Telemetry.alerts(s, d)),
@@ -244,6 +258,12 @@ object SparkEntry {
     "stream_benford" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamBenford.streamedBenford(s, d)),
     "dq_uniqueness" -> (Quality.uniqueness _),
+    // G. streaming twin: running-multiplicity emission — per-key
+    // counter state (all three candidates in ONE pass), every
+    // arrival emits its key's new multiplicity, final at arrival;
+    // the batch headlines are plain aggregates of the emission log
+    "stream_uniqueness" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamUniqueness.streamedUniqueness(s, d)),
     "dq_drift" -> (Quality.drift _),
     "dq_volume" -> (Quality.volume _),
     // G. streaming twin: per-type day census (time-axis bounded),
@@ -258,6 +278,10 @@ object SparkEntry {
     // G. join-key skew pre-flight: bounded-heap hot-key election over
     // the key census, null mass as its own headline column
     "dq_keyskew" -> ((s: SparkSession, d: String) => Quality.keySkew(s, d)),
+    // G. streaming twin: one counter per key, barrier flush, batch
+    // stats + bounded-heap election over the flushed census
+    "stream_keyskew" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamKeySkew.streamedKeySkew(s, d)),
     "events_rfm" -> (Telemetry.rfm _),
     // G. streaming twin: three-integer per-user state, flushed once
     // at the snapshot barrier; quartile assembly over the census
@@ -1279,6 +1303,82 @@ object SparkEntry {
 
   /** Shared by `dq_volume` and its streaming twin `stream_volume` —
     * per-(type, day) counts must accumulate across the cut. */
+  private val orphansSql: String =
+      """SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_child,
+        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'orders->customer', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'events->customer', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+
+  private val forecastSql: String =
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, make_timestamp(a.day_us) AS day, a.n_events,
+        |  b.n_events AS forecast,
+        |  CASE WHEN b.n_events IS NOT NULL
+        |    THEN abs(a.n_events - b.n_events) END AS abs_err
+        |FROM daily a LEFT JOIN daily b
+        |  ON b.event_type = a.event_type
+        |  AND b.day_us = a.day_us - 604800000000""".stripMargin
+
+  private val autocorrSql: String =
+      """WITH p AS (SELECT event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS y,
+        |    LAG(CAST(value AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
+        |  FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM p WHERE x IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_pairs,
+        |  (n_pairs * sxy - sx * sy) /
+        |    (sqrt(n_pairs * sxx - sx * sx) * sqrt(n_pairs * syy - sy * sy)) AS autocorr
+        |FROM s""".stripMargin
+
+  private val uniquenessSql: String =
+      """WITH a AS (SELECT COUNT(*) AS n FROM events GROUP BY event_id),
+        |b AS (SELECT COUNT(*) AS n FROM events GROUP BY user_id, ts),
+        |c AS (SELECT COUNT(*) AS n FROM events GROUP BY user_id, event_type, ts)
+        |SELECT 'event_id' AS key_cols, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_keys,
+        |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_keys,
+        |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_surplus_rows,
+        |  MAX(n) AS max_multiplicity FROM a
+        |UNION ALL
+        |SELECT 'user_id,ts', CAST(SUM(n) AS BIGINT), COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT),
+        |  CAST(SUM(n) - COUNT(*) AS BIGINT), MAX(n) FROM b
+        |UNION ALL
+        |SELECT 'user_id,event_type,ts', CAST(SUM(n) AS BIGINT), COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT),
+        |  CAST(SUM(n) - COUNT(*) AS BIGINT), MAX(n) FROM c""".stripMargin
+
+  private val keySkewSql: String =
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(COALESCE(SUM(CASE WHEN user_id IS NULL THEN n END), 0) AS BIGINT) AS null_rows
+        |  FROM c),
+        |top AS (SELECT user_id, n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rnk
+        |  FROM c WHERE user_id IS NOT NULL)
+        |SELECT rnk, user_id, n, n_rows, n_keys, null_rows,
+        |  CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+        |  CAST(n * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_factor
+        |FROM top CROSS JOIN s WHERE rnk <= 10""".stripMargin
+
   private val m4Sql: String =
       """SELECT user_id,
         |  make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
@@ -3556,18 +3656,8 @@ object SparkEntry {
     // streaming twin on the SAME oracle: scan-local flags fold into
     // per-shard counter state across the staged cut
     "stream_quarantine" -> quarantineSql,
-    "dq_orphans" ->
-      """SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_child,
-        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
-        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |UNION ALL
-        |SELECT 'orders->customer', COUNT(*),
-        |  CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-        |UNION ALL
-        |SELECT 'events->customer', COUNT(*),
-        |  CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "dq_orphans" -> orphansSql,
+    "stream_orphans" -> orphansSql,
     // the heap election replays as the window formulation it replaces
     "events_ratecap" -> ratecapSql,
     // streaming twin on the SAME oracle: keeper sets and totals fold
@@ -3774,18 +3864,8 @@ object SparkEntry {
     "ts_m4" -> m4Sql,
     "stream_m4" -> m4Sql,
     "stream_ohlc" -> ohlcSql,
-    "ts_forecast" ->
-      """WITH daily AS (
-        |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
-        |    COUNT(*) AS n_events
-        |  FROM events GROUP BY 1, 2)
-        |SELECT a.event_type, make_timestamp(a.day_us) AS day, a.n_events,
-        |  b.n_events AS forecast,
-        |  CASE WHEN b.n_events IS NOT NULL
-        |    THEN abs(a.n_events - b.n_events) END AS abs_err
-        |FROM daily a LEFT JOIN daily b
-        |  ON b.event_type = a.event_type
-        |  AND b.day_us = a.day_us - 604800000000""".stripMargin,
+    "ts_forecast" -> forecastSql,
+    "stream_forecast" -> forecastSql,
     "dq_freshness" -> freshnessSql,
     "stream_freshness" -> freshnessSql,
     "q_pareto" ->
@@ -4005,22 +4085,8 @@ object SparkEntry {
     // batch code over the (final) sink — identical by construction
     // when cross-batch window state works
     "stream_xcorr" -> xcorrSql,
-    "ts_autocorr" ->
-      """WITH p AS (SELECT event_type,
-        |    CAST(value AS DECIMAL(18,2)) AS y,
-        |    LAG(CAST(value AS DECIMAL(18,2)))
-        |      OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
-        |  FROM events),
-        |s AS (SELECT event_type, COUNT(*) AS n_pairs,
-        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
-        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
-        |    CAST(SUM(y * y) AS DOUBLE) AS syy
-        |  FROM p WHERE x IS NOT NULL GROUP BY event_type)
-        |SELECT event_type, n_pairs,
-        |  (n_pairs * sxy - sx * sy) /
-        |    (sqrt(n_pairs * sxx - sx * sx) * sqrt(n_pairs * syy - sy * sy)) AS autocorr
-        |FROM s""".stripMargin,
+    "ts_autocorr" -> autocorrSql,
+    "stream_autocorr" -> autocorrSql,
     "events_streak" -> streakSql,
     "stream_streak" -> streakSql,
     "q_running_distinct" -> runningDistinctSql,
@@ -4069,23 +4135,8 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "dq_benford" -> benfordSql,
     "stream_benford" -> benfordSql,
-    "dq_uniqueness" ->
-      """WITH a AS (SELECT COUNT(*) AS n FROM events GROUP BY event_id),
-        |b AS (SELECT COUNT(*) AS n FROM events GROUP BY user_id, ts),
-        |c AS (SELECT COUNT(*) AS n FROM events GROUP BY user_id, event_type, ts)
-        |SELECT 'event_id' AS key_cols, CAST(SUM(n) AS BIGINT) AS n_rows,
-        |  COUNT(*) AS n_keys,
-        |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_keys,
-        |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_surplus_rows,
-        |  MAX(n) AS max_multiplicity FROM a
-        |UNION ALL
-        |SELECT 'user_id,ts', CAST(SUM(n) AS BIGINT), COUNT(*),
-        |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT),
-        |  CAST(SUM(n) - COUNT(*) AS BIGINT), MAX(n) FROM b
-        |UNION ALL
-        |SELECT 'user_id,event_type,ts', CAST(SUM(n) AS BIGINT), COUNT(*),
-        |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT),
-        |  CAST(SUM(n) - COUNT(*) AS BIGINT), MAX(n) FROM c""".stripMargin,
+    "dq_uniqueness" -> uniquenessSql,
+    "stream_uniqueness" -> uniquenessSql,
     "dq_drift" ->
       """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cut FROM events),
         |c AS (SELECT event_type,
@@ -4105,20 +4156,8 @@ object SparkEntry {
     "stream_completeness" -> completenessSql,
     // join-key skew pre-flight: hot keys by (count DESC, key ASC),
     // NULL mass its own column, skew factor = n*K/N (one division)
-    "dq_keyskew" ->
-      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1),
-        |s AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
-        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
-        |    CAST(COALESCE(SUM(CASE WHEN user_id IS NULL THEN n END), 0) AS BIGINT) AS null_rows
-        |  FROM c),
-        |top AS (SELECT user_id, n,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rnk
-        |  FROM c WHERE user_id IS NOT NULL)
-        |SELECT rnk, user_id, n, n_rows, n_keys, null_rows,
-        |  CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
-        |  CAST(n * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_factor
-        |FROM top CROSS JOIN s WHERE rnk <= 10""".stripMargin,
+    "dq_keyskew" -> keySkewSql,
+    "stream_keyskew" -> keySkewSql,
     "q_mode" ->
       """WITH census AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
         |  FROM customer GROUP BY 1, 2)

@@ -338,9 +338,16 @@ object Quality {
     * Counts are exact in the heap's double (< 2⁵³). */
   def keySkew(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
-    val cells = Tables.events(spark, dir)
-      .groupBy($"user_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    keySkewAssembly(Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n")), k)
+  }
+
+  /** The post-census assembly of [[keySkew]], shared with the
+    * streaming twin (StreamKeySkew): stats + bounded-heap hot-key
+    * election over the (key, n) census — ∝ distinct keys. */
+  def keySkewAssembly(cells0: DataFrame, k: Int = 10): DataFrame = {
+    import cells0.sparkSession.implicits._
+    val cells = cells0.localCheckpoint()
     val stats = cells.agg(
       sum($"n").as("n_rows"),
       count(lit(1)).as("n_keys"),

@@ -1253,10 +1253,18 @@ object Telemetry {
     * calendar. */
   def forecast(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dayUs = 86400000000L
-    val daily = Tables.events(spark, dir)
+    forecastAssembly(Tables.events(spark, dir)
       .groupBy($"event_type", unix_micros(date_trunc("day", $"ts")).as("day_us"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
+  }
+
+  /** The post-census assembly of [[forecast]], shared with the
+    * streaming twin (StreamForecast): the calendar-aligned
+    * day−7 self-join over the (stream, day, count) census —
+    * ∝ occupied days, never events. */
+  def forecastAssembly(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val dayUs = 86400000000L
     val prior = daily.select($"event_type",
       ($"day_us" + lit(7L * dayUs)).as("day_us"), $"n_events".as("forecast"))
     daily.join(prior, Seq("event_type", "day_us"), "left")
@@ -1431,6 +1439,17 @@ object Telemetry {
       .select($"event_type", $"ts", $"event_id", dec($"value").as("y"))
       .withColumn("x", lag($"y", 1).over(w))
       .filter($"x".isNotNull)
+    autocorrAssembly(pairs)
+  }
+
+  /** The post-pairing assembly of [[autocorr]], shared with the
+    * streaming twin (StreamAutocorr): decimal-exact power sums over
+    * the (stream, x, y) lag pairs, one partial-aggregated shuffle,
+    * Pearson from a fixed IEEE expression tree. `pairs` must carry
+    * x non-null (the batch filter); y may be null — each sum skips
+    * its own nulls, exactly the window shape's semantics. */
+  def autocorrAssembly(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
     pairs.groupBy($"event_type")
       .agg(
         count(lit(1)).as("n_pairs"),
