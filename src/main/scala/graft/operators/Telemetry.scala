@@ -1585,7 +1585,6 @@ object Telemetry {
     val ord = Window.partitionBy($"event_type").orderBy($"ts".asc, $"event_id".asc)
     val pre = ord.rowsBetween(-k, -1)
     val post = ord.rowsBetween(Window.currentRow, k - 1)
-    val whole = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.events(spark, dir)
       .select($"event_type", $"event_id", $"ts", dec($"value").as("v"))
       .withColumn("n_pre", count(lit(1)).over(pre))
@@ -1594,6 +1593,21 @@ object Telemetry {
       .withColumn("post_mean", sum($"v").over(post).cast(DoubleType) / $"n_post")
       .filter($"n_pre" === k && $"n_post" === k)
       .withColumn("jump", $"post_mean" - $"pre_mean")
+      .transform(changepointAssembly(_, mult))
+  }
+
+  /** The post-jump assembly of [[changepoints]], shared with the
+    * streaming twin (StreamChangepoint): the per-series adaptive
+    * threshold (decimal-summed mean |jump| — a window over the JUMP
+    * rows, never the raw stream) and the exceedance filter. `jumps` =
+    * (event_type, event_id, ts, pre_mean, post_mean, jump) with the
+    * k-full edge filter already applied. */
+  def changepointAssembly(jumps: DataFrame, mult: Double = 3.0): DataFrame = {
+    import jumps.sparkSession.implicits._
+    val whole = Window.partitionBy($"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    jumps
       .withColumn("mean_abs_jump",
         sum(abs($"jump").cast(DecimalType(18, 6))).over(whole).cast(DoubleType) /
           count(lit(1)).over(whole))
