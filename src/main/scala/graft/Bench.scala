@@ -22,6 +22,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    GraftSession.registerObservationLog(spark)
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/IO paths once so the first timed query doesn't
     // absorb JVM startup; deterministic name order for stable rounds

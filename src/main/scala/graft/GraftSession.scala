@@ -29,6 +29,34 @@ object GraftSession {
   def get(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerObservationLog(s)
     s
   }
+
+  /** Logs every non-zero `graft_*` observed metric (CollectMetrics
+    * nodes planted by operators that trade recall for bounded work,
+    * e.g. [[graft.operators.Dedup]]'s stop-band prune) when the
+    * consuming action completes — the repo's no-silent-caps rule made
+    * observable at zero extra jobs. Idempotent per session. */
+  def registerObservationLog(s: SparkSession): Unit = observed.synchronized {
+    if (observed.add(s)) s.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_") && row.toSeq.exists {
+                  case null => false
+                  case n: Number => n.longValue() != 0L
+                  case _ => true
+                })
+              println(s"[graft-observe] $name: ${row.schema.fieldNames.zip(row.toSeq)
+                .map { case (f, v) => s"$f=$v" }.mkString(", ")}")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+  }
+  private val observed =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()).asInstanceOf[java.util.Set[SparkSession]]
 }

@@ -70,6 +70,9 @@ object SparkEntry {
     "downsample_1hz" -> (Telemetry.downsample1Hz _),
     "beacon_5min" -> (Telemetry.beacon5Min _),
     "data_budget" -> ((s: SparkSession, d: String) => Telemetry.dataBudget(s, d)),
+    // B. notes.org "658 mamps modem transmitting": per-device
+    // transmit-energy rollup, data_budget's single-scan shape
+    "power_budget" -> ((s: SparkSession, d: String) => Telemetry.powerBudget(s, d)),
     "session_windows" -> ((s: SparkSession, d: String) => Telemetry.sessionWindows(s, d)),
     "chunk_messages" -> ((s: SparkSession, d: String) => Telemetry.chunkMessages(s, d)),
     "chunk_reassemble" -> ((s: SparkSession, d: String) => Telemetry.chunkReassemble(s, d)),
@@ -337,6 +340,11 @@ object SparkEntry {
     "graph_kcore" -> ((s: SparkSession, d: String) => Dedup.kcore(s, d)),
     "ann_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    // E. the LSH tier's measured recall (VERDICT r8 #4): sample
+    // queries vs brute ground truth; and dedup_embed's pair recall
+    "lsh_recall" -> ((s: SparkSession, d: String) => Similarity.lshRecall(s, d)),
+    "dedup_embed_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.embedPairRecall(s, d)),
     // E. IVF list-balance audit: per-list load + exact-micro fit mass
     "ann_index_stats" -> ((s: SparkSession, d: String) =>
       Similarity.annIndexStats(s, d)),
@@ -1869,6 +1877,17 @@ object SparkEntry {
     // across the micro-batch cut must equal the batch groupBy exactly
     "stream_beacon" -> beaconSql,
     "data_budget" -> dataBudgetSql,
+    // per-device transmit-energy rollup: DECIMAL-exact byte sum, every
+    // float a fixed expression over the one casted sum (9600 baud 8N1
+    // -> 960 B/s; 658 mA; 2000 mAh cell)
+    "power_budget" ->
+      """SELECT user_id, n_msgs, kb_sent,
+        |  kb_sent * 1000.0 / 960.0 AS tx_seconds,
+        |  kb_sent * 1000.0 / 960.0 * 658.0 / 3600.0 AS mah_used,
+        |  kb_sent * 1000.0 / 960.0 * 658.0 / 3600.0 / 2000.0 * 100.0 AS battery_pct
+        |FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_msgs,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS kb_sent
+        |  FROM events GROUP BY user_id) t""".stripMargin,
     // streaming twin gated on the SAME oracle: the two-micro-batch
     // replay through per-user cents state must aggregate to the batch
     // running-budget result exactly
@@ -2437,6 +2456,44 @@ object SparkEntry {
          |SELECT query_id, n_true, n_found,
          |  CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
          |FROM r""".stripMargin,
+    // recall@3 of the LSH bucketed election vs brute ground truth on
+    // the deterministic query sample (vec_id % 50 = 0) — the measured
+    // number behind the documented LSH recall trade
+    "lsh_recall" ->
+      s"""WITH $sigsCte,
+         |bt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.embedding", "e.embedding")} DESC, e.vec_id) AS BIGINT) AS rnk
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |  WHERE q.vec_id % 50 = 0) t
+         |WHERE rnk <= 3),
+         |lt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${cos("a.embedding", "b.embedding")} DESC, b.vec_id) AS BIGINT) AS rnk
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id != b.vec_id) t
+         |WHERE rnk <= 3 AND query_id % 50 = 0),
+         |r AS (SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN lt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+         |  FROM bt LEFT JOIN lt USING (query_id, neighbor_id)
+         |  GROUP BY bt.query_id)
+         |SELECT query_id, n_true, n_found,
+         |  CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+         |FROM r""".stripMargin,
+    // pair-recall of the bucketed embedding near-dup tier vs the
+    // exact all-pairs >= 0.35 ground truth (one audit row)
+    "dedup_embed_recall" ->
+      s"""WITH $sigsCte,
+         |bt AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${cos("a.embedding", "b.embedding")} >= 0.35),
+         |g AS (SELECT vec_a, vec_b FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cos("a.embedding", "b.embedding")} AS cosine
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id) t
+         |  WHERE cosine >= 0.35)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+         |  CAST(COALESCE(SUM(CASE WHEN g.vec_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_found_pairs,
+         |  COALESCE(CAST(SUM(CASE WHEN g.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 1.0) AS recall
+         |FROM bt LEFT JOIN g USING (vec_a, vec_b)""".stripMargin,
     // recall@k of the IVF search vs the brute-force ground truth on
     // the same query set — both top-k elections deterministic, so the
     // metric is exact

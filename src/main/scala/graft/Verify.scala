@@ -32,11 +32,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.registerObservationLog(spark)
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     selected(SparkEntry.queries).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // the dump is this query's consuming action — transient
+      // checkpoint blocks (kcore rounds, kmeans seed passes) are dead
+      // once it finishes; drain them so the 294-query gate session
+      // doesn't accumulate blocks (the label cache is NOT cleared —
+      // dedup_clusters/dedup_apply share it deliberately)
+      try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
+        graft.operators.Dedup.releaseTransientBlocks() }
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         failures(name) = msg

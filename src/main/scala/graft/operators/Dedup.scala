@@ -58,13 +58,33 @@ object Dedup {
     // census and both join sides from ONE shuffle — a broadcast
     // formulation re-derives the band table for the census instead
     // (measured +50% on this operator at sf0.1).
-    val rare = bands.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+    val rare = observeStopBand(
+        bands.groupBy($"band", $"bkey").agg(count(lit(1)).as("bc")),
+        "lsh_candidates", maxBucket)
+      .filter($"bc" <= maxBucket)
       .select($"band", $"bkey")
     val pruned = bands.join(rare, Seq("band", "bkey"))
     pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+  }
+
+  /** Observable recall trade (VERDICT r8): the batch stop-band prune
+    * silently dropped every pair from hot buckets while the stream
+    * tier counts overflow in an accumulator and fails loudly. A
+    * CollectMetrics node on the bucket census rides the existing
+    * aggregate — no extra job, no extra scan — and
+    * [[graft.GraftSession]]'s listener logs any non-zero drop when
+    * the consuming action finishes, so capped recall is visible in
+    * the driver log instead of silent. */
+  private val stopBandSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def observeStopBand(census: DataFrame, site: String, cap: Int): DataFrame = {
+    import census.sparkSession.implicits._
+    // suffix keeps names unique when two capped operators land in one
+    // query plan (observe rejects duplicate metric names per plan)
+    census.observe(s"graft_stop_band_${site}_${stopBandSeq.incrementAndGet()}",
+      sum(when($"bc" > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+      sum(when($"bc" > cap, $"bc").otherwise(0L)).as("dropped_docs"))
   }
 
   def minhash(spark: SparkSession, dir: String): DataFrame = {
@@ -94,10 +114,12 @@ object Dedup {
         HashFns.foldKey(slice($"mh", b * HashFns.RowsPerBand + 1, HashFns.RowsPerBand)).as("bkey"))
     }: _*)).as("bk")).select($"doc_id", $"mh", $"bk.band", $"bk.bkey")
     // stop-band removal — same cap, rare-side equi-join (exchange
-    // reuse with the pair self-join) and oracle mirror as
-    // lshCandidates
-    val rare = bands.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+    // reuse with the pair self-join), oracle mirror, and observed
+    // drop count as lshCandidates
+    val rare = observeStopBand(
+        bands.groupBy($"band", $"bkey").agg(count(lit(1)).as("bc")),
+        "minhash_estimate", maxBucket)
+      .filter($"bc" <= maxBucket)
       .select($"band", $"bkey")
     val pruned = bands.join(rare, Seq("band", "bkey"))
     pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
@@ -127,8 +149,10 @@ object Dedup {
     }: _*)).as("bk")).select($"doc_id", $"simhash", $"bk.band", $"bk.bkey")
     // rare-side equi-join: the pair self-join needs the (band, bkey)
     // exchange anyway, so ReuseExchange serves census + both sides
-    val rare = bands.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+    val rare = observeStopBand(
+        bands.groupBy($"band", $"bkey").agg(count(lit(1)).as("bc")),
+        "simhash", maxBucket)
+      .filter($"bc" <= maxBucket)
       .select($"band", $"bkey")
     val pruned = bands.join(rare, Seq("band", "bkey"))
     pruned.as("a").join(pruned.as("b"), Seq("band", "bkey"))
@@ -184,9 +208,10 @@ object Dedup {
     // OOM at 100×). Plain count first (bounded partial-agg buffers),
     // filter to rare grams, then left-semi the index to survivors —
     // collect_list buffers are now bounded by maxBucket.
-    val rare = index.groupBy($"gram")
-      .agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxBucket)
+    val rare = observeStopBand(
+        index.groupBy($"gram").agg(count(lit(1)).as("df")).withColumnRenamed("df", "bc"),
+        "ngram", maxBucket)
+      .filter($"bc" <= maxBucket)
       .select($"gram")
     val capped = index.join(rare, Seq("gram"), "left_semi")
       .groupBy($"gram")
@@ -243,6 +268,38 @@ object Dedup {
       rdds.foreach(_.unpersist(blocking = false))
     }
     labelCache.clear()
+    releaseTransientBlocks()
+  }
+
+  /** Registry of TRANSIENT checkpoint blocks: blocks a returned
+    * DataFrame still references, so they cannot be unpersisted inside
+    * the operator, but that are dead once the caller has consumed the
+    * result. Bench (per rep, via clearLabelCache) and Verify (per
+    * query) drain it — without the registry every kcore round /
+    * kmeans seed pass leaked its blocks for the JVM's lifetime
+    * (ADVICE r8), and the 294-query gate runs in one SparkSession. */
+  private val transientBlocks =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  private[graft] def trackTransient(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+    rdds.foreach(transientBlocks.add)
+
+  /** localCheckpoint whose blocks are freed at the next
+    * [[releaseTransientBlocks]] — for checkpoints the RETURNED plan
+    * references (caller cannot unpersist them itself). */
+  private[graft] def localCheckpointTransient(df: DataFrame): DataFrame = {
+    val (ck, rdds) = localCheckpointTracked(df)
+    trackTransient(rdds)
+    ck
+  }
+
+  /** Unpersist all registered transient checkpoint blocks. Callers
+    * must have consumed (or abandoned) every DataFrame returned since
+    * the previous drain — lineage is truncated, so a late action on
+    * one would fail rather than silently recompute. */
+  def releaseTransientBlocks(): Unit = {
+    var r = transientBlocks.poll()
+    while (r != null) { r.unpersist(blocking = false); r = transientBlocks.poll() }
   }
 
   /** localCheckpoint (eager) plus handles to the RDD blocks it
@@ -764,19 +821,30 @@ object Dedup {
       .union(vp.select($"doc_b".as("u"), $"doc_a".as("v")))
     val all = sym.select($"u".as("node")).distinct()
     var edges = sym
+    var prevEdgeBlocks: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     // survived(r) = nodes still present after r peel rounds
     var depth = all.withColumn("rounds_survived", lit(0L))
     for (_ <- 1 to rounds) {
       val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
-      val keep = deg.filter($"d" >= k).select($"u".as("node")).localCheckpoint()
-      edges = edges
+      // every round's keep set feeds the RETURNED depth plan →
+      // transient (freed by the harness drain), not per-round
+      val keep = localCheckpointTransient(
+        deg.filter($"d" >= k).select($"u".as("node")))
+      val (nextEdges, edgeBlocks) = localCheckpointTracked(edges
         .join(keep.select($"node".as("u")), Seq("u"), "left_semi")
-        .join(keep.select($"node".as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .join(keep.select($"node".as("v")), Seq("v"), "left_semi"))
+      // the superseded round's edge blocks are dead the instant the
+      // eager checkpoint above materializes — unpersist them now
+      // instead of leaking one edge set per round (ADVICE r8)
+      prevEdgeBlocks.foreach(_.unpersist(blocking = false))
+      prevEdgeBlocks = edgeBlocks
+      edges = nextEdges
       depth = depth.join(keep.withColumn("s", lit(1L)), Seq("node"), "left")
         .select($"node",
           ($"rounds_survived" + coalesce($"s", lit(0L))).as("rounds_survived"))
     }
+    // the final round's edges feed finalDeg in the returned plan
+    trackTransient(prevEdgeBlocks)
     val finalDeg = edges.groupBy($"u".as("node")).agg(count(lit(1)).as("fd"))
     depth.join(finalDeg, Seq("node"), "left")
       .select($"node".as("doc_id"), $"rounds_survived",

@@ -275,7 +275,7 @@ object Frames {
       .select($"device_id", $"blob_seq",
         Frame.binJoin(transform($"fs", f => f.getField("frame")), 0x3a).as("wire"),
         $"min_ts_secs", $"max_ts_secs")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_fidx_")
+    val tmp = graft.sources.Scratch.tempDir("graft_fidx_")
     graft.streaming.StreamRelay.deleteOnExit(tmp)
     rolled.write.mode("overwrite").parquet(s"$tmp/blobs")
     spark.read.parquet(s"$tmp/blobs")

@@ -347,7 +347,7 @@ object Quality {
     * election over the (key, n) census — ∝ distinct keys. */
   def keySkewAssembly(cells0: DataFrame, k: Int = 10): DataFrame = {
     import cells0.sparkSession.implicits._
-    val cells = cells0.localCheckpoint()
+    val cells = graft.operators.Dedup.localCheckpointTransient(cells0)
     val stats = cells.agg(
       sum($"n").as("n_rows"),
       count(lit(1)).as("n_keys"),

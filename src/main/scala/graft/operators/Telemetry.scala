@@ -171,6 +171,33 @@ object Telemetry {
       .select($"event_id", $"user_id", $"ts", $"cum".cast(DoubleType).as("cum_kb"))
   }
 
+  /** Transmit power budget (`power_budget`), "658 mamps modem
+    * transmitting" / "battery life not money is limiting factor"
+    * (notes.org): per-device transmit-energy rollup — the one
+    * notes.org requirement without its own operator until r9. The
+    * modem line runs at 9600 baud (notes.org "modem: 9600?"), 8N1 →
+    * 10 bits on the wire per byte → 960 B/s effective, so a device
+    * that sent B bytes held the 658 mA transmitter for B/960 seconds;
+    * mAh = 658 · tx_s / 3600, reported against a 2000 mAh cell (the
+    * battery-as-binding-constraint view). value ≙ KB, the
+    * [[dataBudget]] convention.
+    *
+    * Scale shape: data_budget's single scan with a current×time
+    * integrand — one partial-aggregated per-device rollup, bytes stay
+    * DECIMAL-exact through the sum, every float derives from the one
+    * casted sum in a fixed expression order so the oracle
+    * hash-matches bit-for-bit. */
+  def powerBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(dec($"value")).cast(DoubleType).as("kb_sent"))
+      .withColumn("tx_seconds", $"kb_sent" * 1000.0d / 960.0d)
+      .withColumn("mah_used", $"tx_seconds" * 658.0d / 3600.0d)
+      .withColumn("battery_pct", $"mah_used" / 2000.0d * 100.0d)
+  }
+
   /** Inactivity-gap sessionization, "wait for signal for 30 minutes"
     * (notes.org): gap > 30 min starts a new session. */
   def sessionWindows(spark: SparkSession, dir: String, gapSeconds: Long = 1800L): DataFrame = {
@@ -1723,16 +1750,17 @@ object Telemetry {
     import spark.implicits._
     // the census feeds BOTH the totals and the final join — without
     // the checkpoint Catalyst re-derives it per consumer, i.e. two
-    // full corpus scans at 100 TB for a ≤ types×24-row frame
-    val cells = Tables.events(spark, dir)
-      .filter($"ts".isNotNull && $"event_type".isNotNull)
-      .select($"event_type",
-        expr("pmod((unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000, 24)").as("hod"),
-        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000").as("day"))
-      .groupBy($"event_type", $"hod")
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct($"day").as("n_days"))
-      .localCheckpoint()
+    // full corpus scans at 100 TB for a ≤ types×24-row frame;
+    // transient so the harness drain frees the blocks (ADVICE r8)
+    val cells = graft.operators.Dedup.localCheckpointTransient(
+      Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"event_type".isNotNull)
+        .select($"event_type",
+          expr("pmod((unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000, 24)").as("hod"),
+          expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000").as("day"))
+        .groupBy($"event_type", $"hod")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"day").as("n_days")))
     val totals = cells.groupBy($"event_type")
       .agg(sum($"n_events").as("n_type"))
     cells.join(broadcast(totals), "event_type")

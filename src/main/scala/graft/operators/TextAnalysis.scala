@@ -911,7 +911,7 @@ object TextAnalysis {
       .select($"doc_id".as("cid"), transform($"qv", _.cast(DoubleType)).as("cvec"))
     // first is consumed by the recenter chain AND the final join —
     // checkpoint so the seed assignment pass runs once
-    val first = assign(seeds).localCheckpoint()
+    val first = Dedup.localCheckpointTransient(assign(seeds))
     val last = (1 until iters).foldLeft(first)((a, _) => assign(recenter(a)))
     first.select($"doc_id", $"cluster".as("c1"))
       .join(last.select($"doc_id", $"cluster"), "doc_id")

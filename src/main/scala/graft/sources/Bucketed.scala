@@ -53,7 +53,7 @@ object Bucketed {
     created.synchronized {
       created.getOrElseUpdate((spark, dir, nBuckets), {
         val suffix = f"${dir.hashCode & 0x7fffffff}%x_$nBuckets"
-        val root = Files.createTempDirectory("graft_bkt_")
+        val root = Scratch.tempDir("graft_bkt_")
         graft.streaming.StreamRelay.deleteOnExit(root)
         val ct = s"graft_bkt_customer_$suffix"
         val ot = s"graft_bkt_orders_$suffix"

@@ -27,7 +27,7 @@ object Sinks {
   private[graft] def stagedEventsByType(spark: SparkSession, dir: String): String =
     stagedEvents.computeIfAbsent(dir, { d =>
       import spark.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ppart_")
+      val tmp = Scratch.tempDir("graft_ppart_")
       graft.streaming.StreamRelay.deleteOnExit(tmp)
       writePartitioned(
         Tables.events(spark, d)

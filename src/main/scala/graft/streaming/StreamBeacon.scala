@@ -33,7 +33,7 @@ object StreamBeacon {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, dir)
       .select($"event_id", $"ts", $"user_id", $"value")
-    val bounds = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val bounds = StreamDedup.cachedHead(ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))))
     if (bounds.isNullAt(0)) return spark.emptyDataFrame
     val (loUs, hiUs) = (bounds.getLong(0), bounds.getLong(1))
     val cutUs = (loUs + hiUs) / 2

@@ -55,7 +55,7 @@ object StreamM4 {
     val ev = graft.sources.Tables.events(spark, dir)
       .filter($"value".isNotNull && $"ts".isNotNull)
       .select($"user_id", $"ts", $"value")
-    val bounds = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val bounds = StreamDedup.cachedHead(ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))))
     if (bounds.isNullAt(0)) return spark.emptyDataFrame
     val hiUs = bounds.getLong(1)
     val cutUs = straddlingCut(ev).getOrElse((bounds.getLong(0) + hiUs) / 2)

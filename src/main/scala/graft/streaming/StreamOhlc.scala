@@ -66,7 +66,7 @@ object StreamOhlc {
     val ev = graft.sources.Tables.events(spark, dir)
       .filter($"value".isNotNull)   // the batch ohlc null contract
       .select($"event_id", $"ts", $"event_type", $"value")
-    val bounds = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val bounds = StreamDedup.cachedHead(ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))))
     if (bounds.isNullAt(0)) return spark.emptyDataFrame
     val hiUs = bounds.getLong(1)
     val cutUs = straddlingCut(spark, dir).getOrElse((bounds.getLong(0) + hiUs) / 2)

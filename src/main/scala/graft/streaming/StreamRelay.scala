@@ -68,7 +68,7 @@ object StreamRelay {
         finally walk.close()
       }
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val tmp = Files.createTempDirectory("graft_relay_")
+    val tmp = graft.sources.Scratch.tempDir("graft_relay_")
     // outDir must outlive this call (the returned DataFrame reads it
     // lazily), but not the JVM: without the exit registration every
     // invocation would leave a sink directory in /tmp permanently
@@ -417,7 +417,7 @@ object StreamRelay {
     val ev = graft.sources.Tables.events(spark, dir)
       .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
         round($"value" * 100).cast(LongType).as("cents"))
-    val bounds = ev.agg(min($"ts_us"), max($"ts_us")).head()
+    val bounds = StreamDedup.cachedHead(ev.agg(min($"ts_us"), max($"ts_us")))
     if (bounds.isNullAt(0)) return spark.emptyDataset[BudgetOut].toDF()
     val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
     val log = StreamDedup.runStagedStream(spark,

@@ -66,9 +66,15 @@ object StreamUniqueness {
     val ev = graft.sources.Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"event_type",
         unix_micros($"ts").as("tsUs"))
-    val bounds = ev.agg(min($"tsUs"), max($"tsUs")).head()
-    if (bounds.isNullAt(0)) return spark.emptyDataFrame
-    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val bounds = StreamDedup.cachedHead(ev.agg(min($"tsUs"), max($"tsUs")))
+    // all-null ts (rows exist): every row routes to batch 1 below, so
+    // the cut value is irrelevant — the audit must still run (the
+    // batch twin has no ts filter; bailing to a zero-column frame
+    // diverged from its 3-row result, ADVICE r8). A truly EMPTY
+    // corpus flows through the zero-trigger staging fallback and
+    // yields the 3 zero-count audit rows, same as the batch shape.
+    val cut = if (bounds.isNullAt(0)) 0L
+      else (bounds.getLong(0) + bounds.getLong(1)) / 2
     // one staged stream carries all three candidates: each source row
     // fans into its three key projections SCAN-LOCAL (the Expand
     // shape — no extra scan, no join)
@@ -86,7 +92,7 @@ object StreamUniqueness {
         fan(ev.filter($"tsUs" <= cut || $"tsUs".isNull)),
         fan(ev.filter($"tsUs" > cut)))) { stream =>
       multiplicities(stream.as[Ev]).toDF()
-    }.getOrElse(return spark.emptyDataFrame)
+    }.getOrElse(spark.emptyDataset[Mult].toDF())
     // localCheckpoint: three audits re-read the same emission log
     val cp = log.localCheckpoint()
     def audit(cand: Int, name: String): DataFrame = cp.filter($"cand" === cand)

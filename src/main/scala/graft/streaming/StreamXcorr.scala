@@ -63,7 +63,7 @@ object StreamXcorr {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, dir)
       .select($"ts", $"event_type")
-    val bounds = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val bounds = StreamDedup.cachedHead(ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))))
     if (bounds.isNullAt(0)) return None
     val hiUs = bounds.getLong(1)
     val cutUs = straddlingCut(spark, dir).getOrElse((bounds.getLong(0) + hiUs) / 2)

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round 9 (r26 spec file): staged-stream memoization, degenerate
+  * corpora through the streaming twins, and transient-checkpoint
+  * hygiene. */
+class Round26Spec extends SparkSpec {
+
+  /** Tiny corpus dir with an events table built from `rows`
+    * (event_id, user_id, event_type, ts-µs-or-null). */
+  private def eventsDir(name: String, rows: Seq[(Long, Long, String, Option[Long])]): String = {
+    import spark.implicits._
+    val dir = graft.sources.Scratch.tempDir(s"graft_t26_$name").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts_us")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_micros($"ts_us").as("ts"), lit(1.0d).as("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("stream_uniqueness: all-null ts corpus still produces the 3-row audit") {
+    val dir = eventsDir("allnull", Seq(
+      (1L, 10L, "a", None), (2L, 10L, "a", None), (1L, 11L, "b", None)))
+    val out = graft.streaming.StreamUniqueness.streamedUniqueness(spark, dir)
+      .orderBy("key_cols").collect()
+    assert(out.length == 3, "audit must keep its 3 candidate-key rows on an all-null-ts corpus")
+    val byKey = out.map(r => r.getString(r.fieldIndex("key_cols")) -> r).toMap
+    // event_id has a duplicate (1 twice); n_rows counts every row
+    assert(byKey("event_id").getLong(1) == 3L)   // n_rows
+    assert(byKey("event_id").getLong(3) == 1L)   // n_dup_keys
+  }
+
+  test("stream_uniqueness: empty corpus yields zero-count audit with full schema") {
+    val dir = eventsDir("empty", Seq.empty)
+    val out = graft.streaming.StreamUniqueness.streamedUniqueness(spark, dir)
+    assert(out.columns.toSeq == Seq("key_cols", "n_rows", "n_keys",
+      "n_dup_keys", "n_surplus_rows", "max_multiplicity"))
+    val rows = out.orderBy("key_cols").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getLong(1) == 0L))
+  }
+
+  test("staged-stream memo: identical batch plans reuse one staged dir, distinct plans do not collide") {
+    import spark.implicits._
+    graft.streaming.StreamDedup.clearStagedCache()
+    val dir = eventsDir("memo", (1L to 20L).map(i => (i, i % 3, "t", Some(i * 1000000L))))
+    // same twin twice → second call must return identical results off
+    // the memoized staging (and not, e.g., stale or doubled data)
+    val a = graft.streaming.StreamUniqueness.streamedUniqueness(spark, dir).collect()
+    val b = graft.streaming.StreamUniqueness.streamedUniqueness(spark, dir).collect()
+    assert(a.toSet == b.toSet)
+    // a DIFFERENT corpus must miss the cache (different canonicalized
+    // source plan), not serve the first corpus's staging
+    val dir2 = eventsDir("memo2", (1L to 5L).map(i => (i, i, "t", Some(i * 1000000L))))
+    val c = graft.streaming.StreamUniqueness.streamedUniqueness(spark, dir2)
+      .agg(sum($"n_rows")).head().getLong(0)
+    assert(c == 15L, s"3 candidates x 5 rows = 15, got $c")
+  }
+
+  test("kcore transient blocks are drained by releaseTransientBlocks") {
+    val sc = spark.sparkContext
+    graft.operators.Dedup.clearLabelCache()
+    val before = sc.getPersistentRDDs.size
+    graft.operators.Dedup.kcore(spark, sf).count()
+    assert(sc.getPersistentRDDs.size > before,
+      "kcore rounds should have live checkpoint blocks before the drain")
+    graft.operators.Dedup.clearLabelCache()
+    assert(sc.getPersistentRDDs.size <= before,
+      "drain must free kcore's round checkpoints")
+  }
+}

@@ -16,12 +16,13 @@ import sys
 
 
 def main():
-    files = sys.argv[1:] or sorted(glob.glob("CORRECTNESS_r*.json"))
+    files = sys.argv[1:] or glob.glob("CORRECTNESS_r*.json")
     if not files:
         print("no CORRECTNESS_r*.json found", file=sys.stderr)
         sys.exit(1)
-    latest = files[-1]
-    rnd = re.search(r"r(\d+)", latest).group(1)
+    # numeric round order — lexicographic sorting breaks at r10 vs r9
+    # and with unsorted CLI args
+    latest = max(files, key=lambda f: int(re.search(r"r(\d+)", f).group(1)))
     data = json.load(open(latest))
     total = len(data)
     green = sum(1 for v in data.values()
@@ -41,6 +42,8 @@ def main():
         print("STATUS sentence not found in SURVEY.md", file=sys.stderr)
         sys.exit(1)
     survey = pat.sub(status, survey, count=1)
+    if not survey.endswith("\n"):
+        survey += "\n"
     open("SURVEY.md", "w").write(survey)
     print(f"SURVEY.md STATUS <- {latest}: {green}/{total} green{red_note}")
 
