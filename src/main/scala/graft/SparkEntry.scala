@@ -343,6 +343,9 @@ object SparkEntry {
     // E. the LSH tier's measured recall (VERDICT r8 #4): sample
     // queries vs brute ground truth; and dedup_embed's pair recall
     "lsh_recall" -> ((s: SparkSession, d: String) => Similarity.lshRecall(s, d)),
+    "ann_lsh_multi" -> ((s: SparkSession, d: String) => Similarity.lshMultiTopK(s, d)),
+    "lsh_multi_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.lshMultiRecall(s, d)),
     "dedup_embed_recall" -> ((s: SparkSession, d: String) =>
       Similarity.embedPairRecall(s, d)),
     // E. IVF list-balance audit: per-list load + exact-micro fit mass
@@ -798,6 +801,25 @@ object SparkEntry {
       |  GROUP BY vec_id, embedding),
       |sigrare AS (SELECT sig FROM allsigs GROUP BY sig HAVING COUNT(*) <= 800),
       |sigs AS (SELECT allsigs.* FROM allsigs JOIN sigrare USING (sig))""".stripMargin
+
+  /** Multi-table (OR-construction) variant of sigsCte: 4 independent
+    * hyperplane tables, table t's plane p drawing coefficients at
+    * global plane index t·planes+p — mirrors
+    * Similarity.sigBucketsMulti / VecExprs.lshSig(v, planes, t·planes)
+    * exactly. */
+  private val msigsCte: String =
+    """nplanes AS (SELECT MIN(p) AS planes
+      |  FROM UNNEST(range(4,25)) AS tpl(p), (SELECT COUNT(*) AS n FROM embeddings) cn
+      |  WHERE (CAST(1 AS BIGINT) << p) * 200 >= cn.n),
+      |mallsigs AS (
+      |  SELECT vec_id, embedding, t, CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig FROM (
+      |    SELECT vec_id, embedding, t, p,
+      |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,64), d ->
+      |        CAST(embedding[d+1] AS DOUBLE) * CAST(((1 + ((t*planes+p)*64+d)*2654435761) % 1000003) - 500001 AS DOUBLE))), (a,x) -> a+x) AS proj
+      |    FROM embeddings, nplanes, UNNEST(range(0,4)) AS tt(t), UNNEST(range(0, planes)) AS tp(p)) q
+      |  GROUP BY vec_id, embedding, t),
+      |mrare AS (SELECT t, sig FROM mallsigs GROUP BY t, sig HAVING COUNT(*) <= 800),
+      |msigs AS (SELECT mallsigs.* FROM mallsigs JOIN mrare USING (t, sig))""".stripMargin
 
   /** Shared by dedup_minhash_est (single-scan batch) and dedup_stream
     * (stateful incremental index) — both must produce the identical
@@ -2475,6 +2497,40 @@ object SparkEntry {
          |r AS (SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
          |    CAST(SUM(CASE WHEN lt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
          |  FROM bt LEFT JOIN lt USING (query_id, neighbor_id)
+         |  GROUP BY bt.query_id)
+         |SELECT query_id, n_true, n_found,
+         |  CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+         |FROM r""".stripMargin,
+    // OR-construction LSH: candidates meet in ANY of 4 independent
+    // hyperplane tables; cross-table duplicate pairs collapse before
+    // the election (cosine is fold-exact either way)
+    "ann_lsh_multi" ->
+      s"""WITH $msigsCte
+         |SELECT query_id, neighbor_id, cosine, rnk FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a.embedding", "b.embedding")} AS cosine
+         |    FROM msigs a JOIN msigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id != b.vec_id) c) t
+         |WHERE rnk <= 3""".stripMargin,
+    // recall@3 of the multi-table tier on the same sample + ground
+    // truth as lsh_recall — the measured gain of the OR-construction
+    "lsh_multi_recall" ->
+      s"""WITH $msigsCte,
+         |bt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.embedding", "e.embedding")} DESC, e.vec_id) AS BIGINT) AS rnk
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |  WHERE q.vec_id % 50 = 0) t
+         |WHERE rnk <= 3),
+         |mlt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a.embedding", "b.embedding")} AS cosine
+         |    FROM msigs a JOIN msigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id != b.vec_id) c) t
+         |WHERE rnk <= 3 AND query_id % 50 = 0),
+         |r AS (SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN mlt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+         |  FROM bt LEFT JOIN mlt USING (query_id, neighbor_id)
          |  GROUP BY bt.query_id)
          |SELECT query_id, n_true, n_found,
          |  CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall

@@ -42,6 +42,12 @@ object VecFns {
   def lshSignature(v: Column, nPlanes: Int = 8): Column =
     graft.plans.VecExprs.lshSigCol(v, nPlanes)
 
+  /** Signature of hyperplane TABLE t: planes drawn at global indices
+    * t·nPlanes .. t·nPlanes+nPlanes-1, so tables are independent —
+    * the OR-construction multi-table LSH building block. */
+  def lshSignatureTable(v: Column, nPlanes: Int, table: Int): Column =
+    graft.plans.VecExprs.lshSigCol(v, nPlanes, table * nPlanes)
+
   /** The composed HOF definition of the same signature (the shape the
     * DuckDB oracle evaluates); retained to assert native parity. */
   def lshSignatureHof(v: Column, nPlanes: Int = 8): Column = {

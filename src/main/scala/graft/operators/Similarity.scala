@@ -835,6 +835,79 @@ object Similarity {
         ($"n_found".cast(DoubleType) / $"n_true".cast(DoubleType)).as("recall"))
   }
 
+  /** Multi-table signature buckets — the OR-construction that fixes
+    * single-table LSH's measured recall (lsh_recall printed 0.23@3 at
+    * sf0.01): L independent hyperplane tables (table t draws planes
+    * at global indices t·p..t·p+p−1), a pair is a candidate if it
+    * collides in ANY table, so miss probability compounds to
+    * (1−r)^L. Same adaptive width, same per-(table, bucket) hot cap;
+    * cost is L signatures per vector (scan-local) and an L-way
+    * bucket fan-out into the SAME equi-join shape — shuffle ∝ L·N,
+    * never pairs. */
+  def sigBucketsMulti(spark: SparkSession, dir: String, nTables: Int = 4,
+      maxBucket: Int = 800): DataFrame = {
+    import spark.implicits._
+    val planes = adaptivePlanes(spark, dir)
+    val sigs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"),
+        explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("t"),
+            VecFns.lshSignatureTable($"embedding", planes, t).as("sig"))
+        }: _*)).as("ts"))
+      .select($"vec_id", $"embedding", $"nrm", $"ts.t".as("t"), $"ts.sig".as("sig"))
+    val rare = sigs.groupBy($"t", $"sig")
+      .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+      .select($"t", $"sig")
+    sigs.join(rare, Seq("t", "sig"))
+  }
+
+  /** Multi-table LSH ANN (`ann_lsh_multi`): [[lshTopK]] with the
+    * OR-construction candidate tier — vectors meet within any of the
+    * L per-table buckets; duplicate cross-table candidates collapse
+    * BEFORE the election (cosine is fold-exact, so the pair row is
+    * bit-identical whichever table produced it). */
+  def lshMultiTopK(spark: SparkSession, dir: String, k: Int = 3,
+      nTables: Int = 4): DataFrame = {
+    import spark.implicits._
+    val sigs = sigBucketsMulti(spark, dir, nTables)
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    sigs.as("a").join(sigs.as("b"), Seq("t", "sig"))
+      .where($"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
+        (VecFns.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cosine"))
+      .distinct()
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= k)
+  }
+
+  /** Recall of the multi-table tier ([[lshRecall]]'s harness pointed
+    * at [[lshMultiTopK]]) — prints what the OR-construction buys over
+    * the measured single-table number. */
+  def lshMultiRecall(spark: SparkSession, dir: String, qMod: Int = 50,
+      k: Int = 3, nTables: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+    val q = emb.filter(pmod($"vec_id", lit(qMod.toLong)) === 0L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    val truth = emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"neighbor_id")
+    val got = lshMultiTopK(spark, dir, k, nTables)
+      .filter(pmod($"query_id", lit(qMod.toLong)) === 0L)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    truth.join(got, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0L))).as("n_found"))
+      .select($"query_id", $"n_true", $"n_found",
+        ($"n_found".cast(DoubleType) / $"n_true".cast(DoubleType)).as("recall"))
+  }
+
   /** Pair-recall of [[Dedup.embed]]'s bucketed near-duplicate pair
     * set against the exact all-pairs ground truth at the same cosine
     * threshold (`dedup_embed_recall`) — the companion number to

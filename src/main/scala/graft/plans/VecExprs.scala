@@ -16,8 +16,8 @@ import org.apache.spark.sql.types._
 object VecExprs {
   def dotCol(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
-  def lshSigCol(v: Column, nPlanes: Int): Column =
-    ColumnBridge.column(LshSig(ColumnBridge.expression(v), nPlanes))
+  def lshSigCol(v: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    ColumnBridge.column(LshSig(ColumnBridge.expression(v), nPlanes, planeOffset))
   def sqDistFFCol(a: Column, b: Column): Column =
     ColumnBridge.column(SqDistFF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sqDistLDCol(a: Column, b: Column): Column =
@@ -71,14 +71,19 @@ object VecExprs {
     * v[d] · coef(p,d), coef = ((1 + (p·64+d)·2654435761) mod 1000003)
     * − 500001 — identical arithmetic and order to VecFns.lshSignature
     * and the oracle's sigs CTE. */
-  def lshSig(v: ArrayData, nPlanes: Int): Long = {
+  def lshSig(v: ArrayData, nPlanes: Int): Long = lshSig(v, nPlanes, 0)
+
+  /** planeOffset selects an independent hyperplane TABLE: plane p of
+    * table t draws its coefficients at global plane index
+    * t·nPlanes + p, so tables never share a hyperplane. */
+  def lshSig(v: ArrayData, nPlanes: Int, planeOffset: Int): Long = {
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
       var proj = 0.0
       var d = 0
       while (d < 64) {
-        val coef = ((1L + (p.toLong * 64 + d) * 2654435761L) % 1000003L) - 500001L
+        val coef = ((1L + ((planeOffset + p).toLong * 64 + d) * 2654435761L) % 1000003L) - 500001L
         proj += v.getFloat(d).toDouble * coef.toDouble
         d += 1
       }
@@ -90,15 +95,15 @@ object VecExprs {
 }
 
 /** nPlanes-bit random-hyperplane signature of a float vector. */
-case class LshSig(child: Expression, nPlanes: Int)
+case class LshSig(child: Expression, nPlanes: Int, planeOffset: Int = 0)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq[DataType](ArrayType(FloatType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
-    VecExprs.lshSig(v.asInstanceOf[ArrayData], nPlanes)
+    VecExprs.lshSig(v.asInstanceOf[ArrayData], nPlanes, planeOffset)
   override protected def doGenCode(ctx: codegen.CodegenContext,
       ev: codegen.ExprCode): codegen.ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.VecExprs.lshSig($c, $nPlanes)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecExprs.lshSig($c, $nPlanes, $planeOffset)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 

@@ -58,6 +58,28 @@ class Round26Spec extends SparkSpec {
     assert(c == 15L, s"3 candidates x 5 rows = 15, got $c")
   }
 
+  test("multi-table LSH: table 0 equals the single-table signature; recall never drops") {
+    import spark.implicits._
+    import graft.functions.VecFns
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val planes = graft.operators.Similarity.adaptivePlanes(spark, sf)
+    // OR-construction table 0 IS the single-table signature — the
+    // multi tier strictly widens the candidate set, never shifts it
+    val diff = emb.select(
+      VecFns.lshSignature($"embedding", planes).as("s1"),
+      VecFns.lshSignatureTable($"embedding", planes, 0).as("s2"))
+      .filter($"s1" =!= $"s2").count()
+    assert(diff == 0L)
+    val single = graft.operators.Similarity.lshRecall(spark, sf)
+      .agg(sum($"n_found"), sum($"n_true")).head()
+    val multi = graft.operators.Similarity.lshMultiRecall(spark, sf)
+      .agg(sum($"n_found"), sum($"n_true")).head()
+    val (rs, rm) = (single.getLong(0).toDouble / single.getLong(1),
+      multi.getLong(0).toDouble / multi.getLong(1))
+    info(f"lsh recall single=$rs%.3f multi=$rm%.3f")
+    assert(rm >= rs, "OR-construction can only widen the candidate set")
+  }
+
   test("kcore transient blocks are drained by releaseTransientBlocks") {
     val sc = spark.sparkContext
     graft.operators.Dedup.clearLabelCache()
