@@ -73,6 +73,10 @@ object SparkEntry {
     // B. notes.org "658 mamps modem transmitting": per-device
     // transmit-energy rollup, data_budget's single-scan shape
     "power_budget" -> ((s: SparkSession, d: String) => Telemetry.powerBudget(s, d)),
+    // B. streaming twin: two order-free integers per device (count,
+    // byte cents), snapshot-barrier flush, batch float ladder
+    "stream_power" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamPower.streamedPower(s, d)),
     "session_windows" -> ((s: SparkSession, d: String) => Telemetry.sessionWindows(s, d)),
     "chunk_messages" -> ((s: SparkSession, d: String) => Telemetry.chunkMessages(s, d)),
     "chunk_reassemble" -> ((s: SparkSession, d: String) => Telemetry.chunkReassemble(s, d)),
@@ -1903,6 +1907,16 @@ object SparkEntry {
     // float a fixed expression over the one casted sum (9600 baud 8N1
     // -> 960 B/s; 658 mA; 2000 mAh cell)
     "power_budget" ->
+      """SELECT user_id, n_msgs, kb_sent,
+        |  kb_sent * 1000.0 / 960.0 AS tx_seconds,
+        |  kb_sent * 1000.0 / 960.0 * 658.0 / 3600.0 AS mah_used,
+        |  kb_sent * 1000.0 / 960.0 * 658.0 / 3600.0 / 2000.0 * 100.0 AS battery_pct
+        |FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_msgs,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS kb_sent
+        |  FROM events GROUP BY user_id) t""".stripMargin,
+    // streaming twin gated on the SAME oracle: cross-cut devices must
+    // accumulate one energy total
+    "stream_power" ->
       """SELECT user_id, n_msgs, kb_sent,
         |  kb_sent * 1000.0 / 960.0 AS tx_seconds,
         |  kb_sent * 1000.0 / 960.0 * 658.0 / 3600.0 AS mah_used,

@@ -25,18 +25,24 @@ def main():
     latest = max(files, key=lambda f: int(re.search(r"r(\d+)", f).group(1)))
     data = json.load(open(latest))
     total = len(data)
+    # live inventory size, counted from the §2 table itself so the
+    # STATUS sentence can never carry a stale hand-edited count
+    survey_text = open("SURVEY.md").read()
+    n_rows = len(set(re.findall(r"^\| `(\w+)` \|", survey_text, re.M)))
     green = sum(1 for v in data.values()
                 if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
     red = sorted(k for k, v in data.items()
                  if not (v.get("rows_match") and v.get("schema_match") and v.get("hash_match")))
     red_note = "" if not red else f"; red: {', '.join(red)}"
-    status = (f"STATUS (generated from {latest}): {total} rows below each have a "
-              f"`queries` entry and an `oracleSql` entry; the driver's gate "
-              f"hash-matched {green}/{total} at sf0.01{red_note}. The local "
-              f"dtype-strict replica (tools/check.py) and the adversarial "
-              f"corpora (tools/make_nonascii.py, tools/make_adversarial.py) "
-              f"must agree before close.")
-    survey = open("SURVEY.md").read()
+    status = (f"STATUS (generated from {latest}): the inventory below holds "
+              f"{n_rows} keys, each with a `queries` entry and an `oracleSql` "
+              f"entry; the driver's last gate hash-matched {green}/{total} of "
+              f"the keys it saw at sf0.01{red_note}; keys added since are "
+              f"gated by the local dtype-strict replica (tools/check.py), "
+              f"which must agree with the adversarial corpora "
+              f"(tools/make_nonascii.py, tools/make_adversarial.py) before "
+              f"close.")
+    survey = survey_text
     pat = re.compile(r"STATUS[^#]*?(?=\n\n|\n`stream_relay`)", re.S)
     if not pat.search(survey):
         print("STATUS sentence not found in SURVEY.md", file=sys.stderr)
