@@ -72,8 +72,8 @@ object StreamAbtest {
         lit(true).as("sentinel"))
     val armRows = StreamDedup.runStagedStream(spark, Seq(
         p.filter($"tsUs" <= cut).select($"in_a", $"cents", lit(false).as("sentinel")),
-        p.filter($"tsUs" > cut).select($"in_a", $"cents", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+        p.filter($"tsUs" > cut).select($"in_a", $"cents", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       arms(stream.as[Ev]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     // pivot the two arm rows into the batch aggregation's one-row

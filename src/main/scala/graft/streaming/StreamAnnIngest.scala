@@ -103,8 +103,8 @@ object StreamAnnIngest {
         assigned.filter($"vec_id" <= cut)
           .select($"cid", $"cosMicro", lit(false).as("sentinel")),
         assigned.filter($"vec_id" > cut)
-          .select($"cid", $"cosMicro", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+          .select($"cid", $"cosMicro", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       census(stream.as[In]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     graft.operators.Similarity.annIndexStatsAssembly(

@@ -59,8 +59,8 @@ object StreamBenford {
         digits.filter($"l_orderkey" <= cut)
           .select($"digit", lit(false).as("sentinel")),
         digits.filter($"l_orderkey" > cut)
-          .select($"digit", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+          .select($"digit", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       census(stream.as[Dg]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     graft.operators.Quality.benfordAssembly(cells

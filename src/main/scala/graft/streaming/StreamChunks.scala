@@ -67,8 +67,8 @@ object StreamChunks {
         lit(true).as("sentinel"))
     val flushed = StreamDedup.runStagedStream(spark, Seq(
         surviving.filter($"chunk_idx" % 2 === 0L).drop("chunk_idx"),
-        surviving.filter($"chunk_idx" % 2 === 1L).drop("chunk_idx"),
-        sentinels.drop("chunk_idx"))) { stream =>
+        surviving.filter($"chunk_idx" % 2 === 1L).drop("chunk_idx")
+          .unionByName(sentinels.drop("chunk_idx")))) { stream =>
       reassemble(stream.as[Chunk]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     // message-dimension completeness join — the batch operator's own

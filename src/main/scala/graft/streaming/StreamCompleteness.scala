@@ -74,8 +74,8 @@ object StreamCompleteness {
         lit(0L).as("nPr"), lit(0L).as("bPr"), lit(true).as("sentinel"))
     val flushed = StreamDedup.runStagedStream(spark, Seq(
         ev.filter($"ord" <= cut).drop("ord"),
-        ev.filter($"ord" > cut).drop("ord"),
-        sentinels)) { stream =>
+        ev.filter($"ord" > cut).drop("ord")
+          .unionByName(sentinels))) { stream =>
       census(stream.as[Flags]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     // shard rollup to the single 11-counter row, then the batch

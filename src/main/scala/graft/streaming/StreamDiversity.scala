@@ -69,8 +69,8 @@ object StreamDiversity {
         ev.filter($"tsUs" <= cut || $"tsUs".isNull)
           .select($"user_id", $"event_type", lit(false).as("sentinel")),
         ev.filter($"tsUs" > cut)
-          .select($"user_id", $"event_type", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+          .select($"user_id", $"event_type", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       census(stream.as[Ev]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     graft.operators.Telemetry.diversityAssembly(

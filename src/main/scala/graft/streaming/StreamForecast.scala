@@ -37,8 +37,8 @@ object StreamForecast {
         ev.filter($"tsUs" <= cut)
           .select($"event_type", $"dayUs", lit(false).as("sentinel")),
         ev.filter($"tsUs" > cut)
-          .select($"event_type", $"dayUs", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+          .select($"event_type", $"dayUs", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       StreamVolume.census(stream.as[StreamVolume.Ev]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     // localCheckpoint: the assembly self-joins the census (actual ×

@@ -72,8 +72,8 @@ object StreamFrameStats {
         lit(true).as("sentinel"))
     val flushed = StreamDedup.runStagedStream(spark, Seq(
         staged(frames.filter($"tsUs" <= cut)),
-        staged(frames.filter($"tsUs" > cut)),
-        sentinels)) { stream =>
+        staged(frames.filter($"tsUs" > cut))
+          .unionByName(sentinels))) { stream =>
       // scan-local decode BEFORE the stateful shuffle; UnpackFrame of
       // a sentinel's null frame is null, coalesced to flag defaults
       val parsed = stream

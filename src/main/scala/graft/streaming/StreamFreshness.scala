@@ -78,8 +78,8 @@ object StreamFreshness {
       .select($"event_type", lit(0L).as("tsUs"), lit(true).as("sentinel"))
     val flushed = StreamDedup.runStagedStream(spark, Seq(
         ev.filter($"tsUs" <= cut).select($"event_type", $"tsUs", lit(false).as("sentinel")),
-        ev.filter($"tsUs" > cut).select($"event_type", $"tsUs", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+        ev.filter($"tsUs" > cut).select($"event_type", $"tsUs", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       census(stream.as[Ev]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     // type-dimension assembly: corpus max from the flushed census,

@@ -57,8 +57,8 @@ object StreamKeySkew {
         ev.filter($"tsUs" <= cut || $"tsUs".isNull)
           .select($"user_id", lit(false).as("sentinel")),
         ev.filter($"tsUs" > cut)
-          .select($"user_id", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+          .select($"user_id", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       census(stream.as[Ev]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     graft.operators.Quality.keySkewAssembly(

@@ -83,8 +83,8 @@ object StreamOrphans {
         lit(true).as("sentinel"))
     val flushed = StreamDedup.runStagedStream(spark, Seq(
         staged(children.filter($"ord" <= cut)),
-        staged(children.filter($"ord" > cut)),
-        sentinels)) { stream =>
+        staged(children.filter($"ord" > cut))
+          .unionByName(sentinels))) { stream =>
       // stream-static FK probe per micro-batch, BEFORE the stateful
       // shuffle; sentinels skip the verdict via their flag
       val flagged = stream

@@ -67,8 +67,8 @@ object StreamPower {
         ev.filter($"tsUs" <= cut || $"tsUs".isNull)
           .select($"user_id", $"cents", lit(false).as("sentinel")),
         ev.filter($"tsUs" > cut)
-          .select($"user_id", $"cents", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+          .select($"user_id", $"cents", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       rollup(stream.as[Ev]).toDF()
     }.getOrElse(spark.emptyDataset[Out].toDF())
     // the batch operator's exact float ladder over the exact sum; a

@@ -71,8 +71,8 @@ object StreamQuantilesHist {
         li.filter($"l_orderkey" <= cut)
           .select($"flag", $"bucket", lit(false).as("sentinel")),
         li.filter($"l_orderkey" > cut)
-          .select($"flag", $"bucket", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+          .select($"flag", $"bucket", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       census(stream.as[Li]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     graft.operators.Relational.quantilesHistAssembly(

@@ -74,8 +74,8 @@ object StreamTopTerms {
         terms.filter($"doc_id" <= cut)
           .select($"shard", $"term", lit(false).as("sentinel")),
         terms.filter($"doc_id" > cut)
-          .select($"shard", $"term", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+          .select($"shard", $"term", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       census(stream.as[Tok]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     graft.operators.TextAnalysis.cmsTopTermsAssembly(

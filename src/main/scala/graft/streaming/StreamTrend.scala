@@ -65,8 +65,8 @@ object StreamTrend {
       .select($"event_type", lit(0L).as("h"), lit(true).as("sentinel"))
     val flushed = StreamDedup.runStagedStream(spark, Seq(
         ev.filter($"tsUs" <= cut).select($"event_type", $"h", lit(false).as("sentinel")),
-        ev.filter($"tsUs" > cut).select($"event_type", $"h", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+        ev.filter($"tsUs" > cut).select($"event_type", $"h", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       census(stream.as[Ev]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     // localCheckpoint: the assembly reduces the census to (h0, H)

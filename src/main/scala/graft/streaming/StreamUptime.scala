@@ -63,8 +63,8 @@ object StreamUptime {
       .select($"user_id", lit(0L).as("slot"), lit(true).as("sentinel"))
     val flushed = StreamDedup.runStagedStream(spark, Seq(
         ev.filter($"tsUs" <= cut).select($"user_id", $"slot", lit(false).as("sentinel")),
-        ev.filter($"tsUs" > cut).select($"user_id", $"slot", lit(false).as("sentinel")),
-        sentinels)) { stream =>
+        ev.filter($"tsUs" > cut).select($"user_id", $"slot", lit(false).as("sentinel"))
+          .unionByName(sentinels))) { stream =>
       census(stream.as[Ev]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     flushed.select($"user_id", $"n_events", $"n_slots_active",

@@ -63,12 +63,17 @@ object StreamVolume {
     val sentinels = ev.select($"event_type").distinct()
       .select($"event_type", lit(0L).as("dayUs"),
         lit(bounds.getLong(1) + 1L).as("tsUs"), lit(true).as("sentinel"))
+    // the sentinel RIDES the final data micro-batch (not a third
+    // batch): the fold is flag-based — it drains the whole batch
+    // iterator before emitting — so the flush still snapshots state
+    // from BOTH batches, and one fewer micro-batch is one less round
+    // of per-trigger planning + state-store commits
     val flushed = StreamDedup.runStagedStream(spark, Seq(
         ev.filter($"tsUs" <= cut)
           .select($"event_type", $"dayUs", lit(false).as("sentinel")),
         ev.filter($"tsUs" > cut)
-          .select($"event_type", $"dayUs", lit(false).as("sentinel")),
-        sentinels.drop("tsUs"))) { stream =>
+          .select($"event_type", $"dayUs", lit(false).as("sentinel"))
+          .unionByName(sentinels.drop("tsUs")))) { stream =>
       census(stream.as[Ev]).toDF()
     }.getOrElse(return spark.emptyDataFrame)
     // localCheckpoint: the assembly self-joins the census (stats ×
