@@ -200,7 +200,7 @@ object StreamDedup {
       // beat 32 for a small-increment stateful op — same rationale as
       // windowedRelay, without mutating the caller's conf
       val ss = spark.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_STREAM_PARTS", "8"))
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = ss.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"${staged.dir}/${staged.glob}")
       val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_stream_$sinkCounter" }
