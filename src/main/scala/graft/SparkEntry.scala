@@ -606,14 +606,17 @@ object SparkEntry {
   private def dot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,64), i -> CAST($a[i+1] AS DOUBLE)*CAST($b[i+1] AS DOUBLE))), (x,y) -> x+y)"
 
+  /** NULL-norm guard mirrors VecFns.norm: a zero vector's cosine is
+    * NULL in both engines (Spark 0/0 on doubles is NaN, DuckDB is
+    * NULL — without the shared guard the engines diverge). */
   private def cos(a: String, b: String): String =
-    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+    s"(${dot(a, b)} / ((CASE WHEN ${dot(a, a)} > 0 THEN sqrt(${dot(a, a)}) END) * (CASE WHEN ${dot(b, b)} > 0 THEN sqrt(${dot(b, b)}) END)))"
 
   /** dot/cos over the first n dims (embed_truncate_eval's slices). */
   private def dotN(a: String, b: String, n: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,$n), i -> CAST($a[i+1] AS DOUBLE)*CAST($b[i+1] AS DOUBLE))), (x,y) -> x+y)"
   private def cosN(a: String, b: String, n: Int): String =
-    s"(${dotN(a, b, n)} / (sqrt(${dotN(a, a, n)}) * sqrt(${dotN(b, b, n)})))"
+    s"(${dotN(a, b, n)} / ((CASE WHEN ${dotN(a, a, n)} > 0 THEN sqrt(${dotN(a, a, n)}) END) * (CASE WHEN ${dotN(b, b, n)} > 0 THEN sqrt(${dotN(b, b, n)}) END)))"
 
   /** DuckDB fragments for the PQ oracle: sub-space slice and
     * fold-exact squared L2 (elements cast to double BEFORE the
@@ -2599,9 +2602,10 @@ object SparkEntry {
     // corpus-proportional query side (vec_id ≡ 0 mod 10), each query
     // scoring only its OWN inverted list — the k-NN-graph build shape
     "ann_knn_graph" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      s"""WITH nz AS (SELECT * FROM embeddings WHERE ${dot("embedding", "embedding")} > 0),
+         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM nz WHERE vec_id < 16),
          |scored AS (SELECT e.vec_id, e.embedding, c.cid, ${cos("e.embedding", "c.cvec")} AS ccos
-         |  FROM embeddings e CROSS JOIN c),
+         |  FROM nz e CROSS JOIN c),
          |assign AS (SELECT cid, vec_id, embedding FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
          |  WHERE rn = 1),

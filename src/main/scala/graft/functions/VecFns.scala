@@ -26,9 +26,23 @@ object VecFns {
   /** Fold-exact squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity with fold-exact components. */
+  /** L2 norm, NULL for a zero vector: a zero embedding carries no
+    * direction, and the two engines disagree on 0/0 (Spark doubles
+    * give NaN, DuckDB gives NULL) — the NULL-norm convention makes a
+    * zero vector's cosine NULL in BOTH engines, so it drops out of
+    * every threshold filter and sorts last in every (cosine DESC)
+    * election identically. A 100 TB corpus WILL contain zero vectors
+    * (failed encoder calls, padded rows); silently NaN-poisoned
+    * top-k is the alternative. */
+  def norm(a: Column): Column = {
+    val sq = normSq(a)
+    when(sq > 0.0d, sqrt(sq))
+  }
+
+  /** Cosine similarity with fold-exact components; NULL when either
+    * vector has zero norm. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic pseudo-random hyperplane coefficient for plane p,
     * dimension d: integer arithmetic only, portable to the oracle. */

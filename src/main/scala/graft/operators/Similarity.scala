@@ -101,7 +101,7 @@ object Similarity {
     def sub(c: Column, mi: Int): Column = slice(c, mi * subDim + 1, subDim)
     def sqDist(a: Column, b: Column): Column = graft.plans.VecExprs.sqDistFFCol(a, b)
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val cents = emb.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
     val scored = emb.crossJoin(broadcast(cents))
@@ -160,7 +160,7 @@ object Similarity {
     val cand = ivfpqTopK(spark, dir, nQueries = nQueries, k = kCand)
       .select($"query_id", $"neighbor_id")
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val q = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
@@ -213,7 +213,7 @@ object Similarity {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", $"label",
-        sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+        VecFns.norm($"embedding").as("nrm"))
     val q = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"),
         $"nrm".as("qnrm"), $"label".as("true_label"))
@@ -237,7 +237,7 @@ object Similarity {
   def bruteTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val q = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
@@ -268,7 +268,7 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val cents = emb.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
     val scored = emb.crossJoin(broadcast(cents))
@@ -313,7 +313,7 @@ object Similarity {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", $"label",
-        sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+        VecFns.norm($"embedding").as("nrm"))
     val cents = emb.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
     val scored = emb.crossJoin(broadcast(cents))
@@ -349,7 +349,7 @@ object Similarity {
       minCos: Double = 0.2d, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val cents = emb.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
     val scored = emb.crossJoin(broadcast(cents))
@@ -391,7 +391,7 @@ object Similarity {
       array((0 until m).flatMap(s => dims(s).map(d => element_at(e, d + 1))): _*)
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", permuted($"embedding").as("pe"),
-        sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+        VecFns.norm($"embedding").as("nrm"))
     val cents = emb.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"),
         $"pe".as("cpe"), $"nrm".as("cnrm"))
@@ -661,7 +661,7 @@ object Similarity {
       holdout: Int = 50, tau: Double = 0.35d): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val hold = emb.filter($"vec_id" < holdout)
       .select($"vec_id".as("h_id"), $"embedding".as("hv"), $"nrm".as("hnrm"))
     val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"h_id".asc)
@@ -680,7 +680,7 @@ object Similarity {
     import spark.implicits._
     val asg = kmeans(spark, dir, k, iters).select($"vec_id", $"cluster")
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val v = asg.join(emb, "vec_id")
     val pairs = v.as("a").join(v.as("b"),
         $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
@@ -770,7 +770,7 @@ object Similarity {
     val sigs = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding",
         VecFns.lshSignature($"embedding", adaptivePlanes(spark, dir)).as("sig"),
-        sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+        VecFns.norm($"embedding").as("nrm"))
     // rare-side equi-join (not a broadcast anti-join on the hot set):
     // every consumer self-joins on sig, so the sig exchange happens
     // regardless and ReuseExchange serves the census + join sides
@@ -814,7 +814,7 @@ object Similarity {
   def lshRecall(spark: SparkSession, dir: String, qMod: Int = 50, k: Int = 3): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val q = emb.filter(pmod($"vec_id", lit(qMod.toLong)) === 0L)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
@@ -849,7 +849,7 @@ object Similarity {
     import spark.implicits._
     val planes = adaptivePlanes(spark, dir)
     val sigs = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"),
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"),
         explode(array((0 until nTables).map { t =>
           struct(lit(t).as("t"),
             VecFns.lshSignatureTable($"embedding", planes, t).as("sig"))
@@ -887,7 +887,7 @@ object Similarity {
       k: Int = 3, nTables: Int = 4): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val q = emb.filter(pmod($"vec_id", lit(qMod.toLong)) === 0L)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
@@ -920,7 +920,7 @@ object Similarity {
       threshold: Double = 0.35d): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val truth = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         (VecFns.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cosine"))
@@ -1175,7 +1175,7 @@ object Similarity {
       .select($"query_id", $"neighbor_id")
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", slice($"embedding", 1, dims).as("tv"))
-      .select($"vec_id", $"tv", sqrt(VecFns.dot($"tv", $"tv")).as("nrm"))
+      .select($"vec_id", $"tv", VecFns.norm($"tv").as("nrm"))
     val q = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"tv".as("qv"), $"nrm".as("qnrm"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
@@ -1241,8 +1241,14 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String, qMod: Int = 10, k: Int = 5,
       nCentroids: Int = 16): DataFrame = {
     import spark.implicits._
+    // zero-norm vectors are EXCLUDED from the graph build (their
+    // cosine is NULL to every neighbor — the bounded-heap election
+    // skips null scores while a ROW_NUMBER formulation would seat
+    // them, so the two shapes diverge unless directionless vectors
+    // leave the index up front; mirrored by the oracle's dot > 0)
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
+      .filter($"nrm".isNotNull)
     val cents = emb.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
     val scored = emb.crossJoin(broadcast(cents))
@@ -1289,7 +1295,7 @@ object Similarity {
       nCentroids: Int = 16): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val cents = emb.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
     val scored = emb.crossJoin(broadcast(cents))

@@ -73,7 +73,7 @@ object StreamAnnIngest {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding",
-        sqrt(VecFns.dot($"embedding", $"embedding")).as("nrm"))
+        VecFns.norm($"embedding").as("nrm"))
     val bounds = StreamDedup.cachedHead(emb.agg(min($"vec_id"), max($"vec_id")))
     if (bounds.isNullAt(0)) return spark.emptyDataFrame
     val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2

@@ -40,6 +40,30 @@ def main():
         if t != "events" and os.path.exists(src):
             shutil.copy(src, f"{out_dir}/{t}.parquet")
     con = duckdb.connect()
+    # adversarial embeddings: a ZERO vector (no direction — its cosine
+    # must be NULL in both engines, not NaN-vs-NULL divergence), an
+    # exact duplicate of vector 0 (cosine exactly 1.0, tie-break paths),
+    # and a 0.5-scalar multiple of vector 1 (near-1.0 cosine without
+    # byte equality). High vec_ids so codebook/query seeds (low ids)
+    # are untouched.
+    emq = f"read_parquet('{sf_dir}/embeddings.parquet')"
+    con.execute(f"""
+        COPY (
+          SELECT * FROM {emq}
+          UNION ALL
+          SELECT mx + 1, list_transform(range(0,64), i -> CAST(0.0 AS FLOAT)), 0
+          FROM (SELECT max(vec_id) AS mx FROM {emq})
+          UNION ALL
+          SELECT mx + 2, (SELECT embedding FROM {emq} WHERE vec_id = 0), 1
+          FROM (SELECT max(vec_id) AS mx FROM {emq})
+          UNION ALL
+          SELECT mx + 3,
+            (SELECT list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT))
+             FROM {emq} WHERE vec_id = 1), 2
+          FROM (SELECT max(vec_id) AS mx FROM {emq})
+          ORDER BY vec_id
+        ) TO '{out_dir}/embeddings.parquet' (FORMAT parquet)
+    """)
     ev = f"read_parquet('{sf_dir}/events.parquet')"
     base_id, hi_user, max_ts = con.sql(
         f"SELECT max(event_id), max(user_id), max(ts) FROM {ev}").fetchone()
