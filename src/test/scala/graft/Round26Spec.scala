@@ -80,6 +80,28 @@ class Round26Spec extends SparkSpec {
     assert(rm >= rs, "OR-construction can only widen the candidate set")
   }
 
+  test("zero-norm vectors: NULL cosine in-plan, excluded from the knn graph") {
+    import spark.implicits._
+    import graft.functions.VecFns
+    // NULL-norm convention: Spark doubles would give NaN for 0/0
+    // where DuckDB gives NULL — the shared convention is NULL
+    val row = Seq((Array.fill(64)(0.0f), Array.fill(64)(1.0f)))
+      .toDF("z", "u")
+      .select(VecFns.cosine($"z", $"u").as("zu"), VecFns.cosine($"u", $"u").as("uu"))
+      .head()
+    assert(row.isNullAt(0), "cosine with a zero vector must be NULL")
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    // degenerate corpus: the zero vector must not seat in the graph
+    val dir = graft.sources.Scratch.tempDir("graft_t26_zv").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val zero = Seq((9999L, Array.fill(64)(0.0f), 0)).toDF("vec_id", "embedding", "label")
+    emb.unionByName(zero).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val g = graft.operators.Similarity.knnGraph(spark, dir)
+    assert(g.filter($"query_id" === 9999L || $"neighbor_id" === 9999L).count() == 0L,
+      "zero-norm vectors carry no direction and must leave the knn graph")
+    assert(g.count() > 0L)
+  }
+
   test("kcore transient blocks are drained by releaseTransientBlocks") {
     val sc = spark.sparkContext
     graft.operators.Dedup.clearLabelCache()
