@@ -43,7 +43,7 @@ object GraftSession {
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
+          deepObservedMetrics(qe.executedPlan).foreach { case (name, row) =>
             if (name.startsWith("graft_") && row.toSeq.exists {
                   case null => false
                   case n: Number => n.longValue() != 0L
@@ -55,6 +55,38 @@ object GraftSession {
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
       })
+  }
+
+  /** Collect every CollectMetrics result in the EXECUTED plan,
+    * descending through AQE's materialized stage boundaries.
+    * `QueryExecution.observedMetrics` walks `plan.collect`, and
+    * AdaptiveSparkPlanExec / QueryStageExec are LEAF nodes whose real
+    * subtree hides behind `executedPlan()` / `plan()` — an observe()
+    * planted below any exchange (the stop-band censuses are) is
+    * invisible to it once AQE materializes the stage.
+    *
+    * Known limitation: if AQE's empty-relation propagation collapses
+    * the whole result (e.g. every candidate bucket was pruned), the
+    * physical CollectMetrics node is discarded with the subtree —
+    * EmptyRelationExec retains only a logical remnant — and the
+    * observed audit for that query is lost. Partially-pruned plans
+    * (any surviving row) keep the node; Round26Spec pins both the
+    * surviving case and this traversal. */
+  private[graft] def deepObservedMetrics(
+      plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[(String, org.apache.spark.sql.Row)] = {
+    import org.apache.spark.sql.execution.CollectMetricsExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = plan match {
+      case c: CollectMetricsExec => Seq(c.name -> c.collectedMetrics)
+      case _ => Nil
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case p => p.children
+    }
+    here ++ kids.flatMap(deepObservedMetrics)
   }
   private val observed =
     java.util.Collections.newSetFromMap(

@@ -102,6 +102,49 @@ class Round26Spec extends SparkSpec {
     assert(g.count() > 0L)
   }
 
+  test("stop-band prune on a hot bucket emits a non-zero observed drop metric") {
+    import spark.implicits._
+    // 250 identical documents share every band key -> one bucket of
+    // 250 > the 200 cap -> the prune must drop it AND say so
+    val dir = graft.sources.Scratch.tempDir("graft_t26_hot").toString
+    val hot = (1L to 250L).map(i => (i, "the same duplicated crawl page body " * 3))
+    // two near-identical cold docs keep the FINAL pair set non-empty:
+    // AQE's empty-relation propagation would otherwise collapse the
+    // whole plan to EmptyRelationExec and discard the metric node with
+    // it (a fully-emptied result loses its observed audit — known
+    // limitation, documented at GraftSession.deepObservedMetrics)
+    val cold = Seq(
+      (251L, "a rare survivor pair document body"),
+      (252L, "a rare survivor pair document body"))
+    (hot ++ cold).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        // the production listener's deep traversal: the census observe
+        // sits below an exchange, hidden inside an AQE query stage
+        GraftSession.deepObservedMetrics(qe.executedPlan).foreach { case (name, row) =>
+          if (name.startsWith("graft_stop_band_"))
+            seen.add((name, row.getLong(row.fieldIndex("dropped_buckets"))))
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.Dedup.minhashEstimate(spark, dir).count()
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val hits = seen.asScala.filter(_._1.contains("minhash_estimate"))
+      assert(hits.nonEmpty, "the stop-band census must publish its observed metric")
+      assert(hits.exists(_._2 > 0L),
+        s"a 250-member bucket over the 200 cap must report dropped_buckets > 0 (got $hits)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("kcore transient blocks are drained by releaseTransientBlocks") {
     val sc = spark.sparkContext
     graft.operators.Dedup.clearLabelCache()
