@@ -42,8 +42,9 @@ object GraftSession {
     if (observed.add(s)) s.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-          deepObservedMetrics(qe.executedPlan).foreach { case (name, row) =>
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          val metrics = deepObservedMetrics(qe.executedPlan)
+          metrics.foreach { case (name, row) =>
             if (name.startsWith("graft_") && row.toSeq.exists {
                   case null => false
                   case n: Number => n.longValue() != 0L
@@ -52,6 +53,17 @@ object GraftSession {
               println(s"[graft-observe] $name: ${row.schema.fieldNames.zip(row.toSeq)
                 .map { case (f, v) => s"$f=$v" }.mkString(", ")}")
           }
+          // accumulator backstop: stop-band drops whose CollectMetrics
+          // node was discarded by AQE empty-relation collapse (a fully
+          // pruned query) still surface — the census tasks ran even
+          // though the plan no longer shows them. Names seen above are
+          // synced, never double-logged.
+          graft.operators.StopBand.backstopDrops(metrics.map(_._1).toSet)
+            .foreach { case (name, buckets, members) =>
+              println(s"[graft-observe] $name: dropped_buckets=$buckets, " +
+                s"dropped_docs=$members (accumulator backstop)")
+            }
+        }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
       })
@@ -65,13 +77,16 @@ object GraftSession {
     * planted below any exchange (the stop-band censuses are) is
     * invisible to it once AQE materializes the stage.
     *
-    * Known limitation: if AQE's empty-relation propagation collapses
-    * the whole result (e.g. every candidate bucket was pruned), the
-    * physical CollectMetrics node is discarded with the subtree —
+    * If AQE's empty-relation propagation collapses the whole result
+    * (e.g. every candidate bucket was pruned), the physical
+    * CollectMetrics node is discarded with the subtree —
     * EmptyRelationExec retains only a logical remnant — and the
-    * observed audit for that query is lost. Partially-pruned plans
-    * (any surviving row) keep the node; Round26Spec pins both the
-    * surviving case and this traversal. */
+    * observed metric for that query is lost; the
+    * [[graft.operators.StopBand]] accumulator backstop covers exactly
+    * that case (the census tasks ran before AQE could see the empty
+    * side). Partially-pruned plans (any surviving row) keep the node;
+    * Round26Spec pins the surviving case and this traversal,
+    * Round27Spec the collapsed case. */
   private[graft] def deepObservedMetrics(
       plan: org.apache.spark.sql.execution.SparkPlan)
       : Seq[(String, org.apache.spark.sql.Row)] = {

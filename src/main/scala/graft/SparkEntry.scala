@@ -411,6 +411,9 @@ object SparkEntry {
     "stream_topterms" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamTopTerms.streamedTopTerms(s, d)),
     "text_tfidf" -> (TextAnalysis.tfidf _),
+    // F. BM25 ranked retrieval: df-capped posting join, integer-micro
+    // exact score sum, bounded-heap top-k election
+    "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
     "sample_strata" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStrata(s, d)),
     "sample_weighted" -> ((s: SparkSession, d: String) => TextAnalysis.sampleWeighted(s, d)),
     "sample_pergroup" -> ((s: SparkSession, d: String) => TextAnalysis.samplePerGroup(s, d)),
@@ -827,6 +830,16 @@ object SparkEntry {
       |  GROUP BY vec_id, embedding, t),
       |mrare AS (SELECT t, sig FROM mallsigs GROUP BY t, sig HAVING COUNT(*) <= 800),
       |msigs AS (SELECT mallsigs.* FROM mallsigs JOIN mrare USING (t, sig))""".stripMargin
+
+  /** 1-bit multi-probe expansion of msigs' query side: probe f = 0 is
+    * the vector's own bucket, probe f = 1..planes flips hyperplane
+    * f−1 — mirrors the explode in Similarity.lshMultiTopK exactly.
+    * The index side of the join stays msigs (probing never widens the
+    * index, only the lookup fan-out). */
+  private val mprobesCte: String =
+    """mprobes AS (SELECT vec_id, embedding, t,
+      |    CASE WHEN f = 0 THEN sig ELSE xor(sig, CAST(1 AS BIGINT) << (f - 1)) END AS sig
+      |  FROM msigs, nplanes, UNNEST(range(0, planes + 1)) AS tf(f))""".stripMargin
 
   /** Shared by dedup_minhash_est (single-scan batch) and dedup_stream
     * (stateful incremental index) — both must produce the identical
@@ -2518,16 +2531,19 @@ object SparkEntry {
          |SELECT query_id, n_true, n_found,
          |  CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
          |FROM r""".stripMargin,
-    // OR-construction LSH: candidates meet in ANY of 4 independent
-    // hyperplane tables; cross-table duplicate pairs collapse before
-    // the election (cosine is fold-exact either way)
+    // OR-construction LSH with 1-bit multi-probe: the query side of
+    // each of the 4 tables probes its own bucket plus the `planes`
+    // 1-flip neighbors; candidates meet in ANY (table, probe);
+    // cross-table duplicate pairs collapse before the election
+    // (cosine is fold-exact either way)
     "ann_lsh_multi" ->
-      s"""WITH $msigsCte
+      s"""WITH $msigsCte,
+         |$mprobesCte
          |SELECT query_id, neighbor_id, cosine, rnk FROM (
          |  SELECT query_id, neighbor_id, cosine,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
          |  FROM (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a.embedding", "b.embedding")} AS cosine
-         |    FROM msigs a JOIN msigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id != b.vec_id) c) t
+         |    FROM mprobes a JOIN msigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id != b.vec_id) c) t
          |WHERE rnk <= 3""".stripMargin,
     // recall@3 of the multi-table tier on the same sample + ground
     // truth as lsh_recall — the measured gain of the OR-construction
@@ -2539,11 +2555,12 @@ object SparkEntry {
          |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
          |  WHERE q.vec_id % 50 = 0) t
          |WHERE rnk <= 3),
+         |$mprobesCte,
          |mlt AS (SELECT query_id, neighbor_id FROM (
          |  SELECT query_id, neighbor_id,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
          |  FROM (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a.embedding", "b.embedding")} AS cosine
-         |    FROM msigs a JOIN msigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id != b.vec_id) c) t
+         |    FROM mprobes a JOIN msigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id != b.vec_id) c) t
          |WHERE rnk <= 3 AND query_id % 50 = 0),
          |r AS (SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
          |    CAST(SUM(CASE WHEN mlt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
@@ -3497,6 +3514,38 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY CAST(t.tf AS DOUBLE) * ((CAST(n.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) DESC, t.term) AS rnk
         |  FROM terms t JOIN dfreq d ON t.term = d.term CROSS JOIN n) z
         |WHERE rnk = 1""".stripMargin,
+    // BM25 more-like-this retrieval: reciprocal-rational idf (no
+    // libm ln), per-term contributions floored to integer micros so
+    // the per-(query, doc) sum is order-free and engine-exact; the
+    // query term-set is each query doc's 3 rarest terms (df asc,
+    // term asc — the deterministic keyword cut that also minimizes
+    // posting fan-out); ROW_NUMBER here IS the heap election's order
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
+        |postings AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_tokens FROM dl),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY 1),
+        |qterms AS (SELECT query_doc_id, term, df, n_docs, tot_tokens FROM (
+        |  SELECT p.doc_id AS query_doc_id, p.term, d.df, s.n_docs, s.tot_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.term) AS qrn
+        |  FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s
+        |  WHERE p.doc_id % 50 = 0) zq WHERE qrn <= 3),
+        |scored AS (SELECT q.query_doc_id, p.doc_id,
+        |    CAST(SUM(CAST(FLOOR(
+        |      ((CAST(q.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5)) *
+        |      ((CAST(p.tf AS DOUBLE) * 2.2) /
+        |       (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+        |         (CAST(q.tot_tokens AS DOUBLE) / CAST(q.n_docs AS DOUBLE)))))) * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM qterms q JOIN postings p USING (term) JOIN dl ON dl.doc_id = p.doc_id
+        |  WHERE p.doc_id != q.query_doc_id
+        |  GROUP BY 1, 2)
+        |SELECT query_doc_id, doc_id, score_micro,
+        |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score, rnk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_doc_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM scored) z
+        |WHERE rnk <= 5""".stripMargin,
     "frame_roundtrip" ->
       """SELECT event_id, user_id AS device_id, epoch_us(ts) // 1000000 AS ts_secs,
         |  CAST(7 AS BIGINT) AS n_samples,

@@ -71,21 +71,13 @@ object Dedup {
 
   /** Observable recall trade (VERDICT r8): the batch stop-band prune
     * silently dropped every pair from hot buckets while the stream
-    * tier counts overflow in an accumulator and fails loudly. A
-    * CollectMetrics node on the bucket census rides the existing
-    * aggregate — no extra job, no extra scan — and
-    * [[graft.GraftSession]]'s listener logs any non-zero drop when
-    * the consuming action finishes, so capped recall is visible in
-    * the driver log instead of silent. */
-  private val stopBandSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def observeStopBand(census: DataFrame, site: String, cap: Int): DataFrame = {
-    import census.sparkSession.implicits._
-    // suffix keeps names unique when two capped operators land in one
-    // query plan (observe rejects duplicate metric names per plan)
-    census.observe(s"graft_stop_band_${site}_${stopBandSeq.incrementAndGet()}",
-      sum(when($"bc" > cap, 1L).otherwise(0L)).as("dropped_buckets"),
-      sum(when($"bc" > cap, $"bc").otherwise(0L)).as("dropped_docs"))
-  }
+    * tier counts overflow in an accumulator and fails loudly. Now the
+    * shared [[StopBand]] audit: a CollectMetrics node on the census
+    * (exact, zero extra jobs) plus an accumulator backstop that
+    * survives AQE empty-relation collapse (ADVICE r9) —
+    * [[graft.GraftSession]]'s listener reports whichever survived. */
+  private def observeStopBand(census: DataFrame, site: String, cap: Int): DataFrame =
+    StopBand.audited(census, site, cap)
 
   def minhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -268,7 +260,7 @@ object Dedup {
       rdds.foreach(_.unpersist(blocking = false))
     }
     labelCache.clear()
-    releaseTransientBlocks()
+    releaseAllTransientBlocks()
   }
 
   /** Registry of TRANSIENT checkpoint blocks: blocks a returned
@@ -278,11 +270,15 @@ object Dedup {
     * query) drain it — without the registry every kcore round /
     * kmeans seed pass leaked its blocks for the JVM's lifetime
     * (ADVICE r8), and the 294-query gate runs in one SparkSession. */
-  private val transientBlocks =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  private val transientBlocks = new java.util.concurrent.ConcurrentHashMap[
+    java.lang.Long,
+    java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]]()
 
-  private[graft] def trackTransient(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
-    rdds.foreach(transientBlocks.add)
+  private[graft] def trackTransient(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit = {
+    val q = transientBlocks.computeIfAbsent(Thread.currentThread().getId,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]())
+    rdds.foreach(q.add)
+  }
 
   /** localCheckpoint whose blocks are freed at the next
     * [[releaseTransientBlocks]] — for checkpoints the RETURNED plan
@@ -293,13 +289,33 @@ object Dedup {
     ck
   }
 
-  /** Unpersist all registered transient checkpoint blocks. Callers
-    * must have consumed (or abandoned) every DataFrame returned since
-    * the previous drain — lineage is truncated, so a late action on
-    * one would fail rather than silently recompute. */
+  /** Unpersist the transient checkpoint blocks registered by the
+    * CALLING thread. The registry is thread-scoped (ADVICE r9): a
+    * Verify/Bench drain after each query can no longer truncate a
+    * not-yet-consumed DataFrame held by a concurrent consumer
+    * (parallel tests, interactive use) on the shared session — each
+    * consumer drains only what its own thread built. Callers must
+    * have consumed (or abandoned) every DataFrame THIS thread was
+    * returned since its previous drain — lineage is truncated, so a
+    * late action on one would fail rather than silently recompute. */
   def releaseTransientBlocks(): Unit = {
-    var r = transientBlocks.poll()
-    while (r != null) { r.unpersist(blocking = false); r = transientBlocks.poll() }
+    val q = transientBlocks.remove(Thread.currentThread().getId)
+    if (q != null) {
+      var r = q.poll()
+      while (r != null) { r.unpersist(blocking = false); r = q.poll() }
+    }
+  }
+
+  /** Unpersist EVERY thread's transient blocks — only safe when no
+    * returned DataFrame anywhere is still awaiting consumption
+    * (clearLabelCache's full-reset contract). */
+  private def releaseAllTransientBlocks(): Unit = {
+    val it = transientBlocks.values().iterator()
+    while (it.hasNext) {
+      val q = it.next(); it.remove()
+      var r = q.poll()
+      while (r != null) { r.unpersist(blocking = false); r = q.poll() }
+    }
   }
 
   /** localCheckpoint (eager) plus handles to the RDD blocks it

@@ -303,6 +303,89 @@ object TextAnalysis {
       .select($"doc_id", $"term".as("top_term"), $"score".as("tfidf"))
   }
 
+  /** BM25 ranked retrieval (`text_bm25`): top-k documents per query,
+    * the "which docs answer this query" surface [[tfidf]] (one score
+    * per doc-term) does not provide. Queries are more-like-this: each
+    * sampled document (doc_id ≡ 0 mod qMod — the deterministic
+    * sample idiom of lshRecall) retrieves against its own term set,
+    * self excluded.
+    *
+    * Okapi shape with the two house exactness rules:
+    *  - idf is the RECIPROCAL-RATIONAL form (N − df + ½)/(df + ½) —
+    *    not ln of it — because libm ln() is not correctly rounded
+    *    and Java vs DuckDB diverge in the last ulp (the [[tfidf]]
+    *    rule); monotone in df, so ranking semantics are Okapi's;
+    *  - the per-(query, doc) score is a SUM over matched terms, and
+    *    double sums are order-dependent — so each term's
+    *    contribution is floored to integer MICROS first (the
+    *    ann_index_stats rule: the contribution itself is a fixed
+    *    arithmetic expression over exact integers, bit-identical in
+    *    both engines; the integer sum is then associative, exact in
+    *    any partitioning / arrival order).
+    *
+    * Scale shape: postings + doc-length + df censuses are one
+    * explode + three partial-aggregated groupBys (shuffle ∝ corpus
+    * tokens); the query term-set is DF-BOUNDED — each query doc
+    * keeps only its `mTerms` LOWEST-df terms (df asc, term asc: the
+    * deterministic keyword-extraction cut), which both discards the
+    * corpus's own stop words (a global df-fraction cap degenerates
+    * on a small-vocabulary corpus where every doc is mostly stop
+    * words) and MINIMIZES the posting fan-out: the retrieval join
+    * ships Σ df over exactly the rarest terms, bounded by
+    * |queries|·mTerms·max-df — never pairs. The per-query election
+    * of rare terms runs over the sample only (row_number over
+    * |queries|·|vocab-per-doc| rows), and the final election is the
+    * bounded-heap TopKPairs (k structs per query cross the shuffle,
+    * not the candidate set). k1 = 1.2, b = 0.75: (1−b) = 0.25 and
+    * b = 0.75 are exactly representable, k1/k1+1 are the same
+    * literals in both engines. */
+  def bm25(spark: SparkSession, dir: String, qMod: Long = 50L,
+      k: Int = 5, mTerms: Int = 3): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
+    val postings = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    // corpus stats stay inside the plan (single-row agg, broadcast)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_tokens"))
+    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val wq = Window.partitionBy($"query_doc_id").orderBy($"df".asc, $"term".asc)
+    val qterms = postings
+      .filter(pmod($"doc_id", lit(qMod)) === 0L)
+      .select($"doc_id".as("query_doc_id"), $"term")
+      .join(dfreq, "term")
+      .withColumn("qrn", row_number().over(wq))
+      .filter($"qrn" <= mTerms)
+      .crossJoin(broadcast(stats))
+      .select($"query_doc_id", $"term", $"df", $"n_docs", $"tot_tokens")
+    val avgdl = $"tot_tokens".cast(DoubleType) / $"n_docs".cast(DoubleType)
+    val idfW = ($"n_docs".cast(DoubleType) - $"df".cast(DoubleType) + 0.5d) /
+      ($"df".cast(DoubleType) + 0.5d)
+    val denom = $"tf".cast(DoubleType) +
+      lit(1.2d) * (lit(0.25d) + lit(0.75d) * ($"dl".cast(DoubleType) / avgdl))
+    val contribMicro =
+      floor(idfW * (($"tf".cast(DoubleType) * 2.2d) / denom) * 1000000.0d)
+    val scored = qterms
+      .join(postings.as("p"), Seq("term"))
+      .where($"p.doc_id" =!= $"query_doc_id")
+      .join(dl, Seq("doc_id"))
+      .select($"query_doc_id", $"doc_id", contribMicro.as("cm"))
+      .groupBy($"query_doc_id", $"doc_id")
+      .agg(sum($"cm").as("score_micro"))
+    // bounded-heap election: micros < 2^53, so the heap's double
+    // value is the exact integer and the (score DESC, doc_id ASC)
+    // heap order is the ranking order
+    scored
+      .groupBy($"query_doc_id")
+      .agg(graft.plans.Sketch.topKPairs(
+        $"score_micro".cast(DoubleType), $"doc_id", k).as("top"))
+      .select($"query_doc_id", posexplode($"top"))
+      .select($"query_doc_id", $"col.key".as("doc_id"),
+        $"col.value".cast(LongType).as("score_micro"),
+        ($"col.value" / 1000000.0d).as("score"),
+        ($"pos" + 1).cast(LongType).as("rnk"))
+  }
+
   /** Deterministic stratified sampling: keep ~`pct`% of documents per
     * stratum by content-hash bucket (hash mod 100 < pct). Hash-based
     * sampling is reproducible across runs/engines/cluster sizes —

@@ -30,6 +30,28 @@ object Scratch {
     else Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
-  /** Fresh temp directory under the RAM root. Caller owns deletion. */
-  def tempDir(prefix: String): Path = Files.createTempDirectory(root, prefix)
+  /** Keep at least this much tmpfs headroom: /dev/shm is RAM
+    * (typically capped at half of it), shared with the OS — filling
+    * it fails writes far from the cause and can pressure the very
+    * heap the engine runs on (ADVICE r9). 4 GiB covers the largest
+    * per-call staging (a bucketed sf0.1 table copy) with margin. */
+  private val MinFreeBytes = 4L * 1024 * 1024 * 1024
+
+  /** Fresh temp directory under the RAM root, falling back to
+    * `java.io.tmpdir` (disk) when tmpfs headroom runs low — slower
+    * is better than a mid-run ENOSPC. Caller owns deletion. */
+  def tempDir(prefix: String): Path = {
+    val disk = Paths.get(System.getProperty("java.io.tmpdir"))
+    val base =
+      if (root == disk) root
+      else try {
+        if (Files.getFileStore(root).getUsableSpace >= MinFreeBytes) root
+        else {
+          System.err.println(s"[graft-scratch] $root below ${MinFreeBytes >> 30} GiB free — " +
+            s"falling back to $disk for $prefix")
+          disk
+        }
+      } catch { case _: java.io.IOException => disk }
+    Files.createTempDirectory(base, prefix)
+  }
 }

@@ -200,7 +200,7 @@ object StreamDedup {
       // beat 32 for a small-increment stateful op — same rationale as
       // windowedRelay, without mutating the caller's conf
       val ss = spark.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", StreamDedup.gateShufflePartitions)
       val stream = ss.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"${staged.dir}/${staged.glob}")
       val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_stream_$sinkCounter" }
@@ -221,6 +221,16 @@ object StreamDedup {
       finally walk.close()
     }
   }
+
+  /** Shuffle width for the gate-cloned streaming sessions. Each
+    * stateful operator materializes one state store PER shuffle
+    * partition PER micro-batch commit, and the staged twins' state is
+    * dimension-sized (per-user / per-window-key at test SF), so the
+    * width buys only per-batch commit overhead — not throughput. Env
+    * knob for measurement; a real deployment sizes this to state
+    * volume, not the gate. */
+  private[streaming] val gateShufflePartitions: String =
+    sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
 
   private case class Staged(dir: java.nio.file.Path,
       schema: org.apache.spark.sql.types.StructType, glob: String)

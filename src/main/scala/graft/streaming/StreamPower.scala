@@ -51,9 +51,14 @@ object StreamPower {
 
   def streamedPower(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cents via the exact DECIMAL path (the StreamAbtest idiom):
+    // round(value*100) is a double multiply whose half-cent inputs
+    // (0.285 → 28.4999…) round DOWN where the batch/oracle
+    // CAST(value AS DECIMAL(18,2)) rounds UP — one-cent divergence
+    // between the tiers on exactly the values that tie
     val ev = graft.sources.Tables.events(spark, dir)
       .select($"user_id", unix_micros($"ts").as("tsUs"),
-        round($"value" * 100).cast("long").as("cents"))
+        (graft.operators.dec($"value") * 100).cast("long").as("cents"))
     val bounds = StreamDedup.cachedHead(ev.agg(min($"tsUs"), max($"tsUs")))
     // all-null ts: every row routes to batch 1 (the batch shape has no
     // ts filter); truly empty corpus flows through the zero-trigger

@@ -89,7 +89,8 @@ object StreamRelay {
         // per micro-batch, so 8 stores beat 32 for a per-window-key
         // aggregate, without mutating the caller's session conf
         val ss = spark.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        ss.conf.set("spark.sql.shuffle.partitions",
+          StreamDedup.gateShufflePartitions)
         startAppendRelay(ss, schema, inDir.toString, outDir.toString, ck.toString)
       } catch {
         case e: Throwable => deleteTree(tmp); throw e
