@@ -201,6 +201,16 @@ object StreamDedup {
       // windowedRelay, without mutating the caller's conf
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", StreamDedup.gateShufflePartitions)
+      // No trailing no-data micro-batches in the GATE session: every
+      // twin's final emission is driven by data (sentinel rows riding
+      // the last batch, or per-arrival append) — measured r10: all 61
+      // streaming keys hash-identical without them, and the trailing
+      // empty batch was ~13% of the heavy twins' wall time. Gate
+      // scaffolding only: a real deployment keeps the Spark default
+      // (true) so watermark-closed windows emit without waiting for
+      // the next arrival. Env override for experiments.
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        StreamDedup.gateNoDataBatches)
       val stream = ss.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"${staged.dir}/${staged.glob}")
       val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_stream_$sinkCounter" }
@@ -231,6 +241,10 @@ object StreamDedup {
     * volume, not the gate. */
   private[streaming] val gateShufflePartitions: String =
     sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
+
+  /** See the comment at the cloned-session setup in runStagedStream. */
+  private[streaming] val gateNoDataBatches: String =
+    sys.env.getOrElse("GRAFT_STREAM_NODATA", "false")
 
   private case class Staged(dir: java.nio.file.Path,
       schema: org.apache.spark.sql.types.StructType, glob: String)
