@@ -495,6 +495,7 @@ object SparkEntry {
     // arrival log aggregates to the batch dedup_exact result only if
     // batch-2 copies hit batch-1 state
     "dedup_exact_stream" -> (graft.streaming.StreamDedup.streamedExactDedup _),
+    "dedup_url_stream" -> (graft.streaming.StreamUrlDedup.streamedUrlDedup _),
     // B. streaming sessionization: the events table as two median-
     // time micro-batches + a sentinel barrier through per-user open-
     // session state; aggregates to the batch session_windows result
@@ -1645,6 +1646,30 @@ object SparkEntry {
     s"""SELECT ${ph("text")} AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** Shared by `dedup_url` and its streaming twin `dedup_url_stream`
+    * (keeper/count/variant-set state per canonical URL). */
+  private lazy val urlDedupSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.COM' ELSE source || '.example.com' END) ||
+      |  '/' || lang || '/item-' || CAST(doc_id % 50 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 5 != 0 AND doc_id % 7 = 0 THEN '?ref=home&utm_source=feed'
+      |        WHEN doc_id % 5 != 0 AND doc_id % 7 = 1 THEN '?utm_source=feed&utm_campaign=x'
+      |        ELSE '' END) ||
+      |  (CASE WHEN doc_id % 11 = 0 THEN '#section' ELSE '' END) AS url
+      |FROM documents),
+      |n AS (SELECT doc_id, url,
+      |  regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*', '') AS u2 FROM u),
+      |c AS (SELECT doc_id, url,
+      |  lower(regexp_extract(u2, '^[^/?]+')) ||
+      |  regexp_replace(regexp_replace(regexp_replace(u2, '^[^/?]+', ''), '[?&]utm_[^&#]*', '', 'g'), '/$', '') AS canonical_url
+      |FROM n)
+      |SELECT canonical_url, MIN(doc_id) AS keeper_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+      |FROM c GROUP BY 1""".stripMargin
+
   /** DuckDB fragment: fold-exact squared L2 between two DOUBLE lists
     * (mirrors Similarity.kmeans' sqDist — same sequential order). */
   private def kmDist(a: String, b: String): String = kmDistN(a, b, 64)
@@ -2144,27 +2169,11 @@ object SparkEntry {
     // streaming twin: the arrival log aggregated — identical result
     // by construction when cross-batch keeper state works
     "dedup_exact_stream" -> exactDedupSql,
-    "dedup_url" ->
-      """WITH u AS (SELECT doc_id,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
-        |  (CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.COM' ELSE source || '.example.com' END) ||
-        |  '/' || lang || '/item-' || CAST(doc_id % 50 AS VARCHAR) ||
-        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
-        |  (CASE WHEN doc_id % 5 != 0 AND doc_id % 7 = 0 THEN '?ref=home&utm_source=feed'
-        |        WHEN doc_id % 5 != 0 AND doc_id % 7 = 1 THEN '?utm_source=feed&utm_campaign=x'
-        |        ELSE '' END) ||
-        |  (CASE WHEN doc_id % 11 = 0 THEN '#section' ELSE '' END) AS url
-        |FROM documents),
-        |n AS (SELECT doc_id, url,
-        |  regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*', '') AS u2 FROM u),
-        |c AS (SELECT doc_id, url,
-        |  lower(regexp_extract(u2, '^[^/?]+')) ||
-        |  regexp_replace(regexp_replace(regexp_replace(u2, '^[^/?]+', ''), '[?&]utm_[^&#]*', '', 'g'), '/$', '') AS canonical_url
-        |FROM n)
-        |SELECT canonical_url, MIN(doc_id) AS keeper_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
-        |FROM c GROUP BY 1""".stripMargin,
+    "dedup_url" -> urlDedupSql,
+    // streaming twin: order-free per-key (min, count, variant-set)
+    // folds flushed at the snapshot barrier — identical census by
+    // construction when cross-batch state works
+    "dedup_url_stream" -> urlDedupSql,
     "dedup_minhash" ->
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM vp""".stripMargin,

@@ -732,6 +732,18 @@ object Dedup {
     * there is, which is exactly why crawls run it first. */
   def urlDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    canonicalUrls(spark, dir)
+      .groupBy($"canonical_url")
+      .agg(min($"doc_id").as("keeper_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct($"url").as("n_raw_variants"))
+  }
+
+  /** The (doc_id, url, canonical_url) derivation shared by
+    * [[urlDedup]] and its streaming twin — scan-local expressions
+    * only, so both tiers canonicalize bit-identically. */
+  private[graft] def canonicalUrls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val d = Tables.documents(spark, dir)
     val scheme = when($"doc_id" % 2L === 0L, lit("http://")).otherwise(lit("https://"))
     val host = when($"doc_id" % 3L === 0L, concat(upper($"source"), lit(".Example.COM")))
@@ -749,16 +761,13 @@ object Dedup {
     // scheme off, fragment off; host lowercases, path/query keep case
     val noScheme = regexp_replace(
       regexp_replace($"url", "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""), "#.*", "")
-    val canon = withUrl.withColumn("u2", noScheme)
+    withUrl.withColumn("u2", noScheme)
       .withColumn("canonical_url", concat(
         lower(regexp_extract($"u2", "^[^/?]+", 0)),
         regexp_replace(
           regexp_replace(regexp_replace($"u2", "^[^/?]+", ""), "[?&]utm_[^&#]*", ""),
           "/$", "")))
-    canon.groupBy($"canonical_url")
-      .agg(min($"doc_id").as("keeper_id"),
-        count(lit(1)).as("n_docs"),
-        countDistinct($"url").as("n_raw_variants"))
+      .select($"doc_id", $"url", $"canonical_url")
   }
 
   /** Threshold-sensitivity sweep (`dedup_sensitivity`): how the

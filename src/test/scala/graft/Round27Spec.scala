@@ -139,6 +139,33 @@ class Round27Spec extends SparkSpec {
       s"the collapsed plan must still surface the drop: $drops")
   }
 
+  test("dedup_url_stream equals the batch census; variant cap throws loudly") {
+    import spark.implicits._
+    // twin vs batch on the real corpus (cross-batch keeper/count/
+    // variant state must reassemble the exact census)
+    val batch = graft.operators.Dedup.urlDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val stream = graft.streaming.StreamUrlDedup.streamedUrlDedup(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stream == batch,
+      s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+    // cap contract: > MaxVariants distinct raw urls for one canonical
+    // key must cap the set and count every truncated insertion (the
+    // corpus' dial-derived urls can't exceed the cap, so drive the
+    // stateful core directly — flatMapGroupsWithState in batch mode)
+    val cap = graft.streaming.StreamUrlDedup.MaxVariants
+    val evs = (1L to (cap + 8L)).map(i =>
+      graft.streaming.StreamUrlDedup.Ev(Some("k"), Some(i), Some(s"raw-$i"), sentinel = false)) :+
+      graft.streaming.StreamUrlDedup.Ev(Some("k"), None, None, sentinel = true)
+    val acc = spark.sparkContext.longAccumulator("t27_url_overflow")
+    val out = graft.streaming.StreamUrlDedup.census(
+      evs.toDS().repartition(1), overflow = Some(acc)).collect()
+    assert(out.length == 1 && out.head.n_docs == cap + 8L)
+    assert(out.head.n_raw_variants == cap.toLong, "set must cap at MaxVariants")
+    assert(acc.value == 8L, s"overflow must count the truncated insertions, got ${acc.value}")
+  }
+
   test("bm25 plan: bounded-heap election, no Window over the scored join") {
     val plan = graft.operators.TextAnalysis.bm25(spark, sf)
       .queryExecution.executedPlan.toString
