@@ -552,7 +552,11 @@ object SparkEntry {
   /** DuckDB fragment: the polynomial hash of SURVEY §5 (mirrors
     * graft.functions.HashFns.polyHash). */
   private def ph(s: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s,''), c -> CAST(ascii(c) AS BIGINT))), (h,c) -> (h*31+c) % 1000000007)"
+    // NULL-preserving like Spark's native polyHash: DuckDB's
+    // list_prepend(0, string_split(NULL)) would otherwise collapse
+    // ph(NULL) to 0 = ph('') and merge the NULL-text group with the
+    // empty-text group (r10 documents-adversarial finding)
+    s"CASE WHEN $s IS NULL THEN NULL ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s,''), c -> CAST(ascii(c) AS BIGINT))), (h,c) -> (h*31+c) % 1000000007) END"
 
   /** events_heatmap's oracle, shared with its streaming twin. */
   private def heatmapSql: String =
@@ -2244,9 +2248,9 @@ object SparkEntry {
          |th AS (SELECT doc_id, list_transform(t, tok ->
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))), (h,c) -> (h*31+c) % 2147483647)
          |  + list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))), (h,c) -> (h*37+c) % 2147483647) * 2147483648) AS hs FROM toks),
-         |sh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |sh AS (SELECT doc_id, CASE WHEN hs IS NULL THEN NULL ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
          |  list_transform(range(0,62), i -> CASE WHEN 2*len(list_filter(hs, h -> (h & (CAST(1 AS BIGINT) << i)) != 0)) - len(hs) > 0
-         |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), (a,x) -> a+x) AS simhash FROM th),
+         |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), (a,x) -> a+x) END AS simhash FROM th),
          |allbands AS (SELECT doc_id, simhash, b, ((simhash >> (16*b)) & 65535) AS bkey FROM sh, UNNEST(range(0,4)) AS tb(b)),
          |rare AS (SELECT b, bkey FROM allbands GROUP BY b, bkey HAVING COUNT(*) <= 200),
          |bands AS (SELECT allbands.* FROM allbands JOIN rare USING (b, bkey))
@@ -2740,10 +2744,10 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS n_chars_actual,
         |    CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
-        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
-        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio,
-        |    CAST(len(list_filter(toks, x -> x='the' OR x='and' OR x='of' OR x='to' OR x='is')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |    CASE WHEN len(toks) > 0 THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS avg_token_len,
+        |    CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |    CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS digit_ratio,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x='the' OR x='and' OR x='of' OR x='to' OR x='is')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio
         |  FROM (SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents) a) b""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
@@ -2758,7 +2762,7 @@ object SparkEntry {
          |    ELSE [lower(text)] END) AS grams FROM documents)
          |SELECT doc_id, ${ph("lc")} AS full_hash,
          |  list_min(list_transform(grams, x -> ${ph("x")})) AS min_kgram_hash,
-         |  CAST(len(grams) AS BIGINT) AS n_distinct_kgrams
+         |  CAST(CASE WHEN lc IS NULL THEN NULL ELSE len(grams) END AS BIGINT) AS n_distinct_kgrams
          |FROM g""".stripMargin,
     // winnowing (k=8, w=4): positional k-gram rolling hashes, window
     // minima, distinct fingerprint VALUES — selection order-free, so
@@ -3116,7 +3120,8 @@ object SparkEntry {
         |c AS (
         |  SELECT doc_id, lang,
         |    CAST(len(words) AS BIGINT) AS n_words,
-        |    CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_word_chars,
+        |    CAST(CASE WHEN words IS NULL THEN NULL
+        |         ELSE COALESCE(list_sum(list_transform(words, x -> length(x))), 0) END AS BIGINT) AS sum_word_chars,
         |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
         |    CAST(len(list_intersect(list_transform(words, x -> lower(x)),
         |      ['a','the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits

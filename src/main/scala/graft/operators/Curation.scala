@@ -827,8 +827,12 @@ object Curation {
     val deltaAgg = removed.unionByName(revised).unionByName(added)
       .groupBy($"lang")
       .agg(sum($"d_docs").as("d_docs"), sum($"d_bytes").as("d_bytes"))
-    baseMv.join(deltaAgg, Seq("lang"), "full_outer")
-      .select($"lang",
+    // NULL-SAFE merge key: lang is a GROUPING value, so the NULL-lang
+    // group must reconcile like any other — a plain equi full-outer
+    // would emit the base and delta NULL groups as TWO rows (SQL NULL
+    // never equals NULL; r10 documents-adversarial finding)
+    baseMv.as("b").join(deltaAgg.as("d"), $"b.lang" <=> $"d.lang", "full_outer")
+      .select(coalesce($"b.lang", $"d.lang").as("lang"),
         (coalesce($"n_docs", lit(0L)) + coalesce($"d_docs", lit(0L))).as("n_docs"),
         (coalesce($"total_bytes", lit(0L)) + coalesce($"d_bytes", lit(0L)))
           .as("total_bytes"))

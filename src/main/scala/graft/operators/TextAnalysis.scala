@@ -43,14 +43,19 @@ object TextAnalysis {
     val punct = nChars - length(regexp_replace($"text", "[.,!?;:]", "")).cast(LongType)
     val digits = nChars - length(regexp_replace($"text", "[0-9]", "")).cast(LongType)
     val stops = TextFns.markerCount(toks, Seq("the", "and", "of", "to", "is")).cast(LongType)
+    // zero-denominator guard, mirrored in the oracle's CASE: an
+    // empty document has no char/token mass to ratio — NULL, not a
+    // DIVIDE_BY_ZERO crash (ANSI) or an engine-divergent NaN
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0L, num.cast(DoubleType) / den.cast(DoubleType))
     Tables.documents(spark, dir).select(
       $"doc_id",
       nChars.as("n_chars_actual"),
       nTok.as("n_tokens"),
-      (tokLenSum.cast(DoubleType) / nTok.cast(DoubleType)).as("avg_token_len"),
-      (punct.cast(DoubleType) / nChars.cast(DoubleType)).as("punct_ratio"),
-      (digits.cast(DoubleType) / nChars.cast(DoubleType)).as("digit_ratio"),
-      (stops.cast(DoubleType) / nTok.cast(DoubleType)).as("stop_ratio"))
+      ratio(tokLenSum, nTok).as("avg_token_len"),
+      ratio(punct, nChars).as("punct_ratio"),
+      ratio(digits, nChars).as("digit_ratio"),
+      ratio(stops, nTok).as("stop_ratio"))
       .withColumn("is_quality", $"n_tokens" >= 10 && $"punct_ratio" < 0.1)
   }
 

@@ -33,8 +33,12 @@ object StreamDedup {
   case class BandRow(band: Int, bkey: Long, doc_id: Long, sig: Seq[Long])
   case class Member(id: Long, sig: Seq[Long])
   case class PairOut(doc_a: Long, doc_b: Long, est_jaccard: Double)
-  case class HashRow(content_hash: Long, doc_id: Long)
-  case class ArrivalOut(content_hash: Long, doc_id: Long, is_dup: Boolean)
+  // Option-typed hash: a NULL-text document hashes to NULL (the
+  // batch tier and the NULL-preserving oracle ph agree) and must form
+  // its own keeper group, not crash the encoder (r10
+  // documents-adversarial finding)
+  case class HashRow(content_hash: Option[Long], doc_id: Long)
+  case class ArrivalOut(content_hash: Option[Long], doc_id: Long, is_dup: Boolean)
 
   private var sinkCounter = 0
 
@@ -52,6 +56,11 @@ object StreamDedup {
             .as("bkey"))
       }: _*)).as("bk"))
       .select($"bk.band".as("band"), $"bk.bkey".as("bkey"), $"doc_id", $"mh".as("sig"))
+      // a NULL-text doc has no signature: the batch tier's NULL band
+      // keys never equi-join (SQL NULL != NULL), so it contributes no
+      // pairs there — drop it here for the same pair set instead of
+      // crashing the non-nullable encoder
+      .filter($"sig".isNotNull && $"bkey".isNotNull)
       .as[BandRow]
   }
 

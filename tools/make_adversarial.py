@@ -97,6 +97,35 @@ def main():
           ORDER BY event_id
         ) TO '{out_dir}/events.parquet' (FORMAT parquet)
     """)
+    # adversarial documents (r10, opt-in via --docs while the triaged
+    # red list in SURVEY §5 burns down): NULL / empty / whitespace-only text
+    # (tokenizer + quality-ratio division edges), NULL lang / NULL
+    # source (per-language windows, URL-host derivation, mixture
+    # group-bys), an exact duplicate of doc 0 under a fresh id (keeper
+    # tie-breaks), and a fresh 2-doc exact-dup cluster. High doc_ids
+    # so low-id codebook/query seeds are untouched — though mx+1 can
+    # land on the bm25/recall sample grid (id % 50 == 0), which is the
+    # point: a sampled query doc with degenerate text must behave
+    # identically in both engines.
+    dq = f"read_parquet('{sf_dir}/documents.parquet')"
+    mx_doc, = con.sql(f"SELECT max(doc_id) FROM {dq}").fetchone()
+    if "--docs" in sys.argv:
+        con.execute(f"""
+        COPY (
+          SELECT * FROM (
+            SELECT * FROM {dq}
+            UNION ALL SELECT {mx_doc} + 1, NULL, 'es', 'src0', 0
+            UNION ALL SELECT {mx_doc} + 2, '', 'en', 'src1', 0
+            UNION ALL SELECT {mx_doc} + 3, '   ', 'en', 'src1', 3
+            UNION ALL SELECT {mx_doc} + 4, text, lang, source, n_chars
+                      FROM {dq} WHERE doc_id = 0
+            UNION ALL SELECT {mx_doc} + 5, 'the', NULL, 'src2', 3
+            UNION ALL SELECT {mx_doc} + 6, 'fast sort fast sort', 'fr', NULL, 19
+            UNION ALL SELECT {mx_doc} + 7, 'fast sort fast sort', 'fr', 'src3', 19
+          )
+          ORDER BY doc_id
+        ) TO '{out_dir}/documents.parquet' (FORMAT parquet)
+    """)
     if ns_jitter:
         # re-encode as parquet TIMESTAMP(NANOS) with deterministic
         # sub-µs jitter (+(event_id*37) % 1000 ns): exercises Spark's
