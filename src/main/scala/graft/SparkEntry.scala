@@ -3647,22 +3647,25 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(CASE WHEN lang = 'en' THEN 33 WHEN lang = 'de' THEN 21
         |            WHEN lang = 'es' THEN 30 ELSE 12 END + strlen(text) AS BIGINT) AS n_bytes,
-        |  CAST((n_chars % 64) + 1 AS BIGINT) AS width,
-        |  CAST((doc_id % 48) + 1 AS BIGINT) AS height,
-        |  CASE WHEN lang = 'en' THEN 'png' WHEN lang = 'de' THEN 'jpeg'
+        |  CAST(CASE WHEN text IS NULL THEN NULL ELSE (n_chars % 64) + 1 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN text IS NULL THEN NULL ELSE (doc_id % 48) + 1 END AS BIGINT) AS height,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN lang = 'en' THEN 'png' WHEN lang = 'de' THEN 'jpeg'
         |       WHEN lang = 'es' THEN 'webp' ELSE 'raw' END AS format,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  CASE WHEN text IS NULL THEN NULL ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(0, LEAST(strlen(text), 8)),
         |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT))),
-        |    (a,b) -> a+b) AS payload_head_sum
+        |    (a,b) -> a+b) END AS payload_head_sum
         |FROM documents""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id,
-        |  CASE WHEN lang = 'en' THEN 'png' WHEN lang = 'de' THEN 'jpeg'
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN lang = 'en' THEN 'png' WHEN lang = 'de' THEN 'jpeg'
         |       WHEN lang = 'es' THEN 'webp' ELSE 'raw' END AS format,
-        |  CAST(greatest(((n_chars % 64) + 1) // 2, 1) AS BIGINT) AS width,
-        |  CAST(greatest(((doc_id % 48) + 1) // 2, 1) AS BIGINT) AS height,
-        |  CAST(CASE WHEN lang = 'en' THEN 33 WHEN lang = 'de' THEN 21
+        |  CAST(CASE WHEN text IS NULL THEN NULL ELSE greatest(((n_chars % 64) + 1) // 2, 1) END AS BIGINT) AS width,
+        |  CAST(CASE WHEN text IS NULL THEN NULL ELSE greatest(((doc_id % 48) + 1) // 2, 1) END AS BIGINT) AS height,
+        |  CAST(CASE WHEN text IS NULL THEN NULL
+        |            WHEN lang = 'en' THEN 33 WHEN lang = 'de' THEN 21
         |            WHEN lang = 'es' THEN 30 ELSE 12 END
         |       + least(strlen(text), 16) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
