@@ -56,11 +56,69 @@ object Bench {
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The streaming twins' cost is ~80% fixed Structured-Streaming
+    // lifecycle (per-trigger planning + state-store commits — latency,
+    // not CPU), so K of them run CONCURRENTLY per rep (VERDICT r10
+    // task 4; safe since the r10 thread-scoped checkpoint drains —
+    // each twin runs in its own cloned session with per-call scratch
+    // dirs and unique sink names). Accounting stays honest: each
+    // twin's per-query number is its OWN wall time under concurrency
+    // (a latency, possibly above its isolated median — verify movers
+    // with tools/TimeOne), and the TOTAL charges the streaming family
+    // its measured WAVE wall (what the gate actually pays), not the
+    // sum of overlapped latencies. GRAFT_BENCH_STREAM_CONCURRENCY=1
+    // restores the fully-serial accounting.
+    val conc = math.max(1,
+      sys.env.getOrElse("GRAFT_BENCH_STREAM_CONCURRENCY", "4").toInt)
+    val (streamSel, batchSel) = selected.toSeq.sortBy(_._1)
+      .partition { case (k, _) => k.startsWith("stream_") || k.endsWith("_stream") }
+    val batchResults = batchSel.map { case (name, fn) =>
       val runs = (0 until reps).flatMap(_ => timeOnce(fn))
       // a query only counts as measured if EVERY rep succeeded
       name -> (if (runs.length == reps) Some(median(runs)) else None)
     }
+    val (streamResults, streamWall): (Seq[(String, Option[Double])], Option[Double]) =
+      if (streamSel.isEmpty) (Seq.empty, None)
+      else if (conc <= 1) {
+        (streamSel.map { case (name, fn) =>
+          val runs = (0 until reps).flatMap(_ => timeOnce(fn))
+          name -> (if (runs.length == reps) Some(median(runs)) else None)
+        }, None)
+      } else {
+        val perKey = new java.util.concurrent.ConcurrentHashMap[String, List[Double]]()
+        val walls = (0 until reps).map { _ =>
+          graft.operators.Dedup.clearLabelCache()
+          System.gc()
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+          val t0 = System.nanoTime()
+          try {
+            import scala.jdk.CollectionConverters._
+            val tasks = streamSel.map { case (name, fn) =>
+              new java.util.concurrent.Callable[Unit] {
+                def call(): Unit = {
+                  val s0 = System.nanoTime()
+                  try {
+                    fn(spark, sfDir).count()
+                    val dt = (System.nanoTime() - s0) / 1e9
+                    perKey.merge(name, List(dt), (a, b) => b ::: a)
+                  } catch {
+                    case t: Throwable =>
+                      System.err.println(s"bench query failed: ${t.getClass.getName}: ${t.getMessage}")
+                  } finally graft.operators.Dedup.releaseTransientBlocks()
+                }
+              }
+            }
+            pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+          } finally pool.shutdown()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val res = streamSel.map { case (name, _) =>
+          val runs = Option(perKey.get(name)).getOrElse(Nil)
+          name -> (if (runs.length == reps) Some(median(runs)) else None)
+        }
+        (res, Some(median(walls)))
+      }
+    val results = (batchResults ++ streamResults).sortBy(_._1)
     // timings print at 4 decimals (0.1 ms): full-precision doubles made
     // the one-line payload ~6 KB and the driver's captured stdout tail
     // truncated it mid-JSON (BENCH_r06 "parsed": null) — sub-ms digits
@@ -71,8 +129,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}"""
+    // total = serial batch medians + the streaming wave's measured
+    // wall (when concurrent) — the wall time one serial-equivalent
+    // pass of the suite actually costs; overlapped per-query
+    // latencies must not double-count
+    val total = streamWall match {
+      case Some(w) => batchResults.flatMap(_._2).sum + w
+      case None => results.flatMap(_._2).sum
+    }
+    val streamMeta = streamWall
+      .map(w => s""","stream_wall":${fmt(w)},"stream_concurrency":$conc""")
+      .getOrElse("")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$streamMeta,"sf":"$sfDir","reps":$reps}"""
     // the full 213-query payload (~6 KB) goes to a FILE; the driver's
     // stdout tail capture starts mid-line on payloads that long
     // (BENCH_r06 and r07 both landed "parsed": null), so the LAST
@@ -80,17 +148,18 @@ object Bench {
     // query count, failures, and only the 10 slowest per-query timings
     // only a FULL run may replace the artifact of record — a filtered
     // single-operator iteration must not clobber the last full bench
-    if (wanted.isEmpty) {
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_last.json"), fullLine + "\n")
-      catch { case _: Throwable => () }
-    }
+    // (partial runs record to bench_partial.json so the iteration
+    // numbers are still on disk without touching the headline file)
+    val artifact = if (wanted.isEmpty) "bench_last.json" else "bench_partial.json"
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(artifact), fullLine + "\n")
+    catch { case _: Throwable => () }
     val slow10 = results.collect { case (k, Some(v)) => (k, v) }
       .sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.length},"queries":$slow10,"failed":$failed,"sf":"$sfDir","reps":$reps,"full":"bench_last.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.length},"queries":$slow10,"failed":$failed$streamMeta,"sf":"$sfDir","reps":$reps,"full":"$artifact"}"""
     println(summary)
     spark.stop()
   }

@@ -2373,7 +2373,8 @@ object SparkEntry {
         |  abs(video_us - audio_us) <= 1000000 AS in_sync
         |FROM (SELECT doc_id,
         |    CAST((dl // (ch * 2)) * 1000000 // rate AS BIGINT) AS audio_us,
-        |    CAST(dur * 1000000 // tsc AS BIGINT) AS video_us
+        |    CAST(CASE WHEN dl IS NULL THEN NULL
+        |         ELSE dur * 1000000 // tsc END AS BIGINT) AS video_us
         |  FROM (SELECT doc_id,
         |      (doc_id % 2 + 1) AS ch,
         |      CASE WHEN lang = 'en' THEN 16000 WHEN lang = 'de' THEN 44100
@@ -2896,7 +2897,7 @@ object SparkEntry {
     "corpus_fill_budget" ->
       s"""WITH t AS (SELECT doc_id, ${ph("text")} AS h,
          |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |r AS (SELECT doc_id,
          |    CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos, n_tokens,
          |    CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
@@ -3235,7 +3236,7 @@ object SparkEntry {
         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
         |  FROM (SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(COALESCE(len(regexp_split_to_array(lower(text), '\s+')), 0) AS BIGINT) AS n_tokens
         |    FROM documents) t) z""".stripMargin,
     "source_mix" ->
       s"""SELECT doc_id, lang, source, bucket, target_pct FROM (
@@ -3252,11 +3253,14 @@ object SparkEntry {
          |         WHEN lang = 'fr' THEN CASE WHEN bucket < 30 THEN 1 ELSE 0 END
          |         ELSE 1 END AS n
          |  FROM (SELECT doc_id, lang, ${ph("text")} % 100 AS bucket FROM documents) b) t""".stripMargin,
+    // NULL-text docs have no content hash → excluded from the hash
+    // permutation (decided r11 semantics, mirrored in corpusShard)
     "corpus_shard" ->
       s"""SELECT doc_id, shard, pos FROM (
          |  SELECT doc_id, h % 16 AS shard,
          |    CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
-         |  FROM (SELECT doc_id, ${ph("text")} AS h FROM documents) t) z""".stripMargin,
+         |  FROM (SELECT doc_id, ${ph("text")} AS h FROM documents
+         |        WHERE text IS NOT NULL) t) z""".stripMargin,
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT
@@ -3422,14 +3426,17 @@ object SparkEntry {
         |  CAST(SUM(cnt*df) AS BIGINT) AS sum_df,
         |  CAST(SUM(cnt*df) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS lm_score
         |FROM occ JOIN dfc USING (bigram) GROUP BY doc_id""".stripMargin,
+    // round-robin needs a source group and a hash position: NULL
+    // source / NULL text excluded on both engines (decided r11)
     "corpus_interleave" ->
       s"""WITH s AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
-         |  FROM (SELECT DISTINCT source FROM documents) d),
+         |  FROM (SELECT DISTINCT source FROM documents
+         |        WHERE text IS NOT NULL AND source IS NOT NULL) d),
          |ns AS (SELECT COUNT(*) AS n FROM s),
          |r AS (SELECT doc_id, source,
          |    CAST(row_number() OVER (PARTITION BY source ORDER BY ${ph("text")}, doc_id) - 1 AS BIGINT)
          |      AS rank_in_source
-         |  FROM documents)
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
          |SELECT r.doc_id, r.source, s.sidx, r.rank_in_source,
          |  r.rank_in_source * ns.n + s.sidx AS global_pos
          |FROM r JOIN s USING (source) CROSS JOIN ns""".stripMargin,
@@ -3669,17 +3676,21 @@ object SparkEntry {
         |            WHEN lang = 'es' THEN 30 ELSE 12 END
         |       + least(strlen(text), 16) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    // dl IS NULL ⇔ text IS NULL: a NULL blob decodes to NULL on the
+    // Spark side, so every dial-derived column needs the guard too
+    // (DuckDB's NULL-ignoring LEAST(dl, 8) = 8 would otherwise walk
+    // hex(NULL) instead of returning NULL)
     "mm_audio" ->
       """SELECT doc_id,
         |  CAST(44 + dl AS BIGINT) AS n_bytes,
-        |  CAST(ch AS BIGINT) AS channels,
-        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN dl IS NULL THEN NULL ELSE ch END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN dl IS NULL THEN NULL ELSE rate END AS BIGINT) AS sample_rate,
         |  CAST(dl // (ch * 2) AS BIGINT) AS n_samples,
         |  CAST((dl // (ch * 2)) * 1000000 // rate AS BIGINT) AS duration_us,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  CASE WHEN dl IS NULL THEN NULL ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(0, LEAST(dl, 8)),
         |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT))),
-        |    (a,b) -> a+b) AS payload_head_sum
+        |    (a,b) -> a+b) END AS payload_head_sum
         |FROM (SELECT doc_id, text,
         |    (doc_id % 2 + 1) AS ch,
         |    CASE WHEN lang = 'en' THEN 16000 WHEN lang = 'de' THEN 44100
@@ -3691,15 +3702,16 @@ object SparkEntry {
     "mm_video" ->
       """SELECT doc_id,
         |  CAST(148 + strlen(text) AS BIGINT) AS n_bytes,
-        |  brand,
-        |  CAST(tsc AS BIGINT) AS timescale,
-        |  CAST(dur AS BIGINT) AS duration_ticks,
-        |  CAST(dur * 1000000 // tsc AS BIGINT) AS duration_us,
+        |  CASE WHEN text IS NULL THEN NULL ELSE brand END AS brand,
+        |  CAST(CASE WHEN text IS NULL THEN NULL ELSE tsc END AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN text IS NULL THEN NULL ELSE dur END AS BIGINT) AS duration_ticks,
+        |  CAST(CASE WHEN text IS NULL THEN NULL
+        |       ELSE dur * 1000000 // tsc END AS BIGINT) AS duration_us,
         |  CAST(strlen(text) AS BIGINT) AS mdat_len,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  CASE WHEN text IS NULL THEN NULL ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(0, LEAST(strlen(text), 8)),
         |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT))),
-        |    (a,b) -> a+b) AS payload_head_sum
+        |    (a,b) -> a+b) END AS payload_head_sum
         |FROM (SELECT doc_id, text,
         |    CASE WHEN lang = 'en' THEN 'isom' WHEN lang = 'de' THEN 'mp42'
         |         WHEN lang = 'es' THEN 'avc1' ELSE 'mp41' END AS brand,
@@ -3710,9 +3722,10 @@ object SparkEntry {
     "mm_video_trim" ->
       """SELECT doc_id,
         |  CAST(148 + strlen(text) // 2 AS BIGINT) AS n_bytes,
-        |  brand,
-        |  CAST(dur // 2 AS BIGINT) AS duration_ticks,
-        |  CAST((dur // 2) * 1000000 // tsc AS BIGINT) AS duration_us,
+        |  CASE WHEN text IS NULL THEN NULL ELSE brand END AS brand,
+        |  CAST(CASE WHEN text IS NULL THEN NULL ELSE dur // 2 END AS BIGINT) AS duration_ticks,
+        |  CAST(CASE WHEN text IS NULL THEN NULL
+        |       ELSE (dur // 2) * 1000000 // tsc END AS BIGINT) AS duration_us,
         |  CAST(strlen(text) // 2 AS BIGINT) AS mdat_len
         |FROM (SELECT doc_id, text,
         |    CASE WHEN lang = 'en' THEN 'isom' WHEN lang = 'de' THEN 'mp42'
@@ -3723,19 +3736,22 @@ object SparkEntry {
         |  FROM documents) t""".stripMargin,
     // outputs derive from the PARSED stss table; the oracle replays
     // the arithmetic the packed table encodes (k = 1 + (n-1) div se)
+    // a NULL blob never packs, so the parsed stss table is NULL on
+    // the Spark side — every dial-derived output guards on text
     "mm_video_keyframes" ->
       """SELECT doc_id,
-        |  k AS n_sync,
-        |  CAST(1 AS BIGINT) AS first_sync,
-        |  1 + (k - 1) * se AS last_sync,
-        |  k + se * (k * (k - 1) // 2) AS sync_sum
-        |FROM (SELECT doc_id, se, 1 + (n - 1) // se AS k
-        |  FROM (SELECT doc_id, n_chars % 50 + 10 AS n, doc_id % 7 + 1 AS se
+        |  CASE WHEN text IS NULL THEN NULL ELSE k END AS n_sync,
+        |  CAST(CASE WHEN text IS NULL THEN NULL ELSE 1 END AS BIGINT) AS first_sync,
+        |  CASE WHEN text IS NULL THEN NULL ELSE 1 + (k - 1) * se END AS last_sync,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE k + se * (k * (k - 1) // 2) END AS sync_sum
+        |FROM (SELECT doc_id, text, se, 1 + (n - 1) // se AS k
+        |  FROM (SELECT doc_id, text, n_chars % 50 + 10 AS n, doc_id % 7 + 1 AS se
         |    FROM documents) t) u""".stripMargin,
     "mm_audio_downsample" ->
       """SELECT doc_id,
         |  CAST(44 + dl2 AS BIGINT) AS n_bytes,
-        |  CAST(rate // 2 AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN dl2 IS NULL THEN NULL ELSE rate // 2 END AS BIGINT) AS sample_rate,
         |  CAST(dl2 // (ch * 2) AS BIGINT) AS n_samples,
         |  CAST((dl2 // (ch * 2)) * 1000000 // (rate // 2) AS BIGINT) AS duration_us
         |FROM (SELECT doc_id, ch, rate,
@@ -3777,9 +3793,13 @@ object SparkEntry {
         |  FROM raw)
         |SELECT doc_id,
         |  CAST(dl // 2 AS BIGINT) AS n_samples,
-        |  CAST(COALESCE(list_max(absl), 0) AS BIGINT) AS peak_abs,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT), absl), (a, b) -> a + b) AS sum_abs,
-        |  CAST(len(list_filter(absl, a -> a > 32000)) AS BIGINT) AS n_loud,
+        |  CAST(CASE WHEN dl IS NULL THEN NULL
+        |       ELSE COALESCE(list_max(absl), 0) END AS BIGINT) AS peak_abs,
+        |  CASE WHEN dl IS NULL THEN NULL
+        |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), absl), (a, b) -> a + b)
+        |  END AS sum_abs,
+        |  CAST(CASE WHEN dl IS NULL THEN NULL
+        |       ELSE len(list_filter(absl, a -> a > 32000)) END AS BIGINT) AS n_loud,
         |  CASE WHEN dl // 2 > 0
         |    THEN (list_reduce(list_prepend(CAST(0 AS BIGINT), absl), (a, b) -> a + b) * 1000) // (dl // 2)
         |    ELSE 0 END AS mean_abs_milli
@@ -3803,11 +3823,14 @@ object SparkEntry {
         |        list_slice(absl, k*32 + 1, k*32 + 32)), (a, b) -> a + b)) AS ws
         |  FROM sgn)
         |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
-        |  CAST(len(list_filter(ws, s -> s > 640000)) AS BIGINT) AS n_active,
-        |  CAST(COALESCE(list_max(ws), 0) AS BIGINT) AS max_win_sum,
-        |  CAST(COALESCE(list_min(list_filter(list_transform(range(0, nw), k ->
+        |  CAST(CASE WHEN nw IS NULL THEN NULL
+        |       ELSE len(list_filter(ws, s -> s > 640000)) END AS BIGINT) AS n_active,
+        |  CAST(CASE WHEN nw IS NULL THEN NULL
+        |       ELSE COALESCE(list_max(ws), 0) END AS BIGINT) AS max_win_sum,
+        |  CAST(CASE WHEN nw IS NULL THEN NULL
+        |       ELSE COALESCE(list_min(list_filter(list_transform(range(0, nw), k ->
         |      CASE WHEN ws[k+1] > 640000 THEN k ELSE NULL END), x -> x IS NOT NULL)), -1)
-        |    AS BIGINT) AS first_active
+        |    END AS BIGINT) AS first_active
         |FROM w""".stripMargin,
     "mm_framesample" ->
       """SELECT device_id, COUNT(*) AS n_sampled,
@@ -3974,7 +3997,7 @@ object SparkEntry {
         |FROM tot LEFT JOIN cnt USING (doc_id)""".stripMargin,
     "corpus_zorder" ->
       s"""WITH d AS (SELECT doc_id, LEAST(length(text)//4, 255) AS x, ${ph("text")} % 256 AS y
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |z AS (SELECT doc_id, x, y, CAST($zTerms AS BIGINT) AS zv FROM d),
          |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY zv, doc_id) AS rn FROM z)
          |SELECT CAST((rn - 1) // 32 AS BIGINT) AS file_id, COUNT(*) AS n_docs,
@@ -3986,7 +4009,7 @@ object SparkEntry {
     // stats under both layouts — the pruning payoff of the z-curve
     "corpus_prune" ->
       s"""WITH d AS (SELECT doc_id, LEAST(length(text)//4, 255) AS x, ${ph("text")} % 256 AS y
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |z AS (SELECT doc_id, x, y, CAST($zTerms AS BIGINT) AS zv FROM d),
          |zr AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY zv, doc_id) AS rn FROM z),
          |lr AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM z),
@@ -4237,7 +4260,8 @@ object SparkEntry {
         |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
         |  FROM documents) t""".stripMargin,
     "sample_negative" ->
-      s"""WITH d AS (SELECT doc_id, source, ${ph("text")} AS h FROM documents),
+      s"""WITH d AS (SELECT doc_id, source, ${ph("text")} AS h FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL),
          |s AS (SELECT source, COUNT(*) AS n,
          |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx FROM d GROUP BY source),
          |r AS (SELECT doc_id, source,

@@ -175,8 +175,12 @@ object Curation {
   def corpusPack(spark: SparkSession, dir: String, ctx: Int = 2048,
       blockDocs: Int = 256): DataFrame = {
     import spark.implicits._
+    // decided NULL semantics (r11): packing is doc_id-ordered, not
+    // hash-ordered, so a NULL-text doc STAYS in the stream and
+    // contributes zero tokens (the oracle mirrors the COALESCE)
     val toks = Tables.documents(spark, dir)
-      .select($"doc_id", size(TextFns.tokens($"text")).cast(LongType).as("n_tokens"),
+      .select($"doc_id",
+        coalesce(size(TextFns.tokens($"text")).cast(LongType), lit(0L)).as("n_tokens"),
         floor($"doc_id" / blockDocs.toLong).cast(LongType).as("block"))
     val localW = Window.partitionBy($"block").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -271,7 +275,12 @@ object Curation {
       bucketWidth: Long = 16000000L): DataFrame = {
     import spark.implicits._
     import graft.functions.HashFns
+    // decided NULL semantics (r11): a NULL-text document has no
+    // content hash, so it has no position in the hash permutation —
+    // excluded EXPLICITLY here (and in the oracle), not implicitly by
+    // a NULL bucket key dropping out of the base join
     val hashed = Tables.documents(spark, dir)
+      .filter($"text".isNotNull)
       .select($"doc_id", HashFns.polyHash($"text").as("h"))
       .withColumn("shard", pmod($"h", lit(nShards.toLong)))
       .withColumn("bucket", floor($"h" / bucketWidth).cast(LongType))
@@ -307,7 +316,10 @@ object Curation {
     import spark.implicits._
     import graft.functions.HashFns
     import graft.functions.TextFns
+    // NULL-text docs: no content hash → no position (corpusShard's
+    // decided semantics); the budget never sees their (zero) tokens
     val docs = Tables.documents(spark, dir)
+      .filter($"text".isNotNull)
       .select($"doc_id", HashFns.polyHash($"text").as("h"),
         size(TextFns.tokens($"text")).cast(LongType).as("n_tokens"))
       .withColumn("bucket", floor($"h" / bucketWidth).cast(LongType))
@@ -380,7 +392,12 @@ object Curation {
       bucketWidth: Long = 16000000L): DataFrame = {
     import spark.implicits._
     import graft.functions.HashFns
+    // decided NULL semantics (r11): round-robin needs a source group
+    // and a hash position — docs with NULL source or NULL text are
+    // excluded on BOTH engines (not dropped implicitly by NULL join
+    // keys, which the two engines time differently)
     val docs = Tables.documents(spark, dir)
+      .filter($"text".isNotNull && $"source".isNotNull)
       .select($"doc_id", $"source", HashFns.polyHash($"text").as("h"))
       .withColumn("bucket", floor($"h" / bucketWidth).cast(LongType))
     // source dim: a handful of rows — the single-task window is over
@@ -429,7 +446,11 @@ object Curation {
       nAnchors: Long = 32L, bucketWidth: Long = 16000000L): DataFrame = {
     import spark.implicits._
     import graft.functions.HashFns
+    // interleave's decided NULL semantics: a negative draw needs a
+    // source group and a hash rank — NULL-source / NULL-text docs are
+    // excluded from anchors and the ranked pool on both engines
     val docs = Tables.documents(spark, dir)
+      .filter($"text".isNotNull && $"source".isNotNull)
       .select($"doc_id", $"source", HashFns.polyHash($"text").as("h"))
       .withColumn("bucket", floor($"h" / bucketWidth).cast(LongType))
     val srcs = docs.groupBy($"source").agg(count(lit(1)).as("n"))
@@ -681,14 +702,21 @@ object Curation {
           .as("n_bytes"))
       .unionByName(docs.filter($"doc_id" % 13 === 0)
         .select(($"doc_id" + 100000L).as("doc_id"), $"n_bytes"))
-    docs.select($"doc_id", $"n_bytes".as("base_bytes"))
-      .join(delta.select($"doc_id", $"n_bytes".as("delta_bytes")),
+    // classification keys on ROW presence, not byte-NULLness: a doc
+    // whose text is NULL has NULL n_bytes on both sides of the join,
+    // and "base_bytes IS NULL ⇒ added" would misread it (r11 --docs
+    // finding); the presence markers make added/removed exact, and a
+    // NULL-vs-NULL byte comparison falls through to 'unchanged' on
+    // both engines (SQL <> returns NULL)
+    docs.select($"doc_id", $"n_bytes".as("base_bytes"), lit(true).as("in_base"))
+      .join(delta.select($"doc_id", $"n_bytes".as("delta_bytes"), lit(true).as("in_delta")),
         Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when($"base_bytes".isNull, lit("added"))
-          .when($"delta_bytes".isNull, lit("removed"))
+        when($"in_base".isNull, lit("added"))
+          .when($"in_delta".isNull, lit("removed"))
           .when($"base_bytes" =!= $"delta_bytes", lit("changed"))
           .otherwise(lit("unchanged")))
+      .select($"doc_id", $"base_bytes", $"delta_bytes", $"status")
   }
 
   /** Z-order layout planning — the multi-dimensional clustering step
@@ -714,7 +742,10 @@ object Curation {
   private def zDims(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.HashFns
+    // corpusShard's decided NULL semantics: no content hash → no
+    // place on the curve (both layout dims derive from text)
     val dims = Tables.documents(spark, dir)
+      .filter($"text".isNotNull)
       .select($"doc_id",
         least(floor(length($"text") / 4).cast(LongType), lit(255L)).as("x"),
         pmod(HashFns.polyHash($"text"), lit(256L)).as("y"))

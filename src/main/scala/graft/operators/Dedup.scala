@@ -270,12 +270,20 @@ object Dedup {
     * query) drain it — without the registry every kcore round /
     * kmeans seed pass leaked its blocks for the JVM's lifetime
     * (ADVICE r8), and the 294-query gate runs in one SparkSession. */
+  // keyed on the Thread OBJECT, not Thread.getId (ADVICE r10): JVM
+  // thread ids are reused, so an id key could hand a dead thread's
+  // queue to an unrelated new thread. Keys are strong on purpose — a
+  // queue abandoned by a dead thread stays drainable by the full
+  // reset (releaseAllTransientBlocks) instead of leaking its blocks
+  // when a weak entry is collected. Contract: the thread that BUILDS
+  // a transient-checkpointed DataFrame must be the one that drains it
+  // (build-on-A/consume-on-B patterns must drain via clearLabelCache).
   private val transientBlocks = new java.util.concurrent.ConcurrentHashMap[
-    java.lang.Long,
+    Thread,
     java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]]()
 
   private[graft] def trackTransient(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit = {
-    val q = transientBlocks.computeIfAbsent(Thread.currentThread().getId,
+    val q = transientBlocks.computeIfAbsent(Thread.currentThread(),
       _ => new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]())
     rdds.foreach(q.add)
   }
@@ -299,7 +307,7 @@ object Dedup {
     * returned since its previous drain — lineage is truncated, so a
     * late action on one would fail rather than silently recompute. */
   def releaseTransientBlocks(): Unit = {
-    val q = transientBlocks.remove(Thread.currentThread().getId)
+    val q = transientBlocks.remove(Thread.currentThread())
     if (q != null) {
       var r = q.poll()
       while (r != null) { r.unpersist(blocking = false); r = q.poll() }

@@ -24,10 +24,28 @@ import org.apache.spark.util.LongAccumulator
 object StopBand {
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
-  /** (buckets-acc, members-acc, last value already reported). */
+  /** Pure-bench escape hatch: GRAFT_AUDIT=off skips both audit
+    * channels (no accumulators, no CollectMetrics node) — the capped
+    * filter itself is untouched, only its observability. Read once at
+    * class load; a bench process sets it in its environment. */
+  private val enabled: Boolean =
+    !sys.env.get("GRAFT_AUDIT").exists(_.equalsIgnoreCase("off"))
+
+  /** Soft bound on registered audits: past this, fully-reported
+    * entries evict at each listener sweep (a long-lived session would
+    * otherwise accumulate one Entry + two accumulators per audited
+    * plan build, forever). An evicted entry can only lose drops if the
+    * SAME collapsed plan re-executes after its report — the metric
+    * channel still covers the normal case. */
+  private val MaxEntries = 128
+
+  /** (buckets-acc, members-acc, per-channel already-reported
+    * watermarks — members mirrors buckets so re-executions log deltas
+    * on BOTH counters, never a cumulative members total). */
   private final case class Entry(buckets: LongAccumulator,
       members: LongAccumulator,
-      reported: java.util.concurrent.atomic.AtomicLong)
+      reported: java.util.concurrent.atomic.AtomicLong,
+      reportedMembers: java.util.concurrent.atomic.AtomicLong)
   private val entries =
     scala.collection.concurrent.TrieMap.empty[String, Entry]
 
@@ -36,6 +54,7 @@ object StopBand {
     * audit-wrapped count: keep filtering on it (`bc <= cap`) so the
     * expression survives column pruning. */
   def audited(census: DataFrame, site: String, cap: Int): DataFrame = {
+    if (!enabled) return census
     val spark = census.sparkSession
     import spark.implicits._
     // suffix keeps names unique when two capped operators land in one
@@ -44,6 +63,7 @@ object StopBand {
     val e = Entry(
       spark.sparkContext.longAccumulator(s"${name}_buckets"),
       spark.sparkContext.longAccumulator(s"${name}_members"),
+      new java.util.concurrent.atomic.AtomicLong(),
       new java.util.concurrent.atomic.AtomicLong())
     entries.put(name, e)
     census
@@ -60,16 +80,26 @@ object StopBand {
     * a finished query's plan: syncs their backstops (already reported
     * exactly via CollectMetrics), then returns the backstop-only
     * drops — entries whose accumulators advanced past what was last
-    * reported — and marks them reported. */
+    * reported — and marks them reported. Fully-reported entries evict
+    * once the registry outgrows [[MaxEntries]]. */
   private[graft] def backstopDrops(seen: Set[String]): Seq[(String, Long, Long)] = {
-    seen.foreach(n => entries.get(n).foreach(e =>
-      e.reported.set(e.buckets.value)))
-    entries.iterator.flatMap { case (name, e) =>
+    seen.foreach(n => entries.get(n).foreach { e =>
+      e.reported.set(e.buckets.value)
+      e.reportedMembers.set(e.members.value)
+    })
+    val drops = entries.iterator.flatMap { case (name, e) =>
       val b = e.buckets.value.longValue()
-      val prev = e.reported.getAndSet(b)
-      if (b > prev) Some((name, b - prev, e.members.value.longValue()))
+      val m = e.members.value.longValue()
+      val prevB = e.reported.getAndSet(b)
+      val prevM = e.reportedMembers.getAndSet(m)
+      if (b > prevB) Some((name, b - prevB, m - prevM))
       else None
     }.toSeq
+    if (entries.size > MaxEntries)
+      entries.foreach { case (name, e) =>
+        if (e.reported.get() >= e.buckets.value.longValue()) entries.remove(name)
+      }
+    drops
   }
 
   /** Test hook: current (buckets, members) for every audit whose name

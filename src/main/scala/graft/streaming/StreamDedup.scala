@@ -218,6 +218,17 @@ object StreamDedup {
       // scaffolding only: a real deployment keeps the Spark default
       // (true) so watermark-closed windows emit without waiting for
       // the next arrival. Env override for experiments.
+      //
+      // CONTRACT for twins staged through THIS path: the final
+      // emission must be data-driven (a sentinel/barrier row IN the
+      // last staged batch, or per-arrival append). A twin that relies
+      // on a watermark-closed window emitting in a NO-DATA batch (the
+      // windowedRelay shape — barrier advances the watermark in batch
+      // N, windows emit in empty batch N+1) silently loses its final
+      // rows here; such twins must run through windowedRelay's own
+      // session (which keeps no-data batches) instead. The oracle gate
+      // is the enforcement: a watermark-emission twin added through
+      // runStagedStream fails its batch oracle on row count.
       ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         StreamDedup.gateNoDataBatches)
       val stream = ss.readStream.schema(staged.schema)

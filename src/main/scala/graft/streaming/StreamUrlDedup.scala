@@ -34,7 +34,7 @@ object StreamUrlDedup {
 
   case class Ev(canonical_url: Option[String], doc_id: Option[Long],
       url: Option[String], sentinel: Boolean)
-  case class St(keeper: Long, n: Long, variants: Seq[String])
+  case class St(keeper: Long, n: Long, variants: Set[String])
   case class Out(canonical_url: Option[String], keeper_id: Long,
       n_docs: Long, n_raw_variants: Long)
 
@@ -48,14 +48,14 @@ object StreamUrlDedup {
       .flatMapGroupsWithState[St, Out](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, it, state: GroupState[St]) =>
-          var st = state.getOption.getOrElse(St(Long.MaxValue, 0L, Seq.empty))
+          var st = state.getOption.getOrElse(St(Long.MaxValue, 0L, Set.empty))
           var flush = false
           it.foreach { e =>
             if (e.sentinel) flush = true
             else {
               val vs =
                 if (e.url.isEmpty || st.variants.contains(e.url.get)) st.variants
-                else if (st.variants.size < MaxVariants) st.variants :+ e.url.get
+                else if (st.variants.size < MaxVariants) st.variants + e.url.get
                 else { overflow.foreach(_.add(1L)); st.variants }
               st = St(
                 keeper = math.min(st.keeper, e.doc_id.getOrElse(Long.MaxValue)),

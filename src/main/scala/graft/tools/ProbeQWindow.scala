@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * to attribute the 0.77 → 1.3 s isolated drift. */
 object ProbeQWindow {
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.1"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     def run(tag: String, spark: SparkSession): Unit = {
       spark.sparkContext.setLogLevel("WARN")
       spark.read.parquet(s"$dir/lineitem.parquet").count()
