@@ -414,6 +414,7 @@ object SparkEntry {
     // F. BM25 ranked retrieval: df-capped posting join, integer-micro
     // exact score sum, bounded-heap top-k election
     "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
+    "text_bm25_query" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Query(s, d)),
     "sample_strata" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStrata(s, d)),
     "sample_weighted" -> ((s: SparkSession, d: String) => TextAnalysis.sampleWeighted(s, d)),
     "sample_pergroup" -> ((s: SparkSession, d: String) => TextAnalysis.samplePerGroup(s, d)),
@@ -3565,6 +3566,35 @@ object SparkEntry {
         |SELECT query_doc_id, doc_id, score_micro,
         |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score, rnk FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_doc_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM scored) z
+        |WHERE rnk <= 5""".stripMargin,
+    // free-text mode: the query table is a VALUES restatement of
+    // TextAnalysis.DefaultBm25Queries; same floored-micro Okapi sums
+    "text_bm25_query" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
+        |postings AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_tokens FROM dl),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY 1),
+        |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+        |    unnest(list_distinct(regexp_split_to_array(lower(query_text), '\s+'))) AS term
+        |  FROM (VALUES (0, 'fast sort merge'), (1, 'spark query window'),
+        |        (2, 'dup stream'), (3, 'customer table scan'),
+        |        (4, 'big data batch')) q(query_id, query_text)),
+        |qterms AS (SELECT qt.query_id, qt.term, d.df, s.n_docs, s.tot_tokens
+        |  FROM qt JOIN dfreq d USING (term) CROSS JOIN stats s),
+        |scored AS (SELECT q.query_id, p.doc_id,
+        |    CAST(SUM(CAST(FLOOR(
+        |      ((CAST(q.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5)) *
+        |      ((CAST(p.tf AS DOUBLE) * 2.2) /
+        |       (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+        |         (CAST(q.tot_tokens AS DOUBLE) / CAST(q.n_docs AS DOUBLE)))))) * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM qterms q JOIN postings p USING (term) JOIN dl ON dl.doc_id = p.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score_micro,
+        |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score, rnk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
         |  FROM scored) z
         |WHERE rnk <= 5""".stripMargin,
     "frame_roundtrip" ->

@@ -391,6 +391,78 @@ object TextAnalysis {
         ($"pos" + 1).cast(LongType).as("rnk"))
   }
 
+  /** The fixed free-text query set `text_bm25_query` ranks by default
+    * — a PARAMETER in the API ([[bm25Query]]'s `queries`), literal
+    * here so the oracle can restate it as a VALUES list. */
+  val DefaultBm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "fast sort merge",
+    1L -> "spark query window",
+    2L -> "dup stream",
+    3L -> "customer table scan",
+    4L -> "big data batch")
+
+  /** Free-text BM25 retrieval (`text_bm25_query`) — the second query
+    * mode beside [[bm25]]'s more-like-this: the caller supplies a
+    * PARAMETERIZED QUERY TABLE (query_id, query_text), the query text
+    * tokenizes with the corpus tokenizer, and each distinct query
+    * term retrieves through the SAME posting/df/dl censuses and the
+    * same exactness discipline (reciprocal-rational idf, per-term
+    * contributions floored to integer micros so the per-(query, doc)
+    * sum is order-free, bounded-heap top-k election — k structs per
+    * query cross the shuffle).
+    *
+    * Differences from the more-like-this mode, both deliberate:
+    *  - no df-based term cut: a user's query is already short, and
+    *    dropping their rarest-N terms would change the question; the
+    *    posting fan-out is Σ df(term) over the query terms — bounded
+    *    by |queries|·terms·N, linear in the corpus (what any search
+    *    engine pays for a stop-wordy query), never pairs;
+    *  - query terms ABSENT from the corpus vocabulary contribute
+    *    nothing (inner join with the df census) — a query with no
+    *    known term returns no rows, identically on both engines;
+    *  - classic Okapi query-side weighting (qtf/k3) is omitted:
+    *    query terms are DISTINCT (array_distinct before the explode),
+    *    so repeated words in the query text don't double-score. */
+  def bm25Query(spark: SparkSession, dir: String,
+      queries: Seq[(Long, String)] = DefaultBm25Queries, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
+    val postings = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_tokens"))
+    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    // the query table is driver-provided and tiny: broadcast it into
+    // the posting join so the only corpus-sized work is the censuses
+    val qterms = queries.toDF("query_id", "query_text")
+      .select($"query_id",
+        explode(array_distinct(TextFns.tokens($"query_text"))).as("term"))
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+    val avgdl = $"tot_tokens".cast(DoubleType) / $"n_docs".cast(DoubleType)
+    val idfW = ($"n_docs".cast(DoubleType) - $"df".cast(DoubleType) + 0.5d) /
+      ($"df".cast(DoubleType) + 0.5d)
+    val denom = $"tf".cast(DoubleType) +
+      lit(1.2d) * (lit(0.25d) + lit(0.75d) * ($"dl".cast(DoubleType) / avgdl))
+    val contribMicro =
+      floor(idfW * (($"tf".cast(DoubleType) * 2.2d) / denom) * 1000000.0d)
+    val scored = broadcast(qterms)
+      .join(postings, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select($"query_id", $"doc_id", contribMicro.as("cm"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"cm").as("score_micro"))
+    scored
+      .groupBy($"query_id")
+      .agg(graft.plans.Sketch.topKPairs(
+        $"score_micro".cast(DoubleType), $"doc_id", k).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.key".as("doc_id"),
+        $"col.value".cast(LongType).as("score_micro"),
+        ($"col.value" / 1000000.0d).as("score"),
+        ($"pos" + 1).cast(LongType).as("rnk"))
+  }
+
   /** Deterministic stratified sampling: keep ~`pct`% of documents per
     * stratum by content-hash bucket (hash mod 100 < pct). Hash-based
     * sampling is reproducible across runs/engines/cluster sizes —
