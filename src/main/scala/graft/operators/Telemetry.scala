@@ -606,9 +606,18 @@ object Telemetry {
       .withColumn("k", regexp_extract($"props", "([0-9]+)", 1).cast(IntegerType))
       .select($"event_type", $"event_id", unix_micros($"ts").as("t_us"), $"value",
         ($"k" <= 50).as("sent"))
+    // min-over-the-suffix spelled as a RUNNING min over the REVERSED
+    // sort (the r7 queue_latency re-spelling): Spark evaluates an
+    // UnboundedPreceding frame with O(1) state per row, where the
+    // equivalent (currentRow, unboundedFollowing) frame re-aggregates
+    // the whole tail per row — O(n²) per partition, and event_type
+    // partitions GROW with the corpus (a low-cardinality key), so the
+    // 10x stress run ground a single task for 30+ minutes on exactly
+    // this frame. Row set is identical: the suffix of the asc
+    // (t_us, event_id) order is the prefix of the desc order.
     val w = Window.partitionBy($"event_type")
-      .orderBy($"t_us".asc, $"event_id".asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy($"t_us".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     msgs
       .withColumn("svc_us", min(when($"sent", $"t_us")).over(w))
       .withColumn("outcome",

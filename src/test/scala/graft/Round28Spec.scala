@@ -64,6 +64,19 @@ class Round28Spec extends SparkSpec {
       s"final election must be the bounded-heap aggregate:\n$plan")
   }
 
+  test("queue_ttl plan: no UnboundedFollowing frame (corpus-growing partitions)") {
+    // event_type is a LOW-cardinality partition key, so its partitions
+    // grow with the corpus — a (currentRow, unboundedFollowing) min
+    // re-aggregates the tail per row (O(n²) per partition; the 10x
+    // stress ground one task 30+ minutes). The running-min respell
+    // over the reversed sort must stay: any unboundedfollowing frame
+    // reappearing in THIS plan is a scale regression.
+    val plan = graft.operators.Telemetry.queueTtl(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("unboundedfollowing"),
+      s"queue_ttl must use the reversed-sort running min:\n$plan")
+  }
+
   test("NULL-document semantics: hash-permutation ops exclude, pack keeps at zero") {
     import spark.implicits._
     // a corpus with one NULL-text and one NULL-source doc
