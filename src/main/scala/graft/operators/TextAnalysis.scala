@@ -328,41 +328,43 @@ object TextAnalysis {
     *    both engines; the integer sum is then associative, exact in
     *    any partitioning / arrival order).
     *
-    * Scale shape: postings + doc-length + df censuses are one
-    * explode + three partial-aggregated groupBys (shuffle ∝ corpus
-    * tokens); the query term-set is DF-BOUNDED — each query doc
-    * keeps only its `mTerms` LOWEST-df terms (df asc, term asc: the
-    * deterministic keyword-extraction cut), which both discards the
-    * corpus's own stop words (a global df-fraction cap degenerates
-    * on a small-vocabulary corpus where every doc is mostly stop
-    * words) and MINIMIZES the posting fan-out: the retrieval join
-    * ships Σ df over exactly the rarest terms, bounded by
-    * |queries|·mTerms·max-df — never pairs. The per-query election
-    * of rare terms runs over the sample only (row_number over
-    * |queries|·|vocab-per-doc| rows), and the final election is the
-    * bounded-heap TopKPairs (k structs per query cross the shuffle,
-    * not the candidate set). k1 = 1.2, b = 0.75: (1−b) = 0.25 and
-    * b = 0.75 are exactly representable, k1/k1+1 are the same
-    * literals in both engines. */
+    * Scale shape (r11, the 100x-census fix): every corpus census and
+    * the retrieval join are PROFILE-COLLAPSED — see
+    * [[bm25ProfileCensus]]. The query term-set stays DF-BOUNDED —
+    * each query doc keeps only its `mTerms` LOWEST-df terms (df asc,
+    * term asc: the deterministic keyword-extraction cut) — but the
+    * posting fan-out is now Σ profile-df over those terms, invariant
+    * under corpus duplication (the doc-level join grew K² under
+    * joint query+df growth and timed out at the 100x census; the
+    * profile-level join is bounded by distinct-text counts). The
+    * rare-term election runs per query PROFILE (identical texts
+    * elect identical terms), and every election is the bounded-heap
+    * TopKPairs (k structs per group cross the shuffle, not the
+    * candidate set). k1 = 1.2, b = 0.75: (1−b) = 0.25 and b = 0.75
+    * are exactly representable, k1/k1+1 are the same literals in
+    * both engines. */
   def bm25(spark: SparkSession, dir: String, qMod: Long = 50L,
       k: Int = 5, mTerms: Int = 3): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
-    val postings = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    // corpus stats stay inside the plan (single-row agg, broadcast)
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_tokens"))
-    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
-    val wq = Window.partitionBy($"query_doc_id").orderBy($"df".asc, $"term".asc)
-    val qterms = postings
+    val (prof, postingsP, dlP, stats, dfreq) =
+      bm25ProfileCensus(spark, dir, k + 2)
+    // query docs → their profile: the only query-side corpus work is
+    // one equi-join of the sampled texts against the profile table
+    val qprof = Tables.documents(spark, dir)
       .filter(pmod($"doc_id", lit(qMod)) === 0L)
-      .select($"doc_id".as("query_doc_id"), $"term")
+      .select($"doc_id".as("query_doc_id"), $"text")
+      .join(prof.select($"text", $"pid".as("q_pid")), Seq("text"))
+      .select($"query_doc_id", $"q_pid")
+    val qpids = qprof.select($"q_pid").distinct()
+    val wq = Window.partitionBy($"q_pid").orderBy($"df".asc, $"term".asc)
+    val qterms = postingsP
+      .select($"pid".as("q_pid"), $"term")
+      .join(qpids, Seq("q_pid"), "left_semi")
       .join(dfreq, "term")
       .withColumn("qrn", row_number().over(wq))
       .filter($"qrn" <= mTerms)
       .crossJoin(broadcast(stats))
-      .select($"query_doc_id", $"term", $"df", $"n_docs", $"tot_tokens")
+      .select($"q_pid", $"term", $"df", $"n_docs", $"tot_tokens")
     val avgdl = $"tot_tokens".cast(DoubleType) / $"n_docs".cast(DoubleType)
     val idfW = ($"n_docs".cast(DoubleType) - $"df".cast(DoubleType) + 0.5d) /
       ($"df".cast(DoubleType) + 0.5d)
@@ -370,25 +372,98 @@ object TextAnalysis {
       lit(1.2d) * (lit(0.25d) + lit(0.75d) * ($"dl".cast(DoubleType) / avgdl))
     val contribMicro =
       floor(idfW * (($"tf".cast(DoubleType) * 2.2d) / denom) * 1000000.0d)
+    // profile-level scoring: NO self-exclusion here (the query's own
+    // profile scores too — its clone members are legitimate results,
+    // only the query doc itself is dropped, at expansion below)
     val scored = qterms
-      .join(postings.as("p"), Seq("term"))
-      .where($"p.doc_id" =!= $"query_doc_id")
-      .join(dl, Seq("doc_id"))
-      .select($"query_doc_id", $"doc_id", contribMicro.as("cm"))
-      .groupBy($"query_doc_id", $"doc_id")
+      .join(postingsP.select($"pid", $"term", $"tf"), Seq("term"))
+      .join(dlP.select($"pid", $"dl"), Seq("pid"))
+      .select($"q_pid", $"pid", contribMicro.as("cm"))
+      .groupBy($"q_pid", $"pid")
       .agg(sum($"cm").as("score_micro"))
-    // bounded-heap election: micros < 2^53, so the heap's double
-    // value is the exact integer and the (score DESC, doc_id ASC)
-    // heap order is the ranking order
-    scored
-      .groupBy($"query_doc_id")
+    // top-(k+1) PROFILES by (score desc, pid asc) — pid IS the
+    // profile's smallest member id, so any profile ranked above a
+    // candidate contributes at least one doc that outranks it; k+1
+    // covers the true top-(k+1) docs INCLUDING a possible self
+    val topProfiles = scored.groupBy($"q_pid")
       .agg(graft.plans.Sketch.topKPairs(
-        $"score_micro".cast(DoubleType), $"doc_id", k).as("top"))
-      .select($"query_doc_id", posexplode($"top"))
-      .select($"query_doc_id", $"col.key".as("doc_id"),
-        $"col.value".cast(LongType).as("score_micro"),
-        ($"col.value" / 1000000.0d).as("score"),
-        ($"pos" + 1).cast(LongType).as("rnk"))
+        $"score_micro".cast(DoubleType), $"pid", k + 1).as("top"))
+      .select($"q_pid", explode($"top").as("e"))
+      .select($"q_pid", $"e.key".as("pid"),
+        $"e.value".cast(LongType).as("score_micro"))
+    // expand the winners by their k+2 smallest member ids and
+    // re-elect top-(k+1) DOCS — (k+1)·(k+2) rows per query profile
+    val topDocs = topProfiles
+      .join(prof.select($"pid", $"keep"), Seq("pid"))
+      .select($"q_pid", $"score_micro", explode($"keep").as("m"))
+      .groupBy($"q_pid")
+      .agg(graft.plans.Sketch.topKPairs(
+        $"score_micro".cast(DoubleType), $"m.key", k + 1).as("top"))
+    // per query MEMBER: drop self, keep k — the heap order
+    // (score desc, doc_id asc) is the ranking order, and removing
+    // one element from a true top-(k+1) leaves the true top-k of
+    // the rest; micros < 2^53 so the heap's double is exact
+    val wr = Window.partitionBy($"query_doc_id")
+      .orderBy($"score_micro".desc, $"doc_id".asc)
+    topDocs.join(qprof, Seq("q_pid"))
+      .select($"query_doc_id", explode($"top").as("e"))
+      .select($"query_doc_id", $"e.key".as("doc_id"),
+        $"e.value".cast(LongType).as("score_micro"))
+      .where($"doc_id" =!= $"query_doc_id")
+      .withColumn("rnk", row_number().over(wr).cast(LongType))
+      .filter($"rnk" <= k)
+      .select($"query_doc_id", $"doc_id", $"score_micro",
+        ($"score_micro".cast(DoubleType) / 1000000.0d).as("score"), $"rnk")
+  }
+
+  /** Profile-collapsed BM25 censuses, shared by [[bm25]] and
+    * [[bm25Query]]: documents GROUP BY their full text first and
+    * every corpus census (postings / doc length / corpus stats / df)
+    * runs per DISTINCT TEXT, weighted by the profile's member count
+    * where the statistic is doc-level (df, n_docs, tot_tokens).
+    * Identical texts have identical tf and dl — hence identical BM25
+    * scores against ANY query — so scoring (query-profile ×
+    * doc-profile) pairs instead of (query, doc) pairs changes no
+    * emitted row while making the retrieval work invariant under
+    * corpus duplication. Measured need, 100x census: 500k docs over
+    * a 31-word vocabulary put every "rare" term in ~75% of docs, so
+    * the doc-level candidate join (|queries| · Σ df — both factors
+    * growing with K) hit 11G rows and timed out at >600 s; the
+    * profile-level join is bounded by distinct-text counts, which
+    * verbatim amplification does not grow.
+    *
+    * Exact doc-id expansion: each profile keeps its `kKeep` = k+2
+    * smallest member ids (bounded TopKPairs on -doc_id — never a
+    * full member list, so an all-clones corpus cannot blow a
+    * buffer). A doc in the true top-(k+1) of any query has at most k
+    * same-profile smaller-id members ranked above it, so the keep
+    * list provably contains every doc that can appear in an emitted
+    * top-k even after one self-exclusion. */
+  private def bm25ProfileCensus(spark: SparkSession, dir: String,
+      kKeep: Int): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    // the profile table feeds THREE consumers with different pruned
+    // columns (token censuses, the keep-list join, the query-side
+    // text join) — distinct ReadSchemas defeat exchange reuse, so
+    // materialize it once (transient checkpoint, drained per
+    // query/rep like the dedup label checkpoints; measured at 1x:
+    // 3 scans+groupBys cost bm25 ~0.8 s)
+    val prof = Dedup.localCheckpointTransient(
+      Tables.documents(spark, dir)
+        .groupBy($"text")
+        .agg(min($"doc_id").as("pid"), count(lit(1)).as("members"),
+          graft.plans.Sketch.topKPairs(
+            -$"doc_id".cast(DoubleType), $"doc_id", kKeep).as("keep")))
+    val toksP = prof
+      .select($"pid", $"members", explode(TextFns.tokens($"text")).as("term"))
+    val postingsP = toksP.groupBy($"pid", $"members", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val dlP = toksP.groupBy($"pid", $"members").agg(count(lit(1)).as("dl"))
+    // corpus stats stay inside the plan (single-row agg, broadcast)
+    val stats = dlP.agg(sum($"members").as("n_docs"),
+      sum($"dl" * $"members").as("tot_tokens"))
+    val dfreq = postingsP.groupBy($"term").agg(sum($"members").as("df"))
+    (prof, postingsP, dlP, stats, dfreq)
   }
 
   /** The fixed free-text query set `text_bm25_query` ranks by default
@@ -426,12 +501,8 @@ object TextAnalysis {
   def bm25Query(spark: SparkSession, dir: String,
       queries: Seq[(Long, String)] = DefaultBm25Queries, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
-    val postings = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_tokens"))
-    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val (prof, postingsP, dlP, stats, dfreq) =
+      bm25ProfileCensus(spark, dir, k + 2)
     // the query table is driver-provided and tiny: broadcast it into
     // the posting join so the only corpus-sized work is the censuses
     val qterms = queries.toDF("query_id", "query_text")
@@ -446,16 +517,27 @@ object TextAnalysis {
       lit(1.2d) * (lit(0.25d) + lit(0.75d) * ($"dl".cast(DoubleType) / avgdl))
     val contribMicro =
       floor(idfW * (($"tf".cast(DoubleType) * 2.2d) / denom) * 1000000.0d)
+    // profile-level scoring + exact doc expansion (no self to
+    // exclude here, so top-k profiles / k+2 kept members suffice) —
+    // see bm25ProfileCensus for the exactness argument
     val scored = broadcast(qterms)
-      .join(postings, Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .select($"query_id", $"doc_id", contribMicro.as("cm"))
-      .groupBy($"query_id", $"doc_id")
+      .join(postingsP.select($"pid", $"term", $"tf"), Seq("term"))
+      .join(dlP.select($"pid", $"dl"), Seq("pid"))
+      .select($"query_id", $"pid", contribMicro.as("cm"))
+      .groupBy($"query_id", $"pid")
       .agg(sum($"cm").as("score_micro"))
-    scored
+    val topProfiles = scored.groupBy($"query_id")
+      .agg(graft.plans.Sketch.topKPairs(
+        $"score_micro".cast(DoubleType), $"pid", k).as("top"))
+      .select($"query_id", explode($"top").as("e"))
+      .select($"query_id", $"e.key".as("pid"),
+        $"e.value".cast(LongType).as("score_micro"))
+    topProfiles
+      .join(prof.select($"pid", $"keep"), Seq("pid"))
+      .select($"query_id", $"score_micro", explode($"keep").as("m"))
       .groupBy($"query_id")
       .agg(graft.plans.Sketch.topKPairs(
-        $"score_micro".cast(DoubleType), $"doc_id", k).as("top"))
+        $"score_micro".cast(DoubleType), $"m.key", k).as("top"))
       .select($"query_id", posexplode($"top"))
       .select($"query_id", $"col.key".as("doc_id"),
         $"col.value".cast(LongType).as("score_micro"),

@@ -169,11 +169,13 @@ class Round27Spec extends SparkSpec {
   test("bm25 plan: bounded-heap election, no Window over the scored join") {
     val plan = graft.operators.TextAnalysis.bm25(spark, sf)
       .queryExecution.executedPlan.toString
-    // exactly one window function remains: the per-QUERY-DOC rare-term
-    // cut (row_number over the sample-sized qterms input); the
-    // per-(query, doc) election is the heap
+    // exactly two window functions remain, both dimension-sized: the
+    // per-QUERY-PROFILE rare-term cut (row_number over the
+    // profile-level qterms) and the post-expansion self-exclusion
+    // re-rank (row_number over |queries|·(k+1) rows); the
+    // per-(query, profile) and per-doc elections are heaps
     val windowNodes = "Window \\[".r.findAllIn(plan).length
-    assert(windowNodes == 1, s"expected only the sample-sized qterms window:\n$plan")
+    assert(windowNodes == 2, s"expected the qterms cut + expansion re-rank:\n$plan")
     assert(plan.contains("topkpairs"),
       s"final election must be the bounded-heap aggregate:\n$plan")
   }

@@ -3,7 +3,7 @@
 task 7: scale-stress the stop-band caps and skew guards on a corpus
 10x the bench SF, locally).
 
-Usage: python3 tools/make_scale.py SRC_DIR DST_DIR [K]
+Usage: python3 tools/make_scale.py SRC_DIR DST_DIR [K] [--jitter EPS]
 
 Amplification is exact replication with FRESH ids: rep r of K maps
 every id to id*K + r, applied consistently to both sides of every
@@ -23,6 +23,17 @@ join key, so
 Only the tables the dedup/ANN/skew subset reads are amplified
 (documents, embeddings, lineitem, orders, events); dimension tables
 copy through unchanged.
+
+--jitter EPS (diversity-preserving mode, VERDICT r10 follow-up):
+verbatim embedding clones make the Kx RECALL measurement trivially
+easy -- every query's true top-k are exact copies at cosine 1.0,
+which all LSH tables bank together. With --jitter, rep 0 stays
+verbatim and reps 1..K-1 get a DETERMINISTIC additive perturbation
+e'_i = e_i + EPS * ||e||/sqrt(d) * u_i with u_i an arithmetic-hash
+uniform in [-1, 1): the clone family spreads to cosine about
+1/sqrt(1 + EPS^2/3) of its seed (EPS=1 -> ~0.87, EPS=2 -> ~0.65),
+modelling a denser sample from the same distribution instead of a
+duplicate blow-up. Still no RNG -- byte-identical reruns.
 """
 import shutil
 import sys
@@ -31,8 +42,14 @@ import duckdb
 
 
 def main():
-    src, dst = sys.argv[1], sys.argv[2]
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = list(sys.argv[1:])
+    eps = None
+    if "--jitter" in args:
+        i = args.index("--jitter")
+        eps = float(args[i + 1])
+        del args[i:i + 2]
+    src, dst = args[0], args[1]
+    k = int(args[2]) if len(args) > 2 else 10
     import os
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -46,8 +63,32 @@ def main():
 
     amplify("documents", [f"doc_id * {k} + r AS doc_id"],
             "COLUMNS(c -> c NOT IN ('doc_id', 'r'))")
-    amplify("embeddings", [f"vec_id * {k} + r AS vec_id"],
-            "COLUMNS(c -> c NOT IN ('vec_id', 'r'))")
+    if eps is None:
+        amplify("embeddings", [f"vec_id * {k} + r AS vec_id"],
+                "COLUMNS(c -> c NOT IN ('vec_id', 'r'))")
+    else:
+        # deterministic per-(vec_id, rep, element) uniform in [-1, 1).
+        # NOT a linear congruence: a Lehmer-style (A*vec_id + B*i) mod p
+        # is linear in both ids, so the noise of every vector shares one
+        # ramp shape -- a corpus-wide common component that inflated
+        # cross-family cosines (measured: 20% of ALL pairs above 0.35).
+        # DuckDB's 64-bit hash() mixes properly.
+        u = "(hash(vec_id, r, i) % 2000001) / 1000000.0 - 1.0"
+        con.execute(f"""
+            COPY (
+              WITH e AS (
+                SELECT vec_id, embedding, label,
+                       sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm,
+                       len(embedding) AS d
+                FROM '{src}/embeddings.parquet')
+              SELECT vec_id * {k} + r AS vec_id,
+                     CASE WHEN r = 0 OR nrm IS NULL OR nrm = 0 THEN embedding
+                          ELSE [CAST(embedding[i] + {eps} * nrm / sqrt(d) * ({u})
+                                     AS FLOAT)
+                                FOR i IN range(1, d + 1)] END AS embedding,
+                     label
+              FROM e, {reps}
+            ) TO '{dst}/embeddings.parquet' (FORMAT parquet)""")
     amplify("events", [f"event_id * {k} + r AS event_id",
                        f"user_id * {k} + r AS user_id"],
             "COLUMNS(c -> c NOT IN ('event_id', 'user_id', 'r'))")
