@@ -2260,11 +2260,11 @@ object SparkEntry {
          |FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12""".stripMargin,
     "dedup_ngram" ->
-      """WITH grams AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) >= 4
+      """WITH grams AS (SELECT doc_id, lower(text) AS lw, list_distinct(CASE WHEN length(lower(text)) >= 4
         |  THEN list_transform(range(1, length(lower(text))-2), i -> substr(lower(text), i, 4))
         |  ELSE [lower(text)] END) AS gs FROM documents),
         |sizes AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS ng FROM grams),
-        |idx AS (SELECT gram, list(doc_id) AS docs FROM (SELECT doc_id, unnest(gs) AS gram FROM grams) u GROUP BY gram HAVING COUNT(*) <= 50),
+        |idx AS (SELECT gram, list(doc_id) AS docs FROM (SELECT doc_id, lw, unnest(gs) AS gram FROM grams) u GROUP BY gram HAVING COUNT(DISTINCT lw) <= 50),
         |pairs AS (SELECT p.a AS doc_a, p.b AS doc_b, COUNT(*) AS shared FROM (
         |  SELECT unnest(list_filter(flatten(list_transform(docs, a -> list_transform(docs, b -> {'a': a, 'b': b}))), p -> p.a < p.b)) AS p FROM idx) z
         |  GROUP BY 1, 2)
@@ -2386,11 +2386,11 @@ object SparkEntry {
         |      (n_chars * 3 + doc_id) % 100000 AS dur
         |    FROM documents) t) u""".stripMargin,
     "dedup_containment" ->
-      """WITH grams AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) >= 4
+      """WITH grams AS (SELECT doc_id, lower(text) AS lw, list_distinct(CASE WHEN length(lower(text)) >= 4
         |  THEN list_transform(range(1, length(lower(text))-2), i -> substr(lower(text), i, 4))
         |  ELSE [lower(text)] END) AS gs FROM documents),
         |sizes AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS ng FROM grams),
-        |idx AS (SELECT gram, list(doc_id) AS docs FROM (SELECT doc_id, unnest(gs) AS gram FROM grams) u GROUP BY gram HAVING COUNT(*) <= 50),
+        |idx AS (SELECT gram, list(doc_id) AS docs FROM (SELECT doc_id, lw, unnest(gs) AS gram FROM grams) u GROUP BY gram HAVING COUNT(DISTINCT lw) <= 50),
         |pairs AS (SELECT p.a AS doc_a, p.b AS doc_b, COUNT(*) AS shared FROM (
         |  SELECT unnest(list_filter(flatten(list_transform(docs, a -> list_transform(docs, b -> {'a': a, 'b': b}))), p -> p.a < p.b)) AS p FROM idx) z
         |  GROUP BY 1, 2)
@@ -2782,7 +2782,9 @@ object SparkEntry {
     "decontaminate_winnow" ->
       s"""WITH $winnowCtes,
          |fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w),
-         |keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 100),
+         |lwm AS (SELECT doc_id, lower(text) AS lw FROM documents),
+         |keep AS (SELECT fp FROM fp JOIN lwm USING (doc_id) GROUP BY fp
+         |         HAVING COUNT(DISTINCT lw) <= 100),
          |ev AS (SELECT DISTINCT f.fp FROM fp f JOIN keep USING (fp) WHERE f.doc_id < 50)
          |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
          |  COUNT(*) >= 3 AS contaminated

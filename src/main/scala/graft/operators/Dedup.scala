@@ -157,17 +157,21 @@ object Dedup {
 
   /** n-gram Jaccard similarity join via a frequency-capped inverted
     * index (prefix-filtering family): explode distinct char-4-grams,
-    * drop grams shared by > maxBucket docs (stopword grams — they
-    * only add candidates that other grams already produce), count
-    * shared grams per pair, return the top-20 most similar pairs.
-    */
+    * drop grams shared by > maxBucket DISTINCT TEXTS (stopword
+    * grams — they only add candidates that other grams already
+    * produce), count shared grams per pair, return the top-20 most
+    * similar pairs. The df cap counting distinct texts (not docs,
+    * r11) is what keeps the stop-gram notion meaningful under
+    * duplication: at the 100x verbatim-amplified census every gram
+    * sat in ≥100 documents, so a doc-counted cap of 50 emptied the
+    * index and the operator returned ZERO near-dup pairs — a total
+    * recall cliff exactly where a dedup tier matters most. */
   def ngram(spark: SparkSession, dir: String, maxBucket: Int = 50): DataFrame = {
     import spark.implicits._
-    ngramShared(spark, dir, maxBucket)
-      .select($"doc_a", $"doc_b",
-        ($"shared".cast(DoubleType) / ($"na" + $"nb" - $"shared").cast(DoubleType)).as("jaccard"))
-      .orderBy($"jaccard".desc, $"doc_a".asc, $"doc_b".asc)
-      .limit(20)
+    ngramRanked(spark, dir, maxBucket,
+      (shared, na, nb) =>
+        shared.cast(DoubleType) / (na + nb - shared).cast(DoubleType),
+      "jaccard")
   }
 
   /** Containment near-dup (the asymmetric case Jaccard under-scores:
@@ -177,45 +181,105 @@ object Dedup {
     * differs, so the scale posture is identical. */
   def containment(spark: SparkSession, dir: String, maxBucket: Int = 50): DataFrame = {
     import spark.implicits._
-    ngramShared(spark, dir, maxBucket)
-      .select($"doc_a", $"doc_b",
-        ($"shared".cast(DoubleType) / least($"na", $"nb").cast(DoubleType)).as("containment"))
-      .orderBy($"containment".desc, $"doc_a".asc, $"doc_b".asc)
-      .limit(20)
+    ngramRanked(spark, dir, maxBucket,
+      (shared, na, nb) => shared.cast(DoubleType) / least(na, nb).cast(DoubleType),
+      "containment")
   }
 
-  /** Shared core of [[ngram]] and [[containment]]: candidate pairs
-    * with shared-gram counts and both set sizes, through the
-    * frequency-capped inverted index. */
-  private def ngramShared(spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+  /** Shared core of [[ngram]] and [[containment]], PROFILE-COLLAPSED
+    * (r11, the bm25ProfileCensus discipline): docs GROUP BY
+    * lower(text) first — identical texts have identical gram sets,
+    * so pair scores are a function of the (profile, profile) pair —
+    * and the inverted index, df census, and pair join all run over
+    * profiles. Work is then invariant under corpus duplication
+    * (clone groups grow members, never index rows), and collect_list
+    * buffers stay bounded by maxBucket PROFILES.
+    *
+    * The emitted top-20 is still over DOC pairs, expanded exactly:
+    * each profile keeps its 21 smallest member ids; the
+    * lexicographically-smallest doc pair of a cross-profile class is
+    * (pidA, pidB) (pid IS the min member) and of an intra-profile
+    * class is its two smallest members, so electing the top 20
+    * CLASSES by (score desc, smallest-pair asc) covers every doc
+    * pair that can reach the top 20 (each higher class contributes
+    * at least its smallest pair above it), and 21 kept members per
+    * side cover the 20 smallest pairs within a class (any pair using
+    * a 22nd-smallest member is preceded by ≥20 pairs using smaller
+    * ones). Intra-profile classes score with shared = the profile's
+    * KEPT-gram count (clone pairs share exactly the surviving
+    * grams — same value the doc-level formulation yields). */
+  private def ngramRanked(spark: SparkSession, dir: String, maxBucket: Int,
+      scoreOf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      scoreName: String): DataFrame = {
     import spark.implicits._
-    val index = Tables.documents(spark, dir)
-      .select($"doc_id", explode(TextFns.charNGrams($"text", 4)).as("gram"))
-    // per-doc set sizes derive from the exploded (already-distinct)
+    // three consumers with different pruned columns (gram index,
+    // intra classes, keep-list expansion) — materialize the profile
+    // table once (the bm25ProfileCensus discipline)
+    val prof = localCheckpointTransient(Tables.documents(spark, dir)
+      .groupBy(lower($"text").as("lw"))
+      .agg(min($"doc_id").as("pid"), count(lit(1)).as("members"),
+        graft.plans.Sketch.topKPairs(
+          -$"doc_id".cast(DoubleType), $"doc_id", 21).as("keep")))
+    val index = prof
+      .select($"pid", explode(TextFns.charNGrams($"lw", 4)).as("gram"))
+    // per-profile set sizes derive from the exploded (already-distinct)
     // index — no second n-gram pass over the text
-    val sizes = index.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val sizes = index.groupBy($"pid").agg(count(lit(1)).as("n_grams"))
     // df cap BEFORE any doc-list materialization: a stop-gram present
-    // in ~every doc would otherwise accumulate a corpus-sized array in
-    // a single aggregation buffer just to be thrown away (single-key
-    // OOM at 100×). Plain count first (bounded partial-agg buffers),
-    // filter to rare grams, then left-semi the index to survivors —
-    // collect_list buffers are now bounded by maxBucket.
+    // in ~every profile would otherwise accumulate a corpus-sized
+    // array in a single aggregation buffer just to be thrown away
+    // (single-key OOM at 100×). Plain count first (bounded partial-agg
+    // buffers), filter to rare grams, then left-semi the index to
+    // survivors — collect_list buffers are now bounded by maxBucket.
     val rare = observeStopBand(
         index.groupBy($"gram").agg(count(lit(1)).as("df")).withColumnRenamed("df", "bc"),
         "ngram", maxBucket)
       .filter($"bc" <= maxBucket)
       .select($"gram")
-    val capped = index.join(rare, Seq("gram"), "left_semi")
+    val kept = index.join(rare, Seq("gram"), "left_semi")
+    val capped = kept
       .groupBy($"gram")
-      .agg(collect_list($"doc_id").as("docs"))
-    val shared = capped
+      .agg(collect_list($"pid").as("pids"))
+    val cross = capped
       .select(explode(expr(
-        "filter(flatten(transform(docs, a -> transform(docs, b -> struct(a, b)))), p -> p.a < p.b)")).as("p"))
-      .groupBy($"p.a".as("doc_a"), $"p.b".as("doc_b"))
+        "filter(flatten(transform(pids, a -> transform(pids, b -> struct(a, b)))), p -> p.a < p.b)")).as("p"))
+      .groupBy($"p.a".as("pa"), $"p.b".as("pb"))
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb")), "doc_b")
+      .join(sizes.select($"pid".as("pa"), $"n_grams".as("na")), "pa")
+      .join(sizes.select($"pid".as("pb"), $"n_grams".as("nb")), "pb")
+      .select($"pa", $"pb", $"shared", $"na", $"nb",
+        $"pa".as("sp1"), $"pb".as("sp2"))
+    // intra-profile classes: clone pairs share exactly the profile's
+    // kept grams; only multi-member profiles that kept ≥1 gram exist
+    // in the doc-level pair set
+    val intra = kept.groupBy($"pid").agg(count(lit(1)).as("shared"))
+      .join(prof.filter($"members" >= 2L)
+        .select($"pid", element_at($"keep", 1).getField("key").as("sp1"),
+          element_at($"keep", 2).getField("key").as("sp2")), "pid")
+      .join(sizes, "pid")
+      .select($"pid".as("pa"), $"pid".as("pb"), $"shared",
+        $"n_grams".as("na"), $"n_grams".as("nb"), $"sp1", $"sp2")
+    val classes = cross.unionByName(intra)
+      .withColumn("score", scoreOf($"shared", $"na", $"nb"))
+      .orderBy($"score".desc, $"sp1".asc, $"sp2".asc)
+      .limit(20)
+    // expand the 20 winning classes by their kept members (≤ 21×21
+    // pairs each; least/greatest restores the doc-id orientation,
+    // distinct collapses the doubled intra combinations)
+    val profKeep = prof.select($"pid", $"keep")
+    classes
+      .join(profKeep.select($"pid".as("pa"), $"keep".as("ka")), "pa")
+      .join(profKeep.select($"pid".as("pb"), $"keep".as("kb")), "pb")
+      .select($"score", explode($"ka").as("ma"), $"kb")
+      .select($"score", $"ma.key".as("a"), explode($"kb").as("mb"))
+      .select($"score", least($"a", $"mb.key").as("doc_a"),
+        greatest($"a", $"mb.key").as("doc_b"))
+      .where($"doc_a" < $"doc_b")
+      .distinct()
+      .orderBy($"score".desc, $"doc_a".asc, $"doc_b".asc)
+      .limit(20)
+      .select($"doc_a", $"doc_b", $"score".as(scoreName))
   }
 
   /** Duplicate-cluster resolution — the last mile of the dedup story:

@@ -801,24 +801,39 @@ object TextAnalysis {
     * on winnowed prints).
     *
     * Stop-gram tier (the dedup_ngram df-cap discipline): fingerprints
-    * held by > `maxDf` documents corpus-wide — ubiquitous 8-grams
-    * like common stopword runs — drop before the overlap join, so no
-    * single fp key can fan out into a hot bucket; the df census
-    * partial-aggregates on the same exploded frame the join consumes. */
+    * held by > `maxDf` DISTINCT TEXTS corpus-wide — ubiquitous
+    * 8-grams like common stopword runs — drop before the overlap
+    * join, so no single fp key can fan out into a hot bucket.
+    * Counting distinct texts instead of documents (r11) keeps the
+    * cap duplication-invariant: at the 100x verbatim-amplified
+    * census every fingerprint sat in ≥100 docs, a doc-counted cap of
+    * 100 dropped ALL of them, and the detector reported zero
+    * contamination on a corpus full of eval clones — the silent
+    * failure mode a real crawl (which duplicates its benchmarks
+    * wholesale) would hit. */
   def decontaminateWinnow(spark: SparkSession, dir: String,
       holdout: Long = 50L, minShared: Long = 3L, maxDf: Long = 100L): DataFrame = {
     import spark.implicits._
-    // census and train side each re-run the winnow scan — with the
+    // census and train side each run one winnow scan — with the
     // native WinnowMins expression that's cheaper at any scale than
     // materializing the N×(n/w) exploded fingerprint frame
     val fp = winnowArrays(spark, dir)
       .select($"doc_id", explode($"fps").as("fp"))
-    // ONE census pass carries both the df cap and the eval flag —
-    // a separate eval-side distinct would shuffle the fingerprint
-    // frame a second time for a dimension the census already holds
-    val evalFps = fp.groupBy($"fp")
+    // ONE profile-level census pass carries both the distinct-text
+    // df cap and the eval flag: identical texts share their whole
+    // fingerprint set, and "some eval doc holds fp" ⇔ "some profile
+    // with pid < holdout holds fp" because pid is the profile's
+    // smallest member id
+    val empty = array().cast("array<bigint>")
+    val profFp = Tables.documents(spark, dir)
+      .groupBy(lower($"text").as("lw"))
+      .agg(min($"doc_id").as("pid"))
+      .select($"pid", explode(coalesce(
+        graft.plans.TextExprs.winnowMinsCol($"lw", 8, 4, distinct = true),
+        empty)).as("fp"))
+    val evalFps = profFp.groupBy($"fp")
       .agg(count(lit(1)).as("dfc"),
-        sum(when($"doc_id" < holdout, 1L).otherwise(0L)).as("n_eval"))
+        sum(when($"pid" < holdout, 1L).otherwise(0L)).as("n_eval"))
       .filter($"dfc" <= maxDf && $"n_eval" > 0L)
       .select($"fp")
     // the surviving fp dimension is eval-holdout-sized by contract:
