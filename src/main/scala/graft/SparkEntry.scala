@@ -818,9 +818,10 @@ object SparkEntry {
       |sigrare AS (SELECT sig FROM allsigs GROUP BY sig HAVING COUNT(*) <= 800),
       |sigs AS (SELECT allsigs.* FROM allsigs JOIN sigrare USING (sig))""".stripMargin
 
-  /** Multi-table (OR-construction) variant of sigsCte: 4 independent
-    * hyperplane tables, table t's plane p drawing coefficients at
-    * global plane index t·planes+p — mirrors
+  /** Multi-table (OR-construction) variant of sigsCte:
+    * GREATEST(4, planes) independent hyperplane tables (the r11
+    * adaptive width — Similarity.adaptiveTables), table t's plane p
+    * drawing coefficients at global plane index t·planes+p — mirrors
     * Similarity.sigBucketsMulti / VecExprs.lshSig(v, planes, t·planes)
     * exactly. */
   private val msigsCte: String =
@@ -832,20 +833,25 @@ object SparkEntry {
       |    SELECT vec_id, embedding, t, p,
       |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0,64), d ->
       |        CAST(embedding[d+1] AS DOUBLE) * CAST(((1 + ((t*planes+p)*64+d)*2654435761) % 1000003) - 500001 AS DOUBLE))), (a,x) -> a+x) AS proj
-      |    FROM embeddings, nplanes, UNNEST(range(0,4)) AS tt(t), UNNEST(range(0, planes)) AS tp(p)) q
+      |    FROM embeddings, nplanes, UNNEST(range(0, GREATEST(4, planes))) AS tt(t), UNNEST(range(0, planes)) AS tp(p)) q
       |  GROUP BY vec_id, embedding, t),
       |mrare AS (SELECT t, sig FROM mallsigs GROUP BY t, sig HAVING COUNT(*) <= 800),
       |msigs AS (SELECT mallsigs.* FROM mallsigs JOIN mrare USING (t, sig))""".stripMargin
 
-  /** 1-bit multi-probe expansion of msigs' query side: probe f = 0 is
-    * the vector's own bucket, probe f = 1..planes flips hyperplane
-    * f−1 — mirrors the explode in Similarity.lshMultiTopK exactly.
-    * The index side of the join stays msigs (probing never widens the
-    * index, only the lookup fan-out). */
+  /** Multi-probe expansion of msigs' query side — mirrors
+    * Similarity.probeMasks exactly: (i, j) = (0, 0) is the vector's
+    * own bucket, (0, j>0) flips hyperplane j−1 (Hamming 1), and from
+    * 6 planes up (0 < i < j) flips the pair (i−1, j−1) (Hamming 2 —
+    * the r11 adaptive probe depth). The index side of the join stays
+    * msigs (probing never widens the index, only the lookup
+    * fan-out). */
   private val mprobesCte: String =
     """mprobes AS (SELECT vec_id, embedding, t,
-      |    CASE WHEN f = 0 THEN sig ELSE xor(sig, CAST(1 AS BIGINT) << (f - 1)) END AS sig
-      |  FROM msigs, nplanes, UNNEST(range(0, planes + 1)) AS tf(f))""".stripMargin
+      |    CASE WHEN i = 0 AND j = 0 THEN sig
+      |         WHEN i = 0 THEN xor(sig, CAST(1 AS BIGINT) << (j - 1))
+      |         ELSE xor(sig, (CAST(1 AS BIGINT) << (i - 1)) | (CAST(1 AS BIGINT) << (j - 1))) END AS sig
+      |  FROM msigs, nplanes, UNNEST(range(0, planes + 1)) AS ti(i), UNNEST(range(0, planes + 1)) AS tj(j)
+      |  WHERE i = 0 OR (planes >= 6 AND 0 < i AND i < j))""".stripMargin
 
   /** Shared by dedup_minhash_est (single-scan batch) and dedup_stream
     * (stateful incremental index) — both must produce the identical

@@ -889,13 +889,14 @@ object Similarity {
     * cost is L signatures per vector (scan-local) and an L-way
     * bucket fan-out into the SAME equi-join shape — shuffle ∝ L·N,
     * never pairs. */
-  def sigBucketsMulti(spark: SparkSession, dir: String, nTables: Int = 4,
+  def sigBucketsMulti(spark: SparkSession, dir: String, nTables: Int = -1,
       maxBucket: Int = 800): DataFrame = {
     import spark.implicits._
     val planes = adaptivePlanes(spark, dir)
+    val tables = if (nTables > 0) nTables else adaptiveTables(planes)
     val sigs = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"),
-        explode(array((0 until nTables).map { t =>
+        explode(array((0 until tables).map { t =>
           struct(lit(t).as("t"),
             VecFns.lshSignatureTable($"embedding", planes, t).as("sig"))
         }: _*)).as("ts"))
@@ -908,15 +909,49 @@ object Similarity {
     sigs.join(rare, Seq("t", "sig"))
   }
 
+  /** Adaptive OR-construction width (r11): as the signature grows
+    * (planes p = log₂(N/200)), a fixed-angle neighbor's per-table
+    * collision probability decays ~agreeᵖ, so holding recall needs
+    * the two standard levers to GROW with p — more tables and deeper
+    * probes. L = max(4, p) tables (cost ∝ L, linear) and Hamming≤2
+    * probing from p ≥ 6 (cost ∝ p²/2 probes). Measured need, 10x
+    * DIVERSE corpus (make_scale.py --jitter — clone neighbors at
+    * cosine ~0.66, not verbatim): the fixed L=4 / 1-bit rule held
+    * 0.93 recall@3 at 1x (p=4) but fell to 0.69 at 10x (p=7), below
+    * the ≥0.8 bar; per-table miss measured q = (1−0.69)^(1/4) ≈ 0.75
+    * predicts 1−q⁷ ≈ 0.87 at L=7. At the test SFs p=4 → L=4, 1-bit:
+    * bit-identical to the r10 semantics, so gate and bench shapes
+    * are unchanged below 10x scale. */
+  def adaptiveTables(planes: Int): Int = math.max(4, planes)
+
+  /** Probe masks for one table: Hamming ≤ 1 below 6 planes (self +
+    * p single flips), Hamming ≤ 2 from 6 planes up (+ p(p−1)/2 pair
+    * flips) — the deterministic enumeration the oracle mirrors.
+    * Depth 2 starts where width grows because the miss tail is
+    * CORRELATED across tables (a far neighbor missed by one table is
+    * likely missed by all — measured at 10x-diverse: L 4→7 alone
+    * moved recall only 0.69→0.78), while deeper probes effectively
+    * shorten every table's signature for the tail. */
+  def probeMasks(planes: Int): Seq[Long] = {
+    val singles = (0 until planes).map(b => 1L << b)
+    val pairs =
+      if (planes >= 6)
+        for { i <- 0 until planes; j <- i + 1 until planes }
+          yield (1L << i) | (1L << j)
+      else Seq.empty[Long]
+    0L +: (singles ++ pairs)
+  }
+
   /** Multi-table LSH ANN (`ann_lsh_multi`): [[lshTopK]] with the
-    * OR-construction candidate tier PLUS 1-bit multi-probe — the
-    * query side of table t probes its own bucket AND the `planes`
-    * buckets one hyperplane-flip away, so a true neighbor is a
-    * candidate if its signature is within Hamming distance 1 in ANY
-    * table. Multi-probe is the standard recall lever that does NOT
-    * multiply index size (Lv et al., VLDB'07): the index side stays
-    * the L base buckets; only the probe fan-out widens, so candidate
-    * shuffle is ∝ L·(1+planes)·N — still linear in N, never pairs.
+    * OR-construction candidate tier PLUS multi-probe — the
+    * query side of table t probes its own bucket AND the
+    * [[probeMasks]] buckets up to 1-2 hyperplane-flips away, so a
+    * true neighbor is a candidate if its signature is within the
+    * probe Hamming radius in ANY table. Multi-probe is the standard
+    * recall lever that does NOT multiply index size (Lv et al.,
+    * VLDB'07): the index side stays the L base buckets; only the
+    * probe fan-out widens, so candidate shuffle is
+    * ∝ L·|probes|·N — still linear in N, never pairs.
     * Within one table a pair matches at most ONE probe (its Hamming
     * distance picks the flip), and cross-table duplicates collapse
     * in the bounded-heap election ([[heapTopK]] — the TreeSet buffer
@@ -925,13 +960,13 @@ object Similarity {
     * bucket finds nothing (the index dropped it) — the cap semantics
     * are unchanged. */
   def lshMultiTopK(spark: SparkSession, dir: String, k: Int = 3,
-      nTables: Int = 4): DataFrame = {
+      nTables: Int = -1): DataFrame = {
     import spark.implicits._
     val planes = adaptivePlanes(spark, dir)
     val idx = sigBucketsMulti(spark, dir, nTables)
     val probes = idx.select($"vec_id", $"embedding", $"nrm", $"t",
-      explode(array(($"sig" +: (0 until planes).map(b =>
-        $"sig".bitwiseXOR(lit(1L << b)))): _*)).as("sig"))
+      explode(array(probeMasks(planes).map(m =>
+        $"sig".bitwiseXOR(lit(m))): _*)).as("sig"))
     heapTopK(
       probes.as("a").join(idx.as("b"), Seq("t", "sig"))
         .where($"a.vec_id" =!= $"b.vec_id")
@@ -944,7 +979,7 @@ object Similarity {
     * at [[lshMultiTopK]]) — prints what the OR-construction buys over
     * the measured single-table number. */
   def lshMultiRecall(spark: SparkSession, dir: String, qMod: Int = 50,
-      k: Int = 3, nTables: Int = 4): DataFrame = {
+      k: Int = 3, nTables: Int = -1): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
