@@ -3341,8 +3341,15 @@ object SparkEntry {
         |  FROM toks),
         |chunks AS (SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS cidx,
         |  unnest(chunks) AS chunk FROM cl),
+        |reps AS (SELECT lower(text) AS lw, MIN(doc_id) AS pid FROM documents GROUP BY lower(text)),
+        |rtoks AS (SELECT pid, regexp_split_to_array(lw, '\s+') AS t FROM reps),
+        |rcl AS (SELECT pid,
+        |  list_transform(range(0, CAST(ceil(len(t)/10.0) AS BIGINT)),
+        |    i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS chunks
+        |  FROM rtoks),
+        |rchunks AS (SELECT pid, unnest(chunks) AS chunk FROM rcl),
         |boiler AS (SELECT chunk FROM (
-        |  SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk) z
+        |  SELECT chunk, COUNT(DISTINCT pid) AS df FROM rchunks GROUP BY chunk) z
         |  WHERE df > 1),
         |tot AS (SELECT doc_id, COUNT(*) AS total_chunks FROM chunks GROUP BY doc_id),
         |kept AS (SELECT c.doc_id,

@@ -106,7 +106,7 @@ object Curation {
 
   /** Boilerplate removal (the CCNet paragraph-df pass, over fixed
     * token chunks because the corpus has no newlines): a chunk that
-    * appears in MORE THAN `maxDf` distinct documents is boilerplate
+    * appears in MORE THAN `maxDf` DISTINCT TEXTS is boilerplate
     * (headers, navigation, license blocks) and is removed from EVERY
     * document — including the first occurrence, which is what
     * distinguishes this from [[dedupLines]] (first occurrence kept).
@@ -125,13 +125,21 @@ object Curation {
     import spark.implicits._
     val toks = TextFns.tokens($"text")
     val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
-    val chunks = Tables.documents(spark, dir)
+    def chunkify(docs: DataFrame): DataFrame = docs
       .select($"doc_id",
         transform(sequence(lit(0), nChunks - 1),
           i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")).as("chunks"))
       .select($"doc_id", size($"chunks").cast(LongType).as("total_chunks"),
         posexplode($"chunks").as(Seq("cidx", "chunk")))
-    val boiler = chunks.groupBy($"chunk")
+    val chunks = chunkify(Tables.documents(spark, dir))
+    // df census over DISTINCT TEXTS, not documents (r11, the 100x
+    // census df-cap rule): with doc-counted df, a duplication factor
+    // > maxDf makes EVERY chunk "boilerplate" and strips the whole
+    // corpus to empty text — clones of one text must not promote its
+    // chunks to boilerplate, only genuinely cross-text repetition
+    val reps = Tables.documents(spark, dir)
+      .groupBy(lower($"text").as("text")).agg(min($"doc_id").as("doc_id"))
+    val boiler = chunkify(reps).groupBy($"chunk")
       .agg(countDistinct($"doc_id").as("df"))
       .filter($"df" > maxDf)
       .select($"chunk")
