@@ -210,6 +210,8 @@ object StreamDedup {
       // windowedRelay, without mutating the caller's conf
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", StreamDedup.gateShufflePartitions)
+      // (spark.driver.maxResultSize for the memory sink's driver-side
+      // collection is context-static — set in GraftSession.builder)
       // No trailing no-data micro-batches in the GATE session: every
       // twin's final emission is driven by data (sentinel rows riding
       // the last batch, or per-arrival append) — measured r10: all 61

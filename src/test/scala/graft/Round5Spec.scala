@@ -161,12 +161,23 @@ class Round5Spec extends SparkSpec {
 
   test("boilerplate keeps fully-boilerplate docs as empty-text rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_boiler2").toString
+    // the shared chunk must recur across DIFFERENT texts: since r11
+    // the df census counts distinct texts, so two verbatim clones of
+    // one doc no longer promote their content to boilerplate (that
+    // is dedup's job, and a duplication factor > maxDf must not
+    // strip the corpus) — doc 2 carries the chunk plus unique tail
     val chunk = (1 to 10).map(i => s"c$i").mkString(" ")
-    Seq((1L, chunk), (2L, chunk)).toDF("doc_id", "text")
+    val tail = (1 to 10).map(i => s"u$i").mkString(" ")
+    Seq((1L, chunk), (2L, s"$chunk $tail")).toDF("doc_id", "text")
       .write.parquet(s"$dir/documents.parquet")
     val rows = operators.Curation.boilerplate(spark, dir).collect()
     assert(rows.length == 2)
-    assert(rows.forall(r => r.getString(1) == "" && r.getLong(2) == 0L && r.getLong(3) == 1L))
+    val d1 = rows.find(_.getLong(0) == 1L).get
+    assert(d1.getString(1) == "" && d1.getLong(2) == 0L && d1.getLong(3) == 1L,
+      s"fully-boilerplate doc must survive empty: $d1")
+    val d2 = rows.find(_.getLong(0) == 2L).get
+    assert(d2.getString(1) == tail && d2.getLong(2) == 1L && d2.getLong(3) == 2L,
+      s"doc 2 must keep only its unique chunk: $d2")
   }
 
   // --- set operations --------------------------------------------------------------
