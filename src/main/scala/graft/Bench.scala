@@ -140,7 +140,19 @@ object Bench {
     val streamMeta = streamWall
       .map(w => s""","stream_wall":${fmt(w)},"stream_concurrency":$conc""")
       .getOrElse("")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$streamMeta,"sf":"$sfDir","reps":$reps}"""
+    // self-describing payload (VERDICT r11 task 6): the driver
+    // re-runs Bench post-close and overwrites bench_last.json, so
+    // "which run is this" must live IN the JSON — git SHA + wall-clock
+    // stamp; SURVEY §8 cites them per round
+    val sha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val stamp = java.time.Instant.now().toString
+    val runMeta = s""","sha":"$sha","ts":"$stamp""""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$streamMeta,"sf":"$sfDir","reps":$reps$runMeta}"""
     // the full 213-query payload (~6 KB) goes to a FILE; the driver's
     // stdout tail capture starts mid-line on payloads that long
     // (BENCH_r06 and r07 both landed "parsed": null), so the LAST
@@ -159,7 +171,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.length},"queries":$slow10,"failed":$failed$streamMeta,"sf":"$sfDir","reps":$reps,"full":"$artifact"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.length},"queries":$slow10,"failed":$failed$streamMeta,"sf":"$sfDir","reps":$reps$runMeta,"full":"$artifact"}"""
     println(summary)
     spark.stop()
   }

@@ -24,13 +24,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // context-static (not a session conf): the streaming GATE's
-      // memory sink collects a twin's whole emitted log to the driver
-      // (scaffolding — deployments write durable sinks); at the 100x
-      // census dedup_stream's ~27M-row pair log crossed the 1g
-      // default mid-query. Operators themselves never ship
-      // corpus-sized results driver-side.
-      .config("spark.driver.maxResultSize", "8g")
+      // spark.driver.maxResultSize stays at the 1g default: it is the
+      // driver-side tripwire that turns a corpus-sized collect into a
+      // loud error instead of an OOM. The one path that used to need
+      // 8g (the streaming gate's memory sink, r11) now writes a
+      // durable parquet sink (StreamDedup.runStagedStream) — no
+      // operator or gate path ships corpus-sized results driver-side.
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

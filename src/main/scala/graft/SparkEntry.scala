@@ -835,7 +835,8 @@ object SparkEntry {
       |        CAST(embedding[d+1] AS DOUBLE) * CAST(((1 + ((t*planes+p)*64+d)*2654435761) % 1000003) - 500001 AS DOUBLE))), (a,x) -> a+x) AS proj
       |    FROM embeddings, nplanes, UNNEST(range(0, GREATEST(4, planes))) AS tt(t), UNNEST(range(0, planes)) AS tp(p)) q
       |  GROUP BY vec_id, embedding, t),
-      |mrare AS (SELECT t, sig FROM mallsigs GROUP BY t, sig HAVING COUNT(*) <= 800),
+      |mcap AS (SELECT GREATEST(800, n // 30) AS cap FROM (SELECT COUNT(*) AS n FROM embeddings) t),
+      |mrare AS (SELECT t, sig FROM mallsigs, mcap GROUP BY t, sig, cap HAVING COUNT(*) <= cap),
       |msigs AS (SELECT mallsigs.* FROM mallsigs JOIN mrare USING (t, sig))""".stripMargin
 
   /** Multi-probe expansion of msigs' query side — mirrors
@@ -2437,16 +2438,21 @@ object SparkEntry {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${cos("a.embedding", "b.embedding")} DESC, b.vec_id) AS BIGINT) AS rnk
          |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id != b.vec_id) t
          |WHERE rnk <= 3""".stripMargin,
+    // adaptive codebook/probe width mirrors Similarity.ivfTopK:
+    // nc = GREATEST(16, N // 250), np = GREATEST(4, ceil(log2 nc))
+    // — every test SF stays at 16/4
     "ann_ivf" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      s"""WITH ncents AS (SELECT GREATEST(16, n // 250) AS nc FROM (SELECT COUNT(*) AS n FROM embeddings) t),
+         |nprobe AS (SELECT GREATEST(4, CAST(CEIL(LOG2(nc)) AS BIGINT)) AS np FROM ncents),
+         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings, ncents WHERE vec_id < nc),
          |scored AS (SELECT e.vec_id, e.embedding, c.cid, c.cvec, ${cos("e.embedding", "c.cvec")} AS ccos
          |  FROM embeddings e CROSS JOIN c),
          |assign AS (SELECT cid, vec_id, embedding FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
          |  WHERE rn = 1),
          |probes AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z
-         |  WHERE rn <= 4)
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z,
+         |  nprobe WHERE rn <= np)
          |SELECT query_id, neighbor_id, cosine, rnk FROM (
          |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cos("p.qv", "a.embedding")} AS cosine,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY ${cos("p.qv", "a.embedding")} DESC, a.vec_id) AS BIGINT) AS rnk
@@ -2615,15 +2621,17 @@ object SparkEntry {
          |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
          |  WHERE q.vec_id < 10) t
          |WHERE rnk <= 5),
-         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         |ncents AS (SELECT GREATEST(16, n // 250) AS nc FROM (SELECT COUNT(*) AS n FROM embeddings) t),
+         |nprobe AS (SELECT GREATEST(4, CAST(CEIL(LOG2(nc)) AS BIGINT)) AS np FROM ncents),
+         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings, ncents WHERE vec_id < nc),
          |scored AS (SELECT e.vec_id, e.embedding, c.cid, c.cvec, ${cos("e.embedding", "c.cvec")} AS ccos
          |  FROM embeddings e CROSS JOIN c),
          |assign AS (SELECT cid, vec_id, embedding FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored) z
          |  WHERE rn = 1),
          |probes AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z
-         |  WHERE rn <= 4),
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored WHERE vec_id < 10) z,
+         |  nprobe WHERE rn <= np),
          |iv AS (SELECT query_id, neighbor_id FROM (
          |  SELECT p.query_id, a.vec_id AS neighbor_id,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY ${cos("p.qv", "a.embedding")} DESC, a.vec_id) AS BIGINT) AS rnk

@@ -263,13 +263,34 @@ object Similarity {
     * search is an equi-join on centroid id touching only the probed
     * fraction of the corpus (nProbe/nCentroids of the data instead of
     * all of it). Every vector lands in exactly one list, so probes
-    * need no dedup. */
+    * need no dedup.
+    *
+    * Adaptive width (r12, the LSH-rule treatment for IVF): fixed
+    * 16 cells stop separating the space once lists grow into the
+    * thousands — MEASURED 0.74 recall@5 at 16/4 on the 10x
+    * diverse-jitter corpus (20k vectors) — so the codebook scales to
+    * ~250-member cells (GREATEST(16, N/250); the ann_knn_graph rule's
+    * 1250 divisor is tuned for ITS corpus-proportional query side and
+    * measured insufficient here: it leaves 20k vectors at 16 cells)
+    * and the probe count grows logarithmically with the codebook
+    * (GREATEST(4, ceil(log2 nc))). Measured on the 10x diverse
+    * corpus: 80 cells / 7 probes → 0.98 recall@5 at a 8.75% probed
+    * fraction vs 0.74 at 16/4's 25% — finer cells beat wider probes
+    * per candidate scanned, the standard IVF trade. Every test SF
+    * stays at 16/4, unchanged; the DuckDB oracles compute the
+    * identical integer predicates (ncents/nprobe CTEs). Explicit
+    * arguments remain the caller's knob. At 10^9 vectors the
+    * assignment pass (N·nc dots) is where a real deployment swaps the
+    * flat codebook for a hierarchical/k-means one — documented, not
+    * hidden. */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = -1, nProbe: Int = -1): DataFrame = {
     import spark.implicits._
+    val nc = if (nCentroids > 0) nCentroids else ivfCells(corpusN(spark, dir))
+    val np = if (nProbe > 0) nProbe else ivfProbes(nc)
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
-    val cents = emb.filter($"vec_id" < nCentroids)
+    val cents = emb.filter($"vec_id" < nc)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
     val scored = emb.crossJoin(broadcast(cents))
       .select($"vec_id", $"embedding", $"nrm", $"cid",
@@ -278,7 +299,7 @@ object Similarity {
     val index = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
       .select($"cid", $"vec_id", $"embedding", $"nrm")
     val probes = scored.filter($"vec_id" < nQueries)
-      .withColumn("rn", row_number().over(wAssign)).filter($"rn" <= nProbe)
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" <= np)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"), $"cid")
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     // probe set = queries × nProbe, small by contract (like
@@ -747,6 +768,17 @@ object Similarity {
     (4 to 24).find(p => (1L << p) * targetBucket >= n).getOrElse(24)
   }
 
+  /** Adaptive IVF codebook width for the ONLINE search ([[ivfTopK]]):
+    * ~250-member cells, floor 16 — oracle mirror
+    * GREATEST(16, n // 250). Measured on the 10x diverse-jitter
+    * corpus (see ivfTopK's doc). */
+  private[graft] def ivfCells(n: Long): Int = math.max(16, (n / 250L).toInt)
+
+  /** Adaptive probe count: ceil(log2 nc), floor 4 — oracle mirror
+    * GREATEST(4, CEIL(LOG2(nc))). */
+  private[graft] def ivfProbes(nc: Int): Int =
+    math.max(4, 32 - Integer.numberOfLeadingZeros(nc - 1))
+
   /** Embedding-corpus row count, memoized per (session, dir):
     * ann_lsh, dedup_embed, lsh_recall and every other adaptive-width
     * consumer were each paying this full count scan at plan time
@@ -895,10 +927,11 @@ object Similarity {
     * bucket fan-out into the SAME equi-join shape — shuffle ∝ L·N,
     * never pairs. */
   def sigBucketsMulti(spark: SparkSession, dir: String, nTables: Int = -1,
-      maxBucket: Int = 800): DataFrame = {
+      maxBucket: Int = -1): DataFrame = {
     import spark.implicits._
     val planes = adaptivePlanes(spark, dir)
     val tables = if (nTables > 0) nTables else adaptiveTables(planes)
+    val cap = if (maxBucket > 0) maxBucket else multiCap(corpusN(spark, dir))
     val sigs = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"),
         explode(array((0 until tables).map { t =>
@@ -908,11 +941,30 @@ object Similarity {
       .select($"vec_id", $"embedding", $"nrm", $"ts.t".as("t"), $"ts.sig".as("sig"))
     val rare = StopBand.audited(
         sigs.groupBy($"t", $"sig").agg(count(lit(1)).as("bc")),
-        "sig_buckets_multi", maxBucket)
-      .filter($"bc" <= maxBucket)
+        "sig_buckets_multi", cap)
+      .filter($"bc" <= cap)
       .select($"t", $"sig")
     sigs.join(rare, Seq("t", "sig"))
   }
+
+  /** Adaptive stop-band cap for the multi-table SEARCH tier (r12):
+    * a fixed 800 cap is an absolute bound on bucket size, but the
+    * corpus's dense regions hold a roughly FIXED FRACTION of N in a
+    * roughly fixed number of buckets (signature space doesn't grow
+    * with the corpus between width steps), so at 100x the fixed cap
+    * silently removed 52% of the searchable index mass
+    * (ProbeLshMass, /tmp/scale100_div) — the measured 0.495 recall@3
+    * ceiling. cap = GREATEST(800, N/30) bounds the DROPPED mass
+    * instead (≤0.4% at 100x-diverse, measured) while still pruning
+    * the degenerate duplicate-blowup buckets (a 100x verbatim clone
+    * family bucket holds ≥ 100·its 1x size ≫ N/30). Every corpus up
+    * to 10x (N ≤ 24000) keeps the r11 value 800, so gate and bench
+    * shapes are unchanged; the oracle computes the same integer
+    * predicate (mcap CTE). The single-table tier ([[sigBuckets]])
+    * deliberately keeps the fixed 800: it is the documented
+    * cheap-and-lower-recall baseline the multi-table tier is
+    * measured against. */
+  private[graft] def multiCap(n: Long): Int = math.max(800, (n / 30L).toInt)
 
   /** Adaptive OR-construction width (r11): as the signature grows
     * (planes p = log₂(N/200)), a fixed-angle neighbor's per-table

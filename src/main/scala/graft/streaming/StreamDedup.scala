@@ -22,11 +22,13 @@ import graft.functions.{HashFns, TextFns}
   * oracle-gated as `dedup_stream`).
   *
   * Scale posture: state shards by bucket key (the same equi-join key
-  * the batch plan shuffles on), per-bucket membership is capped at
-  * `maxBucket` (the SimHash stop-band rule — a hot bucket stops
-  * absorbing members but keeps comparing, trading recall for bounded
-  * state), and signatures are 16 longs per member — the 100 TB corpus
-  * never re-shuffles, only the day's increment moves.
+  * the batch plan shuffles on); hot buckets (> `MaxBucket` docs — the
+  * duplicate-heavy-crawl case) are pruned BEFORE the index by a
+  * static profile built on the batch census cadence (see
+  * [[hotBucketProfile]]), the same whole-bucket stop-band the batch
+  * tier applies, so surviving buckets hold ≤ `MaxBucket` members by
+  * construction; signatures are 16 longs per member — the 100 TB
+  * corpus never re-shuffles, only the day's increment moves.
   */
 object StreamDedup {
 
@@ -39,8 +41,6 @@ object StreamDedup {
   // documents-adversarial finding)
   case class HashRow(content_hash: Option[Long], doc_id: Long)
   case class ArrivalOut(content_hash: Option[Long], doc_id: Long, is_dup: Boolean)
-
-  private var sinkCounter = 0
 
   /** (doc_id, text) stream → one row per (band, bucket) — the same
     * MinHash + band-key plan as the batch operator, stateless, so it
@@ -105,10 +105,10 @@ object StreamDedup {
 
   /** Shared two-batch staging for the batch-gated streaming twins:
     * split `docs` at the median doc_id into two parquet files, stream
-    * them through `transform` one file per micro-batch into a memory
-    * sink, and return the sink contents (None on an empty corpus).
-    * The memory sink holds the rows; the staged input is memoized in
-    * RAM scratch for the JVM's lifetime (see runStagedStream). */
+    * them through `transform` one file per micro-batch into a durable
+    * parquet sink, and return the sink contents lazily (None on an
+    * empty corpus). The staged input is memoized in RAM scratch for
+    * the JVM's lifetime (see runStagedStream). */
   private def runTwoBatchStream(spark: SparkSession, docs: DataFrame)
       (transform: DataFrame => DataFrame): Option[DataFrame] = {
     import spark.implicits._
@@ -123,8 +123,15 @@ object StreamDedup {
 
   /** Shared N-batch staging for every batch-gated streaming twin:
     * write each DataFrame as one parquet file, stream them through
-    * `transform` one file per micro-batch into a memory sink, return
-    * the sink contents. Batch ORDER is load-bearing for keeper-state
+    * `transform` one file per micro-batch into a durable parquet sink
+    * (RAM scratch; exactly-once via the sink's _spark_metadata log),
+    * and return the sink contents as a lazy scan. A memory sink here
+    * collected each twin's WHOLE emitted log driver-side — at the
+    * 100x census dedup_stream's ~27M-row pair log forced
+    * spark.driver.maxResultSize to 8g session-wide; the parquet sink
+    * keeps the driver out of the data plane entirely, the same path a
+    * real deployment uses (see StreamRelay.startAppendRelay).
+    * Batch ORDER is load-bearing for keeper-state
     * twins (keeper = first arrival): FileStreamSource orders files by
     * mtime with path as the tiebreak, and on coarse-granularity
     * filesystems the writes can land in the same tick with no
@@ -190,8 +197,8 @@ object StreamDedup {
       // was written, so there is nothing to read a schema from — and
       // nothing to trigger on. Point the source at the (existing,
       // empty) staging root with the INPUT DataFrame's own schema; the
-      // query starts, zero micro-batches run, and the memory sink
-      // still materializes with the TRANSFORMED schema, so callers get
+      // query starts, zero micro-batches run, and the sink read-back
+      // still carries the TRANSFORMED schema, so callers get
       // an empty but correctly-shaped frame instead of a crash (the
       // batch twins return exactly that on the same corpus).
       val schema =
@@ -210,8 +217,6 @@ object StreamDedup {
       // windowedRelay, without mutating the caller's conf
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", StreamDedup.gateShufflePartitions)
-      // (spark.driver.maxResultSize for the memory sink's driver-side
-      // collection is context-static — set in GraftSession.builder)
       // No trailing no-data micro-batches in the GATE session: every
       // twin's final emission is driven by data (sentinel rows riding
       // the last batch, or per-arrival append) — measured r10: all 61
@@ -235,17 +240,28 @@ object StreamDedup {
         StreamDedup.gateNoDataBatches)
       val stream = ss.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"${staged.dir}/${staged.glob}")
-      val name = StreamDedup.synchronized { sinkCounter += 1; s"dedup_stream_$sinkCounter" }
-      // explicit checkpoint in RAM scratch: the memory sink's default
-      // temp checkpoint lands under java.io.tmpdir (disk here) and pays
-      // fsyncs per micro-batch for offsets/commits/state deltas that
-      // die with the query
-      val q = transform(stream)
-        .writeStream.outputMode("append").format("memory").queryName(name)
+      val transformed = transform(stream)
+      // durable sink dir in RAM scratch, one per RUN: the sink's
+      // _spark_metadata log lists exactly the committed files, so the
+      // read-back is exactly-once even though q.stop() can race a
+      // speculative in-flight write. deleteOnExit (not eager delete):
+      // the returned scan is LAZY and the caller consumes it after
+      // this frame returns. Checkpoint is in RAM scratch too — the
+      // default temp checkpoint lands under java.io.tmpdir (disk
+      // here) and pays fsyncs per micro-batch for offsets/commits/
+      // state deltas that die with the query.
+      val outDir = graft.sources.Scratch.tempDir("graft_sdsink_")
+      StreamRelay.deleteOnExit(outDir)
+      val q = transformed
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir.toString)
         .option("checkpointLocation", ckpt.toString).start()
       try { q.processAllAvailable(); mark("stream-run") } finally q.stop()
       mark("stream-stop")
-      Some(ss.table(name))
+      // explicit schema: an all-pruned run commits zero data files and
+      // schema inference over an empty sink would throw — the memory
+      // sink returned a correctly-shaped empty frame, so this does too
+      Some(ss.read.schema(transformed.schema).parquet(outDir.toString))
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = Files.walk(ckpt)
@@ -291,6 +307,7 @@ object StreamDedup {
   private[graft] def clearStagedCache(): Unit = {
     stagedCache.clear()
     headCache.clear()
+    profileCache.clear()
   }
 
   /** Streaming EXACT dedup — the other half of the daily pipeline
@@ -351,36 +368,77 @@ object StreamDedup {
       .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Shared stop-band cap — MUST move together with the batch tier's
+    * (Dedup.minhashEstimate/lshCandidates maxBucket) and the mhrare
+    * CTE in the DuckDB oracles, or the streamed pair set diverges
+    * from the batch oracle's. */
+  private[graft] val MaxBucket = 200
+
+  /** Static hot-bucket profile for the streaming LSH index — the
+    * stream_enrich pattern: the set of (band, bkey) buckets shared by
+    * more than [[MaxBucket]] docs, built ONCE from the standing
+    * corpus with exactly the batch tier's census (so pruning them
+    * from the stream reproduces the batch stop-band, pair-for-pair).
+    * In a deployment this is yesterday's corpus census, refreshed on
+    * the batch cadence; the gate builds it from the staged corpus,
+    * which is the same data the oracle sees. Runs through
+    * [[StopBand.audited]], so the pruned buckets/members are reported
+    * loudly on the observation channel — the prune is never silent.
+    * Memoized per corpus plan (gate scaffolding: the census is a
+    * profile build, not per-arrival operator cost). */
+  private val profileCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Set[(Int, Long)]]()
+  private[graft] def hotBucketProfile(docs: DataFrame): Set[(Int, Long)] =
+    profileCache.computeIfAbsent(docs.queryExecution.analyzed.canonicalized, { _ =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      graft.operators.StopBand.audited(
+          bandRows(docs).groupBy($"band", $"bkey").agg(count(lit(1)).as("bc")),
+          "dedup_stream_profile", MaxBucket)
+        .filter($"bc" > MaxBucket)
+        .select($"band", $"bkey").as[(Int, Long)]
+        // driver-held profile is bounded: ≤ bands·N/cap entries (each
+        // hot bucket holds > cap docs), i.e. ~40k tuples at the 100x
+        // census — a profile, not a corpus
+        .collect().toSet
+    })
+
   /** The batch-gated end-to-end run (`dedup_stream`): the documents
     * table staged as TWO micro-batches (split at the median doc_id),
     * streamed through the incremental index, pairs deduplicated
     * across bands on the sink read-back. A near-duplicate whose
     * partner arrived in the earlier batch is caught against the
     * bucket state, not a rescan — the oracle (dedup_minhash_est's
-    * pair set) only matches if cross-batch detection works. */
+    * pair set) only matches if cross-batch detection works.
+    *
+    * Scale story (r11 VERDICT task 2): band rows landing in a
+    * profiled hot bucket are pruned BEFORE the stateful index — the
+    * same whole-bucket stop-band the batch tier applies — so at 100x
+    * duplication the twin completes with a loud audit (the profile
+    * census reports dropped buckets/members) instead of aborting once
+    * per-bucket membership caps. Surviving buckets hold ≤ MaxBucket
+    * docs by construction, so the in-state overflow guard below is a
+    * pure invariant backstop (it fires only on a stale/incomplete
+    * profile, which in a deployment means the census cadence lags the
+    * corpus). */
   def streamedDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir).select($"doc_id", $"text")
-    // this path is oracle-gated against the BATCH pair set; BOTH
-    // tiers share the same 200-member stop-band cap (Dedup.StopBand),
-    // but the batch side prunes whole hot buckets while the stream
-    // keeps comparing against the capped membership — on a truncating
-    // corpus the two pair sets diverge, so fail loudly here rather
-    // than letting the gate fail with an opaque set diff
+    val hot = spark.sparkContext.broadcast(hotBucketProfile(docs))
     val dropped = spark.sparkContext.longAccumulator("dedup_stream_bucket_overflow")
     val sink = runTwoBatchStream(spark, docs) { stream =>
-      incrementalPairs(bandRows(stream), overflow = Some(dropped)).toDF()
+      incrementalPairs(
+        bandRows(stream).filter(r => !hot.value.contains((r.band, r.bkey))),
+        maxBucket = MaxBucket, overflow = Some(dropped)).toDF()
     }.getOrElse(return spark.emptyDataset[PairOut].toDF())
     if (dropped.value > 0)
       throw new IllegalStateException(
         s"dedup_stream hot-bucket cap truncated ${dropped.value} member " +
-          "insertions — the streamed pair set is no longer exact vs the " +
-          "batch oracle (batch and stream share the 200 cap, but batch " +
-          "prunes whole hot buckets while the stream truncates their " +
-          "membership); raising the cap for this corpus must change " +
-          "BOTH tiers together: incrementalPairs maxBucket, " +
-          "Dedup.minhashEstimate/lshCandidates maxBucket, and the " +
-          "mhrare CTE mirror in the DuckDB oracles")
+          "insertions past the static profile's prune — the profile is " +
+          "stale or incomplete for this corpus (a bucket crossed " +
+          s"$MaxBucket docs after the census), so the streamed pair set " +
+          "is no longer exact vs the batch oracle; refresh the profile " +
+          "(hotBucketProfile) on the batch census cadence")
     // one pair per band bucket shared -> distinct across bands
     // (est_jaccard depends only on the full signatures, so the
     // duplicates are exact)

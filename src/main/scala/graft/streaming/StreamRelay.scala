@@ -24,8 +24,6 @@ import graft.operators.dec
   */
 object StreamRelay {
 
-  private var relayCounter = 0
-
   /** Temp roots awaiting JVM-exit deletion; ONE static hook drains
     * the registry (a hook per windowedRelay call would accumulate
     * one thread per invocation in a long-lived application). */
@@ -52,6 +50,16 @@ object StreamRelay {
     exitCleanup.add(p)
   }
 
+  private[graft] def deleteTree(roots: java.nio.file.Path*): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    roots.filter(Files.exists(_)).foreach { d =>
+      val walk = Files.walk(d)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Windowed rebroadcast with queue accounting: watermark + append
     * mode + parquet sink, driven to completion. A second "barrier"
     * micro-batch carrying one far-future sentinel row pushes the
@@ -59,14 +67,7 @@ object StreamRelay {
     * — the bounded-input analogue of the stream simply staying open. */
   def windowedRelay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    def deleteTree(roots: Path*): Unit =
-      roots.filter(Files.exists(_)).foreach { d =>
-        val walk = Files.walk(d)
-        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        finally walk.close()
-      }
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val tmp = graft.sources.Scratch.tempDir("graft_relay_")
     // outDir must outlive this call (the returned DataFrame reads it
@@ -162,18 +163,22 @@ object StreamRelay {
   /** The full serial-proxy shape end-to-end: binary frames arrive on
     * a stream, are parsed by the native UnpackFrame expression, and
     * downsampled to one record per (device, second) — the reference's
-    * receive→parse→throttle path as one streaming plan. Returns the
-    * started query's memory table name via the supplied callback-free
-    * synchronous drive. */
+    * receive→parse→throttle path as one streaming plan. Drives the
+    * query synchronously into a durable parquet sink (RAM scratch)
+    * and returns a lazy scan of it — the driver never holds the
+    * emitted rows (same posture as StreamDedup.runStagedStream). */
   def frameIngest(spark: SparkSession, framesPath: String): org.apache.spark.sql.DataFrame = {
     val schema = spark.read.parquet(framesPath).schema
     val throttled = parseAndThrottle(
       spark.readStream.schema(schema).parquet(framesPath))
-    val name = StreamRelay.synchronized { relayCounter += 1; s"frame_ingest_$relayCounter" }
-    val q = throttled.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val outDir = graft.sources.Scratch.tempDir("graft_fingest_")
+    deleteOnExit(outDir)
+    val ck = graft.sources.Scratch.tempDir("graft_fingest_ck_")
+    val q = throttled.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ck.toString).start()
+    try q.processAllAvailable() finally { q.stop(); deleteTree(ck) }
+    spark.read.schema(throttled.schema).parquet(outDir.toString)
   }
 
   /** The receive→parse→throttle plan shared by every frame source

@@ -27,7 +27,15 @@ object ScaleCensus {
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$dir/lineitem.parquet").count()
-    val pool = Executors.newSingleThreadExecutor()
+    // one thread per census, REPLACED after a timeout (ADVICE r11):
+    // cancelJobGroup/fut.cancel return immediately but the worker may
+    // still be draining the cancelled job, and a queued next key would
+    // have its fut.get clock started while waiting for the thread —
+    // one slow-to-cancel key bleeding into the next key's budget as a
+    // spurious TIMEOUT. A fresh executor gives the next key a fresh
+    // thread and its full budget; the abandoned thread dies with its
+    // cancelled job.
+    var pool = Executors.newSingleThreadExecutor()
     var bad = 0
     keys.foreach { name =>
       graft.operators.Dedup.clearLabelCache()
@@ -48,6 +56,8 @@ object ScaleCensus {
           bad += 1
           spark.sparkContext.cancelJobGroup(name)
           fut.cancel(true)
+          pool.shutdownNow()
+          pool = Executors.newSingleThreadExecutor()
           println(f"[census] $name TIMEOUT (> $timeoutSec s)")
         case e: java.util.concurrent.ExecutionException =>
           bad += 1

@@ -89,16 +89,28 @@ class Round4Spec extends SparkSpec {
     assert(out.contains((2L, 2L)), s"keeper 2 with 2 copies expected; got $out")
   }
 
-  test("streamed dedup fails loudly when the hot-bucket cap truncates") {
-    // 210 identical docs: every band bucket exceeds the 200-member
-    // cap, so the streamed pair set silently loses pairs vs the batch
-    // oracle — the operator must throw, not return a shrunk set
+  test("streamed dedup prunes hot buckets via the static profile instead of aborting") {
+    // 210 identical docs: every band bucket exceeds the 200-doc
+    // stop-band. r11 behavior was a designed abort (append-mode LSH
+    // can't retract pairs from a bucket discovered hot later); the
+    // static hot-bucket profile now prunes those buckets BEFORE the
+    // index — the same whole-bucket stop-band the batch tier applies
+    // — so the twin completes and matches the batch pair set exactly.
+    // A genuine near-dup pair in a COLD bucket must still surface.
     val dir = java.nio.file.Files.createTempDirectory("graft_sdd_hot").toString
-    (1L to 210L).map(i => (i, "same text repeated verbatim in every document"))
-      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
-    val e = intercept[IllegalStateException] {
-      StreamDedup.streamedDedup(spark, dir).count()
-    }
-    assert(e.getMessage.contains("hot-bucket cap"), e.getMessage)
+    val hot = (1L to 210L).map(i => (i, "same text repeated verbatim in every document"))
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val cold = Seq((300L, base), (301L, base + " ok"))
+    (hot ++ cold).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val streamed = StreamDedup.streamedDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.minhashEstimate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed pair set must equal the batch stop-band's; got ${streamed.size} vs ${batch.size}")
+    assert(streamed.contains((300L, 301L)),
+      s"cold-bucket near-dup (300,301) must survive the hot-bucket prune; got $streamed")
+    assert(!streamed.exists { case (a, b) => a <= 210L && b <= 210L },
+      "hot-bucket pairs must be pruned, matching the batch tier")
   }
 }

@@ -74,10 +74,13 @@ def main():
         # cross-family cosines (measured: 20% of ALL pairs above 0.35).
         # DuckDB's 64-bit hash() mixes properly.
         u = "(hash(vec_id, r, i) % 2000001) / 1000000.0 - 1.0"
+        # pass-through columns selected dynamically (ADVICE r11): a
+        # hardcoded (vec_id, embedding, label) list silently diverges
+        # from the verbatim path if embeddings gains or loses a column
         con.execute(f"""
             COPY (
               WITH e AS (
-                SELECT vec_id, embedding, label,
+                SELECT *,
                        sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm,
                        len(embedding) AS d
                 FROM '{src}/embeddings.parquet')
@@ -86,7 +89,7 @@ def main():
                           ELSE [CAST(embedding[i] + {eps} * nrm / sqrt(d) * ({u})
                                      AS FLOAT)
                                 FOR i IN range(1, d + 1)] END AS embedding,
-                     label
+                     COLUMNS(c -> c NOT IN ('vec_id', 'embedding', 'nrm', 'd', 'r'))
               FROM e, {reps}
             ) TO '{dst}/embeddings.parquet' (FORMAT parquet)""")
     amplify("events", [f"event_id * {k} + r AS event_id",
