@@ -456,6 +456,11 @@ object SparkEntry {
     "corpus_zorder" -> ((s: SparkSession, d: String) => Curation.zorder(s, d)),
     "corpus_prune" -> ((s: SparkSession, d: String) => Curation.pruneDemo(s, d)),
     "corpus_mv_refresh" -> (Curation.mvRefresh _),
+    // F. streaming twin: the MV maintained live from the delta feed —
+    // two order-free longs per language, snapshot flush, the batch
+    // null-safe full-outer merge against the standing view
+    "stream_mv_refresh" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamMvRefresh.streamedMvRefresh(s, d)),
     "corpus_profile" -> (Curation.profile _),
     "corpus_upsert" -> (Curation.upsert _),
     // A. binary frames
@@ -4082,6 +4087,17 @@ object SparkEntry {
     // oracle recomputes the view DIRECTLY over the merged corpus — the
     // incremental path must equal the full recompute
     "corpus_mv_refresh" ->
+      """WITH base AS (SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+        |merged AS (
+        |  SELECT lang, CASE WHEN doc_id % 7 = 0 THEN n_bytes + 7 ELSE n_bytes END AS n_bytes
+        |  FROM base WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT lang, n_bytes FROM base WHERE doc_id % 13 = 0)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        |FROM merged GROUP BY lang""".stripMargin,
+    // streaming twin gated on the SAME oracle: a language's delta rows
+    // straddling the cut must fold into ONE accumulated cell
+    "stream_mv_refresh" ->
       """WITH base AS (SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
         |merged AS (
         |  SELECT lang, CASE WHEN doc_id % 7 = 0 THEN n_bytes + 7 ELSE n_bytes END AS n_bytes
