@@ -2654,7 +2654,7 @@ object SparkEntry {
     // scoring only its OWN inverted list — the k-NN-graph build shape
     "ann_knn_graph" ->
       s"""WITH nz AS (SELECT * FROM embeddings WHERE ${dot("embedding", "embedding")} > 0),
-         |ncents AS (SELECT GREATEST(16, n // 1250) AS nc FROM (SELECT COUNT(*) AS n FROM embeddings) t),
+         |ncents AS (SELECT GREATEST(16, n // 300) AS nc FROM (SELECT COUNT(*) AS n FROM embeddings) t),
          |c AS (SELECT vec_id AS cid, embedding AS cvec FROM nz, ncents WHERE vec_id < nc),
          |scored AS (SELECT e.vec_id, e.embedding, c.cid, ${cos("e.embedding", "c.cvec")} AS ccos
          |  FROM nz e CROSS JOIN c),

@@ -270,8 +270,8 @@ object Similarity {
     * thousands — MEASURED 0.74 recall@5 at 16/4 on the 10x
     * diverse-jitter corpus (20k vectors) — so the codebook scales to
     * ~250-member cells (GREATEST(16, N/250); the ann_knn_graph rule's
-    * 1250 divisor is tuned for ITS corpus-proportional query side and
-    * measured insufficient here: it leaves 20k vectors at 16 cells)
+    * divisor is tuned separately for ITS corpus-proportional query
+    * side — see knnGraph's measured sweep)
     * and the probe count grows logarithmically with the codebook
     * (GREATEST(4, ceil(log2 nc))). Measured on the 10x diverse
     * corpus: 80 cells / 7 probes → 0.98 recall@5 at a 8.75% probed
@@ -1396,16 +1396,22 @@ object Similarity {
     // adaptive coarse-quantizer width (r11, the 100x census): this is
     // the one IVF consumer whose QUERY side is corpus-proportional,
     // so fixed 16 cells make candidate volume (N/16)·(N/qMod) —
-    // quadratic; cells sized to ~1250 members keep it N·1250/qMod,
-    // linear (100x measured: watchdog timeout → bounded). The oracle
-    // computes the same integer predicate (GREATEST(16, n // 1250));
-    // every test SF and the 10x corpus stay at 16, unchanged. At
-    // 10^9 vectors the 800k-centroid broadcast (~200 MB) is the
-    // point where a real deployment goes hierarchical — documented,
-    // not hidden.
+    // quadratic; cells sized to ~300 members keep it N·300/qMod,
+    // linear. The constant is MEASURED, not the FLOP-balance
+    // √(N/qMod): candidate rows carry two embedding arrays through
+    // the shuffle, so scan bytes dominate the assign pass's dots and
+    // the practical optimum sits at far finer cells — the r12 100x
+    // sweep (200k vectors, ProbeKnn) measured nc 160/320/640/1280/
+    // 2560 → 1101/548/214/299/596 s, knee at ~640 ≈ N/300 (the r11
+    // N/1250 rule ran 888-1100 s against a 900 s watchdog — zero
+    // margin). The oracle computes the same integer predicate
+    // (GREATEST(16, n // 300)); every test SF stays at 16, unchanged
+    // (floor binds through sf0.1's 2000 vectors). At 10^9 vectors
+    // the ~3.3M-centroid broadcast is the point where a real
+    // deployment goes hierarchical — documented, not hidden.
     val nc =
       if (nCentroids > 0) nCentroids
-      else math.max(16, (corpusN(spark, dir) / 1250L).toInt)
+      else math.max(16, (corpusN(spark, dir) / 300L).toInt)
     // zero-norm vectors are EXCLUDED from the graph build (their
     // cosine is NULL to every neighbor — the bounded-heap election
     // skips null scores while a ROW_NUMBER formulation would seat

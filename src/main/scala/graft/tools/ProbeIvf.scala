@@ -21,6 +21,9 @@ object ProbeIvf {
     val spark = graft.GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the measurement tools must hear the stop-band audit too —
+    // a cap engaging during a census is the loudest place to say so
+    graft.GraftSession.registerObservationLog(spark)
     import spark.implicits._
     val truth = graft.operators.Similarity.bruteTopK(spark, dir)
       .select($"query_id", $"neighbor_id").cache()

@@ -15,6 +15,9 @@ object ProbeKnn {
     val spark = graft.GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the measurement tools must hear the stop-band audit too —
+    // a cap engaging during a census is the loudest place to say so
+    graft.GraftSession.registerObservationLog(spark)
     ncs.foreach { nc =>
       val t0 = System.nanoTime()
       val rows = graft.operators.Similarity.knnGraph(spark, dir,

@@ -19,6 +19,9 @@ object ProbeLshMass {
     val spark = graft.GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the measurement tools must hear the stop-band audit too —
+    // a cap engaging during a census is the loudest place to say so
+    graft.GraftSession.registerObservationLog(spark)
     import spark.implicits._
     val planes = graft.operators.Similarity.adaptivePlanes(spark, dir)
     val tables = graft.operators.Similarity.adaptiveTables(planes)

@@ -16,6 +16,9 @@ object RecallOne {
     val spark = graft.GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the measurement tools must hear the stop-band audit too —
+    // a cap engaging during a census is the loudest place to say so
+    graft.GraftSession.registerObservationLog(spark)
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val cols = df.columns.toSet
     val (t, f) =

@@ -9,6 +9,9 @@ object RunOne {
     val spark = graft.GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the measurement tools must hear the stop-band audit too —
+    // a cap engaging during a census is the loudest place to say so
+    graft.GraftSession.registerObservationLog(spark)
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     println(s"[runone] $name rows=${df.count()}")
     spark.stop()

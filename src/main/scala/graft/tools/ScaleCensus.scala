@@ -26,6 +26,9 @@ object ScaleCensus {
     val spark = graft.GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the measurement tools must hear the stop-band audit too —
+    // a cap engaging during a census is the loudest place to say so
+    graft.GraftSession.registerObservationLog(spark)
     spark.read.parquet(s"$dir/lineitem.parquet").count()
     // one thread per census, REPLACED after a timeout (ADVICE r11):
     // cancelJobGroup/fut.cancel return immediately but the worker may

@@ -11,6 +11,9 @@ object TimeOne {
     val spark = graft.GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the measurement tools must hear the stop-band audit too —
+    // a cap engaging during a census is the loudest place to say so
+    graft.GraftSession.registerObservationLog(spark)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val times = (1 to reps).map { rep =>
       graft.operators.Dedup.clearLabelCache()
