@@ -24,6 +24,20 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // TypedImperativeAggregate plans (TopKPairs elections, the KMV/
+      // CMS sketches) run under ObjectHashAggregateExec, whose
+      // sort-based fallback triggers at just 128 DISTINCT KEYS per
+      // task (spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+      // default) — at which point the aggregate SORTS ITS WHOLE INPUT
+      // by group key. For the bounded-heap top-k election that means
+      // sorting the full candidate-pair stream (112M wide rows for
+      // ann_lsh_multi at the 100x census — measured: a disk-filling
+      // spill crash) to produce k rows per query. Our aggregate
+      // buffers are small by construction (k-heaps, fixed-width
+      // sketches), so 256k in-memory groups per task is ~100 MB worst
+      // case — far cheaper than materializing the input sort.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (256 * 1024).toString)
       // spark.driver.maxResultSize stays at the 1g default: it is the
       // driver-side tripwire that turns a corpus-sized collect into a
       // loud error instead of an OOM. The one path that used to need

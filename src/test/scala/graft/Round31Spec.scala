@@ -40,6 +40,15 @@ class Round31Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ObjectHashAggregate fallback threshold is raised (small-buffer aggregates stay hash-based)") {
+    // the 128-key default makes every TypedImperativeAggregate plan
+    // (TopKPairs elections, KMV/CMS sketches) sort its WHOLE input
+    // once a task sees >128 groups — measured at the 100x census as a
+    // disk-filling spill (§6). GraftSession pins the raised value.
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == (256 * 1024).toString)
+  }
+
   test("stream_mv_refresh equals the batch corpus_mv_refresh (incremental == recompute)") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
