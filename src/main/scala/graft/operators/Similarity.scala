@@ -1021,14 +1021,36 @@ object Similarity {
     import spark.implicits._
     val planes = adaptivePlanes(spark, dir)
     val idx = sigBucketsMulti(spark, dir, nTables)
-    val probes = idx.select($"vec_id", $"embedding", $"nrm", $"t",
+    // NARROW probe rows (r12): the probe side is the whole index
+    // exploded by |probeMasks| — L·(1+p+p(p−1)/2)·N rows, the
+    // dominant relation in the whole plan (112M rows at the 100x
+    // census). Carrying the query embedding on each probe row made
+    // that a ~67 GB sort-merge input (measured: the census's
+    // disk-filling spill); probe rows now carry only (vec_id, t, sig)
+    // — three longs — and the query vector is fetched AFTER the
+    // bucket join from a broadcast of the embeddings projection
+    // (N·(64 floats + norm) ≈ 60 MB at 100x — dimension-bounded
+    // here; at 10⁹ vectors this fetch becomes an ordinary shuffled
+    // hash join on query_id, the same executor-sizing note as the
+    // IVF codebook). The cosine expression tree is unchanged, so
+    // results — and the heap's bit-identical cross-table duplicate
+    // collapse — are identical.
+    val probes = idx.select($"vec_id", $"t",
       explode(array(probeMasks(planes).map(m =>
         $"sig".bitwiseXOR(lit(m))): _*)).as("sig"))
+    // raw table, not a dedup of idx: vec_id is unique by construction
+    // and the norm expression is identical, so the fetched values
+    // match idx's — without paying an N-row exchange to dedup tables
+    val qvec = Tables.embeddings(spark, dir).select($"vec_id".as("query_id"),
+      $"embedding".as("qemb"), VecFns.norm($"embedding").as("qnrm"))
     heapTopK(
       probes.as("a").join(idx.as("b"), Seq("t", "sig"))
         .where($"a.vec_id" =!= $"b.vec_id")
         .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
-          (VecFns.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cosine")),
+          $"b.embedding".as("nemb"), $"b.nrm".as("nnrm"))
+        .join(broadcast(qvec), Seq("query_id"))
+        .select($"query_id", $"neighbor_id",
+          (VecFns.dot($"qemb", $"nemb") / ($"qnrm" * $"nnrm")).as("cosine")),
       k)
   }
 
