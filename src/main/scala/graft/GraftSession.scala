@@ -36,6 +36,23 @@ object GraftSession {
       // buffers are small by construction (k-heaps, fixed-width
       // sketches), so 256k in-memory groups per task is ~100 MB worst
       // case — far cheaper than materializing the input sort.
+      //
+      // The raised threshold is SESSION-GLOBAL, so it also governs the
+      // collect_list/collect_set plans (r12 ADVICE), and the fallback
+      // check is KEY-COUNT ONLY — no memory check — so every such
+      // consumer must carry its own per-group bound. Audit: Dedup's
+      // ngram/LSH/minhash/simhash per-gram pid buffers are df-capped
+      // at maxBucket=200 ids BEFORE the collect (the stop-band prune
+      // runs first), worst case 256k groups × 200 longs ≈ 410 MB per
+      // task if every group sat at the cap — unreachable in practice
+      // because the df census drops exactly the heavy grams and the
+      // surviving buckets average single digits; Similarity's pivot
+      // collects are bounded by the centroid/query fan (≤ k·M cells
+      // of one double each); Frames/Telemetry/Relational collects
+      // group per (entity, window) with window-bounded cells. None is
+      // unbounded per group, so the 256k-key hash path stays well
+      // inside an executor heap; re-audit this list whenever a new
+      // collect_list consumer lands (grep collect_list/collect_set).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (256 * 1024).toString)
       // spark.driver.maxResultSize stays at the 1g default: it is the

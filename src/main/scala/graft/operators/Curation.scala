@@ -859,8 +859,14 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum($"n_bytes").as("total_bytes"))
     val removed = docs.filter($"doc_id" % 11 === 0)
       .select($"lang", lit(-1L).as("d_docs"), (-$"n_bytes").as("d_bytes"))
+    // a NULL-text doc's revision contributes NOTHING to total_bytes:
+    // the oracle computes `n_bytes + 7` which is NULL (skipped by its
+    // SUM), and the base view never counted the doc's bytes either —
+    // an unconditional +7 here would diverge the moment a NULL-text
+    // doc lands on doc_id % 7 == 0 (r12 ADVICE)
     val revised = docs.filter($"doc_id" % 7 === 0 && $"doc_id" % 11 =!= 0)
-      .select($"lang", lit(0L).as("d_docs"), lit(7L).as("d_bytes"))
+      .select($"lang", lit(0L).as("d_docs"),
+        when($"n_bytes".isNotNull, lit(7L)).otherwise(lit(0L)).as("d_bytes"))
     val added = docs.filter($"doc_id" % 13 === 0)
       .select($"lang", lit(1L).as("d_docs"), $"n_bytes".as("d_bytes"))
     val deltaAgg = removed.unionByName(revised).unionByName(added)

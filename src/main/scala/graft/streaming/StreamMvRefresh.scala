@@ -55,9 +55,18 @@ object StreamMvRefresh {
             else st = St(st.dDocs + e.d_docs.getOrElse(0L),
               st.dBytes + e.d_bytes.getOrElse(0L))
           }
-          state.update(st)
-          if (flush) Iterator.single(Out(lang, st.dDocs, st.dBytes))
-          else Iterator.empty
+          if (flush) {
+            // emit the accumulated cell, then RESET: a later snapshot
+            // barrier for the same key must ship the per-interval
+            // delta, not re-emit cumulative totals into the append
+            // sink (r12 ADVICE — the staged gate sends one sentinel
+            // per language, but the fold shouldn't depend on that)
+            state.update(St(0L, 0L))
+            Iterator.single(Out(lang, st.dDocs, st.dBytes))
+          } else {
+            state.update(st)
+            Iterator.empty
+          }
       }
   }
 
@@ -76,8 +85,13 @@ object StreamMvRefresh {
     // surviving doc revised +7 bytes, every 13th re-discovered
     val delta = docs.filter($"doc_id" % 11 === 0)
       .select($"doc_id", $"lang", lit(-1L).as("d_docs"), (-$"n_bytes").as("d_bytes"))
+      // NULL-text revisions contribute 0 bytes — the oracle's
+      // `n_bytes + 7` is NULL there and its SUM skips it, and the
+      // base view never counted those bytes (r12 ADVICE; mirrors the
+      // batch operator)
       .unionByName(docs.filter($"doc_id" % 7 === 0 && $"doc_id" % 11 =!= 0)
-        .select($"doc_id", $"lang", lit(0L).as("d_docs"), lit(7L).as("d_bytes")))
+        .select($"doc_id", $"lang", lit(0L).as("d_docs"),
+          when($"n_bytes".isNotNull, lit(7L)).otherwise(lit(0L)).as("d_bytes")))
       .unionByName(docs.filter($"doc_id" % 13 === 0)
         .select($"doc_id", $"lang", lit(1L).as("d_docs"), $"n_bytes".as("d_bytes")))
     // stage at the median delta doc_id so every language's

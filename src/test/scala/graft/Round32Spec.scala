@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round 13 (r32 spec file): mv_refresh hardening — the r12 ADVICE
+  * burn-down. NULL-text revisions must contribute 0 bytes (matching
+  * the oracle's skip-null SUM over `n_bytes + 7`), and the streaming
+  * fold must reset its cell at the snapshot barrier so a second
+  * barrier ships the per-interval delta, not cumulative totals. */
+class Round32Spec extends SparkSpec {
+
+  test("mv_refresh: a NULL-text doc on the revision class contributes 0 bytes (batch == oracle recompute)") {
+    import spark.implicits._
+    // corpus with a NULL-text doc landing exactly on the divergence
+    // class: doc_id % 7 == 0 && % 11 != 0 (the adversarial-corpus
+    // shape the r12 ADVICE flagged — unconditional +7 would diverge)
+    val docs = Seq(
+      (7L, null.asInstanceOf[String], "en", "s", 0L),
+      (14L, "fourteen chars..", "en", "s", 16L),
+      (11L, "removed doc", "en", "s", 11L),
+      (13L, "rediscovered", "de", "s", 12L),
+      (3L, "plain survivor", "de", "s", 14L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("mvnull").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // oracle semantics, by hand: merged = survivors (% 11 != 0, % 7
+    // revised with n_bytes+7 — NULL for doc 7) ∪ re-discovered (% 13)
+    // en: docs 7 (NULL bytes) + 14 (16+7=23) → (2, 23)
+    // de: doc 3 (14) + doc 13 (12) + re-discovered 13 (12) → (3, 38)
+    val gotPairs = operators.Curation.mvRefresh(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(gotPairs("en") == ((2L, 23L)),
+      s"NULL-text revision must add 0 bytes, got ${gotPairs("en")}")
+    assert(gotPairs("de") == ((3L, 38L)), s"got ${gotPairs("de")}")
+    assert(gotPairs.size == 2)
+  }
+
+  test("stream_mv_refresh: a second snapshot barrier emits the per-interval delta, not cumulative totals") {
+    import graft.streaming.StreamMvRefresh
+    import StreamMvRefresh.{Delta, Out}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Delta]
+    val q = StreamMvRefresh.fold(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("smv_reset").start()
+    try {
+      mem.addData(
+        Delta(Some("en"), Some(1L), Some(10L), sentinel = false),
+        Delta(Some("en"), None, None, sentinel = true))
+      q.processAllAvailable()
+      // interval 2 for the same key: the flushed cell must have reset
+      mem.addData(
+        Delta(Some("en"), Some(1L), Some(5L), sentinel = false),
+        Delta(Some("en"), None, None, sentinel = true))
+      q.processAllAvailable()
+      val out = spark.table("smv_reset").as[Out].collect().toSeq
+        .map(o => (o.d_docs, o.d_bytes)).sorted
+      assert(out == Seq((1L, 5L), (1L, 10L)),
+        s"second barrier must ship the interval delta (1,5), got $out")
+    } finally q.stop()
+  }
+}
