@@ -72,8 +72,36 @@ object Bench {
       sys.env.getOrElse("GRAFT_BENCH_STREAM_CONCURRENCY", "4").toInt)
     val (streamSel, batchSel) = selected.toSeq.sortBy(_._1)
       .partition { case (k, _) => k.startsWith("stream_") || k.endsWith("_stream") }
-    val batchResults = batchSel.map { case (name, fn) =>
-      val runs = (0 until reps).flatMap(_ => timeOnce(fn))
+    // Trustworthy head keys (VERDICT r12 task 3): every round the
+    // post-close payload inflated the alphabetical-head keys
+    // (corpus_pipeline 7.65 s driver vs 2.27 s isolated in r12) —
+    // whichever keys run first absorb residual JIT/codegen warmup and
+    // the bench-start contention burst, and a judge had to adjudicate
+    // them by isolated rerun. Two fixes, both deterministic:
+    // (1) one UNTIMED warmup pass over the first few alphabetical
+    //     batch keys before any timed rep;
+    // (2) each timed rep walks the batch keys at a different rotation
+    //     (rep r starts len·r/reps in), so no key's THREE reps all sit
+    //     at the run head — the median discards a position-correlated
+    //     outlier instead of averaging it in.
+    val warmN = math.min(batchSel.length,
+      sys.env.getOrElse("GRAFT_BENCH_WARMUP_KEYS", "10").toInt)
+    batchSel.take(warmN).foreach { case (_, fn) =>
+      graft.operators.Dedup.clearLabelCache()
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    val batchTimes = new java.util.HashMap[String, List[Double]]()
+    for (rep <- 0 until reps) {
+      val off = if (batchSel.isEmpty) 0 else batchSel.length * rep / reps
+      val rotated = batchSel.drop(off) ++ batchSel.take(off)
+      rotated.foreach { case (name, fn) =>
+        timeOnce(fn).foreach { dt =>
+          batchTimes.merge(name, List(dt), (a, b) => b ::: a)
+        }
+      }
+    }
+    val batchResults = batchSel.map { case (name, _) =>
+      val runs = Option(batchTimes.get(name)).getOrElse(Nil)
       // a query only counts as measured if EVERY rep succeeded
       name -> (if (runs.length == reps) Some(median(runs)) else None)
     }
