@@ -1048,7 +1048,11 @@ object Similarity {
         .where($"a.vec_id" =!= $"b.vec_id")
         .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
           $"b.embedding".as("nemb"), $"b.nrm".as("nnrm"))
-        .join(broadcast(qvec), Seq("query_id"))
+        // size-gated: ~60 MB at the 100x census, but ∝ N — at 10⁹
+        // vectors this must become the ordinary shuffled hash join
+        // the scaladoc promises, not a forced-broadcast OOM
+        .join(JoinGate.gatedBroadcast(qvec, "ann_lsh_multi.qvec"),
+          Seq("query_id"))
         .select($"query_id", $"neighbor_id",
           (VecFns.dot($"qemb", $"nemb") / ($"qnrm" * $"nnrm")).as("cosine")),
       k)

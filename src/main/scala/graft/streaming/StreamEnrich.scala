@@ -52,8 +52,11 @@ object StreamEnrich {
         .groupBy($"user_id")
         .agg(count(lit(1)).as("hist_events"),
           sum(graft.operators.dec($"value")).cast(DoubleType).as("hist_value"))
+      // the profile is per-USER — it scales with the data, so the
+      // broadcast hint is size-gated (shuffled join above threshold)
       stream.filter($"event_type" === "purchase")
-        .join(broadcast(prof), Seq("user_id"))
+        .join(graft.operators.JoinGate.gatedBroadcast(prof,
+          "stream_enrich.profile"), Seq("user_id"))
         .select($"event_id", $"user_id", $"hist_events", $"hist_value")
     }.getOrElse(return spark.emptyDataset[EnrichOut].toDF())
     val out = log.groupBy($"user_id")

@@ -86,9 +86,14 @@ object StreamOrphans {
         staged(children.filter($"ord" > cut))
           .unionByName(sentinels))) { stream =>
       // stream-static FK probe per micro-batch, BEFORE the stateful
-      // shuffle; sentinels skip the verdict via their flag
+      // shuffle; sentinels skip the verdict via their flag. The
+      // parent key sets scale with the DIMENSION tables (orders keys
+      // at 100 TB are nobody's broadcast), so the hint is size-gated:
+      // broadcast under the session threshold, shuffled join above
       val flagged = stream
-        .join(broadcast(parents), stream("fk") === parents("fk") &&
+        .join(graft.operators.JoinGate.gatedBroadcast(parents,
+            "stream_orphans.parents"),
+          stream("fk") === parents("fk") &&
           stream("k") === parents("pk"), "left")
         .select(stream("fk"), stream("shard"),
           when($"pk".isNull, 1L).otherwise(0L).as("orphan"),

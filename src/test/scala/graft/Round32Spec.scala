@@ -60,4 +60,22 @@ class Round32Spec extends SparkSpec {
         s"second barrier must ship the interval delta (1,5), got $out")
     } finally q.stop()
   }
+
+  test("JoinGate: broadcasts under the session threshold, leaves the shuffled plan above it") {
+    import operators.JoinGate
+    val dim = spark.range(100).toDF("k")
+    val fact = spark.range(10000).toDF("k")
+    val small = fact.join(JoinGate.gatedBroadcast(dim, "spec.small"), Seq("k"))
+    small.collect()
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "a dimension under the threshold must take the broadcast branch")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = fact.join(JoinGate.gatedBroadcast(dim, "spec.big"), Seq("k"))
+      big.collect()
+      assert(!big.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "above the threshold the planner must keep the shuffled join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
