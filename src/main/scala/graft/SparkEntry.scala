@@ -496,7 +496,8 @@ object SparkEntry {
     // micro-batches through the stateful LSH band index; matches the
     // batch minhashEstimate pair set only if batch-2 arrivals are
     // caught against batch-1 state
-    "dedup_stream" -> (graft.streaming.StreamDedup.streamedDedup _),
+    "dedup_stream" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamDedup.streamedDedup(s, d)),
     // D. streaming exact dedup: keeper state per content hash; the
     // arrival log aggregates to the batch dedup_exact result only if
     // batch-2 copies hit batch-1 state

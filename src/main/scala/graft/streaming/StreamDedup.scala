@@ -35,6 +35,16 @@ object StreamDedup {
   case class BandRow(band: Int, bkey: Long, doc_id: Long, sig: Seq[Long])
   case class Member(id: Long, sig: Seq[Long])
   case class PairOut(doc_a: Long, doc_b: Long, est_jaccard: Double)
+  /** Sink event of the demote-aware index: a candidate pair tagged
+    * with its bucket, or (demoted=true) a tombstone announcing the
+    * bucket crossed the cap IN-STREAM — past the static profile — and
+    * its pairs must be retracted on read-back. */
+  case class PairEv(band: Int, bkey: Long, doc_a: Long, doc_b: Long,
+      est_jaccard: Double, demoted: Boolean)
+  /** Per-bucket state: the member list, and whether the bucket has
+    * been demoted to census-only mode (members cleared — a demoted
+    * bucket holds ZERO state, the same cost as the profile prune). */
+  case class BucketSt(members: Seq[Member], demoted: Boolean)
   // Option-typed hash: a NULL-text document hashes to NULL (the
   // batch tier and the NULL-preserving oracle ph agree) and must form
   // its own keeper group, not crash the encoder (r10
@@ -70,37 +80,73 @@ object StreamDedup {
     * Estimate = agreeing signature components / 16, bit-identical to
     * the batch SigAgreeCount path. */
   def incrementalPairs(bands: Dataset[BandRow], maxBucket: Int = 200,
-      overflow: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[PairOut] = {
+      overflow: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[PairEv] = {
     val spark = bands.sparkSession
     import spark.implicits._
     bands.groupByKey(r => (r.band, r.bkey))
-      .flatMapGroupsWithState[Seq[Member], PairOut](
+      .flatMapGroupsWithState[BucketSt, PairEv](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[Seq[Member]]) =>
-          var members = state.getOption.getOrElse(Seq.empty)
-          val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+        case ((band, bkey), rows, state: GroupState[BucketSt]) =>
+          var st = state.getOption.getOrElse(BucketSt(Seq.empty, demoted = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PairEv]
           // deterministic intra-batch order (arrival order proxy)
           rows.toSeq.sortBy(_.doc_id).foreach { r =>
-            if (!members.exists(_.id == r.doc_id)) {   // replay-safe
-              members.foreach { m =>
-                var c = 0
-                var i = 0
-                val n = math.min(m.sig.length, r.sig.length)
-                while (i < n) { if (m.sig(i) == r.sig(i)) c += 1; i += 1 }
-                val (a, b) = if (m.id < r.doc_id) (m.id, r.doc_id) else (r.doc_id, m.id)
-                out += PairOut(a, b, c / 16.0d)
+            if (st.demoted) {
+              // census-only mode: the bucket crossed the cap past the
+              // static profile (DRIFT) — count arrivals for the audit,
+              // hold no members, emit no pairs
+              overflow.foreach(_.add(1L))
+            } else if (!st.members.exists(_.id == r.doc_id)) {   // replay-safe
+              if (st.members.size >= maxBucket) {
+                // the (cap+1)-th DISTINCT doc: in the batch census this
+                // bucket has bc > maxBucket and is stop-banded WHOLE —
+                // demote it (r12 VERDICT task 4): clear the state,
+                // announce a tombstone so the read-back retracts the
+                // pairs it emitted while still under the cap. The
+                // streamed pair set stays EQUAL to the batch oracle's
+                // even when the profile lagged the corpus — drift costs
+                // an audit line, never a crash and never a divergence.
+                st = BucketSt(Seq.empty, demoted = true)
+                overflow.foreach(_.add(1L))
+                out += PairEv(band, bkey, -1L, -1L, 0.0d, demoted = true)
+              } else {
+                st.members.foreach { m =>
+                  var c = 0
+                  var i = 0
+                  val n = math.min(m.sig.length, r.sig.length)
+                  while (i < n) { if (m.sig(i) == r.sig(i)) c += 1; i += 1 }
+                  val (a, b) = if (m.id < r.doc_id) (m.id, r.doc_id) else (r.doc_id, m.id)
+                  out += PairEv(band, bkey, a, b, c / 16.0d, demoted = false)
+                }
+                st = BucketSt(st.members :+ Member(r.doc_id, r.sig), demoted = false)
               }
-              // hot-bucket cap: stop absorbing, keep comparing. The
-              // drop is counted so exactness-gated callers can detect
-              // that recall was actually traded (a silently shrunk
-              // pair set fails an oracle with an opaque set diff).
-              if (members.size < maxBucket) members = members :+ Member(r.doc_id, r.sig)
-              else overflow.foreach(_.add(1L))
             }
           }
-          state.update(members)
+          state.update(st)
           out.iterator
       }
+  }
+
+  /** Read-back retraction for the demote-aware index: drop every pair
+    * belonging to a tombstoned bucket, then project to the distinct
+    * pair set — the batch stop-band semantics (a bucket that crossed
+    * the cap contributes NOTHING), reconstructed from the append-only
+    * sink log. The tombstone set is drift-sized (usually empty), so
+    * the anti-join broadcasts. */
+  private[graft] def retractDemoted(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    // lineage break on the tombstone side: both join inputs derive
+    // from the SAME sink scan, and a memory-sink view cannot be
+    // self-join-deduplicated by the analyzer (INTERNAL_ERROR —
+    // conflicting references). The tombstone set is drift-sized
+    // (bounded by the hot-bucket census, usually empty), so paying
+    // its own scan is noise.
+    val demoted0 = ev.filter($"demoted").select($"band", $"bkey").distinct()
+    val demoted = ev.sparkSession.createDataFrame(demoted0.rdd, demoted0.schema)
+    ev.filter(!$"demoted")
+      .join(demoted, Seq("band", "bkey"), "left_anti")
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .distinct()
   }
 
   /** Shared two-batch staging for the batch-gated streaming twins:
@@ -416,32 +462,41 @@ object StreamDedup {
     * same whole-bucket stop-band the batch tier applies — so at 100x
     * duplication the twin completes with a loud audit (the profile
     * census reports dropped buckets/members) instead of aborting once
-    * per-bucket membership caps. Surviving buckets hold ≤ MaxBucket
-    * docs by construction, so the in-state overflow guard below is a
-    * pure invariant backstop (it fires only on a stale/incomplete
-    * profile, which in a deployment means the census cadence lags the
-    * corpus). */
-  def streamedDedup(spark: SparkSession, dir: String): DataFrame = {
+    * per-bucket membership caps.
+    *
+    * Drift story (r12 VERDICT task 4): a production stream DRIFTS —
+    * a bucket can cross the cap after the profile census that was
+    * supposed to prune it. The index demotes such a bucket at arrival
+    * (census-only mode, state cleared, tombstone emitted) and the
+    * read-back retracts its already-emitted pairs, so the streamed
+    * pair set still equals the batch oracle's stop-band semantics on
+    * the TRUE corpus; the drift surfaces as a loud audit line, never
+    * a crash and never a silent divergence. `staleProfile` injects a
+    * lagged census (the drift spec's hook; production would pass
+    * yesterday's). */
+  def streamedDedup(spark: SparkSession, dir: String,
+      staleProfile: Option[Set[(Int, Long)]] = None): DataFrame = {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir).select($"doc_id", $"text")
-    val hot = spark.sparkContext.broadcast(hotBucketProfile(docs))
+    val hot = spark.sparkContext.broadcast(
+      staleProfile.getOrElse(hotBucketProfile(docs)))
     val dropped = spark.sparkContext.longAccumulator("dedup_stream_bucket_overflow")
     val sink = runTwoBatchStream(spark, docs) { stream =>
       incrementalPairs(
         bandRows(stream).filter(r => !hot.value.contains((r.band, r.bkey))),
         maxBucket = MaxBucket, overflow = Some(dropped)).toDF()
     }.getOrElse(return spark.emptyDataset[PairOut].toDF())
-    if (dropped.value > 0)
-      throw new IllegalStateException(
-        s"dedup_stream hot-bucket cap truncated ${dropped.value} member " +
-          "insertions past the static profile's prune — the profile is " +
-          "stale or incomplete for this corpus (a bucket crossed " +
-          s"$MaxBucket docs after the census), so the streamed pair set " +
-          "is no longer exact vs the batch oracle; refresh the profile " +
-          "(hotBucketProfile) on the batch census cadence")
     // one pair per band bucket shared -> distinct across bands
     // (est_jaccard depends only on the full signatures, so the
-    // duplicates are exact)
-    sink.distinct()
+    // duplicates are exact); demoted buckets' pairs retract first
+    val pairs = retractDemoted(sink)
+    if (dropped.value > 0)
+      println(s"[graft-observe] dedup_stream_drift: ${dropped.value} " +
+        s"arrivals hit buckets that crossed $MaxBucket docs PAST the " +
+        "static profile (census drift) — those buckets were demoted to " +
+        "census-only mode and their pairs retracted on read-back " +
+        "(batch stop-band semantics preserved); refresh the profile " +
+        "(hotBucketProfile) on the batch census cadence")
+    pairs
   }
 }

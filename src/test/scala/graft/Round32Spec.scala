@@ -61,6 +61,32 @@ class Round32Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup_stream under census drift: stale profile completes and still equals the batch pair set") {
+    import spark.implicits._
+    // clone family of 201 docs — ONE past the MaxBucket=200 cap — plus
+    // a 2-doc duplicate pair that stays under it. The stale (empty)
+    // profile misses the hot buckets entirely, so the stream only
+    // discovers them at arrival 201: the r12 behavior was a hard
+    // throw; the drift story demotes the bucket, retracts its pairs,
+    // and the result must STILL equal the batch operator's stop-band
+    // pair set on the true corpus.
+    val docs = ((1L to 201L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60L)) ++
+      Seq((301L, "a completely different duplicated document body here", "en", "s", 52L),
+          (302L, "a completely different duplicated document body here", "en", "s", 52L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = streaming.StreamDedup.streamedDedup(spark, dir,
+        staleProfile = Some(Set.empty)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = operators.Dedup.minhashEstimate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch == Set((301L, 302L, 1.0)), s"batch sanity: $batch")
+    assert(streamed == batch,
+      s"drifted stream must retract the demoted clone-family pairs, got $streamed")
+  }
+
   test("JoinGate: broadcasts under the session threshold, leaves the shuffled plan above it") {
     import operators.JoinGate
     val dim = spark.range(100).toDF("k")

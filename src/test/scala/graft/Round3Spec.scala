@@ -201,13 +201,18 @@ class Round3Spec extends SparkSpec {
       s"cross-batch near-dup (2,9) must be caught; got $pairs")
   }
 
-  test("streaming dedup hot buckets stop absorbing past the cap but keep comparing") {
+  test("streaming dedup demotes a bucket that crosses the cap: tombstone + retraction = batch stop-band") {
     import graft.streaming.StreamDedup
-    import StreamDedup.{BandRow, Member}
-    // one bucket, cap 2: docs 1..5 arrive in order; members stay
-    // {1,2} but every later arrival still pairs against them
+    import StreamDedup.BandRow
+    // one bucket, cap 2: docs 1..5 arrive in order; doc 3 is the
+    // (cap+1)-th distinct member, so the bucket demotes — a tombstone
+    // is emitted, docs 4-5 are census-only, and the read-back
+    // retracts the (1,2) pair the bucket emitted while under the cap
+    // (the batch census sees bc=5 > 2 and stop-bands the WHOLE
+    // bucket). A second bucket stays under the cap and survives.
     val sig = (1L to 16L).toSeq
-    val rows = (1L to 5L).map(d => BandRow(0, 7L, d, sig))
+    val rows = (1L to 5L).map(d => BandRow(0, 7L, d, sig)) ++
+      Seq(BandRow(1, 9L, 10L, sig), BandRow(1, 9L, 11L, sig))
     // flatMapGroupsWithState in Append mode needs a streaming source;
     // drive the rows through a memory stream
     implicit val sqlCtx = spark.sqlContext
@@ -216,11 +221,15 @@ class Round3Spec extends SparkSpec {
     val q = StreamDedup.incrementalPairs(mem.toDS(), maxBucket = 2)
       .writeStream.outputMode("append").format("memory").queryName("cap_out").start()
     try q.processAllAvailable() finally q.stop()
-    val pairs = spark.table("cap_out").collect()
+    val ev = spark.table("cap_out")
+    val tombstones = ev.filter(ev("demoted")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(tombstones == Set((0, 7L)), s"got tombstones $tombstones")
+    // hot bucket emitted (1,2) before demoting, but retraction drops it
+    val pairs = StreamDedup.retractDemoted(ev).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // members {1,2}: pairs = (1,2) + (1..2)x(3,4,5) — never (3,4) etc
-    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (1L, 5L), (2L, 5L))
-    assert(pairs == expected, s"got $pairs")
+    assert(pairs == Set((10L, 11L)),
+      s"demoted bucket's pairs must retract on read-back, got $pairs")
   }
 
   // --- non-ASCII code-point semantics ---------------------------------------
