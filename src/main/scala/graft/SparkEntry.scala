@@ -461,6 +461,10 @@ object SparkEntry {
     // null-safe full-outer merge against the standing view
     "stream_mv_refresh" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamMvRefresh.streamedMvRefresh(s, d)),
+    // F. streaming twin: MIN/MAX maintained under deletes — bounded
+    // candidate synopsis per language, rescan-on-expose escape hatch
+    "stream_mv_minmax" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamMvMinMax.streamedMvMinMax(s, d)),
     "corpus_profile" -> (Curation.profile _),
     "corpus_upsert" -> (Curation.upsert _),
     // A. binary frames
@@ -4106,6 +4110,18 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT lang, n_bytes FROM base WHERE doc_id % 13 = 0)
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        |FROM merged GROUP BY lang""".stripMargin,
+    // min/max under deletes: the oracle is the FULL RECOMPUTE over the
+    // merged corpus — the synopsis path and the rescan-on-expose path
+    // must both be indistinguishable from it
+    "stream_mv_minmax" ->
+      """WITH base AS (SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+        |merged AS (
+        |  SELECT lang, CASE WHEN doc_id % 7 = 0 THEN n_bytes + 7 ELSE n_bytes END AS n_bytes
+        |  FROM base WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT lang, n_bytes FROM base WHERE doc_id % 13 = 0)
+        |SELECT lang, MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes
         |FROM merged GROUP BY lang""".stripMargin,
     "corpus_profile" ->
       """SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows,

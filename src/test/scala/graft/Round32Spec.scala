@@ -87,6 +87,74 @@ class Round32Spec extends SparkSpec {
       s"drifted stream must retract the demoted clone-family pairs, got $streamed")
   }
 
+  test("stream_mv_minmax: a delete exposes the next candidate; deleting out the synopsis flags a rescan") {
+    import graft.streaming.StreamMvMinMax
+    import StreamMvMinMax.{Ev, Out}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamMvMinMax.fold(mem.toDS(), k = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mm_out").start()
+    try {
+      // lang en: seeds {10, 20} (k=2, horizon 20), population 3 (the
+      // third doc holds 30, above the horizon). lang de: same seeds,
+      // same population.
+      def seed(lang: String) = Seq(
+        Ev(Some(lang), "seedmin", Some(10L), 1L, 0L, 0L, sentinel = false),
+        Ev(Some(lang), "seedmin", Some(20L), 2L, 0L, 0L, sentinel = false),
+        Ev(Some(lang), "seedmax", Some(30L), 3L, 0L, 0L, sentinel = false),
+        Ev(Some(lang), "seedmax", Some(20L), 2L, 0L, 0L, sentinel = false),
+        Ev(Some(lang), "count", None, 0L, 3L, 3L, sentinel = false))
+      mem.addData(seed("en") ++ seed("de"): _*)
+      // en: delete the min — the NEXT CANDIDATE serves, no rescan.
+      // de: delete BOTH candidates — the synopsis empties while live
+      // rows remain, so the view must flag rescan-on-expose.
+      mem.addData(
+        Ev(Some("en"), "del", Some(10L), 1L, 0L, 0L, sentinel = false),
+        Ev(Some("de"), "del", Some(10L), 1L, 0L, 0L, sentinel = false),
+        Ev(Some("de"), "del", Some(20L), 2L, 0L, 0L, sentinel = false),
+        Ev(Some("en"), "flush", None, 0L, 0L, 0L, sentinel = true),
+        Ev(Some("de"), "flush", None, 0L, 0L, 0L, sentinel = true))
+      q.processAllAvailable()
+      val out = spark.table("mm_out").as[Out].collect()
+        .map(o => o.lang.get -> o).toMap
+      assert(out("en").min_v.contains(20L) && !out("en").exposed_min,
+        s"delete of the min must expose the next candidate in-synopsis: ${out("en")}")
+      assert(out("en").max_v.contains(30L))
+      assert(out("de").min_v.isEmpty && out("de").exposed_min,
+        s"deleting out the candidate set with live rows must flag rescan: ${out("de")}")
+      // de's max synopsis lost 20 but keeps 30 — no rescan on that side
+      assert(out("de").max_v.contains(30L) && !out("de").exposed_max)
+    } finally q.stop()
+  }
+
+  test("stream_mv_minmax end-to-end: the rescan path equals the full recompute") {
+    import spark.implicits._
+    // lang xx's K=8 smallest docs all sit on the removal class
+    // (doc_id 11..88), so the delta deletes out the entire min
+    // synopsis and the view MUST take the rescan-on-expose path;
+    // the flushed answer still has to equal the full recompute.
+    val docs = ((1 to 9).map(i => (i * 11L, "a" * i, "xx", "s", i.toLong)) ++
+      (1 to 5).map(i => (1000L + i, "x" * (50 + i), "xx", "s", 50L + i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("mmx").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = streaming.StreamMvMinMax.streamedMvMinMax(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // full recompute with the same merged-corpus semantics
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"lang", octet_length($"text").cast("long").as("n_bytes"))
+    val merged = base.filter($"doc_id" % 11 =!= 0)
+      .select($"lang", when($"doc_id" % 7 === 0, $"n_bytes" + 7L)
+        .otherwise($"n_bytes").as("n_bytes"))
+      .unionByName(base.filter($"doc_id" % 13 === 0).select($"lang", $"n_bytes"))
+    val expect = merged.groupBy($"lang")
+      .agg(min($"n_bytes").as("mn"), max($"n_bytes").as("mx")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"rescan path must equal recompute: got $got expect $expect")
+  }
+
   test("JoinGate: broadcasts under the session threshold, leaves the shuffled plan above it") {
     import operators.JoinGate
     val dim = spark.range(100).toDF("k")
