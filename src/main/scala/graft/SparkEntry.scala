@@ -850,19 +850,24 @@ object SparkEntry {
       |msigs AS (SELECT mallsigs.* FROM mallsigs JOIN mrare USING (t, sig))""".stripMargin
 
   /** Multi-probe expansion of msigs' query side — mirrors
-    * Similarity.probeMasks exactly: (i, j) = (0, 0) is the vector's
-    * own bucket, (0, j>0) flips hyperplane j−1 (Hamming 1), and from
-    * 6 planes up (0 < i < j) flips the pair (i−1, j−1) (Hamming 2 —
-    * the r11 adaptive probe depth). The index side of the join stays
-    * msigs (probing never widens the index, only the lookup
-    * fan-out). */
+    * Similarity.probeMasks exactly: (i, j, l) = (0, 0, 0) is the
+    * vector's own bucket, (0, 0, l>0) flips hyperplane l−1
+    * (Hamming 1), from 6 planes up (0, 0<j<l) flips the pair
+    * (j−1, l−1) (Hamming 2 — the r11 adaptive probe depth), and from
+    * 10 planes up (0<i<j<l) flips the triple (i−1, j−1, l−1)
+    * (Hamming 3 — the r13 100x width step). The index side of the
+    * join stays msigs (probing never widens the index, only the
+    * lookup fan-out). */
   private val mprobesCte: String =
     """mprobes AS (SELECT vec_id, embedding, t,
-      |    CASE WHEN i = 0 AND j = 0 THEN sig
-      |         WHEN i = 0 THEN xor(sig, CAST(1 AS BIGINT) << (j - 1))
-      |         ELSE xor(sig, (CAST(1 AS BIGINT) << (i - 1)) | (CAST(1 AS BIGINT) << (j - 1))) END AS sig
-      |  FROM msigs, nplanes, UNNEST(range(0, planes + 1)) AS ti(i), UNNEST(range(0, planes + 1)) AS tj(j)
-      |  WHERE i = 0 OR (planes >= 6 AND 0 < i AND i < j))""".stripMargin
+      |    CASE WHEN i = 0 AND j = 0 AND l = 0 THEN sig
+      |         WHEN i = 0 AND j = 0 THEN xor(sig, CAST(1 AS BIGINT) << (l - 1))
+      |         WHEN i = 0 THEN xor(sig, (CAST(1 AS BIGINT) << (j - 1)) | (CAST(1 AS BIGINT) << (l - 1)))
+      |         ELSE xor(sig, (CAST(1 AS BIGINT) << (i - 1)) | (CAST(1 AS BIGINT) << (j - 1)) | (CAST(1 AS BIGINT) << (l - 1))) END AS sig
+      |  FROM msigs, nplanes, UNNEST(range(0, planes + 1)) AS ti(i), UNNEST(range(0, planes + 1)) AS tj(j), UNNEST(range(0, planes + 1)) AS tl(l)
+      |  WHERE (i = 0 AND j = 0)
+      |     OR (i = 0 AND planes >= 6 AND 0 < j AND j < l)
+      |     OR (planes >= 10 AND 0 < i AND i < j AND j < l))""".stripMargin
 
   /** Shared by dedup_minhash_est (single-scan batch) and dedup_stream
     * (stateful incremental index) — both must produce the identical

@@ -983,12 +983,18 @@ object Similarity {
 
   /** Probe masks for one table: Hamming ≤ 1 below 6 planes (self +
     * p single flips), Hamming ≤ 2 from 6 planes up (+ p(p−1)/2 pair
-    * flips) — the deterministic enumeration the oracle mirrors.
-    * Depth 2 starts where width grows because the miss tail is
-    * CORRELATED across tables (a far neighbor missed by one table is
-    * likely missed by all — measured at 10x-diverse: L 4→7 alone
-    * moved recall only 0.69→0.78), while deeper probes effectively
-    * shorten every table's signature for the tail. */
+    * flips), Hamming ≤ 3 from 10 planes up (+ p(p−1)(p−2)/6 triple
+    * flips — the 100x width step, r13) — the deterministic
+    * enumeration the oracle mirrors. Depth grows with width because
+    * the miss tail is CORRELATED across tables (a far neighbor missed
+    * by one table is likely missed by all — measured at 10x-diverse:
+    * L 4→7 alone moved recall only 0.69→0.78), while deeper probes
+    * effectively shorten every table's signature for the tail; the
+    * r12 100x-diverse residual (recall@3 0.8429) is the
+    * low-cosine-truth tail whose per-table P(Hamming ≤ 2) at p=10 is
+    * ~0.20 — radius 3 roughly doubles it. Priced by the packed
+    * evaluator (see [[lshMultiTopK]]): the extra fan-out is tens of
+    * ns per candidate, not a relational join row. */
   def probeMasks(planes: Int): Seq[Long] = {
     val singles = (0 until planes).map(b => 1L << b)
     val pairs =
@@ -996,7 +1002,12 @@ object Similarity {
         for { i <- 0 until planes; j <- i + 1 until planes }
           yield (1L << i) | (1L << j)
       else Seq.empty[Long]
-    0L +: (singles ++ pairs)
+    val triples =
+      if (planes >= 10)
+        for { i <- 0 until planes; j <- i + 1 until planes; l <- j + 1 until planes }
+          yield (1L << i) | (1L << j) | (1L << l)
+      else Seq.empty[Long]
+    0L +: (singles ++ pairs ++ triples)
   }
 
   /** Multi-table LSH ANN (`ann_lsh_multi`): [[lshTopK]] with the
@@ -1016,46 +1027,159 @@ object Similarity {
     * materializes the candidate set. Probing INTO a stop-banded hot
     * bucket finds nothing (the index dropped it) — the cap semantics
     * are unchanged. */
+  /** One LSH table's bucketed index, packed for tight-loop pair
+    * evaluation: cell lookup by signature, members as primitive
+    * arrays (ids, per-member float vectors, precomputed norms with
+    * NaN standing in for the NULL zero-vector norm). ~54 MB per
+    * table at the 100x census — a broadcast, not a shuffle. */
+  private[graft] final class PackedTable(
+      val cellOf: java.util.HashMap[java.lang.Long, Int],
+      val sigs: Array[Long],
+      val ids: Array[Array[Long]],
+      val embs: Array[Array[Array[Float]]],
+      val nrms: Array[Array[Double]]) extends Serializable
+
+  /** Multi-table LSH ANN (`ann_lsh_multi`): the OR-construction
+    * candidate tier with multi-probe — a pair is a candidate if its
+    * signatures are within the probe Hamming radius in ANY table
+    * ([[probeMasks]]; Lv et al., VLDB'07: probing widens the lookup,
+    * never the index). Candidates score by fold-exact cosine and the
+    * per-query top-k election is (cosine DESC, id ASC).
+    *
+    * Execution (r13 rewrite, VERDICT r12 task 2): the relational
+    * probe join streamed every candidate OCCURRENCE — L·|probes|
+    * bucket fan-out, 48.7B pair rows on the 100x-diverse census
+    * corpus — through a wide SMJ, a broadcast fetch, and a
+    * non-codegen heap insert, ~500 ns apiece. The same candidate set
+    * is now evaluated per TABLE from a packed broadcast of that
+    * table's cells: each member enumerates its probe cells in the
+    * broadcast map and runs the [[graft.plans.VecExprs.dot]] double
+    * fold over primitive float arrays directly, keeping a k-cell
+    * (cosine DESC, id ASC) insertion heap per query — tens of ns per
+    * pair, no 10⁸-row relation ever materializes. Each table emits
+    * its per-query top-k (a pair in the GLOBAL top-k is in the top-k
+    * of every table list containing it, so the union of per-table
+    * top-k lists is a lossless candidate cover), and the existing
+    * bounded-heap election merges them — cross-table duplicates are
+    * bit-identical (fold-exact cosine) and collapse in its sorted-set
+    * buffer exactly as before. Results are bit-identical to the
+    * relational spelling and to the oracle's DISTINCT-candidates CTE.
+    *
+    * Scale posture: the per-table broadcast is N·(64 floats + id +
+    * norm) ≈ 54 MB at the 100x census — executor-memory-bounded like
+    * the IVF codebook; at 10⁹ vectors the packed cells shard into an
+    * ordinary (t, sig)-partitioned array-of-cells relation and the
+    * evaluation becomes a partition-local join against the member's
+    * own shard plus its probe neighborhood — the same cell math, one
+    * more shuffle, documented here so nobody mistakes the broadcast
+    * for the 100 TB plan. NULL/zero-norm members ride through with
+    * NaN norms → NULL cosines, ranked last-by-id like everywhere
+    * else. */
   def lshMultiTopK(spark: SparkSession, dir: String, k: Int = 3,
       nTables: Int = -1): DataFrame = {
     import spark.implicits._
     val planes = adaptivePlanes(spark, dir)
+    val tables = if (nTables > 0) nTables else adaptiveTables(planes)
+    val masks = probeMasks(planes).toArray
+    // one distributed pass builds every table's signatures + stop-band
+    // census; persisted so the per-table packing collects don't
+    // recompute the projection 10×
     val idx = sigBucketsMulti(spark, dir, nTables)
-    // NARROW probe rows (r12): the probe side is the whole index
-    // exploded by |probeMasks| — L·(1+p+p(p−1)/2)·N rows, the
-    // dominant relation in the whole plan (112M rows at the 100x
-    // census). Carrying the query embedding on each probe row made
-    // that a ~67 GB sort-merge input (measured: the census's
-    // disk-filling spill); probe rows now carry only (vec_id, t, sig)
-    // — three longs — and the query vector is fetched AFTER the
-    // bucket join from a broadcast of the embeddings projection
-    // (N·(64 floats + norm) ≈ 60 MB at 100x — dimension-bounded
-    // here; at 10⁹ vectors this fetch becomes an ordinary shuffled
-    // hash join on query_id, the same executor-sizing note as the
-    // IVF codebook). The cosine expression tree is unchanged, so
-    // results — and the heap's bit-identical cross-table duplicate
-    // collapse — are identical.
-    val probes = idx.select($"vec_id", $"t",
-      explode(array(probeMasks(planes).map(m =>
-        $"sig".bitwiseXOR(lit(m))): _*)).as("sig"))
-    // raw table, not a dedup of idx: vec_id is unique by construction
-    // and the norm expression is identical, so the fetched values
-    // match idx's — without paying an N-row exchange to dedup tables
-    val qvec = Tables.embeddings(spark, dir).select($"vec_id".as("query_id"),
-      $"embedding".as("qemb"), VecFns.norm($"embedding").as("qnrm"))
-    heapTopK(
-      probes.as("a").join(idx.as("b"), Seq("t", "sig"))
-        .where($"a.vec_id" =!= $"b.vec_id")
-        .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
-          $"b.embedding".as("nemb"), $"b.nrm".as("nnrm"))
-        // size-gated: ~60 MB at the 100x census, but ∝ N — at 10⁹
-        // vectors this must become the ordinary shuffled hash join
-        // the scaladoc promises, not a forced-broadcast OOM
-        .join(JoinGate.gatedBroadcast(qvec, "ann_lsh_multi.qvec"),
-          Seq("query_id"))
-        .select($"query_id", $"neighbor_id",
-          (VecFns.dot($"qemb", $"nemb") / ($"qnrm" * $"nnrm")).as("cosine")),
-      k)
+      .select($"t", $"sig", $"vec_id", $"embedding", $"nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perTable = (0 until tables).map { t =>
+        val rows = idx.filter($"t" === t)
+          .select($"sig", $"vec_id", $"embedding", $"nrm").collect()
+        val bySig = rows.groupBy(_.getLong(0))
+        val cellOf = new java.util.HashMap[java.lang.Long, Int](bySig.size * 2)
+        val nC = bySig.size
+        val sigsA = new Array[Long](nC)
+        val ids = new Array[Array[Long]](nC)
+        val embs = new Array[Array[Array[Float]]](nC)
+        val nrms = new Array[Array[Double]](nC)
+        var ci = 0
+        bySig.foreach { case (sig, members) =>
+          cellOf.put(sig, ci)
+          sigsA(ci) = sig
+          ids(ci) = members.map(_.getLong(1))
+          embs(ci) = members.map(_.getSeq[Float](2).toArray)
+          nrms(ci) = members.map(r => if (r.isNullAt(3)) Double.NaN else r.getDouble(3))
+          ci += 1
+        }
+        val bc = spark.sparkContext.broadcast(
+          new PackedTable(cellOf, sigsA, ids, embs, nrms))
+        val nCells = nC
+        val kk = k
+        val mk = masks
+        spark.range(0L, nCells.toLong, 1L, spark.sessionState.conf.numShufflePartitions)
+          .mapPartitions { cellIt =>
+            val pt = bc.value
+            cellIt.flatMap { ciL =>
+              val c = ciL.toInt
+              val qIds = pt.ids(c)
+              val qEmbs = pt.embs(c)
+              val qNrms = pt.nrms(c)
+              val homeSig = pt.sigs(c)
+              // iterate the home cell's members as queries
+              Iterator.range(0, qIds.length).flatMap { qi =>
+                val qid = qIds(qi)
+                val qe = qEmbs(qi)
+                val qn = qNrms(qi)
+                // k-cell insertion heap ordered (cos' DESC, id ASC),
+                // cos' = -inf for NULL cosine
+                val hc = new Array[Double](kk)
+                val hi = new Array[Long](kk)
+                var hn = 0
+                var mi = 0
+                while (mi < mk.length) {
+                  val cell = pt.cellOf.get(java.lang.Long.valueOf(homeSig ^ mk(mi)))
+                  if (cell != null) {
+                    val ni = cell.intValue()
+                    val nIds = pt.ids(ni)
+                    val nEmbs = pt.embs(ni)
+                    val nNrms = pt.nrms(ni)
+                    var j = 0
+                    while (j < nIds.length) {
+                      val nid = nIds(j)
+                      if (nid != qid) {
+                        val ne = nEmbs(j)
+                        val n = math.min(qe.length, ne.length)
+                        var s = 0.0d
+                        var d = 0
+                        while (d < n) { s += qe(d).toDouble * ne(d).toDouble; d += 1 }
+                        val denom = qn * nNrms(j)
+                        val cosP =
+                          if (java.lang.Double.isNaN(denom)) Double.NegativeInfinity
+                          else s / denom
+                        // insert if better than current k-th
+                        if (hn < kk || cosP > hc(hn - 1) ||
+                            (cosP == hc(hn - 1) && nid < hi(hn - 1))) {
+                          var p = if (hn < kk) hn else kk - 1
+                          while (p > 0 && (cosP > hc(p - 1) ||
+                              (cosP == hc(p - 1) && nid < hi(p - 1)))) {
+                            hc(p) = hc(p - 1); hi(p) = hi(p - 1); p -= 1
+                          }
+                          hc(p) = cosP; hi(p) = nid
+                          if (hn < kk) hn += 1
+                        }
+                      }
+                      j += 1
+                    }
+                  }
+                  mi += 1
+                }
+                Iterator.range(0, hn).map { p =>
+                  (qid, hi(p),
+                    if (hc(p) == Double.NegativeInfinity) Option.empty[Double]
+                    else Some(hc(p)))
+                }
+              }
+            }
+          }.toDF("query_id", "neighbor_id", "cosine")
+      }
+      heapTopK(perTable.reduce(_ unionByName _), k)
+    } finally idx.unpersist(blocking = false)
   }
 
   /** Recall of the multi-table tier ([[lshRecall]]'s harness pointed
