@@ -155,6 +155,21 @@ class Round32Spec extends SparkSpec {
     assert(got == expect, s"rescan path must equal recompute: got $got expect $expect")
   }
 
+  test("probeMasks: radius grows with signature width at the documented steps") {
+    import operators.Similarity.probeMasks
+    // p=4 (gate SFs): self + 4 single flips only — r10 semantics
+    assert(probeMasks(4).length == 5)
+    // p=7 (10x): + C(7,2) pair flips
+    assert(probeMasks(7).length == 1 + 7 + 21)
+    // p=10 (100x width step, r13): + C(10,3) triple flips
+    assert(probeMasks(10).length == 1 + 10 + 45 + 120)
+    // masks are distinct and within the plane width
+    val m = probeMasks(10)
+    assert(m.distinct.length == m.length)
+    assert(m.forall(x => (x >> 10) == 0L))
+    assert(m.count(java.lang.Long.bitCount(_) == 3) == 120)
+  }
+
   test("JoinGate: broadcasts under the session threshold, leaves the shuffled plan above it") {
     import operators.JoinGate
     val dim = spark.range(100).toDF("k")
