@@ -899,12 +899,17 @@ object Similarity {
       .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val q = emb.filter(pmod($"vec_id", lit(qMod.toLong)) === 0L)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
-    val truth = emb.join(broadcast(q), $"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= k)
+    // truth election via the bounded-heap aggregate, not a window:
+    // the sample × corpus cosine relation never shuffles — partial
+    // heaps ship k pairs per query per map task where row_number
+    // sorted the whole N·Q relation (~800M rows at the 100x census,
+    // most of the harness's wall). Same deterministic
+    // (cosine DESC, id ASC) election either way.
+    val truth = heapTopK(
+        emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine")),
+        k)
       .select($"query_id", $"neighbor_id")
     val got = lshTopK(spark, dir, k)
       .filter(pmod($"query_id", lit(qMod.toLong)) === 0L)
@@ -1029,14 +1034,21 @@ object Similarity {
     * are unchanged. */
   /** One LSH table's bucketed index, packed for tight-loop pair
     * evaluation: cell lookup by signature, members as primitive
-    * arrays (ids, per-member float vectors, precomputed norms with
-    * NaN standing in for the NULL zero-vector norm). ~54 MB per
-    * table at the 100x census — a broadcast, not a shuffle. */
+    * arrays — ids, precomputed norms (NaN standing in for the NULL
+    * zero-vector norm), and the member vectors CONCATENATED into one
+    * float array per cell with an offsets array (member m of cell c
+    * spans flat(c)[offs(c)(m) until offs(c)(m+1))). The flat layout
+    * is what lets the whole pack move as bulk primitive-array copies
+    * (UnsafeArrayData.fromPrimitiveArray both ways — no per-member
+    * object graph on the shuffle, the collect, or the broadcast) and
+    * keeps a cell's vectors contiguous for the probe sweep. ~54 MB
+    * per table at the 100x census — a broadcast, not a shuffle. */
   private[graft] final class PackedTable(
       val cellOf: java.util.HashMap[java.lang.Long, Int],
       val sigs: Array[Long],
       val ids: Array[Array[Long]],
-      val embs: Array[Array[Array[Float]]],
+      val offs: Array[Array[Int]],
+      val flat: Array[Array[Float]],
       val nrms: Array[Array[Double]]) extends Serializable
 
   /** Multi-table LSH ANN (`ann_lsh_multi`): the OR-construction
@@ -1088,27 +1100,56 @@ object Similarity {
       .select($"t", $"sig", $"vec_id", $"embedding", $"nrm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val perTable = (0 until tables).map { t =>
-        val rows = idx.filter($"t" === t)
-          .select($"sig", $"vec_id", $"embedding", $"nrm").collect()
-        val bySig = rows.groupBy(_.getLong(0))
-        val cellOf = new java.util.HashMap[java.lang.Long, Int](bySig.size * 2)
-        val nC = bySig.size
+      // distributed pre-pack (r13 open item (a)): each cell's
+      // primitive arrays — including the CONCATENATED member-vector
+      // float array — are built inside mapGroups on the executors;
+      // every column crossing the shuffle (and, on the broadcast
+      // path, the collect) is a flat primitive array — bulk
+      // UnsafeArrayData copies, no per-member object graph. The old
+      // spelling collected raw rows and grouped them single-threaded
+      // on the driver — ~60-100 s of the 299 s 100x census run.
+      def packedCells(t: Int): org.apache.spark.sql.Dataset[LshCellT] =
+        idx.filter($"t" === t)
+          .select($"sig", $"vec_id", $"embedding", $"nrm")
+          .as[(Long, Long, Array[Float], Option[Double])]
+          .groupByKey(_._1)
+          .mapGroups { (sig, it) =>
+            val ms = it.toArray
+            val n = ms.length
+            val offs = new Array[Int](n + 1)
+            var m = 0
+            while (m < n) { offs(m + 1) = offs(m) + ms(m)._3.length; m += 1 }
+            val flat = new Array[Float](offs(n))
+            m = 0
+            while (m < n) {
+              System.arraycopy(ms(m)._3, 0, flat, offs(m), ms(m)._3.length)
+              m += 1
+            }
+            (sig, ms.map(_._2), offs, flat,
+              ms.map(_._4.getOrElse(Double.NaN)))
+          }
+      def packOneTable(t: Int): DataFrame = {
+        val cells = packedCells(t).collect()
+        val nC = cells.length
+        val cellOf = new java.util.HashMap[java.lang.Long, Int](nC * 2)
         val sigsA = new Array[Long](nC)
         val ids = new Array[Array[Long]](nC)
-        val embs = new Array[Array[Array[Float]]](nC)
+        val offsA = new Array[Array[Int]](nC)
+        val flatA = new Array[Array[Float]](nC)
         val nrms = new Array[Array[Double]](nC)
         var ci = 0
-        bySig.foreach { case (sig, members) =>
+        while (ci < nC) {
+          val (sig, cIds, cOffs, cFlat, cNrms) = cells(ci)
           cellOf.put(sig, ci)
           sigsA(ci) = sig
-          ids(ci) = members.map(_.getLong(1))
-          embs(ci) = members.map(_.getSeq[Float](2).toArray)
-          nrms(ci) = members.map(r => if (r.isNullAt(3)) Double.NaN else r.getDouble(3))
+          ids(ci) = cIds
+          offsA(ci) = cOffs
+          flatA(ci) = cFlat
+          nrms(ci) = cNrms
           ci += 1
         }
         val bc = spark.sparkContext.broadcast(
-          new PackedTable(cellOf, sigsA, ids, embs, nrms))
+          new PackedTable(cellOf, sigsA, ids, offsA, flatA, nrms))
         val nCells = nC
         val kk = k
         val mk = masks
@@ -1118,7 +1159,8 @@ object Similarity {
             cellIt.flatMap { ciL =>
               val c = ciL.toInt
               val qIds = pt.ids(c)
-              val qEmbs = pt.embs(c)
+              val qOffs = pt.offs(c)
+              val qFlat = pt.flat(c)
               val qNrms = pt.nrms(c)
               val homeSig = pt.sigs(c)
               val nQ = qIds.length
@@ -1139,61 +1181,167 @@ object Similarity {
                 val cell = pt.cellOf.get(java.lang.Long.valueOf(homeSig ^ mk(mi)))
                 if (cell != null) {
                   val ni = cell.intValue()
-                  val nIds = pt.ids(ni)
-                  val nEmbs = pt.embs(ni)
-                  val nNrms = pt.nrms(ni)
-                  var j = 0
-                  while (j < nIds.length) {
-                    val nid = nIds(j)
-                    val ne = nEmbs(j)
-                    val nn = nNrms(j)
-                    var qi = 0
-                    while (qi < nQ) {
-                      if (nid != qIds(qi)) {
-                        val qe = qEmbs(qi)
-                        val n = math.min(qe.length, ne.length)
-                        var s = 0.0d
-                        var d = 0
-                        while (d < n) { s += qe(d).toDouble * ne(d).toDouble; d += 1 }
-                        val denom = qNrms(qi) * nn
-                        val cosP =
-                          if (java.lang.Double.isNaN(denom)) Double.NegativeInfinity
-                          else s / denom
-                        val base = qi * kk
-                        val filled = hn(qi)
-                        // insert if better than the current k-th
-                        if (filled < kk || cosP > hc(base + filled - 1) ||
-                            (cosP == hc(base + filled - 1) && nid < hi(base + filled - 1))) {
-                          var p = if (filled < kk) filled else kk - 1
-                          while (p > 0 && (cosP > hc(base + p - 1) ||
-                              (cosP == hc(base + p - 1) && nid < hi(base + p - 1)))) {
-                            hc(base + p) = hc(base + p - 1); hi(base + p) = hi(base + p - 1); p -= 1
-                          }
-                          hc(base + p) = cosP; hi(base + p) = nid
-                          if (filled < kk) hn(qi) = filled + 1
-                        }
-                      }
-                      qi += 1
-                    }
-                    j += 1
-                  }
+                  sweepCell(pt.ids(ni), pt.offs(ni), pt.flat(ni), pt.nrms(ni),
+                    qIds, qOffs, qFlat, qNrms, kk, hc, hi, hn)
                 }
                 mi += 1
               }
-              Iterator.range(0, nQ).flatMap { qi =>
-                val base = qi * kk
-                Iterator.range(0, hn(qi)).map { p =>
-                  (qIds(qi), hi(base + p),
-                    if (hc(base + p) == Double.NegativeInfinity) Option.empty[Double]
-                    else Some(hc(base + p)))
-                }
-              }
+              emitHeaps(qIds, hc, hi, hn, kk)
             }
           }.toDF("query_id", "neighbor_id", "cosine")
       }
+      // The 10⁹-vector hand-off, executable (r13): the packed table
+      // is executor-memory-bounded, so past the session threshold the
+      // SAME cell math runs as a cogroup over a (sig)-partitioned
+      // cell relation — each home cell meets its probe neighborhood
+      // through one probe-edge join + shuffle instead of a broadcast
+      // lookup. Candidate volume and arithmetic are identical (the
+      // shared sweepCell/emitHeaps kernels), so results are
+      // bit-identical; what changes is WHERE a neighbor cell streams
+      // from (shuffle, not broadcast memory). The flip is logged
+      // loudly, JoinGate-style.
+      def shardedOneTable(t: Int): DataFrame = {
+        val cells = Dedup.localCheckpointTransient(packedCells(t).toDF())
+          .as[LshCellT]
+        val mk = masks
+        val kk = k
+        // probe edges are (probe_sig, home_sig) longs only; the
+        // neighbor cell blob replicates once per referencing probe
+        // edge through the join — the same per-(cell, probe) stream
+        // the broadcast path reads from memory
+        val edges = cells.flatMap(c => mk.iterator.map(m => (c._1 ^ m, c._1)))
+        val nbByHome = edges.joinWith(cells, edges("_1") === cells("_1"))
+          .map { case ((_, homeSig), nb) => (homeSig, nb) }
+        cells.groupByKey(_._1)
+          .cogroup(nbByHome.groupByKey(_._1)) { (_, homeIt, nbIt) =>
+            if (!homeIt.hasNext) Iterator.empty
+            else {
+              val home = homeIt.next()
+              val qIds = home._2
+              val hc = new Array[Double](qIds.length * kk)
+              val hi = new Array[Long](qIds.length * kk)
+              val hn = new Array[Int](qIds.length)
+              nbIt.foreach { case (_, nb) =>
+                sweepCell(nb._2, nb._3, nb._4, nb._5,
+                  qIds, home._3, home._4, home._5, kk, hc, hi, hn)
+              }
+              emitHeaps(qIds, hc, hi, hn, kk)
+            }
+          }.toDF("query_id", "neighbor_id", "cosine")
+      }
+      // materialize the persisted index ONCE before fanning out — the
+      // concurrent pack jobs would otherwise race to first-compute the
+      // same partitions (duplicated census work, and the stop-band
+      // accumulators would double-count); after this the packs are
+      // independent cache reads and run concurrently so the 10 small
+      // shuffle jobs overlap (at 1x the sequential spelling paid
+      // ~0.3 s of pure job-launch latency; at the 100x census the
+      // collects and the driver-side map fills parallelize)
+      idx.count()
+      // size gate on the per-table pack (JoinGate's posture applied
+      // to a broadcast VARIABLE): Catalyst's cached-relation estimate
+      // covers all L tables' index rows, so each packed table is
+      // ~est/L — an overestimate of the tighter packed form, which
+      // errs toward the shuffled plan, never an OOM
+      val estPerTable =
+        idx.queryExecution.optimizedPlan.stats.sizeInBytes / tables
+      val maxPack = BigInt(spark.conf
+        .get("spark.graft.lsh.maxPackedBroadcastBytes", (4L << 30).toString)
+        .toLong)
+      val sharded = estPerTable > maxPack
+      println(s"[graft-lshpack] ann_lsh_multi: est per-table pack=" +
+        s"$estPerTable bytes, threshold=$maxPack -> " +
+        (if (sharded) "sharded cell cogroup" else "packed broadcast"))
+      val perTable =
+        if (sharded) (0 until tables).map(shardedOneTable)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(tables, 8))
+          implicit val packEc: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence((0 until tables).map(t =>
+              scala.concurrent.Future(packOneTable(t)))),
+            scala.concurrent.duration.Duration.Inf)
+          finally pool.shutdown()
+        }
       heapTopK(perTable.reduce(_ unionByName _), k)
     } finally idx.unpersist(blocking = false)
   }
+
+  /** The packed-cell row both [[lshMultiTopK]] evaluation paths
+    * exchange: (sig, member ids, member offsets, concatenated member
+    * vectors, member norms). */
+  private type LshCellT =
+    (Long, Array[Long], Array[Int], Array[Float], Array[Double])
+
+  /** Sweep one packed neighbor cell against a home cell's members,
+    * updating the per-member (cosine DESC, id ASC) insertion heaps in
+    * place — the shared inner kernel of both [[lshMultiTopK]]
+    * evaluation paths (broadcast and sharded), so the two are
+    * bit-identical by construction. */
+  private def sweepCell(
+      nIds: Array[Long], nOffs: Array[Int], nFlat: Array[Float],
+      nNrms: Array[Double],
+      qIds: Array[Long], qOffs: Array[Int], qFlat: Array[Float],
+      qNrms: Array[Double],
+      kk: Int, hc: Array[Double], hi: Array[Long], hn: Array[Int]): Unit = {
+    val nQ = qIds.length
+    var j = 0
+    while (j < nIds.length) {
+      val nid = nIds(j)
+      val nb = nOffs(j)
+      val nLen = nOffs(j + 1) - nb
+      val nn = nNrms(j)
+      var qi = 0
+      while (qi < nQ) {
+        if (nid != qIds(qi)) {
+          val qb = qOffs(qi)
+          val n = math.min(qOffs(qi + 1) - qb, nLen)
+          var s = 0.0d
+          var d = 0
+          while (d < n) {
+            s += qFlat(qb + d).toDouble * nFlat(nb + d).toDouble
+            d += 1
+          }
+          val denom = qNrms(qi) * nn
+          val cosP =
+            if (java.lang.Double.isNaN(denom)) Double.NegativeInfinity
+            else s / denom
+          val base = qi * kk
+          val filled = hn(qi)
+          // insert if better than the current k-th
+          if (filled < kk || cosP > hc(base + filled - 1) ||
+              (cosP == hc(base + filled - 1) && nid < hi(base + filled - 1))) {
+            var p = if (filled < kk) filled else kk - 1
+            while (p > 0 && (cosP > hc(base + p - 1) ||
+                (cosP == hc(base + p - 1) && nid < hi(base + p - 1)))) {
+              hc(base + p) = hc(base + p - 1); hi(base + p) = hi(base + p - 1)
+              p -= 1
+            }
+            hc(base + p) = cosP; hi(base + p) = nid
+            if (filled < kk) hn(qi) = filled + 1
+          }
+        }
+        qi += 1
+      }
+      j += 1
+    }
+  }
+
+  /** Drain the per-member heaps filled by [[sweepCell]] into
+    * (query_id, neighbor_id, cosine) rows, restoring -∞ to NULL. */
+  private def emitHeaps(qIds: Array[Long], hc: Array[Double],
+      hi: Array[Long], hn: Array[Int],
+      kk: Int): Iterator[(Long, Long, Option[Double])] =
+    Iterator.range(0, qIds.length).flatMap { qi =>
+      val base = qi * kk
+      Iterator.range(0, hn(qi)).map { p =>
+        (qIds(qi), hi(base + p),
+          if (hc(base + p) == Double.NegativeInfinity) Option.empty[Double]
+          else Some(hc(base + p)))
+      }
+    }
 
   /** Recall of the multi-table tier ([[lshRecall]]'s harness pointed
     * at [[lshMultiTopK]]) — prints what the OR-construction buys over
@@ -1205,12 +1353,14 @@ object Similarity {
       .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
     val q = emb.filter(pmod($"vec_id", lit(qMod.toLong)) === 0L)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
-    val truth = emb.join(broadcast(q), $"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= k)
+    // same bounded-heap truth election as [[lshRecall]] — see the
+    // note there; this is the harness whose 100x truth pass ran ~25
+    // minutes through the window sort (r13 open item (b)).
+    val truth = heapTopK(
+        emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine")),
+        k)
       .select($"query_id", $"neighbor_id")
     val got = lshMultiTopK(spark, dir, k, nTables)
       .filter(pmod($"query_id", lit(qMod.toLong)) === 0L)
