@@ -1699,10 +1699,24 @@ object Similarity {
     * formulation would sort every candidate pair. Candidate volume is
     * Σ|list|·|queries in list| — bounded by the coarse quantizer's
     * balance, the documented IVF contract ([[embedProfile]] is the
-    * pre-flight check). The index materializes once
-    * (localCheckpoint): queries are a filter OF the index, and
-    * without the cut the self-join re-derives the assignment pass
-    * twice. */
+    * pre-flight check).
+    *
+    * Evaluation (r13 continuation — the packed-cell lesson from
+    * [[lshMultiTopK]] applied to the one IVF consumer with a
+    * corpus-proportional query side): the old spelling self-joined
+    * queries×index on cid and shipped every candidate row with TWO
+    * embedding arrays through the shuffle (~3 GB at the 100x census —
+    * the measured reason the N/300 cell rule exists). But the
+    * evaluation is purely WITHIN-cell, so no broadcast and no
+    * checkpoint are needed at all: one groupByKey(cid) shuffles the
+    * index once (N rows, one embedding each), and each inverted list
+    * packs into flat primitive arrays and sweeps its own query subset
+    * through the shared [[sweepCell]] kernel — the same fold-exact
+    * arithmetic and (cosine DESC, id ASC) election as the TopKPairs
+    * spelling it replaces, bit-identically. A degenerate quantizer
+    * cell buffers in one task either way (the old join exploded
+    * |list|·|queries| rows instead); embedProfile remains the
+    * pre-flight. */
   def knnGraph(spark: SparkSession, dir: String, qMod: Int = 10, k: Int = 5,
       nCentroids: Int = -1): DataFrame = {
     import spark.implicits._
@@ -1741,18 +1755,71 @@ object Similarity {
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
     val index = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
       .select($"cid", $"vec_id", $"embedding", $"nrm")
-      .localCheckpoint()
-    val queries = index.filter(pmod($"vec_id", lit(qMod.toLong)) === 0L)
-      .select($"cid", $"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"))
-    queries.join(index, "cid")
-      .where($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine"))
-      .groupBy($"query_id")
-      .agg(graft.plans.Sketch.topKPairs($"cosine", $"neighbor_id", k).as("top"))
-      .select($"query_id", posexplode($"top"))
-      .select($"query_id", $"col.key".as("neighbor_id"),
-        $"col.value".as("cosine"), ($"pos" + 1).cast(LongType).as("rnk"))
+    val qm = qMod.toLong
+    val kk = k
+    index.as[(Long, Long, Array[Float], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.toArray
+        val n = ms.length
+        val ids = new Array[Long](n)
+        val nrms = new Array[Double](n)
+        val offs = new Array[Int](n + 1)
+        var m = 0
+        var nQ = 0
+        while (m < n) {
+          ids(m) = ms(m)._2
+          nrms(m) = ms(m)._4
+          offs(m + 1) = offs(m) + ms(m)._3.length
+          if (ms(m)._2 % qm == 0L) nQ += 1
+          m += 1
+        }
+        val flat = new Array[Float](offs(n))
+        m = 0
+        while (m < n) {
+          System.arraycopy(ms(m)._3, 0, flat, offs(m), ms(m)._3.length)
+          m += 1
+        }
+        // the query subset copies its vectors contiguous so the
+        // shared sweep kernel's (ids, offs, flat, nrms) shape applies
+        val qIds = new Array[Long](nQ)
+        val qNrms = new Array[Double](nQ)
+        val qOffs = new Array[Int](nQ + 1)
+        val hc = new Array[Double](nQ * kk)
+        val hi = new Array[Long](nQ * kk)
+        val hn = new Array[Int](nQ)
+        var qi = 0
+        m = 0
+        while (m < n) {
+          if (ids(m) % qm == 0L) {
+            qIds(qi) = ids(m)
+            qNrms(qi) = nrms(m)
+            qOffs(qi + 1) = qOffs(qi) + (offs(m + 1) - offs(m))
+            qi += 1
+          }
+          m += 1
+        }
+        val qFlat = new Array[Float](qOffs(nQ))
+        qi = 0
+        m = 0
+        while (m < n) {
+          if (ids(m) % qm == 0L) {
+            System.arraycopy(flat, offs(m), qFlat, qOffs(qi),
+              offs(m + 1) - offs(m))
+            qi += 1
+          }
+          m += 1
+        }
+        sweepCell(ids, offs, flat, nrms, qIds, qOffs, qFlat, qNrms,
+          kk, hc, hi, hn)
+        Iterator.range(0, nQ).flatMap { q =>
+          val base = q * kk
+          Iterator.range(0, hn(q)).map { p =>
+            (qIds(q), hi(base + p), hc(base + p), (p + 1).toLong)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine", "rnk")
   }
 
   /** IVF index balance audit (`ann_index_stats`) — the pre-flight a
