@@ -290,16 +290,16 @@ object Similarity {
     val np = if (nProbe > 0) nProbe else ivfProbes(nc)
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
-    val cents = emb.filter($"vec_id" < nc)
-      .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
-    val scored = emb.crossJoin(broadcast(cents))
-      .select($"vec_id", $"embedding", $"nrm", $"cid",
-        (VecFns.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm")).as("ccos"))
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
-    val index = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+    // scan-local assignment (r13 continuation): with the adaptive
+    // codebook the old crossJoin+row_number spelling windowed N·nc
+    // scored rows (160M at the 100x census — measured 218 s for this
+    // key alone); the native TopCentroids expression evaluates the
+    // same fold-exact cosines against the plan-embedded codebook in
+    // one codegen'd pass over the scan
+    val cb = codebookOf(emb, nc)
+    val index = assignTop(emb, cb, 1)
       .select($"cid", $"vec_id", $"embedding", $"nrm")
-    val probes = scored.filter($"vec_id" < nQueries)
-      .withColumn("rn", row_number().over(wAssign)).filter($"rn" <= np)
+    val probes = assignTop(emb.filter($"vec_id" < nQueries), cb, np)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qnrm"), $"cid")
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     // probe set = queries × nProbe, small by contract (like
@@ -773,6 +773,39 @@ object Similarity {
     * GREATEST(16, n // 250). Measured on the 10x diverse-jitter
     * corpus (see ivfTopK's doc). */
   private[graft] def ivfCells(n: Long): Int = math.max(16, (n / 250L).toInt)
+
+  /** Driver-collected codebook of the first `nc` vectors, cid ASC —
+    * the same rows `broadcast(cents)` shipped in the crossJoin
+    * spelling, re-shaped for the native [[graft.plans.TopCentroids]]
+    * assignment expression (null for a NULL centroid vector, NaN for
+    * a NULL norm). Dimension-sized by the IVF contract; at 10⁹
+    * vectors the ~3.3M-entry codebook is where a deployment goes
+    * hierarchical — documented at the adaptive call sites. */
+  private def codebookOf(emb: DataFrame, nc: Int)
+      : (Array[Long], Array[Array[Float]], Array[Double]) = {
+    val cb = emb.filter(col("vec_id") < nc)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect().sortBy(_.getLong(0))
+    (cb.map(_.getLong(0)),
+      cb.map(r => if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray),
+      cb.map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+  }
+
+  /** Scan-local top-P centroid assignment: the input's columns ride
+    * through plus (cid, ccos, rn) for rn 1..P — exactly the rows the
+    * N×nc crossJoin + per-vector row_number window produced for
+    * rn ≤ P, evaluated by one codegen'd [[graft.plans.TopCentroids]]
+    * pass instead of windowing the scored relation. */
+  private def assignTop(df: DataFrame,
+      cb: (Array[Long], Array[Array[Float]], Array[Double]),
+      p: Int): DataFrame = {
+    val keep = df.columns.map(col)
+    df.withColumn("__tc", graft.plans.VecExprs.topCentroidsCol(
+        col("embedding"), col("nrm"), cb._1, cb._2, cb._3, p))
+      .select(keep :+ posexplode(col("__tc")).as(Seq("pos", "tc")): _*)
+      .select(keep ++ Seq(col("tc.cid").as("cid"),
+        col("tc.ccos").as("ccos"), (col("pos") + 1).cast("int").as("rn")): _*)
+  }
 
   /** Adaptive probe count: ceil(log2 nc), floor 4 — oracle mirror
     * GREATEST(4, CEIL(LOG2(nc))). */
@@ -1747,13 +1780,10 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
       .filter($"nrm".isNotNull)
-    val cents = emb.filter($"vec_id" < nc)
-      .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
-    val scored = emb.crossJoin(broadcast(cents))
-      .select($"vec_id", $"embedding", $"nrm", $"cid",
-        (VecFns.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm")).as("ccos"))
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
-    val index = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+    // scan-local assignment via the native TopCentroids pass — the
+    // crossJoin+window spelling scored N·nc rows through a per-vector
+    // sort (~128M at the 100x census with the N/300 rule)
+    val index = assignTop(emb, codebookOf(emb, nc), 1)
       .select($"cid", $"vec_id", $"embedding", $"nrm")
     val qm = qMod.toLong
     val kk = k

@@ -30,6 +30,52 @@ class Round33Spec extends SparkSpec {
     }
   }
 
+  test("TopCentroids assignment matches the crossJoin+row_number window on degenerate shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // vectors: normal, NULL embedding, zero-norm (NULL nrm), and an
+    // exact duplicate of a centroid (tie surface); centroids include
+    // a NULL-norm one so a ccos column can be NULL per-centroid
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), // centroid 0
+      (1L, Array(0f, 1f, 0f)), // centroid 1
+      (2L, Array(0f, 0f, 0f)), // centroid 2 — zero vector, NULL norm
+      (10L, Array(1f, 0f, 0f)), // duplicate of centroid 0
+      (11L, Array(0.5f, 0.5f, 0f)),
+      (12L, Array(0f, 0f, 0f)), // zero-norm query
+      (13L, null.asInstanceOf[Array[Float]])) // NULL embedding
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding",
+        functions.VecFns.norm($"embedding").as("nrm"))
+    val nc = 3
+    val cents = emb.filter($"vec_id" < nc)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid",
+        (functions.VecFns.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm")).as("ccos"))
+    val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+    for (p <- Seq(1, 2, 3)) {
+      val windowed = scored
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= p)
+        .select($"vec_id", $"cid", $"ccos", $"rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3))).toSet
+      val cb = emb.filter($"vec_id" < nc)
+        .select($"vec_id", $"embedding", $"nrm").collect().sortBy(_.getLong(0))
+      val native = emb.withColumn("tc", plans.VecExprs.topCentroidsCol(
+          $"embedding", $"nrm",
+          cb.map(_.getLong(0)),
+          cb.map(r => if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray),
+          cb.map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2)), p))
+        .select($"vec_id", posexplode($"tc").as(Seq("pos", "c")))
+        .select($"vec_id", $"c.cid", $"c.ccos", ($"pos" + 1).as("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3))).toSet
+      assert(native == windowed, s"p=$p")
+    }
+  }
+
   test("lsh pack gate: test-scale corpora stay on the broadcast branch by default") {
     // the gate reads the cached index's Catalyst size estimate; at
     // sf0.001 that is a few hundred KB against the 4 GiB default —
