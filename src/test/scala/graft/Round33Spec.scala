@@ -76,6 +76,15 @@ class Round33Spec extends SparkSpec {
     }
   }
 
+  test("knnGraph plan shape: no window — assignment is the TopCentroids scan, election the packed sweep") {
+    // the two windows this operator used to carry (per-vector
+    // centroid assignment, per-query row_number) both re-sorted
+    // corpus-proportional relations at scale; neither may reappear
+    val plan = operators.Similarity.knnGraph(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.linesIterator.take(12).mkString("\n"))
+  }
+
   test("lsh pack gate: test-scale corpora stay on the broadcast branch by default") {
     // the gate reads the cached index's Catalyst size estimate; at
     // sf0.001 that is a few hundred KB against the 4 GiB default —
