@@ -54,7 +54,7 @@ object GraftSession {
       // inside an executor heap; re-audit this list whenever a new
       // collect_list consumer lands (grep collect_list/collect_set).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (256 * 1024).toString)
+        sys.env.getOrElse("GRAFT_OHA_FALLBACK", (256 * 1024).toString))
       // spark.driver.maxResultSize stays at the 1g default: it is the
       // driver-side tripwire that turns a corpus-sized collect into a
       // loud error instead of an OOM. The one path that used to need

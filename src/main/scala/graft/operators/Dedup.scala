@@ -608,14 +608,95 @@ object Dedup {
       when(fwd, $"u").otherwise($"v").as("src"),
       when(fwd, $"v").otherwise($"u").as("dst"),
       when(fwd, $"dv").otherwise($"du").as("dd"))
-    val wedges = oriented.as("o1").join(oriented.as("o2"),
-        $"o1.src" === $"o2.src" &&
-        ($"o1.dd" < $"o2.dd" || ($"o1.dd" === $"o2.dd" && $"o1.dst" < $"o2.dst")))
-      .select($"o1.src".as("a"), $"o1.dst".as("b"), $"o2.dst".as("c"))
-    val tri = wedges.join(
-      oriented.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"), "left_semi")
-    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+    // Two evaluation paths, size-gated like the LSH pack (r13): a
+    // template-farm corpus drives the clone graph toward cap-sized
+    // cliques, and the wedge join then MATERIALIZES Σ out-deg² rows —
+    // measured 2.09 BILLION wedges on the 100x census corpus (26.9M
+    // pairs, max out-degree 199 ≈ the stop-band cap), a heap-death
+    // spill storm in one JVM. The packed path never materializes a
+    // wedge: the whole oriented adjacency (Σ out-deg longs ≈ 8·|E|
+    // bytes — ~220 MB at that census) broadcasts as flat sorted
+    // arrays, and each oriented edge (a, b) merge-intersects
+    // outAdj(a) ∩ outAdj(b) scan-local — every triangle found exactly
+    // once at its two lowest-(deg, id) endpoints, per-partition
+    // count maps (≤ |V| entries) partial-aggregate before one final
+    // node-keyed sum. Same exact counts either way; past the gate the
+    // relational wedge join remains the arbitrarily-large-graph plan.
+    // the pair relation is a checkpointed LogicalRDD (no Catalyst
+    // size estimate), so the gate prices the adjacency directly:
+    // one count of the checkpointed edges, ~16 bytes per oriented
+    // edge (8 for the flat adjacency long + structure overhead)
+    val est = BigInt(pairs.count()) * 16
+    val maxAdj = BigInt(spark.conf
+      .get("spark.graft.graph.maxAdjBroadcastBytes", (4L << 30).toString)
+      .toLong)
+    val packed = est <= maxAdj
+    println(s"[graft-tripack] graph_triangles: est adjacency=$est bytes, " +
+      s"threshold=$maxAdj -> " +
+      (if (packed) "packed adjacency broadcast" else "relational wedge join"))
+    if (packed) {
+      val edgesNarrow = oriented.select($"src", $"dst").as[(Long, Long)]
+      val adjRows = edgesNarrow.groupByKey(_._1)
+        .mapGroups { (src, it) =>
+          val a = it.map(_._2).toArray
+          java.util.Arrays.sort(a)
+          (src, a)
+        }
+        .collect()
+      val n = adjRows.length
+      val idIdx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+      val offs = new Array[Int](n + 1)
+      var i = 0
+      while (i < n) {
+        idIdx.put(adjRows(i)._1, i)
+        offs(i + 1) = offs(i) + adjRows(i)._2.length
+        i += 1
+      }
+      val adj = new Array[Long](offs(n))
+      i = 0
+      while (i < n) {
+        System.arraycopy(adjRows(i)._2, 0, adj, offs(i), adjRows(i)._2.length)
+        i += 1
+      }
+      val bc = spark.sparkContext.broadcast((idIdx, offs, adj))
+      edgesNarrow.mapPartitions { edges =>
+        val (idx, off, flat) = bc.value
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        edges.foreach { case (a, b) =>
+          val ia = idx.get(a)
+          val ib = idx.get(b)
+          if (ia != null && ib != null) {
+            var pa = off(ia)
+            val ea = off(ia + 1)
+            var pb = off(ib)
+            val eb = off(ib + 1)
+            while (pa < ea && pb < eb) {
+              val ca = flat(pa)
+              val cb = flat(pb)
+              if (ca < cb) pa += 1
+              else if (ca > cb) pb += 1
+              else {
+                counts(a) = counts.getOrElse(a, 0L) + 1L
+                counts(b) = counts.getOrElse(b, 0L) + 1L
+                counts(ca) = counts.getOrElse(ca, 0L) + 1L
+                pa += 1; pb += 1
+              }
+            }
+          }
+        }
+        counts.iterator
+      }.toDF("doc_id", "c")
+        .groupBy($"doc_id").agg(sum($"c").as("n_triangles"))
+    } else {
+      val wedges = oriented.as("o1").join(oriented.as("o2"),
+          $"o1.src" === $"o2.src" &&
+          ($"o1.dd" < $"o2.dd" || ($"o1.dd" === $"o2.dd" && $"o1.dst" < $"o2.dst")))
+        .select($"o1.src".as("a"), $"o1.dst".as("b"), $"o2.dst".as("c"))
+      val tri = wedges.join(
+        oriented.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"), "left_semi")
+      tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+    }
   }
 
   /** Degree distribution of the duplicate-similarity graph — the

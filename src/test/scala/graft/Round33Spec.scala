@@ -85,6 +85,20 @@ class Round33Spec extends SparkSpec {
     assert(!plan.contains("Window"), plan.linesIterator.take(12).mkString("\n"))
   }
 
+  test("triangles: packed-adjacency path is count-identical to the relational wedge join") {
+    val key = "spark.graft.graph.maxAdjBroadcastBytes"
+    def counts(): Map[Long, Long] =
+      operators.Dedup.triangles(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packed = counts() // default branch at test scale
+    spark.conf.set(key, "0") // force the wedge-join fallback
+    try {
+      val wedge = counts()
+      assert(packed == wedge)
+      assert(packed.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("lsh pack gate: test-scale corpora stay on the broadcast branch by default") {
     // the gate reads the cached index's Catalyst size estimate; at
     // sf0.001 that is a few hundred KB against the 4 GiB default —
