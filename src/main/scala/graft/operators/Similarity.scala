@@ -1077,7 +1077,7 @@ object Similarity {
     * keeps a cell's vectors contiguous for the probe sweep. ~54 MB
     * per table at the 100x census — a broadcast, not a shuffle. */
   private[graft] final class PackedTable(
-      val cellOf: java.util.HashMap[java.lang.Long, Int],
+      val cellOf: java.util.HashMap[java.lang.Long, java.lang.Integer],
       val sigs: Array[Long],
       val ids: Array[Array[Long]],
       val offs: Array[Array[Int]],
@@ -1164,7 +1164,11 @@ object Similarity {
       def packOneTable(t: Int): DataFrame = {
         val cells = packedCells(t).collect()
         val nC = cells.length
-        val cellOf = new java.util.HashMap[java.lang.Long, Int](nC * 2)
+        // Value type MUST be java.lang.Integer: with a scala.Int value
+        // the erased get() returns null for a missing signature and
+        // Scala unboxes that null to 0, so every probe miss would
+        // silently sweep cell 0 — phantom candidates, wasted work.
+        val cellOf = new java.util.HashMap[java.lang.Long, java.lang.Integer](nC * 2)
         val sigsA = new Array[Long](nC)
         val ids = new Array[Array[Long]](nC)
         val offsA = new Array[Array[Int]](nC)

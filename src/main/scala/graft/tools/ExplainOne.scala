@@ -1,18 +1,21 @@
 package graft.tools
 
-/** Ad-hoc plan dump: runMain graft.tools.ExplainOne <name> [sfDir]. */
+/** Ad-hoc plan dump: runMain graft.tools.ExplainOne <name>[,name...] [sfDir].
+  * Multiple comma-separated names share one session so a plan sweep
+  * does not pay JVM+session startup per query.
+  */
 object ExplainOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = graft.GraftSession.builder(master = "local[8]", shufflePartitions = 8)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    val plan = df.queryExecution.executedPlan.toString
-    val exchanges = plan.split("\n").count(_.trim.startsWith("+- Exchange") )
-    println(s"[explain] $name")
-    df.explain("formatted")
+    names.foreach { name =>
+      println(s"===== $name =====")
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.explain("formatted")
+    }
     spark.stop()
   }
 }
