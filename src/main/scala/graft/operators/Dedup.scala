@@ -352,6 +352,40 @@ object Dedup {
     rdds.foreach(q.add)
   }
 
+  /** Registry of TRANSIENT broadcast variables (the packed LSH
+    * tables, the packed triangle/kcore adjacencies): like the
+    * checkpoint blocks above, the returned plan still references them
+    * so the operator cannot destroy them itself, but once the caller
+    * has consumed the result they are dead weight. Before r14 they
+    * lived until GC — measured: the 100x census OOM'd the triangles
+    * sweep at the default 8g when it ran AFTER the packed ANN keys in
+    * one JVM, because their ~0.5 GB of spent broadcasts had not been
+    * collected yet. The drains destroy them BLOCKING, so the next
+    * key's heap budget is real, not hostage to the GC's schedule.
+    * Destroys are keyed per thread like the block registry, and the
+    * full reset covers queues abandoned by dead pool threads (the
+    * packed-LSH pack pool builds on short-lived threads). */
+  private val transientBcs = new java.util.concurrent.ConcurrentHashMap[
+    Thread,
+    java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]]()
+
+  private[graft] def trackTransientBroadcast(
+      bc: org.apache.spark.broadcast.Broadcast[_]): Unit = {
+    val q = transientBcs.computeIfAbsent(Thread.currentThread(),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]())
+    q.add(bc)
+  }
+
+  private def destroyAll(
+      q: java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]): Unit = {
+    var b = q.poll()
+    while (b != null) {
+      try b.destroy()
+      catch { case _: Throwable => () } // already destroyed / stopped context
+      b = q.poll()
+    }
+  }
+
   /** localCheckpoint whose blocks are freed at the next
     * [[releaseTransientBlocks]] — for checkpoints the RETURNED plan
     * references (caller cannot unpersist them itself). */
@@ -376,6 +410,8 @@ object Dedup {
       var r = q.poll()
       while (r != null) { r.unpersist(blocking = false); r = q.poll() }
     }
+    val bq = transientBcs.remove(Thread.currentThread())
+    if (bq != null) destroyAll(bq)
   }
 
   /** Unpersist EVERY thread's transient blocks — only safe when no
@@ -387,6 +423,11 @@ object Dedup {
       val q = it.next(); it.remove()
       var r = q.poll()
       while (r != null) { r.unpersist(blocking = false); r = q.poll() }
+    }
+    val bit = transientBcs.values().iterator()
+    while (bit.hasNext) {
+      val q = bit.next(); bit.remove()
+      destroyAll(q)
     }
   }
 
@@ -627,9 +668,11 @@ object Dedup {
     // one count of the checkpointed edges, ~16 bytes per oriented
     // edge (8 for the flat adjacency long + structure overhead)
     val est = BigInt(pairs.count()) * 16
-    val maxAdj = BigInt(spark.conf
-      .get("spark.graft.graph.maxAdjBroadcastBytes", (4L << 30).toString)
-      .toLong)
+    // default derives from spark.driver.maxResultSize (r14): the
+    // flat 4 GiB default made the wedge-join fallback unreachable in
+    // the 1-4 GiB band — the collect tripped maxResultSize first
+    val maxAdj =
+      JoinGate.packGateBytes(spark, "spark.graft.graph.maxAdjBroadcastBytes")
     val packed = est <= maxAdj
     println(s"[graft-tripack] graph_triangles: est adjacency=$est bytes, " +
       s"threshold=$maxAdj -> " +
@@ -659,6 +702,8 @@ object Dedup {
         i += 1
       }
       val bc = spark.sparkContext.broadcast((idIdx, offs, adj))
+      // destroyed (blocking) at the caller's next transient drain
+      trackTransientBroadcast(bc)
       edgesNarrow.mapPartitions { edges =>
         val (idx, off, flat) = bc.value
         val counts = scala.collection.mutable.LongMap.empty[Long]

@@ -24,6 +24,26 @@ import org.apache.spark.sql.functions.broadcast
   */
 object JoinGate {
 
+  /** Byte budget for a driver-COLLECTED pack (the LSH packed-table /
+    * triangles packed-adjacency gates): an explicitly-set conf value
+    * wins verbatim (census forcing knob), but the DEFAULT consults
+    * `spark.driver.maxResultSize` — a 4 GiB flat default sat ABOVE the
+    * 1g maxResultSize tripwire, so in the 1-4 GiB band the packed
+    * branch was chosen and the collect died on the tripwire instead of
+    * falling back to the sharded/relational plan built for exactly
+    * that scale (VERDICT r13 defect #1). 70% of maxResultSize leaves
+    * headroom for the estimate being a lower bound of the serialized
+    * task-result bytes; maxResultSize=0 (unlimited) keeps the old
+    * 4 GiB executor-memory bound. */
+  def packGateBytes(spark: org.apache.spark.sql.SparkSession, key: String): BigInt =
+    spark.conf.getOption(key) match {
+      case Some(v) => BigInt(v.toLong)
+      case None =>
+        val mrs = spark.sparkContext.getConf
+          .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+        BigInt(if (mrs <= 0L) 4L << 30 else math.min(4L << 30, mrs / 10L * 7L))
+    }
+
   /** Hint `dim` for broadcast iff its estimated size fits the session
     * broadcast threshold; log the branch either way under `tag`. */
   def gatedBroadcast(dim: DataFrame, tag: String): DataFrame = {

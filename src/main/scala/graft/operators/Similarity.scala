@@ -938,8 +938,12 @@ object Similarity {
     // sorted the whole N·Q relation (~800M rows at the 100x census,
     // most of the harness's wall). Same deterministic
     // (cosine DESC, id ASC) election either way.
+    // q is an N/qMod SAMPLE of the corpus — it scales with the data
+    // (~5 GB framed at 10⁹ vectors), exactly the class the size gate
+    // exists for; under the session threshold the plan is unchanged
     val truth = heapTopK(
-        emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+        emb.join(JoinGate.gatedBroadcast(q, "lsh_recall.truth_q"),
+            $"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id".as("neighbor_id"),
             (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine")),
         k)
@@ -1161,6 +1165,8 @@ object Similarity {
             (sig, ms.map(_._2), offs, flat,
               ms.map(_._4.getOrElse(Double.NaN)))
           }
+      val packedBcs =
+        new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
       def packOneTable(t: Int): DataFrame = {
         val cells = packedCells(t).collect()
         val nC = cells.length
@@ -1187,6 +1193,12 @@ object Similarity {
         }
         val bc = spark.sparkContext.broadcast(
           new PackedTable(cellOf, sigsA, ids, offsA, flatA, nrms))
+        // queued here (possibly on a pack-pool thread), registered for
+        // the blocking destroy on the CALLER thread after the packs
+        // join — so the consumer's own transient drain reclaims the
+        // spent packs instead of leaving them to the GC (r14; the 100x
+        // census OOM'd the next key over exactly this residue)
+        packedBcs.add(bc)
         val nCells = nC
         val kk = k
         val mk = masks
@@ -1282,9 +1294,11 @@ object Similarity {
       // errs toward the shuffled plan, never an OOM
       val estPerTable =
         idx.queryExecution.optimizedPlan.stats.sizeInBytes / tables
-      val maxPack = BigInt(spark.conf
-        .get("spark.graft.lsh.maxPackedBroadcastBytes", (4L << 30).toString)
-        .toLong)
+      // default derives from spark.driver.maxResultSize (r14): the
+      // flat 4 GiB default made the sharded fallback unreachable in
+      // the 1-4 GiB band — the collect tripped maxResultSize first
+      val maxPack =
+        JoinGate.packGateBytes(spark, "spark.graft.lsh.maxPackedBroadcastBytes")
       val sharded = estPerTable > maxPack
       println(s"[graft-lshpack] ann_lsh_multi: est per-table pack=" +
         s"$estPerTable bytes, threshold=$maxPack -> " +
@@ -1302,6 +1316,13 @@ object Similarity {
             scala.concurrent.duration.Duration.Inf)
           finally pool.shutdown()
         }
+      // hand the per-table packs to the CALLER thread's transient
+      // registry (pack-pool threads die with the pool): the consumer's
+      // next drain destroys them blocking (see trackTransientBroadcast)
+      locally {
+        var b = packedBcs.poll()
+        while (b != null) { Dedup.trackTransientBroadcast(b); b = packedBcs.poll() }
+      }
       heapTopK(perTable.reduce(_ unionByName _), k)
     } finally idx.unpersist(blocking = false)
   }
@@ -1393,8 +1414,10 @@ object Similarity {
     // same bounded-heap truth election as [[lshRecall]] — see the
     // note there; this is the harness whose 100x truth pass ran ~25
     // minutes through the window sort (r13 open item (b)).
+    // same data-scaling q sample as [[lshRecall]] — size-gated (r14)
     val truth = heapTopK(
-        emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+        emb.join(JoinGate.gatedBroadcast(q, "lsh_multi_recall.truth_q"),
+            $"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id".as("neighbor_id"),
             (VecFns.dot($"qv", $"embedding") / ($"qnrm" * $"nrm")).as("cosine")),
         k)
