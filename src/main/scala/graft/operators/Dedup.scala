@@ -1032,47 +1032,145 @@ object Dedup {
     * all rounds and deserve cluster-level policy, not pairwise.
     *
     * Rounds are FIXED (like [[reach]]'s bounded BFS), not
-    * run-to-convergence: each round is one degree aggregation + two
-    * semi-joins, all shuffles ∝ surviving edges, with a
-    * localCheckpoint per round truncating lineage; at 100 TB a
-    * bounded sweep is k passes, and the depth-R verdict is already
-    * the actionable signal (survivors of round R only get denser). */
+    * run-to-convergence: the depth-R verdict is already the
+    * actionable signal (survivors of round R only get denser).
+    *
+    * Two evaluation paths, size-gated like [[triangles]] (r14,
+    * VERDICT r13 task 4). The packed path shuffles the symmetric
+    * adjacency ONCE into per-node neighbor arrays and then peels with
+    * node-set broadcasts: each round maps the (checkpointed)
+    * adjacency against the previous round's SORTED survivor array
+    * (binary-search membership, multiplicity preserved by iterating
+    * the neighbor array) and collects the ≤|V| survivor ids — the
+    * per-round semi-join + edge-set checkpoint cycle is gone, and
+    * with it the whole-graph edge state that made the 100x census
+    * need a 16g heap (the old path eagerly re-materialized the
+    * surviving EDGE set every round: 3 extra edge-sized checkpoints +
+    * 2 shuffles per round). The broadcasts scale with NODES, not
+    * edges, so the gate prices |V|; past it (10⁹-node graphs) the
+    * relational peel below remains the plan: one degree aggregation +
+    * two semi-joins per round, all shuffles ∝ surviving edges. Both
+    * paths elect identical survivor sets round by round (same deg ≥ k
+    * test over the same multiset of edges), so results are
+    * bit-identical — Round34Spec pins packed == relational. */
   def kcore(spark: SparkSession, dir: String, k: Int = 2, rounds: Int = 3): DataFrame = {
     import spark.implicits._
     val vp = cachedPairs(spark, dir).select($"doc_a", $"doc_b")
     val sym = vp.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(vp.select($"doc_b".as("u"), $"doc_a".as("v")))
-    val all = sym.select($"u".as("node")).distinct()
-    var edges = sym
-    var prevEdgeBlocks: Seq[org.apache.spark.rdd.RDD[_]] = Nil
-    // survived(r) = nodes still present after r peel rounds
-    var depth = all.withColumn("rounds_survived", lit(0L))
-    for (_ <- 1 to rounds) {
-      val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
-      // every round's keep set feeds the RETURNED depth plan →
-      // transient (freed by the harness drain), not per-round
-      val keep = localCheckpointTransient(
-        deg.filter($"d" >= k).select($"u".as("node")))
-      val (nextEdges, edgeBlocks) = localCheckpointTracked(edges
-        .join(keep.select($"node".as("u")), Seq("u"), "left_semi")
-        .join(keep.select($"node".as("v")), Seq("v"), "left_semi"))
-      // the superseded round's edge blocks are dead the instant the
-      // eager checkpoint above materializes — unpersist them now
-      // instead of leaking one edge set per round (ADVICE r8)
-      prevEdgeBlocks.foreach(_.unpersist(blocking = false))
-      prevEdgeBlocks = edgeBlocks
-      edges = nextEdges
-      depth = depth.join(keep.withColumn("s", lit(1L)), Seq("node"), "left")
-        .select($"node",
-          ($"rounds_survived" + coalesce($"s", lit(0L))).as("rounds_survived"))
+    // one shuffle builds the per-node neighbor arrays; checkpointed
+    // (transient) because every peel round and the final output pass
+    // re-scan it. Every node of `sym` appears as a key (the union is
+    // symmetric), so adjacency keys == the node set.
+    val adjacency = localCheckpointTransient(
+      sym.as[(Long, Long)].groupByKey(_._1)
+        .mapGroups { (u, it) => (u, it.map(_._2).toArray) }
+        .toDF("u", "nbrs"))
+      .as[(Long, Array[Long])]
+    val nNodes = adjacency.count()
+    // survivor-set broadcasts are |V| longs; gate on nodes (~16 B per
+    // id incl. structure), same posture as the triangles pack
+    val est = BigInt(nNodes) * 16
+    val maxKeep =
+      JoinGate.packGateBytes(spark, "spark.graft.graph.maxKeepBroadcastBytes")
+    val packed = est <= maxKeep
+    println(s"[graft-kcorepack] graph_kcore: est survivor set=$est bytes, " +
+      s"threshold=$maxKeep -> " +
+      (if (packed) "packed adjacency peel" else "relational semi-join peel"))
+    if (packed) {
+      val kk = k
+      // alive == null means "all nodes alive" (round 1)
+      def survivors(alive: org.apache.spark.broadcast.Broadcast[Array[Long]])
+          : Array[Long] = {
+        val ids = adjacency.mapPartitions { it =>
+          val a = if (alive == null) null else alive.value
+          it.flatMap { case (u, nbrs) =>
+            if (a != null && java.util.Arrays.binarySearch(a, u) < 0) None
+            else {
+              var d = 0
+              var i = 0
+              while (i < nbrs.length) {
+                if (a == null || java.util.Arrays.binarySearch(a, nbrs(i)) >= 0)
+                  d += 1
+                i += 1
+              }
+              if (d >= kk) Some(u) else None
+            }
+          }
+        }.collect()
+        java.util.Arrays.sort(ids)
+        ids
+      }
+      // keep_1 ⊇ keep_2 ⊇ ... (a peeled node's edges never return)
+      val keeps = new Array[org.apache.spark.broadcast.Broadcast[Array[Long]]](rounds)
+      var r = 0
+      while (r < rounds) {
+        val ids = survivors(if (r == 0) null else keeps(r - 1))
+        keeps(r) = spark.sparkContext.broadcast(ids)
+        // destroyed (blocking) at the caller's next transient drain —
+        // the returned plan's final pass still reads them
+        trackTransientBroadcast(keeps(r))
+        r += 1
+      }
+      val last = if (rounds > 0) keeps(rounds - 1) else null
+      val nR = rounds.toLong
+      adjacency.mapPartitions { it =>
+        val ks: Array[Array[Long]] = keeps.map(_.value)
+        val fin = if (last == null) null else last.value
+        it.map { case (u, nbrs) =>
+          // survivor sets are nested, so rounds_survived = deepest r
+          // containing u — probe from the deepest set up
+          var rs = ks.length
+          while (rs > 0 && java.util.Arrays.binarySearch(ks(rs - 1), u) < 0)
+            rs -= 1
+          val fd =
+            if (fin != null && java.util.Arrays.binarySearch(fin, u) < 0) 0L
+            else {
+              var d = 0L
+              var i = 0
+              while (i < nbrs.length) {
+                if (fin == null ||
+                    java.util.Arrays.binarySearch(fin, nbrs(i)) >= 0) d += 1L
+                i += 1
+              }
+              d
+            }
+          (u, rs.toLong, rs.toLong == nR, fd)
+        }
+      }.toDF("doc_id", "rounds_survived", "in_core", "final_degree")
+    } else {
+      val all = sym.select($"u".as("node")).distinct()
+      var edges = sym
+      var prevEdgeBlocks: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+      // survived(r) = nodes still present after r peel rounds
+      var depth = all.withColumn("rounds_survived", lit(0L))
+      for (_ <- 1 to rounds) {
+        val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+        // every round's keep set feeds the RETURNED depth plan →
+        // transient (freed by the harness drain), not per-round
+        val keep = localCheckpointTransient(
+          deg.filter($"d" >= k).select($"u".as("node")))
+        val (nextEdges, edgeBlocks) = localCheckpointTracked(edges
+          .join(keep.select($"node".as("u")), Seq("u"), "left_semi")
+          .join(keep.select($"node".as("v")), Seq("v"), "left_semi"))
+        // the superseded round's edge blocks are dead the instant the
+        // eager checkpoint above materializes — unpersist them now
+        // instead of leaking one edge set per round (ADVICE r8)
+        prevEdgeBlocks.foreach(_.unpersist(blocking = false))
+        prevEdgeBlocks = edgeBlocks
+        edges = nextEdges
+        depth = depth.join(keep.withColumn("s", lit(1L)), Seq("node"), "left")
+          .select($"node",
+            ($"rounds_survived" + coalesce($"s", lit(0L))).as("rounds_survived"))
+      }
+      // the final round's edges feed finalDeg in the returned plan
+      trackTransient(prevEdgeBlocks)
+      val finalDeg = edges.groupBy($"u".as("node")).agg(count(lit(1)).as("fd"))
+      depth.join(finalDeg, Seq("node"), "left")
+        .select($"node".as("doc_id"), $"rounds_survived",
+          ($"rounds_survived" === rounds.toLong).as("in_core"),
+          coalesce($"fd", lit(0L)).as("final_degree"))
     }
-    // the final round's edges feed finalDeg in the returned plan
-    trackTransient(prevEdgeBlocks)
-    val finalDeg = edges.groupBy($"u".as("node")).agg(count(lit(1)).as("fd"))
-    depth.join(finalDeg, Seq("node"), "left")
-      .select($"node".as("doc_id"), $"rounds_survived",
-        ($"rounds_survived" === rounds.toLong).as("in_core"),
-        coalesce($"fd", lit(0L)).as("final_degree"))
   }
 
   /** Embedding-cosine near-duplicates: candidates share an adaptive-
