@@ -1372,11 +1372,18 @@ object Telemetry {
     * streaming twin (StreamXcorr.streamedDispersion): everything here
     * reduces (event_type, h, x) hourly counts — ∝ types × hours,
     * independent of event volume. */
-  def dispersionFromCounts(spark: SparkSession, counts: DataFrame): DataFrame = {
+  def dispersionFromCounts(spark: SparkSession, counts: DataFrame,
+      bounds: Option[(Long, Long)] = None): DataFrame = {
     import spark.implicits._
-    val b = counts.agg(min($"h"), max($"h")).head()
-    if (b.isNullAt(0)) return spark.emptyDataFrame
-    val n = b.getLong(1) - b.getLong(0) + 1L
+    // pre-computed (lo, hi) hour bounds skip the min/max head job —
+    // the streaming twin already pays one census-integrity pass that
+    // yields them (StreamXcorr, r14)
+    val (lo, hi) = bounds.getOrElse {
+      val b = counts.agg(min($"h"), max($"h")).head()
+      if (b.isNullAt(0)) return spark.emptyDataFrame
+      (b.getLong(0), b.getLong(1))
+    }
+    val n = hi - lo + 1L
     counts.groupBy($"event_type")
       .agg(sum($"x").as("sx"), sum($"x" * $"x").as("sxx"))
       .select($"event_type", lit(n).as("n_hours"), $"sx", $"sxx",
@@ -1421,11 +1428,15 @@ object Telemetry {
     * everything here is ∝ types² × hours × lags, independent of
     * event volume. */
   def xcorrFromCounts(spark: SparkSession, counts: DataFrame,
-      maxLag: Int): DataFrame = {
+      maxLag: Int, bounds: Option[(Long, Long)] = None): DataFrame = {
     import spark.implicits._
-    val b = counts.agg(min($"h"), max($"h")).head()
-    if (b.isNullAt(0)) return spark.emptyDataFrame
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    // pre-computed (lo, hi) hour bounds skip the min/max head job —
+    // see dispersionFromCounts (r14)
+    val (lo, hi) = bounds.getOrElse {
+      val b = counts.agg(min($"h"), max($"h")).head()
+      if (b.isNullAt(0)) return spark.emptyDataFrame
+      (b.getLong(0), b.getLong(1))
+    }
     // dense calendar: consumed by both sides of the lag join —
     // checkpoint so the census aggregation runs once
     val grid = counts.select($"event_type").distinct()

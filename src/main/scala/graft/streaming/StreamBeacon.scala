@@ -46,10 +46,12 @@ object StreamBeacon {
         timestamp_micros(lit(hiUs + offsetUs)).as("ts"),
         lit(Long.MinValue).as("user_id"),
         lit(0.0d).as("value"))
+    // sentinel 1 rides the last data batch — identical emitted set,
+    // one micro-batch cheaper (see StreamXcorr's staging note, r14)
     val out = StreamDedup.runStagedStream(spark, Seq(
         ev.filter(unix_micros($"ts") <= cutUs),
-        ev.filter(unix_micros($"ts") > cutUs),
-        sentinel(3600000000L),
+        ev.filter(unix_micros($"ts") > cutUs)
+          .unionByName(sentinel(3600000000L)),
         sentinel(7200000000L))) { stream =>
       stream
         .withWatermark("ts", "0 seconds")

@@ -37,15 +37,13 @@ object StreamM4 {
     * StreamOhlc straddling-cut election at M4's bucket width. */
   private def straddlingCut(ev: DataFrame): Option[Long] = {
     import ev.sparkSession.implicits._
-    ev.groupBy($"user_id",
+    StreamDedup.cachedHeadOption(ev.groupBy($"user_id",
         window($"ts", "6 hours").getField("start").as("bucket"))
       .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"),
         count(lit(1)).as("n"))
       .filter($"lo" < $"hi")
       .orderBy($"n".desc, $"user_id".asc_nulls_first, $"bucket".asc)
-      .limit(1)
-      .collect()
-      .headOption
+      .limit(1))
       .map(r => (r.getAs[Long]("lo") + r.getAs[Long]("hi")) / 2)
   }
 
@@ -65,10 +63,12 @@ object StreamM4 {
         lit(-1L).as("user_id"),
         timestamp_micros(lit(hiUs + offsetUs)).as("ts"),
         lit(0.0d).as("value"))
+    // sentinel 1 rides the last data batch — identical emitted set,
+    // one micro-batch cheaper (see StreamXcorr's staging note, r14)
     val buckets = StreamDedup.runStagedStream(spark, Seq(
         ev.filter(unix_micros($"ts") <= cutUs),
-        ev.filter(unix_micros($"ts") > cutUs),
-        sentinel(2L * dayUs),
+        ev.filter(unix_micros($"ts") > cutUs)
+          .unionByName(sentinel(2L * dayUs)),
         sentinel(4L * dayUs))) { stream =>
       stream
         .withWatermark("ts", "0 seconds")

@@ -47,15 +47,13 @@ object StreamOhlc {
     * election: event count desc, then (type, day) asc. */
   private[graft] def straddlingCut(spark: SparkSession, dir: String): Option[Long] = {
     import spark.implicits._
-    graft.sources.Tables.events(spark, dir)
+    StreamDedup.cachedHeadOption(graft.sources.Tables.events(spark, dir)
       .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
       .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"),
         count(lit(1)).as("n"))
       .filter($"lo" < $"hi")
       .orderBy($"n".desc, $"event_type".asc, $"day".asc)
-      .limit(1)
-      .collect()
-      .headOption
+      .limit(1))
       // lo < hi ⇒ lo ≤ midpoint < hi, so the first event lands in
       // batch 1 (≤ cut) and the last in batch 2 (> cut)
       .map(r => (r.getAs[Long]("lo") + r.getAs[Long]("hi")) / 2)
@@ -77,10 +75,12 @@ object StreamOhlc {
         timestamp_micros(lit(hiUs + offsetUs)).as("ts"),
         lit("__sentinel__").as("event_type"),
         lit(0.0d).as("value"))
+    // sentinel 1 rides the last data batch — identical emitted set,
+    // one micro-batch cheaper (see StreamXcorr's staging note, r14)
     val candles = StreamDedup.runStagedStream(spark, Seq(
         ev.filter(unix_micros($"ts") <= cutUs),
-        ev.filter(unix_micros($"ts") > cutUs),
-        sentinel(2L * dayUs),
+        ev.filter(unix_micros($"ts") > cutUs)
+          .unionByName(sentinel(2L * dayUs)),
         sentinel(4L * dayUs))) { stream =>
       stream
         .withWatermark("ts", "0 seconds")

@@ -39,16 +39,14 @@ object StreamXcorr {
     * straddle. Deterministic election: count desc, (type, h) asc. */
   private[streaming] def straddlingCut(spark: SparkSession, dir: String): Option[Long] = {
     import spark.implicits._
-    graft.sources.Tables.events(spark, dir)
+    StreamDedup.cachedHeadOption(graft.sources.Tables.events(spark, dir)
       .groupBy($"event_type",
         expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").as("h"))
       .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"),
         count(lit(1)).as("n"))
       .filter($"lo" < $"hi")
       .orderBy($"n".desc, $"event_type".asc, $"h".asc)
-      .limit(1)
-      .collect()
-      .headOption
+      .limit(1))
       .map(r => (r.getAs[Long]("lo") + r.getAs[Long]("hi")) / 2)
   }
 
@@ -58,8 +56,8 @@ object StreamXcorr {
     * self-join. None on an empty corpus. Both [[streamedXcorr]] and
     * [[streamedDispersion]] run on this — the census is the only
     * part of either diagnostic that touches the firehose. */
-  private[streaming] def streamedHourlyCensus(
-      spark: SparkSession, dir: String): Option[DataFrame] = {
+  private[streaming] def streamedHourlyCensus(spark: SparkSession,
+      dir: String): Option[(DataFrame, Option[(Long, Long)])] = {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, dir)
       .select($"ts", $"event_type")
@@ -72,10 +70,17 @@ object StreamXcorr {
       spark.range(1).select(
         timestamp_micros(lit(hiUs + offsetUs)).as("ts"),
         lit("__sentinel__").as("event_type"))
+    // sentinel 1 rides the LAST DATA BATCH (r14): the watermark in
+    // effect during a batch is fixed by the PREVIOUS batch's max
+    // event time, so real cells emit once a later batch runs with the
+    // watermark past their end — advancing it from inside the final
+    // data batch and delivering the emission with ONE final sentinel
+    // batch yields the identical emitted set one micro-batch cheaper
+    // than the old separate 2-sentinel tail
     val cells = StreamDedup.runStagedStream(spark, Seq(
         ev.filter(unix_micros($"ts") <= cutUs),
-        ev.filter(unix_micros($"ts") > cutUs),
-        sentinel(2L * hourUs),
+        ev.filter(unix_micros($"ts") > cutUs)
+          .unionByName(sentinel(2L * hourUs)),
         sentinel(4L * hourUs))) { stream =>
       stream
         .withWatermark("ts", "0 seconds")
@@ -93,20 +98,28 @@ object StreamXcorr {
     // operator groups; =!= would silently drop it with the sentinels
     val counts = cells.filter(!($"event_type" <=> "__sentinel__"))
       .localCheckpoint()
-    // append-mode finality check: a cell emitted twice means window
-    // state was lost and recounted — fail loudly, never hash-diverge
-    val dup = counts.groupBy($"event_type", $"h").count()
-      .filter($"count" =!= 1L).count()
-    if (dup > 0)
+    // ONE job yields the append-mode finality check AND the census
+    // hour bounds the assemblies need (r14: the dup-check count and
+    // each assembly's min/max head were separate driver jobs)
+    val chk = counts.groupBy($"event_type", $"h").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when($"c" =!= 1L, 1L)), lit(0L)).as("dups"),
+        min($"h").as("lo"), max($"h").as("hi")).head()
+    // a cell emitted twice means window state was lost and recounted —
+    // fail loudly, never hash-diverge
+    if (chk.getLong(0) > 0)
       throw new IllegalStateException(
-        s"streamed hourly census: $dup (type, hour) cells emitted != 1 " +
-          "time (tumbling-window state lost or replayed across batches)")
-    Some(counts)
+        s"streamed hourly census: ${chk.getLong(0)} (type, hour) cells " +
+          "emitted != 1 time (tumbling-window state lost or replayed " +
+          "across batches)")
+    val hourBounds = if (chk.isNullAt(1)) None
+      else Some((chk.getLong(1), chk.getLong(2)))
+    Some((counts, hourBounds))
   }
 
   def streamedXcorr(spark: SparkSession, dir: String, maxLag: Int = 3): DataFrame =
     streamedHourlyCensus(spark, dir)
-      .map(c => graft.operators.Telemetry.xcorrFromCounts(spark, c, maxLag))
+      .map { case (c, bounds) =>
+        graft.operators.Telemetry.xcorrFromCounts(spark, c, maxLag, bounds) }
       .getOrElse(spark.emptyDataFrame)
 
   /** Streaming twin of events_dispersion (`stream_dispersion`): the
@@ -115,8 +128,9 @@ object StreamXcorr {
   def streamedDispersion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     streamedHourlyCensus(spark, dir)
-      .map(c => graft.operators.Telemetry.dispersionFromCounts(
-        spark, c.withColumnRenamed("n", "x")))
+      .map { case (c, bounds) =>
+        graft.operators.Telemetry.dispersionFromCounts(
+          spark, c.withColumnRenamed("n", "x"), bounds) }
       .getOrElse(spark.emptyDataFrame)
   }
 }
