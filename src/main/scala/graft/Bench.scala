@@ -28,6 +28,17 @@ object Bench {
     // absorb JVM startup; deterministic name order for stable rounds
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
+    // Timed action (guide §1.4, the r14 re-baseline): the noop sink
+    // computes EVERY column of every row and discards it, where
+    // count() lets the optimizer prune columns and sometimes whole
+    // subtrees — the old numbers under-measured queries whose wide
+    // columns count() never computed. GRAFT_BENCH_ACTION=count keeps
+    // the old action so the transition round records BOTH payloads
+    // (committed side by side); the JSON contract is unchanged.
+    val action = sys.env.getOrElse("GRAFT_BENCH_ACTION", "noop")
+    def act(df: org.apache.spark.sql.DataFrame): Unit =
+      if (action == "count") { df.count(); () }
+      else df.write.format("noop").mode("overwrite").save()
     // a crashing query must NOT show up as a normal-looking timing —
     // record it as -1 and list it under "failed" so a bench with a
     // broken query is visibly broken, not quietly fast/slow
@@ -39,7 +50,7 @@ object Bench {
       // text_boilerplate timed 5.2s in-bench vs 1.0s isolated)
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try { act(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
       catch {
         case t: Throwable =>
           System.err.println(s"bench query failed: ${t.getClass.getName}: ${t.getMessage}")
@@ -88,7 +99,7 @@ object Bench {
       sys.env.getOrElse("GRAFT_BENCH_WARMUP_KEYS", "10").toInt)
     batchSel.take(warmN).foreach { case (_, fn) =>
       graft.operators.Dedup.clearLabelCache()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try act(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     val batchTimes = new java.util.HashMap[String, List[Double]]()
     for (rep <- 0 until reps) {
@@ -126,7 +137,7 @@ object Bench {
                 def call(): Unit = {
                   val s0 = System.nanoTime()
                   try {
-                    fn(spark, sfDir).count()
+                    act(fn(spark, sfDir))
                     val dt = (System.nanoTime() - s0) / 1e9
                     perKey.merge(name, List(dt), (a, b) => b ::: a)
                   } catch {

@@ -84,12 +84,14 @@ object Curation {
     * the oracle. */
   def dedupLines(spark: SparkSession, dir: String, chunkTokens: Int = 10): DataFrame = {
     import spark.implicits._
-    val toks = TextFns.tokens($"text")
-    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    // chunks build through the native TokenChunks expression
+    // (plans/TextExprs documents the value-identity with the composed
+    // transform∘slice∘array_join chunking): the HOF ran the slice+join
+    // INTERPRETED per chunk and re-split the tokens per reference
+    // (r14; count() had pruned the chunk text and hidden the cost)
     val chunks = Tables.documents(spark, dir)
       .select($"doc_id",
-        transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")).as("chunks"))
+        graft.plans.TextExprs.tokenChunksCol($"text", chunkTokens).as("chunks"))
       .select($"doc_id", size($"chunks").cast(LongType).as("total_chunks"),
         posexplode($"chunks").as(Seq("cidx", "chunk")))
     val firstW = Window.partitionBy($"chunk").orderBy($"doc_id".asc, $"cidx".asc)
@@ -123,12 +125,10 @@ object Curation {
   def boilerplate(spark: SparkSession, dir: String, chunkTokens: Int = 10,
       maxDf: Int = 1): DataFrame = {
     import spark.implicits._
-    val toks = TextFns.tokens($"text")
-    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    // native TokenChunks chunking — same rationale as dedupLines (r14)
     def chunkify(docs: DataFrame): DataFrame = docs
       .select($"doc_id",
-        transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")).as("chunks"))
+        graft.plans.TextExprs.tokenChunksCol($"text", chunkTokens).as("chunks"))
       .select($"doc_id", size($"chunks").cast(LongType).as("total_chunks"),
         posexplode($"chunks").as(Seq("cidx", "chunk")))
     val chunks = chunkify(Tables.documents(spark, dir))

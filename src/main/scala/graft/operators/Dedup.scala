@@ -1212,13 +1212,15 @@ object Dedup {
   def substringDup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import spark.implicits._
     val toks = TextFns.tokens($"text")
+    // positions build through the native SlidingShingles expression
+    // (plans/TextExprs documents the value-identity with the composed
+    // transform∘slice∘array_join spelling): the HOF ran the slice+join
+    // INTERPRETED per position — measured 13.4 s for this key at
+    // sf0.1 under the noop action (count() had pruned the gram text
+    // entirely and hidden it)
     val pos = Tables.documents(spark, dir)
       .select($"doc_id",
-        when(size(toks) >= k,
-          transform(sequence(lit(0), size(toks) - k),
-            i => array_join(slice(toks, i + 1, lit(k)), " ")))
-        .otherwise(array(array_join(toks, " "))).as("grams"))
-      .select($"doc_id", explode($"grams").as("gram"))
+        explode(graft.plans.TextExprs.slidingShinglesCol($"text", k)).as("gram"))
     val dup = pos.groupBy($"gram")
       .agg(countDistinct($"doc_id").as("df"))
       .filter($"df" >= 2)

@@ -705,24 +705,20 @@ object TextAnalysis {
     * value, engine-side shapes independent. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lc = lower($"text")
-    val gramsAll = when(length(lc) >= 4,
-      transform(sequence(lit(1), length(lc) - 3), i => lc.substr(i, lit(4))))
-      .otherwise(array(lc))
-    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx"))
-    val topCnt = aggregate(sort_array($"grams"), zero, (a, g) => {
-      val run = when(g === a.getField("prev"), a.getField("run") + 1L).otherwise(lit(1L))
-      struct(g.as("prev"), run.as("run"), greatest(a.getField("mx"), run).as("mx"))
-    }).getField("mx")
-    // materialize the gram array ONCE in its own projection: HOFs are
-    // CodegenFallback, so repeating `gramsAll` in three expressions
-    // would rebuild it three times per row (CollapseProject keeps the
-    // two projections apart because the array expression isn't cheap)
+    // one native scan-local pass yields (n_grams, top multiplicity)
+    // per document (plans/TextExprs.RepGramStats documents the
+    // value-identity with the composed transform+sort+fold spelling
+    // it replaces — that spelling materialized and sorted the gram
+    // STRINGS and ran an interpreted fold per gram, 5.6 s at sf0.1).
+    // NULL text reproduces the old when().otherwise(array(lc)) branch:
+    // one null gram, top count 1, fraction 1.0.
+    val st = graft.plans.TextExprs.repGramStatsCol(lower($"text"), 4)
     Tables.documents(spark, dir)
-      .select($"doc_id", gramsAll.as("grams"))
+      .select($"doc_id", coalesce(st, array(lit(1L), lit(1L))).as("st"))
       .select($"doc_id",
-        size($"grams").cast(LongType).as("n_grams"),
-        (topCnt.cast(DoubleType) / size($"grams").cast(DoubleType)).as("top_gram_frac"))
+        element_at($"st", 1).as("n_grams"),
+        (element_at($"st", 2).cast(DoubleType) /
+          element_at($"st", 1).cast(DoubleType)).as("top_gram_frac"))
   }
 
   /** Document fingerprints: full-content polynomial hash plus the
@@ -856,18 +852,26 @@ object TextAnalysis {
   def lexdiv(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = TextFns.tokens($"text")
-    val s = array_sort(toks)
-    val n = size(s)
+    // the sorted array materializes as a COLUMN before the hapax
+    // lambda touches it: codegen CSE does not descend into
+    // higher-order-function lambdas (the gram() lesson), so
+    // referencing the array_sort expression inside `filter` would
+    // re-run the whole sort PER POSITION — O(n² log n) per document,
+    // measured 27 s for this key at sf0.1 under the noop action
+    // (count() had pruned the column and hidden it)
+    val n = size($"s")
     // three-valued OR makes the boundary checks safe: at i = 1 / i = n
     // the out-of-range neighbor read returns null, but the boundary
     // disjunct is already true
     val hapax = size(filter(sequence(lit(1), n), i =>
-      (i === 1 || element_at(s, i) =!= element_at(s, i - 1)) &&
-        (i === n || element_at(s, i) =!= element_at(s, i + 1))))
+      (i === 1 || element_at($"s", i) =!= element_at($"s", i - 1)) &&
+        (i === n || element_at($"s", i) =!= element_at($"s", i + 1))))
     Tables.documents(spark, dir)
+      .select($"doc_id", array_sort(toks).as("s"),
+        size(array_distinct(toks)).cast(LongType).as("n_types"))
       .select($"doc_id",
         n.cast(LongType).as("n_tokens"),
-        size(array_distinct(toks)).cast(LongType).as("n_types"),
+        $"n_types",
         hapax.cast(LongType).as("n_hapax"))
       .withColumn("ttr", $"n_types".cast(DoubleType) / $"n_tokens".cast(DoubleType))
       .withColumn("hapax_frac", $"n_hapax".cast(DoubleType) / $"n_tokens".cast(DoubleType))

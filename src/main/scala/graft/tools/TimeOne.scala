@@ -15,10 +15,15 @@ object TimeOne {
     // a cap engaging during a census is the loudest place to say so
     graft.GraftSession.registerObservationLog(spark)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // same timed action switch as graft.Bench (noop computes every
+    // column; count lets the optimizer prune — guide §1.4)
+    val action = sys.env.getOrElse("GRAFT_BENCH_ACTION", "noop")
     val times = (1 to reps).map { rep =>
       graft.operators.Dedup.clearLabelCache()
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      if (action == "count") df.count()
+      else df.write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[time] $name rep$rep $s%.3f s")
       s

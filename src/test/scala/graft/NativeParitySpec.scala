@@ -139,4 +139,60 @@ class NativeParitySpec extends SparkSpec {
       assert(bad.isEmpty)
     }
   }
+
+  test("SlidingShingles / TokenChunks == composed slice spellings (ordered)") {
+    val w = 8
+    val cw = 10
+    val edges = Seq(
+      "", "one", "two words", "exactly eight tokens in this here gram x",
+      "a b c d e f g h i j k l m n o p q r s t u v",
+      "CAFÉ naïve 你好 世界 mixed  case　tokens with füll width spaces",
+      "emoji 😀 a b c d e f g h i j")
+      .toDF("text")
+    for (df <- Seq(Tables.documents(spark, sf).select($"text"), edges)) {
+      val toks = TextFns.tokens($"text")
+      val hofSh = when(size(toks) >= w,
+        transform(sequence(lit(0), size(toks) - w),
+          i => array_join(slice(toks, i + 1, lit(w)), " ")))
+        .otherwise(array(array_join(toks, " ")))
+      val nChunks = ceil(size(toks) / lit(cw.toDouble)).cast("int")
+      val hofCh = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * cw + 1, lit(cw)), " "))
+      val bad = df.select(
+          graft.plans.TextExprs.slidingShinglesCol($"text", w).as("nsh"),
+          hofSh.as("hsh"),
+          graft.plans.TextExprs.tokenChunksCol($"text", cw).as("nch"),
+          hofCh.as("hch"))
+        .filter(to_json($"nsh") =!= to_json($"hsh") ||
+          to_json($"nch") =!= to_json($"hch"))
+      assert(bad.isEmpty)
+    }
+  }
+
+  test("RepGramStats == composed gram multiset top-count on all documents + edges") {
+    val edges = Seq(
+      "", "abc", "abcd", "aaaaaaa", "xyxyxyxyxy",
+      "CAFÉ naïve 你好世界 repeats 你好世界 repeats",
+      "emoji 😀😀😀😀 run and 😀a😀a mixed surrogate grams")
+      .toDF("text")
+    for (df <- Seq(Tables.documents(spark, sf).select($"text"), edges)) {
+      val lc = lower($"text")
+      val gramsAll = when(length(lc) >= 4,
+        transform(sequence(lit(1), length(lc) - 3), i => lc.substr(i, lit(4))))
+        .otherwise(array(lc))
+      val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx"))
+      val hofTop = aggregate(sort_array(gramsAll), zero, (a, g) => {
+        val run = when(g === a.getField("prev"), a.getField("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"), greatest(a.getField("mx"), run).as("mx"))
+      }).getField("mx")
+      val st = graft.plans.TextExprs.repGramStatsCol(lc, 4)
+      val bad = df.select(
+          coalesce(element_at(st, 1), lit(1L)).as("n_native"),
+          coalesce(element_at(st, 2), lit(1L)).as("top_native"),
+          size(gramsAll).cast("long").as("n_hof"),
+          hofTop.as("top_hof"))
+        .filter($"n_native" =!= $"n_hof" || $"top_native" =!= $"top_hof")
+      assert(bad.isEmpty)
+    }
+  }
 }
