@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra -D flags for census experiments (e.g. forcing a pack gate
+  // branch with -Dspark.graft.lsh.maxPackedBroadcastBytes=...)
+  sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -47,8 +47,15 @@ object ScaleCensus {
       val fut = pool.submit(new java.util.concurrent.Callable[Long] {
         def call(): Long = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try graft.SparkEntry.queries(name)(spark, dir).count()
-          finally spark.sparkContext.clearJobGroup()
+          // noop sink like the bench (guide §1.4): count() prunes
+          // columns/subtrees, so a census could under-exercise exactly
+          // the expensive column a key would compute in production.
+          // GRAFT_BENCH_ACTION=count restores the old action.
+          try {
+            val df = graft.SparkEntry.queries(name)(spark, dir)
+            if (sys.env.getOrElse("GRAFT_BENCH_ACTION", "noop") == "count") df.count()
+            else { df.write.format("noop").mode("overwrite").save(); df.count() }
+          } finally spark.sparkContext.clearJobGroup()
         }
       })
       try {
